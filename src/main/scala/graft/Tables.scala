@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table registry: maps the engine's catalog onto parquet directories.
+  *
+  * Reference parity: IndexR keeps a table catalog on ZooKeeper
+  * (indexr-server/src/main/java/io/indexr/server/ZkTableManager.java) where a
+  * table = schema JSON + a directory of segment files. Here a table = a parquet
+  * file/directory under a scale-factor dir; Spark's catalog (temp views) plays
+  * the role of the ZK registry, and Parquet files play the role of segments
+  * (indexr-segment/src/main/java/io/indexr/segment/Segment.java:6-15).
+  *
+  * At 100 TB each table would be a directory of many parquet files
+  * (optionally date-partitioned); everything below reads a path, so the layout
+  * scales without code changes.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Path of a table inside a scale-factor directory. */
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  def df(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(path(dir, name))
+
+  /** Register every table as a temp view so `spark.sql` works over the dir. */
+  def register(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => df(spark, dir, n).createOrReplaceTempView(n))
+
+  // Typed accessors for the common tables.
+  def lineitem(s: SparkSession, d: String): DataFrame = df(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = df(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = df(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = df(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = df(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = df(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = df(s, d, "region")
+  def events(s: SparkSession, d: String): DataFrame = df(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = df(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = df(s, d, "embeddings")
+}
