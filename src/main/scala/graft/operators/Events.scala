@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.Ops._
+
+/** Batch expressions of the reference's ingestion/streaming operators
+  * (SURVEY.md §2.C) over the `events` table. The streaming forms (readStream →
+  * foreachBatch) live in graft.streaming and are spec-tested; these batch
+  * queries pin the *semantics* against the DuckDB oracle, since a Structured
+  * Streaming micro-batch runs exactly this plan per batch.
+  *
+  * `events.ts` is TIMESTAMP(NANOS) parquet; our sessions read it as an
+  * epoch-nano long (spark.sql.legacy.parquet.nanosAsLong), so all time math
+  * below is exact integer arithmetic (DuckDB side: epoch_ns // divisor).
+  */
+object Events {
+
+  /** epoch-nano long → TIMESTAMP (micros) for windowing. Integral DIV, not
+    * `/` (which is double division and loses ns precision at 1e18). */
+  private val tsMicros = timestamp_micros(expr("ts DIV 1000"))
+  private val tsSeconds = expr("ts DIV 1000000000")
+
+  // q25 — JSON event decode (UTF8JsonRowCreator parity:
+  // indexr-segment/.../rt/UTF8JsonRowCreator.java:14,124): parse the props
+  // JSON payload, default missing numerics to zero (`number.empty.as.zero`),
+  // tag filter (rt/TagSetting.java:7-15) and column alias
+  // (RealtimeSetting.java:14 nameToAlias) included.
+  private def q25(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .filter($"event_type".isin("purchase", "signup", "error"))
+      .select(
+        $"event_id",
+        $"user_id".as("uid"),
+        $"event_type",
+        coalesce(get_json_object($"props", "$.k").cast(IntegerType), lit(0)).as("k"),
+        $"value")
+      .orderBy($"event_id")
+  }
+  private val q25Sql =
+    """SELECT event_id, user_id AS uid, event_type,
+      | coalesce(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER), 0) AS k,
+      | value
+      |FROM events
+      |WHERE event_type IN ('purchase','signup','error')
+      |ORDER BY event_id""".stripMargin
+
+  // q26 — event-time tumbling window aggregation (our superset of the
+  // reference, which has no windowing — SURVEY.md §2.C "Watermarks"): the
+  // batch shape of `groupBy(window($"ts","1 hour"), $"event_type")`.
+  private def q26(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy(window(tsMicros, "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .select($"w.start".cast(StringType).as("window_start"), $"event_type", $"n", $"sum_value")
+      .orderBy($"window_start", $"event_type")
+  }
+  private val q26Sql =
+    s"""SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start, event_type,
+       | COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  // q27 — sessionization: gap > 30 min starts a new session per user
+  // (lag + conditional + running count — the composed-window pattern).
+  private def q27(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, d)
+      .withColumn("sec", tsSeconds)
+      .withColumn("prev_sec", lag($"sec", 1).over(byUser))
+      .withColumn("new_sess",
+        when($"prev_sec".isNull || ($"sec" - $"prev_sec") > 1800, 1).otherwise(0))
+      .withColumn("session_id", sum($"new_sess").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"user_id", $"event_id", $"session_id")
+      .orderBy($"user_id", $"event_id")
+  }
+  private val q27Sql =
+    """WITH t AS (
+      |  SELECT user_id, event_id, ts, epoch_ns(ts) // 1000000000 AS sec,
+      |    LAG(epoch_ns(ts) // 1000000000, 1)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN prev_sec IS NULL OR (sec - prev_sec) > 1800
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM t)
+      |SELECT user_id, event_id,
+      |  CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |FROM f ORDER BY user_id, event_id""".stripMargin
+
+  // q28 — ingest-time rollup agg set {SUM, FIRST, LAST, MIN, MAX}
+  // (rt/AggType.java:9-13,43-86). The reference's FIRST/LAST depend on
+  // arrival order (RealtimeSegment.java:298); we make them deterministic by
+  // anchoring to event_id (a monotone arrival id) via min_by/max_by — the
+  // documented resolution of SURVEY.md §7.4's first/last hard spot.
+  private def q28(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"user_id", $"event_type")
+      .agg(
+        dsum($"value").as("sum_value"),
+        min($"value").as("min_value"),
+        max($"value").as("max_value"),
+        min_by($"value", $"event_id").as("first_value"),
+        max_by($"value", $"event_id").as("last_value"),
+        count(lit(1)).as("n"))
+      .orderBy($"user_id", $"event_type")
+  }
+  private val q28Sql =
+    s"""SELECT user_id, event_type,
+       | ${dsumSql("value")} AS sum_value,
+       | min(value) AS min_value,
+       | max(value) AS max_value,
+       | arg_min(value, event_id) AS first_value,
+       | arg_max(value, event_id) AS last_value,
+       | COUNT(*) AS n
+       |FROM events GROUP BY user_id, event_type
+       |ORDER BY user_id, event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_json_ingest" -> q25,
+    "q26_window_tumbling" -> q26,
+    "q27_sessionize" -> q27,
+    "q28_rollup_first_last" -> q28,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q25_json_ingest" -> q25Sql,
+    "q26_window_tumbling" -> q26Sql,
+    "q27_sessionize" -> q27Sql,
+    "q28_rollup_first_last" -> q28Sql,
+  )
+}

@@ -1,0 +1,332 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.Ops._
+
+/** Operators the reference lacked natively and delegated to external engines
+  * (SURVEY.md §2.A "Absent from the reference"): joins of every kind, set
+  * operations, window functions, cube/rollup, subqueries, and the function
+  * families (date/string/math) the reference had no surface for. Exposed here
+  * as first-class engine capabilities via Spark SQL.
+  *
+  * Scale notes (100 TB): fact⋈fact joins shuffle on the join key (AQE picks
+  * sort-merge vs shuffled-hash); dim joins are explicitly `broadcast()`; all
+  * window sums go through decimal so plans stay order-independent.
+  */
+object Extended {
+
+  private val D = DecimalType(30, 6)
+  private def dwin(c: Column): Column = c.cast(D)
+
+  // q13 — fact ⋈ fact ⋈ dim join with aggregation. lineitem⋈orders shuffles
+  // on the key; customer is broadcast (a dim at any scale that fits 8 GB —
+  // at 100 TB customer would shuffle too, which AQE decides from stats).
+  private def q13(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy($"c_mktsegment")
+      .agg(
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+        count(lit(1)).as("n_lines"),
+        countDistinct($"o_orderkey").as("n_orders"))
+      .orderBy($"c_mktsegment")
+  }
+  private val q13Sql =
+    s"""SELECT c_mktsegment,
+       | ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       | COUNT(*) AS n_lines,
+       | COUNT(DISTINCT o_orderkey) AS n_orders
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // q14 — star-schema dim chain with explicit broadcasts (nation, region are
+  // tiny at any scale; the plan must show BroadcastHashJoin, no shuffle of
+  // the dims).
+  private def q14(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy($"r_name")
+      .agg(count(lit(1)).as("n_cust"), dsum($"c_acctbal").as("sum_bal"))
+      .orderBy($"r_name")
+  }
+  private val q14Sql =
+    s"""SELECT r_name, COUNT(*) AS n_cust, ${dsumSql("c_acctbal")} AS sum_bal
+       |FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  // q15 — semi/anti joins (EXISTS / NOT EXISTS), tagged and unioned.
+  private def q15(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).select($"o_custkey".as("c_custkey"))
+    val semi = c.join(o, Seq("c_custkey"), "left_semi")
+      .select(lit("has_orders").as("op"), $"c_custkey")
+    val anti = c.join(o, Seq("c_custkey"), "left_anti")
+      .select(lit("no_orders").as("op"), $"c_custkey")
+    semi.unionAll(anti).orderBy($"op", $"c_custkey")
+  }
+  private val q15Sql =
+    """SELECT 'has_orders' AS op, c_custkey FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |UNION ALL
+      |SELECT 'no_orders' AS op, c_custkey FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY op, c_custkey""".stripMargin
+
+  // q16 — outer join with null-producing side + null-aware aggregation.
+  private def q16(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d)
+    val big = Tables.lineitem(s, d).filter($"l_quantity" > 45.0)
+      .select($"l_orderkey", $"l_quantity")
+    o.join(big, o("o_orderkey") === big("l_orderkey"), "left_outer")
+      .groupBy($"o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count($"l_quantity").as("n_big_lines"),
+        sum(when($"l_orderkey".isNull, 1).otherwise(0)).as("n_no_match"))
+      .orderBy($"o_orderstatus")
+  }
+  private val q16Sql =
+    """SELECT o_orderstatus, COUNT(*) AS n_rows,
+      | COUNT(l_quantity) AS n_big_lines,
+      | CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_match
+      |FROM orders LEFT OUTER JOIN
+      | (SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > 45.0) b
+      | ON o_orderkey = b.l_orderkey
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // q17 — window functions: ranking, lag/lead, running (decimal-exact) sum.
+  private def q17(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rk"),
+        dense_rank().over(w).as("drk"),
+        lag($"o_totalprice", 1).over(w).as("prev_price"),
+        lead($"o_totalprice", 1).over(w).as("next_price"),
+        sum(dwin($"o_totalprice")).over(run).cast(DoubleType).as("running_total"))
+      .orderBy($"o_custkey", $"rn")
+  }
+  private val q17Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      | ROW_NUMBER() OVER w AS rn,
+      | RANK() OVER w AS rk,
+      | DENSE_RANK() OVER w AS drk,
+      | LAG(o_totalprice, 1) OVER w AS prev_price,
+      | LEAD(o_totalprice, 1) OVER w AS next_price,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+      |   OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  // q18 — ROLLUP with grouping flags (superset of the reference's ingest-time
+  // rollup, which only pre-aggregates fixed dims — rt/AggSchema.java:11-27).
+  private def q18(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("sum_qty"),
+        grouping($"l_returnflag").cast(IntegerType).as("g_flag"),
+        grouping($"l_linestatus").cast(IntegerType).as("g_status"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+        $"n", $"sum_qty", $"g_flag", $"g_status")
+      .orderBy($"returnflag", $"linestatus", $"g_flag", $"g_status")
+  }
+  private val q18Sql =
+    s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       | coalesce(l_linestatus, 'ALL') AS linestatus,
+       | COUNT(*) AS n, ${dsumSql("l_quantity")} AS sum_qty,
+       | CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+       | CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status
+       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       |ORDER BY returnflag, linestatus, g_flag, g_status""".stripMargin
+
+  // q19 — CUBE over two dims.
+  private def q19(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_price"))
+      .select(
+        coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        $"n", $"sum_price")
+      .orderBy($"status", $"priority", $"n")
+  }
+  private val q19Sql =
+    s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       | coalesce(o_orderpriority, 'ALL') AS priority,
+       | COUNT(*) AS n, ${dsumSql("o_totalprice")} AS sum_price
+       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+       |ORDER BY status, priority, n""".stripMargin
+
+  // q20 — subqueries (scalar + IN), via the engine's SQL passthrough surface.
+  private def q20(s: SparkSession, d: String): DataFrame = {
+    Tables.register(s, d)
+    s.sql(
+      s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         |WHERE o_totalprice > (SELECT ${dsumSql("o_totalprice")} / COUNT(*) FROM orders)
+         |  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0.0)
+         |ORDER BY o_orderkey""".stripMargin)
+  }
+  private val q20Sql =
+    s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+       |WHERE o_totalprice > (SELECT ${dsumSql("o_totalprice")} / COUNT(*) FROM orders)
+       |  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0.0)
+       |ORDER BY o_orderkey""".stripMargin
+
+  // q21 — set operations: UNION (distinct), INTERSECT, EXCEPT, tagged.
+  private def q21(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cn = Tables.customer(s, d).select($"c_nationkey".as("nk"))
+    val sn = Tables.supplier(s, d).select($"s_nationkey".as("nk"))
+    val u = cn.union(sn).distinct().select(lit("union").as("op"), $"nk")
+    val i = cn.intersect(sn).select(lit("intersect").as("op"), $"nk")
+    val e = cn.except(sn).select(lit("except").as("op"), $"nk")
+    u.unionAll(i).unionAll(e).orderBy($"op", $"nk")
+  }
+  private val q21Sql =
+    """SELECT 'union' AS op, nk FROM
+      | (SELECT c_nationkey AS nk FROM customer UNION SELECT s_nationkey FROM supplier)
+      |UNION ALL
+      |SELECT 'intersect' AS op, nk FROM
+      | (SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+      |UNION ALL
+      |SELECT 'except' AS op, nk FROM
+      | (SELECT c_nationkey AS nk FROM customer EXCEPT SELECT s_nationkey FROM supplier)
+      |ORDER BY op, nk""".stripMargin
+
+  // q22 — date/time functions (the reference only parses dates at ingest,
+  // DateTimeUtil.java:103-121; we expose the full function family).
+  private def q22(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .select($"o_orderkey",
+        year($"o_orderdate").as("y"),
+        quarter($"o_orderdate").as("q"),
+        month($"o_orderdate").as("m"),
+        dayofmonth($"o_orderdate").as("dom"),
+        (weekday($"o_orderdate") + lit(1)).as("isodow"),
+        date_trunc("month", $"o_orderdate").cast(DateType).cast(StringType).as("month_start"),
+        datediff($"o_orderdate".cast(DateType), lit("1995-01-01").cast(DateType)).as("days_since"))
+      .orderBy($"o_orderkey")
+  }
+  private val q22Sql =
+    """SELECT o_orderkey,
+      | CAST(year(o_orderdate) AS INTEGER) AS y,
+      | CAST(quarter(o_orderdate) AS INTEGER) AS q,
+      | CAST(month(o_orderdate) AS INTEGER) AS m,
+      | CAST(day(o_orderdate) AS INTEGER) AS dom,
+      | CAST(isodow(o_orderdate) AS INTEGER) AS isodow,
+      | CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month_start,
+      | CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // q23 — string functions (reference has none — SURVEY.md §2.A.3).
+  private def q23(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, d)
+      .select($"p_partkey",
+        upper($"p_name").as("uname"),
+        lower($"p_brand").as("lbrand"),
+        substring($"p_name", 1, 5).as("pfx"),
+        length($"p_name").as("len"),
+        concat($"p_brand", lit("-"), $"p_type").as("brand_type"),
+        regexp_replace($"p_name", lit(" "), lit("_")).as("snake"),
+        lpad($"p_brand", 12, "*").as("padded"),
+        instr($"p_name", "bolt").as("bolt_pos"),
+        trim(lit("  x  ")).as("trimmed"))
+      .orderBy($"p_partkey")
+  }
+  private val q23Sql =
+    """SELECT p_partkey,
+      | upper(p_name) AS uname,
+      | lower(p_brand) AS lbrand,
+      | substring(p_name, 1, 5) AS pfx,
+      | CAST(length(p_name) AS INTEGER) AS len,
+      | concat(p_brand, '-', p_type) AS brand_type,
+      | replace(p_name, ' ', '_') AS snake,
+      | lpad(p_brand, 12, '*') AS padded,
+      | CAST(strpos(p_name, 'bolt') AS INTEGER) AS bolt_pos,
+      | trim('  x  ') AS trimmed
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // q24 — math functions (IEEE-deterministic subset: abs/floor/ceil/sqrt/
+  // sign and a non-tie round; exp/ln/pow are libm-dependent across engines
+  // and intentionally excluded from the oracle'd surface).
+  private def q24(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_linenumber",
+        abs($"l_discount" - lit(0.05)).as("adiff"),
+        floor($"l_extendedprice").cast(LongType).as("fl"),
+        ceil($"l_extendedprice").cast(LongType).as("ce"),
+        sqrt($"l_quantity").as("sq"),
+        signum($"l_discount" - lit(0.05)).as("sgn"),
+        round($"l_extendedprice" / lit(7.0), 3).as("r3"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+  private val q24Sql =
+    """SELECT l_orderkey, l_linenumber,
+      | abs(l_discount - 0.05) AS adiff,
+      | CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+      | CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
+      | sqrt(l_quantity) AS sq,
+      | CAST(sign(l_discount - 0.05) AS DOUBLE) AS sgn,
+      | round(l_extendedprice / 7.0, 3) AS r3
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_join_facts" -> q13,
+    "q14_join_broadcast_star" -> q14,
+    "q15_semi_anti" -> q15,
+    "q16_outer_join" -> q16,
+    "q17_window_funcs" -> q17,
+    "q18_rollup" -> q18,
+    "q19_cube" -> q19,
+    "q20_subqueries" -> q20,
+    "q21_set_ops" -> q21,
+    "q22_date_funcs" -> q22,
+    "q23_string_funcs" -> q23,
+    "q24_math_funcs" -> q24,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q13_join_facts" -> q13Sql,
+    "q14_join_broadcast_star" -> q14Sql,
+    "q15_semi_anti" -> q15Sql,
+    "q16_outer_join" -> q16Sql,
+    "q17_window_funcs" -> q17Sql,
+    "q18_rollup" -> q18Sql,
+    "q19_cube" -> q19Sql,
+    "q20_subqueries" -> q20Sql,
+    "q21_set_ops" -> q21Sql,
+    "q22_date_funcs" -> q22Sql,
+    "q23_string_funcs" -> q23Sql,
+    "q24_math_funcs" -> q24Sql,
+  )
+}
