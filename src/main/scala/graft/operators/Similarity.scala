@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (Array[Float], 64-dim) and
+  * multimodal binary-column plumbing — the M5 extension surface.
+  *
+  * Determinism: dot products / norms are computed in scaled integer space —
+  * each termwise product is floor(x*y*1e15) as a long, summed exactly — so
+  * cosine scores are bit-identical across engines and partitionings, and the
+  * top-k ordering (score desc, id asc) is total.
+  *
+  * Scale: brute-force is a broadcast of the (small) query set against the
+  * (huge) base — a map-only scan, no shuffle of the base table. The IVF
+  * variant prunes the base scan to the nearest centroid's cluster, the
+  * standard ANN scale path.
+  */
+object Similarity {
+
+  /** Termwise scaled-integer dot product of two float-array columns. */
+  private def dotScaled(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> " +
+      s"CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1e15) AS BIGINT)), " +
+      s"0L, (acc, v) -> acc + v)")
+
+  private def normScaled(a: String): Column = dotScaled(a, a)
+
+  private def cosine(dot: Column, na: Column, nb: Column): Column =
+    dot.cast(DoubleType) / (sqrt(na.cast(DoubleType)) * sqrt(nb.cast(DoubleType)))
+
+  // q37 — brute-force cosine top-k: the exact baseline every ANN variant is
+  // measured against. Query set = vec_id < 5, k = 10.
+  private def q37(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .withColumn("norm", normScaled("embedding"))
+    val q = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"norm".as("qn"))
+    val b = e.select($"vec_id".as("neighbor_id"), $"embedding".as("be"), $"norm".as("bn"))
+    val scored = b.crossJoin(broadcast(q))
+      .filter($"neighbor_id" =!= $"query_id")
+      .select($"query_id", $"neighbor_id",
+        cosine(dotScaled("qe", "be"), $"qn", $"bn").as("cosine"))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 10)
+      .select($"query_id", $"neighbor_id", $"rank", $"cosine")
+      .orderBy($"query_id", $"rank")
+  }
+  private val q37Sql =
+    """WITH norms AS (
+      |  SELECT vec_id, embedding,
+      |    (SELECT CAST(SUM(CAST(floor(embedding[i]::DOUBLE * embedding[i]::DOUBLE * 1e15) AS BIGINT)) AS BIGINT)
+      |     FROM unnest(range(1, len(embedding)+1)) u(i)) AS norm
+      |  FROM embeddings),
+      |pairs AS (
+      |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    (SELECT CAST(SUM(CAST(floor(q.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE * 1e15) AS BIGINT)) AS BIGINT)
+      |     FROM unnest(range(1, len(q.embedding)+1)) u(i)) AS dot,
+      |    q.norm AS qn, b.norm AS bn
+      |  FROM norms q JOIN norms b ON q.vec_id < 5 AND b.vec_id <> q.vec_id),
+      |scored AS (
+      |  SELECT query_id, neighbor_id,
+      |    CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(bn AS DOUBLE))) AS cosine
+      |  FROM pairs),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine
+      |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  // q38 — IVF-style ANN: centroids = per-label mean vector (the "coarse
+  // quantizer"); each query probes its `nprobe` nearest centroids' clusters
+  // and scans only those. Approximate (no oracle — verified by
+  // recall-vs-brute in PipelineOpsSpec). On clustered data recall@k ≈ 1 with
+  // small nprobe; on uniform-random embeddings (this testdata — measured
+  // intra≈inter cosine) recall is bounded by ≈ nprobe/nlist, which the spec
+  // asserts.
+  val nprobe = 3
+  def q38(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d).withColumn("norm", normScaled("embedding"))
+    // centroids: posexplode → per-(label, dim) mean → re-assembled array
+    val cent = Tables.embeddings(s, d)
+      .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+      .groupBy($"label", $"pos").agg(avg($"v").as("m"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
+      .select($"label".as("c_label"),
+        expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("ce"))
+      .withColumn("cn", normScaled("ce"))
+    val q = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"norm".as("qn"))
+    // nearest centroid per query (tiny: #labels rows)
+    val wq = Window.partitionBy($"query_id")
+      .orderBy(cosine(dotScaled("qe", "ce"), col("qn"), col("cn")).desc, $"c_label".asc)
+    val probe = q.crossJoin(broadcast(cent))
+      .withColumn("crank", row_number().over(wq))
+      .filter($"crank" <= nprobe)
+      .select($"query_id", $"qe", $"qn", $"c_label")
+    // scan only the probed cluster
+    val b = e.select($"vec_id".as("neighbor_id"), $"embedding".as("be"),
+      $"norm".as("bn"), $"label")
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
+    b.join(broadcast(probe), $"label" === $"c_label" && $"neighbor_id" =!= $"query_id")
+      .select($"query_id", $"neighbor_id",
+        cosine(dotScaled("qe", "be"), $"qn", $"bn").as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 10)
+      .select($"query_id", $"neighbor_id", $"rank", $"cosine")
+      .orderBy($"query_id", $"rank")
+  }
+
+  // q39 — multimodal binary-column plumbing: opaque binary payload + typed
+  // metadata, with deterministic byte-level feature extraction (octet length,
+  // content fingerprint, head-bytes sample — the shape of a thumbnail/
+  // frame-sample stage; real decode lives in graft.operators.Multimodal).
+  private def q39(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", $"lang", $"n_chars",
+        $"text".cast(BinaryType).as("payload"))
+      .select($"doc_id", $"lang", $"n_chars",
+        length($"payload").as("byte_len"),
+        md5($"payload").as("content_fp"),
+        substring(hex($"payload"), 1, 16).as("head_hex"))
+      .orderBy($"doc_id")
+  }
+  private val q39Sql =
+    """SELECT doc_id, lang, n_chars,
+      | CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS byte_len,
+      | md5(text) AS content_fp,
+      | substring(hex(CAST(text AS BLOB)), 1, 16) AS head_hex
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_ann_brute" -> q37,
+    "q38_ann_ivf" -> (q38(_, _)),
+    "q39_multimodal_binary" -> q39,
+  )
+
+  /** q38 is approximate by design → no SQL oracle (driver rows-only check);
+    * its recall against q37 is asserted in SimilaritySpec. */
+  val oracles: Map[String, String] = Map(
+    "q37_ann_brute" -> q37Sql,
+    "q39_multimodal_binary" -> q39Sql,
+  )
+}

@@ -1,0 +1,307 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.Ops._
+
+/** Text-analysis + deduplication operators over the `documents` table — the
+  * LLM-training-data-pipeline extension surface (SURVEY.md §7.2 M5). All are
+  * shuffle-conscious: candidate generation always goes through an equi-join
+  * key (shingle, band signature, hash) so the plan is a shuffled hash join on
+  * a high-cardinality key — never a cartesian — and survives a 100×
+  * scale-up. Hashes are md5-derived (graft.functions.Ops.md5Long) so every
+  * engine reproduces them bit-for-bit.
+  */
+object Text {
+
+  /** whitespace tokenization; `\s+` split of trimmed text. */
+  private val toks: Column = split(trim(col("text")), "\\s+")
+
+  /** word n-gram shingles over `toks` (empty when the doc is shorter than n). */
+  private def shingles(n: Int): Column =
+    when(size(col("toks")) >= n,
+      expr(s"transform(sequence(1, size(toks)-${n - 1}), i -> concat_ws(' ', slice(toks, i, $n)))"))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  /** (doc_id, s) distinct 4-gram shingle pairs — the inverted-index layout. */
+  private def shingleRows(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("toks", toks)
+      .withColumn("sh", shingles(4))
+      .select($"doc_id", explode(array_distinct($"sh")).as("s"))
+  }
+  private val shingleRowsSql =
+    """toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(t)-2,1)),
+      |       i -> array_to_string(t[i:i+3], ' ')))) AS s FROM toks)""".stripMargin
+
+  // q29 — token counting: whitespace tokens + a BPE-ish regex token count
+  // (letters / digits / single punctuation as separate tokens).
+  private def q29(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("toks", toks)
+      .select($"doc_id",
+        size($"toks").as("n_tokens"),
+        regexp_count($"text", lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).as("n_bpeish"),
+        length($"text").as("len"),
+        (length(regexp_replace($"text", "\\s", "")).cast(DoubleType) / size($"toks"))
+          .as("avg_tok_len"))
+      .orderBy($"doc_id")
+  }
+  private val q29Sql =
+    """SELECT doc_id,
+      | CAST(length(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+      | CAST(length(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS n_bpeish,
+      | CAST(length(text) AS INTEGER) AS len,
+      | CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+      |   / length(string_split_regex(trim(text), '\s+')) AS avg_tok_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // q30 — quality scoring: length, stopword ratio, alpha ratio, punctuation.
+  private def q30(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("toks", toks)
+      .select($"doc_id",
+        length($"text").as("n_chars"),
+        size($"toks").as("n_words"),
+        regexp_count($"text", lit("\\b(the|a|or|and)\\b")).as("n_stop"),
+        (regexp_count($"text", lit("\\b(the|a|or|and)\\b")).cast(DoubleType) / size($"toks"))
+          .as("stop_ratio"),
+        (length(regexp_replace($"text", "[^a-z]", "")).cast(DoubleType) / length($"text"))
+          .as("alpha_ratio"),
+        regexp_count($"text", lit("[.,;:!?]")).as("n_punct"))
+      .orderBy($"doc_id")
+  }
+  private val q30Sql =
+    """SELECT doc_id,
+      | CAST(length(text) AS INTEGER) AS n_chars,
+      | CAST(length(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_words,
+      | CAST(length(regexp_extract_all(text, '\b(the|a|or|and)\b')) AS INTEGER) AS n_stop,
+      | CAST(length(regexp_extract_all(text, '\b(the|a|or|and)\b')) AS DOUBLE)
+      |   / length(string_split_regex(trim(text), '\s+')) AS stop_ratio,
+      | CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+      | CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS INTEGER) AS n_punct
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // q31 — language-ID heuristic: per-language stopword hit counts, argmax
+  // with a fixed tie-break order (en > de > es > fr > unknown).
+  private val langMarkers = Seq(
+    "en" -> "\\b(the|and|of|to|or)\\b",
+    "de" -> "\\b(der|die|das|und|nicht)\\b",
+    "es" -> "\\b(el|los|las|y|que)\\b",
+    "fr" -> "\\b(le|les|et|est|une)\\b")
+  private def q31(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val counted = Tables.documents(s, d)
+      .select(($"doc_id" +: $"lang" +:
+        langMarkers.map { case (l, re) => regexp_count($"text", lit(re)).as(s"c_$l") }): _*)
+    val Seq(en, de, es, fr) = langMarkers.map(m => col(s"c_${m._1}"))
+    counted.withColumn("predicted",
+      when(en >= de && en >= es && en >= fr && en > 0, "en")
+        .when(de >= es && de >= fr && de > 0, "de")
+        .when(es >= fr && es > 0, "es")
+        .when(fr > 0, "fr")
+        .otherwise("unknown"))
+      .withColumn("is_match", when($"predicted" === $"lang", 1).otherwise(0))
+      .orderBy($"doc_id")
+  }
+  private val q31Sql = {
+    val counts = langMarkers.map { case (l, re) =>
+      val dre = re.replace("\\b", "\\b") // same in RE2
+      s"CAST(length(regexp_extract_all(text, '$dre')) AS INTEGER) AS c_$l"
+    }.mkString(",\n ")
+    """SELECT doc_id, lang, %s,
+      | CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en > 0 THEN 'en'
+      |      WHEN c_de >= c_es AND c_de >= c_fr AND c_de > 0 THEN 'de'
+      |      WHEN c_es >= c_fr AND c_es > 0 THEN 'es'
+      |      WHEN c_fr > 0 THEN 'fr'
+      |      ELSE 'unknown' END AS predicted,
+      | CASE WHEN (CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en > 0 THEN 'en'
+      |      WHEN c_de >= c_es AND c_de >= c_fr AND c_de > 0 THEN 'de'
+      |      WHEN c_es >= c_fr AND c_es > 0 THEN 'es'
+      |      WHEN c_fr > 0 THEN 'fr'
+      |      ELSE 'unknown' END) = lang THEN 1 ELSE 0 END AS is_match
+      |FROM documents ORDER BY doc_id""".stripMargin.format(counts)
+  }
+
+  // q32 — document fingerprinting: md5 of the normalized text + a positional
+  // polynomial bag hash over tokens (rolling-hash style, exact integers).
+  private def q32(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("norm", regexp_replace(lower(trim($"text")), "\\s+", " "))
+      .withColumn("toks", split($"norm", " "))
+      .select($"doc_id", $"norm", posexplode($"toks").as(Seq("pos", "tok")))
+      .groupBy($"doc_id")
+      .agg(
+        min(md5($"norm")).as("md5_fp"),
+        sum((md5Long($"tok") % 1000003L) * (($"pos" % 31) + 1)).as("bag_fp"))
+      .orderBy($"doc_id")
+  }
+  private val q32Sql =
+    s"""WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+       |           FROM documents),
+       |t AS (SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM n)
+       |SELECT doc_id, min(md5(norm)) AS md5_fp,
+       | CAST(SUM((${md5LongSql("toks[i]")} % 1000003) * (((i-1) % 31) + 1)) AS BIGINT) AS bag_fp
+       |FROM t, unnest(range(1, len(toks)+1)) u(i)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // q33 — exact deduplication: canonical = min doc_id per content hash
+  // (hash-partitioned window; at 100 TB this is one shuffle on md5(text)).
+  private def q33(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy(md5($"text"))
+    Tables.documents(s, d)
+      .select($"doc_id",
+        min($"doc_id").over(w).as("canonical_id"),
+        count(lit(1)).over(w).as("n_copies"))
+      .withColumn("is_dup",
+        when($"doc_id" =!= $"canonical_id", 1).otherwise(0))
+      .orderBy($"doc_id")
+  }
+  private val q33Sql =
+    """SELECT doc_id,
+      | min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+      | count(*) OVER (PARTITION BY md5(text)) AS n_copies,
+      | CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY md5(text))
+      |      THEN 1 ELSE 0 END AS is_dup
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // q34 — n-gram Jaccard near-dup pairs: inverted-index candidate join on
+  // shared 4-gram shingles (equi-join, shuffles on the shingle — never
+  // all-pairs), then exact Jaccard ≥ 0.8.
+  private def q34(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = shingleRows(s, d)
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.toDF("doc_a", "s").join(sh.toDF("doc_b", "s2"),
+        $"s" === $"s2" && $"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.toDF("doc_a", "na"), "doc_a")
+      .join(sizes.toDF("doc_b", "nb"), "doc_b")
+      .select($"doc_a", $"doc_b", $"shared",
+        ($"shared".cast(DoubleType) / ($"na" + $"nb" - $"shared")).as("jaccard"))
+      .filter($"jaccard" >= 0.8)
+      .orderBy($"doc_a", $"doc_b")
+  }
+  private val q34Sql =
+    s"""WITH $shingleRowsSql,
+       |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+       |pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) shared
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, shared,
+       |  CAST(shared AS DOUBLE) / (x.n + y.n - shared) AS jaccard
+       |FROM pairs JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
+       |WHERE CAST(shared AS DOUBLE) / (x.n + y.n - shared) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // q35 — MinHash + LSH near-dup candidates: k=8 md5-derived min-hashes,
+  // 2 bands × 4 rows; banding explodes to (band, key) rows so candidate
+  // generation is a plain equi-join on the band key (the scalable LSH path),
+  // est_sim = matching-signature fraction.
+  private val K = 8
+  private def q35(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = shingleRows(s, d)
+    val sigs = sh.groupBy($"doc_id").agg(
+      min(md5Long(concat(lit("s0:"), $"s"))).as("h0"),
+      (1 until K).map(i => min(md5Long(concat(lit(s"s$i:"), $"s"))).as(s"h$i")): _*)
+    val banded = sigs.select($"doc_id", explode(array(
+      struct(lit(0).as("band"), concat_ws(",", $"h0", $"h1", $"h2", $"h3").as("bkey")),
+      struct(lit(1).as("band"), concat_ws(",", $"h4", $"h5", $"h6", $"h7").as("bkey"))))
+      .as("b")).select($"doc_id", $"b.band", $"b.bkey")
+    val cand = banded.toDF("doc_a", "band", "bkey")
+      .join(banded.toDF("doc_b", "band2", "bkey2"),
+        $"band" === $"band2" && $"bkey" === $"bkey2" && $"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b").distinct()
+    val x = sigs.toDF(("doc_a" +: (0 until K).map(i => s"x$i")): _*)
+    val y = sigs.toDF(("doc_b" +: (0 until K).map(i => s"y$i")): _*)
+    cand.join(x, "doc_a").join(y, "doc_b")
+      .select($"doc_a", $"doc_b",
+        ((0 until K).map(i => when(col(s"x$i") === col(s"y$i"), 1).otherwise(0))
+          .reduce(_ + _).cast(DoubleType) / K).as("est_sim"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+  private val q35Sql = {
+    val mins = (0 until K).map(i =>
+      s"min(${md5LongSql(s"concat('s$i:', s)")}) AS h$i").mkString(",\n  ")
+    val matches = (0 until K).map(i =>
+      s"CASE WHEN x.h$i = y.h$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $shingleRowsSql,
+       |sigs AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, 0 AS band, concat_ws(',', h0, h1, h2, h3) AS bkey FROM sigs
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, concat_ws(',', h4, h5, h6, h7) AS bkey FROM sigs),
+       |cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+       |         FROM banded a JOIN banded b
+       |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST($matches AS DOUBLE) / $K AS est_sim
+       |FROM cand JOIN sigs x ON doc_a = x.doc_id JOIN sigs y ON doc_b = y.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // q36 — SimHash (16-bit) per document: per-bit majority vote over token
+  // hashes; near-dup docs land within small hamming distance.
+  private val BITS = 16
+  private def q36(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val votes = Tables.documents(s, d)
+      .withColumn("toks", toks)
+      .select($"doc_id", explode($"toks").as("tok"))
+      .withColumn("h", md5Long($"tok"))
+      .groupBy($"doc_id")
+      .agg(
+        sum(when(shiftright($"h", 0).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as("s0"),
+        (1 until BITS).map(j =>
+          sum(when(shiftright($"h", j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$j")): _*)
+    votes.select($"doc_id",
+      (0 until BITS).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash"))
+      .orderBy($"doc_id")
+  }
+  private val q36Sql = {
+    val sums = (0 until BITS).map(j =>
+      s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(",\n  ")
+    val combine = (0 until BITS).map(j =>
+      s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+       |            FROM documents),
+       |h AS (SELECT doc_id, ${md5LongSql("t")} AS h FROM tok),
+       |votes AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
+       |SELECT doc_id, CAST($combine AS BIGINT) AS simhash
+       |FROM votes ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_text_tokens" -> q29,
+    "q30_text_quality" -> q30,
+    "q31_lang_id" -> q31,
+    "q32_fingerprint" -> q32,
+    "q33_dedup_exact" -> q33,
+    "q34_dedup_ngram_jaccard" -> q34,
+    "q35_dedup_minhash_lsh" -> q35,
+    "q36_dedup_simhash" -> q36,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q29_text_tokens" -> q29Sql,
+    "q30_text_quality" -> q30Sql,
+    "q31_lang_id" -> q31Sql,
+    "q32_fingerprint" -> q32Sql,
+    "q33_dedup_exact" -> q33Sql,
+    "q34_dedup_ngram_jaccard" -> q34Sql,
+    "q35_dedup_minhash_lsh" -> q35Sql,
+    "q36_dedup_simhash" -> q36Sql,
+  )
+}
