@@ -1,0 +1,111 @@
+package graft.storage
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Segment-layout storage: dim-sorted parquet + a per-file min/max manifest.
+  *
+  * Reference parity (SURVEY.md §4.2): IndexR's level-1 index keeps per-column
+  * min/max per segment (`ColumnNode`, storage/ColumnNode.java:12,37-52) so
+  * whole segments are skipped without opening them. Parquet already gives us
+  * level-2 (row-group stats ≈ DataPackNode min/max) and level-3 (predicate
+  * eval) natively; this module restores level-1: a table-level manifest JSON
+  * holding per-FILE min/max per indexed column, consulted before Spark ever
+  * lists the files.
+  *
+  * Scale: the manifest is built from one aggregation over the data grouped
+  * by input_file_name (map-side-combinable, one shuffle of #files rows) and
+  * is tiny (KBs per thousand files); pruning is a driver-side filter over
+  * file entries — exactly how InfoSegment pruning works in the reference.
+  * Writing sorts by the sort columns (TableSchema.java:35 sort.columns) via
+  * repartitionByRange + sortWithinPartitions, which is what makes min/max
+  * ranges disjoint and the pruning effective.
+  */
+object Segments {
+
+  val ManifestFile = "_graft_manifest.json"
+
+  /** Write `df` as a dim-sorted segmented table and build its manifest.
+    * `numSegments` controls file count (→ one range partition each). */
+  def write(df: DataFrame, dir: String, sortCols: Seq[String],
+      indexedCols: Seq[String], numSegments: Int = 8): Unit = {
+    val sorted =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(numSegments, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df.repartition(numSegments)
+    sorted.write.mode("overwrite").parquet(dir)
+    buildManifest(df.sparkSession, dir, indexedCols)
+  }
+
+  /** Build/refresh the manifest: per-file row count + min/max per column. */
+  def buildManifest(spark: SparkSession, dir: String, indexedCols: Seq[String]): Unit = {
+    val df = spark.read.parquet(dir)
+    val aggs = count(lit(1)).as("__rows") +:
+      indexedCols.flatMap(c => Seq(
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c")))
+    val stats = df.groupBy(input_file_name().as("__file")).agg(aggs.head, aggs.tail: _*)
+      .collect()
+    def jq(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val entries = stats.map { r =>
+      val cols = indexedCols.map { c =>
+        s"${jq(c)}:{" +
+          s""""min":${jq(String.valueOf(r.getAs[String](s"__min_$c")))},""" +
+          s""""max":${jq(String.valueOf(r.getAs[String](s"__max_$c")))}}"""
+      }.mkString(",")
+      s"""{"file":${jq(r.getAs[String]("__file"))},"rows":${r.getAs[Long]("__rows")},"stats":{$cols}}"""
+    }.mkString("[", ",", "]")
+    Files.writeString(Paths.get(dir, ManifestFile), s"""{"files":$entries}""")
+  }
+
+  case class FileStats(file: String, rows: Long, stats: Map[String, (String, String)])
+
+  def readManifest(dir: String): Seq[FileStats] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmt: Formats = DefaultFormats
+    val j = JsonMethods.parse(Files.readString(Paths.get(dir, ManifestFile)))
+    (j \ "files").children.map { f =>
+      FileStats(
+        (f \ "file").extract[String],
+        (f \ "rows").extract[Long],
+        (f \ "stats").asInstanceOf[JObject].obj.map { case (k, v) =>
+          k -> (((v \ "min").extract[String]), ((v \ "max").extract[String]))
+        }.toMap)
+    }
+  }
+
+  /** A closed-interval predicate on one column, for manifest pruning.
+    * Values compare as the column's native type via the `numeric` flag
+    * (numeric → BigDecimal compare, else lexicographic — matching how the
+    * stats were stringified). */
+  case class Range(colName: String, lo: Option[String], hi: Option[String],
+      numeric: Boolean = true) {
+    private def cmp(a: String, b: String): Int =
+      if (numeric) BigDecimal(a).compare(BigDecimal(b)) else a.compareTo(b)
+    /** tri-state rough check, RSValue-style: may this file contain matches? */
+    def mayMatch(fs: FileStats): Boolean = fs.stats.get(colName) match {
+      case None => true // unindexed column → RSValue.Some (can't prune)
+      case Some((mn, mx)) =>
+        lo.forall(l => cmp(mx, l) >= 0) && hi.forall(h => cmp(mn, h) <= 0)
+    }
+  }
+
+  /** Read only the files whose manifest interval intersects all ranges —
+    * segment-level pruning before Parquet sees a footer. */
+  def prunedRead(spark: SparkSession, dir: String, ranges: Seq[Range]): DataFrame = {
+    val manifest = readManifest(dir)
+    val keep = manifest.filter(fs => ranges.forall(_.mayMatch(fs))).map(_.file)
+    if (keep.isEmpty) spark.read.parquet(dir).limit(0)
+    else spark.read.parquet(keep: _*)
+  }
+
+  /** How many files the manifest would keep (for tests/introspection). */
+  def prunedFileCount(dir: String, ranges: Seq[Range]): (Int, Int) = {
+    val manifest = readManifest(dir)
+    (manifest.count(fs => ranges.forall(_.mayMatch(fs))), manifest.size)
+  }
+}

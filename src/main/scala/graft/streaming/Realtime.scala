@@ -1,0 +1,162 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** Realtime ingestion pipeline — the Spark-first re-expression of the
+  * reference's rt/ machinery (SURVEY.md §2.C, §3.3):
+  *
+  *  - JSON event decode with per-column defaults and `number.empty.as.zero`
+  *    (UTF8JsonRowCreator.java:14,124) → `from_json` + coalesce;
+  *  - tag filter (TagSetting.java:7-15) and column aliasing
+  *    (RealtimeSetting.java:14) → `filter` + `withColumnRenamed`;
+  *  - ingest-time rollup merging equal-dim rows with {SUM,COUNT,MIN,MAX,
+  *    FIRST,LAST} (AggType.java:9-13, RealtimeSegment.java:298) →
+  *    `groupBy(dims).agg(...)`, FIRST/LAST made deterministic AND
+  *    re-aggregatable by carrying an arrival anchor column;
+  *  - commitlog + recovery (RealtimeSegment.java:257-267,390-402) →
+  *    Structured Streaming checkpointing + batchId-idempotent sink dirs;
+  *  - RTSMerge compaction (RTSMerge.java:30-60) → `compact()`: re-merge all
+  *    dumped parts with the merge aggregation and atomically swap;
+  *  - hybrid realtime+historical read (HybridTable.java:133-155) →
+  *    `hybrid()`: union view over the base and realtime dirs.
+  *
+  * Scale: each micro-batch rollup is one shuffle on the dims; compaction is
+  * the same shuffle over accumulated parts. FIRST/LAST merge correctly
+  * across any partitioning because the arrival anchor travels with the value.
+  */
+object Realtime {
+
+  sealed trait AggType { def name: String }
+  case object Sum extends AggType { val name = "sum" }
+  case object Cnt extends AggType { val name = "count" }
+  case object Min extends AggType { val name = "min" }
+  case object Max extends AggType { val name = "max" }
+  case object First extends AggType { val name = "first" }
+  case object Last extends AggType { val name = "last" }
+
+  /** Rollup (pre-aggregation) schema: AggSchema.java:11-27 parity.
+    * `arrival` names a monotone arrival column (event id / kafka offset). */
+  case class RollupSpec(dims: Seq[String], metrics: Seq[(String, AggType)], arrival: String)
+
+  /** Ingest spec: RealtimeSetting parity. */
+  case class IngestSpec(
+      schema: StructType,
+      defaults: Map[String, Any] = Map.empty,
+      aliases: Map[String, String] = Map.empty,
+      tagField: Option[String] = None,
+      acceptTags: Set[String] = Set.empty,
+      ignoreEmpty: Boolean = false,
+      rollup: Option[RollupSpec] = None)
+
+  /** JSON-lines column → typed rows with defaults/tags/aliases applied. */
+  def decode(raw: DataFrame, jsonCol: String, spec: IngestSpec): DataFrame = {
+    var df = raw
+      .withColumn("__parsed", from_json(col(jsonCol), spec.schema))
+      .select(col("*"), col("__parsed.*"))
+      .drop("__parsed", jsonCol)
+    // defaults: missing/empty numerics → configured default (0 for
+    // number.empty.as.zero); strings → default string
+    spec.defaults.foreach { case (c, v) =>
+      if (df.columns.contains(c)) df = df.withColumn(c, coalesce(col(c), lit(v)))
+    }
+    spec.tagField.foreach { tf =>
+      if (spec.acceptTags.nonEmpty)
+        df = df.filter(size(array_intersect(split(col(tf), ","),
+          lit(spec.acceptTags.toArray))) > 0)
+    }
+    if (spec.ignoreEmpty) {
+      val metricCols = spec.schema.fieldNames.filterNot(c =>
+        spec.rollup.exists(_.dims.contains(c)) || spec.tagField.contains(c))
+      if (metricCols.nonEmpty)
+        df = df.filter(metricCols.map(col(_).isNotNull).reduce(_ || _))
+    }
+    spec.aliases.foreach { case (from, to) => df = df.withColumnRenamed(from, to) }
+    df
+  }
+
+  /** Arrival-anchor column name for a FIRST/LAST metric. */
+  def arrCol(metric: String, t: AggType): String = s"__${t.name}_arr_$metric"
+
+  /** Roll up raw rows: one shuffle on dims; FIRST/LAST anchored to arrival. */
+  def rollupBatch(df: DataFrame, r: RollupSpec): DataFrame = {
+    val aggs = r.metrics.flatMap {
+      case (m, Sum) => Seq(sum(col(m)).as(m))
+      case (m, Cnt) => Seq(count(col(m)).as(m))
+      case (m, Min) => Seq(min(col(m)).as(m))
+      case (m, Max) => Seq(max(col(m)).as(m))
+      case (m, First) => Seq(
+        min_by(col(m), col(r.arrival)).as(m),
+        min(col(r.arrival)).as(arrCol(m, First)))
+      case (m, Last) => Seq(
+        max_by(col(m), col(r.arrival)).as(m),
+        max(col(r.arrival)).as(arrCol(m, Last)))
+    }
+    df.groupBy(r.dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Merge already-rolled-up parts (RTSMerge semantics): SUM/COUNT re-sum,
+    * MIN/MAX re-min/max, FIRST/LAST resolve via their arrival anchors. */
+  def mergeRollups(df: DataFrame, r: RollupSpec): DataFrame = {
+    val aggs = r.metrics.flatMap {
+      case (m, Sum) => Seq(sum(col(m)).as(m))
+      case (m, Cnt) => Seq(sum(col(m)).as(m)) // counts merge by summing
+      case (m, Min) => Seq(min(col(m)).as(m))
+      case (m, Max) => Seq(max(col(m)).as(m))
+      case (m, First) => Seq(
+        min_by(col(m), col(arrCol(m, First))).as(m),
+        min(col(arrCol(m, First))).as(arrCol(m, First)))
+      case (m, Last) => Seq(
+        max_by(col(m), col(arrCol(m, Last))).as(m),
+        max(col(arrCol(m, Last))).as(arrCol(m, Last)))
+    }
+    df.groupBy(r.dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Start the ingest query: decode → per-batch rollup → dim-sorted parquet
+    * append into `tableDir/batch=<id>` (idempotent per batchId — replayed
+    * batches overwrite their own dir, commitlog-replay parity). */
+  def start(stream: DataFrame, jsonCol: String, spec: IngestSpec,
+      tableDir: String, checkpoint: String): StreamingQuery = {
+    val decoded = decode(stream, jsonCol, spec)
+    decoded.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val out = spec.rollup match {
+          case Some(r) =>
+            rollupBatch(batch, r).sortWithinPartitions(r.dims.map(col): _*)
+          case None => batch
+        }
+        out.write.mode("overwrite").parquet(s"$tableDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /** Compaction (RTSMerge + Rt2His parity): merge every dumped part with the
+    * merge aggregation, write dim-sorted to a new generation dir, then swap
+    * the manifest atomically (readers resolve via `current`). */
+  def compact(spark: SparkSession, tableDir: String, r: RollupSpec): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val parts = spark.read.parquet(s"$tableDir/batch=*")
+    val gen = s"$tableDir/compacted-${System.currentTimeMillis()}"
+    mergeRollups(parts, r)
+      .repartition(spark.sessionState.conf.numShufflePartitions, r.dims.map(col): _*)
+      .sortWithinPartitions(r.dims.map(col): _*)
+      .write.mode("overwrite").parquet(gen)
+    val tmp = Paths.get(s"$tableDir/current.tmp")
+    Files.writeString(tmp, gen)
+    Files.move(tmp, Paths.get(s"$tableDir/current"), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    gen
+  }
+
+  /** Hybrid view: historical base ∪ fresh realtime parts (HybridTable.all()). */
+  def hybrid(spark: SparkSession, baseDir: String, rtDir: String): DataFrame = {
+    val base = spark.read.parquet(baseDir)
+    val rt = spark.read.parquet(s"$rtDir/batch=*")
+    base.unionByName(rt, allowMissingColumns = true)
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model._
+import graft.storage.Segments
+
+class ModelStorageSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val specJson =
+    """{"name":"t1","columns":[
+      |{"name":"id","dataType":"bigint"},
+      |{"name":"name","dataType":"varchar","index":true,"default":"none"},
+      |{"name":"score","dataType":"double","default":"1.5"},
+      |{"name":"d","dataType":"date"},
+      |{"name":"t","dataType":"time"},
+      |{"name":"ts","dataType":"datetime"}],
+      |"sort.columns":["id"],"grouping":true,"dims":["id"],
+      |"metrics":[{"name":"score","agg":"sum"}]}""".stripMargin
+
+  test("table spec JSON round-trip, types and TIME convention") {
+    val spec = TableSpec.fromJson(specJson)
+    assert(spec.structType.fields.map(_.dataType).toSeq == Seq(
+      LongType, StringType, DoubleType, DateType, IntegerType, TimestampType))
+    assert(spec.sortColumns == Seq("id") && spec.grouping && spec.dims == Seq("id"))
+    assert(spec.metrics == Seq("score" -> "sum"))
+    val again = TableSpec.fromJson(spec.toJson)
+    assert(again == spec)
+    assert(TimeCodec.parse("13:45:30") == 49530)
+    assert(TimeCodec.format(49530) == "13:45:30")
+  }
+
+  test("applyDefaults fills nulls with typed defaults (no-null parity)") {
+    import spark.implicits._
+    val spec = TableSpec.fromJson(specJson)
+    val df = Seq((1L, null.asInstanceOf[String], null.asInstanceOf[java.lang.Double]))
+      .toDF("id", "name", "score")
+    val out = spec.applyDefaults(df).collect().head
+    assert(out.getAs[String]("name") == "none")
+    assert(out.getAs[Double]("score") == 1.5)
+  }
+
+  test("schema update: add / alter / delete column rewrite") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-schema").toString + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name").write.parquet(dir)
+    SchemaUpdate.addColumn(spark, dir, ColumnSpec("flag", "int", default = Some("7")))
+    assert(spark.read.parquet(dir).select("flag").collect().map(_.getInt(0)).toSeq == Seq(7, 7))
+    SchemaUpdate.alterColumn(spark, dir, ColumnSpec("flag", "bigint"))
+    assert(spark.read.parquet(dir).schema("flag").dataType == LongType)
+    SchemaUpdate.deleteColumn(spark, dir, "flag")
+    assert(!spark.read.parquet(dir).columns.contains("flag"))
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
+  test("segment write sorts by dims and manifest prunes file scans") {
+    val dir = Files.createTempDirectory("graft-seg").toString + "/lineitem"
+    val li = Tables.lineitem(spark, sf)
+    Segments.write(li, dir, sortCols = Seq("l_shipdate"),
+      indexedCols = Seq("l_shipdate", "l_orderkey"), numSegments = 8)
+
+    // manifest exists with 8 entries and full row coverage
+    val m = Segments.readManifest(dir)
+    assert(m.size == 8)
+    assert(m.map(_.rows).sum == li.count())
+
+    // a narrow date range must prune most files…
+    val r = Segments.Range("l_shipdate",
+      lo = Some("1996-01-01 00:00:00"), hi = Some("1996-03-01 00:00:00"), numeric = false)
+    val (kept, total) = Segments.prunedFileCount(dir, Seq(r))
+    assert(kept < total, s"expected pruning, kept $kept of $total")
+
+    // …and the pruned read must still return exactly the right rows
+    val expected = li.filter(col("l_shipdate").between("1996-01-01", "1996-03-01")).count()
+    val got = Segments.prunedRead(spark, dir, Seq(r))
+      .filter(col("l_shipdate").between("1996-01-01", "1996-03-01")).count()
+    assert(got == expected)
+
+    // pruning must never lose rows outside the predicate either (tri-state
+    // rough check is conservative): empty range keeps nothing
+    val none = Segments.Range("l_orderkey", lo = Some("99999999"), hi = None)
+    assert(Segments.prunedRead(spark, dir, Seq(none)).count() == 0)
+  }
+}

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+
+class MultimodalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("media table has binary payload + typed metadata schema") {
+    val m = Multimodal.mediaTable(spark, sf)
+    val s = m.schema
+    assert(s("payload").dataType == BinaryType)
+    assert(s("meta_lang").dataType == StringType)
+    assert(m.count() > 0)
+  }
+
+  test("decode stage is deterministic, partition-parallel, schema-stable") {
+    val m = Multimodal.mediaTable(spark, sf)
+    val f1 = Multimodal.decodeFeatures(m).collect().sortBy(_.doc_id)
+    val f2 = Multimodal.decodeFeatures(m.repartition(7)).collect().sortBy(_.doc_id)
+    assert(f1.length == f2.length)
+    f1.zip(f2).foreach { case (a, b) =>
+      assert(a.width == b.width && a.height == b.height &&
+        a.feature.sameElements(b.feature))
+    }
+    assert(f1.forall(_.feature.length == 8))
+    assert(f1.forall(r => r.byte_len > 0 && r.width >= 64))
+  }
+
+  test("frame sampling explodes only videos, every k-th window") {
+    val m = Multimodal.mediaTable(spark, sf)
+    val frames = Multimodal.sampleFrames(m, every = 2, window = 32)
+    val kinds = Multimodal.decodeFeatures(m).collect()
+    val nVideos = kinds.count(_.kind == "video")
+    assert(frames.select("doc_id").distinct().count() == nVideos)
+    assert(frames.groupBy("doc_id").count().collect().forall(_.getLong(1) >= 1))
+  }
+}

@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Realtime
+import graft.streaming.Realtime._
+
+/** End-to-end realtime pipeline: MemoryStream JSON → decode/defaults/tags →
+  * per-batch rollup dump → compaction merge → hybrid read. Mirrors the
+  * reference's ingest lifecycle (SegmentScanTest-style end-to-end). */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val schema = StructType(Seq(
+    StructField("ev_id", LongType),
+    StructField("dim", StringType),
+    StructField("tag", StringType),
+    StructField("v", DoubleType),
+    StructField("n", LongType)))
+
+  private val spec = IngestSpec(
+    schema = schema,
+    defaults = Map("v" -> 0.0, "n" -> 0L),
+    aliases = Map("n" -> "cnt"),
+    tagField = Some("tag"),
+    acceptTags = Set("keep", "vip"),
+    rollup = Some(RollupSpec(
+      dims = Seq("dim"),
+      metrics = Seq("v" -> Sum, "v2" -> Min, "cnt" -> Sum, "first_v" -> First, "last_v" -> Last),
+      arrival = "ev_id")))
+
+  // rollup refers to derived metric columns; build them post-decode
+  private def enrich(df: org.apache.spark.sql.DataFrame) = df
+    .withColumn("v2", col("v"))
+    .withColumn("first_v", col("v"))
+    .withColumn("last_v", col("v"))
+
+  test("decode applies defaults, tag filter and aliases") {
+    import spark.implicits._
+    val raw = Seq(
+      """{"ev_id":1,"dim":"a","tag":"keep","v":2.5,"n":1}""",
+      """{"ev_id":2,"dim":"a","tag":"drop","v":9.9,"n":1}""",
+      """{"ev_id":3,"dim":"b","tag":"vip,extra"}""").toDF("json")
+    val out = Realtime.decode(raw, "json", spec).collect()
+    assert(out.length == 2) // 'drop' filtered
+    val b = out.find(_.getAs[String]("dim") == "b").get
+    assert(b.getAs[Double]("v") == 0.0) // default fill
+    assert(b.getAs[Long]("cnt") == 0L) // alias applied + default
+  }
+
+  test("streaming ingest -> batch dumps -> compaction merges rollup state") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-rt").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+
+    val mem = MemoryStream[String]
+    val q = mem.toDF().toDF("json").transform { raw =>
+      Realtime.decode(raw, "json", spec.copy(rollup = None))
+    }.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val r = spec.rollup.get
+        Realtime.rollupBatch(enrich(batch), r)
+          .write.mode("overwrite").parquet(s"$dir/batch=$batchId")
+        ()
+      }.start()
+
+    mem.addData(
+      """{"ev_id":10,"dim":"a","tag":"keep","v":1.0,"n":2}""",
+      """{"ev_id":11,"dim":"a","tag":"keep","v":3.0,"n":1}""",
+      """{"ev_id":12,"dim":"b","tag":"vip","v":5.0,"n":1}""")
+    q.processAllAvailable()
+    mem.addData(
+      """{"ev_id":13,"dim":"a","tag":"keep","v":7.0,"n":4}""",
+      """{"ev_id":14,"dim":"b","tag":"vip","v":-2.0,"n":1}""")
+    q.processAllAvailable()
+    q.stop()
+
+    val r = spec.rollup.get
+    val parts = spark.read.parquet(s"$dir/batch=*")
+    assert(parts.select("dim").distinct().count() == 2)
+
+    Realtime.compact(spark, dir, r)
+    val gen = Files.readString(java.nio.file.Paths.get(s"$dir/current"))
+    val merged = spark.read.parquet(gen).collect()
+      .map(row => row.getAs[String]("dim") -> row).toMap
+
+    val a = merged("a")
+    assert(a.getAs[Double]("v") == 11.0) // 1+3+7
+    assert(a.getAs[Double]("v2") == 1.0) // min
+    assert(a.getAs[Long]("cnt") == 7L) // 2+1+4
+    assert(a.getAs[Double]("first_v") == 1.0) // ev_id 10
+    assert(a.getAs[Double]("last_v") == 7.0) // ev_id 13
+    val b = merged("b")
+    assert(b.getAs[Double]("first_v") == 5.0 && b.getAs[Double]("last_v") == -2.0)
+  }
+
+  test("merge of per-batch rollups equals one-shot rollup over all rows") {
+    import spark.implicits._
+    val r = RollupSpec(Seq("dim"), Seq("v" -> Sum, "fv" -> First, "lv" -> Last), "ev_id")
+    val rows = (1 to 100).map(i => (i.toLong, s"d${i % 7}", i * 0.5, i * 0.5, i * 0.5))
+    val df = rows.toDF("ev_id", "dim", "v", "fv", "lv")
+    val oneShot = Realtime.rollupBatch(df, r)
+    val batched = Realtime.mergeRollups(
+      Realtime.rollupBatch(df.filter($"ev_id" <= 50), r)
+        .unionByName(Realtime.rollupBatch(df.filter($"ev_id" > 50), r)), r)
+    val cols = Seq("dim", "v", "fv", "lv")
+    assert(oneShot.select(cols.map(col): _*).collect().toSet ==
+      batched.select(cols.map(col): _*).collect().toSet)
+  }
+
+  test("hybrid view unions historical base with fresh realtime parts") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-base").toString
+    val rt = Files.createTempDirectory("graft-rt2").toString
+    Seq(("x", 1.0)).toDF("dim", "v").write.mode("overwrite").parquet(base)
+    Seq(("y", 2.0)).toDF("dim", "v").write.mode("overwrite").parquet(s"$rt/batch=0")
+    val all = Realtime.hybrid(spark, base, rt)
+    assert(all.count() == 2)
+    assert(all.select("dim").collect().map(_.getString(0)).toSet == Set("x", "y"))
+  }
+}
