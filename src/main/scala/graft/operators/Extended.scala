@@ -186,7 +186,8 @@ object Extended {
 
   // q20 — subqueries (scalar + IN), via the engine's SQL passthrough surface.
   private def q20(s: SparkSession, d: String): DataFrame = {
-    Tables.register(s, d)
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.customer(s, d).createOrReplaceTempView("customer")
     s.sql(
       s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          |WHERE o_totalprice > (SELECT ${dsumSql("o_totalprice")} / COUNT(*) FROM orders)

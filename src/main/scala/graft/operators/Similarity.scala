@@ -117,6 +117,85 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Embedding-cosine near-duplicate detection via random-hyperplane LSH:
+    * `planes` deterministic md5-derived integer hyperplanes bucket every
+    * vector by projection signs (SimHash-for-vectors); only same-bucket
+    * pairs get an exact (scaled-integer) cosine, kept at ≥ threshold.
+    * All arithmetic is integer-exact, so results replicate in any engine.
+    * Scale: bucketing is map-only + one groupBy; candidate pairs are an
+    * equi-join on the bucket id — never all-pairs. */
+  def cosineNearDups(emb: DataFrame, planes: Int, threshold: Double): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val dims = emb.select(size($"embedding")).head().getInt(0)
+    val w = s.range(planes).select($"id".as("j"))
+      .crossJoin(s.range(1, dims + 1).select($"id".as("i")))
+      .withColumn("w", graft.functions.Ops.md5Long(
+        format_string("p%dd%d", $"j", $"i")) % 2001L - 1000L)
+    val proj = emb.select($"vec_id", posexplode($"embedding").as(Seq("pos", "v")))
+      .withColumn("i", $"pos" + 1)
+      .join(broadcast(w), "i")
+      .groupBy($"vec_id", $"j")
+      .agg(sum(floor($"v".cast(DoubleType) * lit(1e6)).cast(LongType) * $"w").as("p"))
+    val buckets = proj.groupBy($"vec_id")
+      .agg(sum(when($"p" > 0, expr("shiftleft(1L, CAST(j AS INT))")).otherwise(0L))
+        .as("bucket"))
+    val withNorm = emb.withColumn("norm", normScaled("embedding"))
+    val a = buckets.toDF("vec_a", "bucket")
+      .join(withNorm.select($"vec_id".as("vec_a"), $"embedding".as("ea"), $"norm".as("na")), "vec_a")
+    val b = buckets.toDF("vec_b", "bucket")
+      .join(withNorm.select($"vec_id".as("vec_b"), $"embedding".as("eb"), $"norm".as("nb")), "vec_b")
+    a.join(b, Seq("bucket")).filter($"vec_a" < $"vec_b")
+      .select($"vec_a", $"vec_b",
+        cosine(dotScaled("ea", "eb"), $"na", $"nb").as("cosine"))
+      .filter($"cosine" >= threshold)
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  private def q40(s: SparkSession, d: String): DataFrame =
+    cosineNearDups(Tables.embeddings(s, d), planes = 4, threshold = 0.4)
+  private val q40Sql =
+    """WITH w AS (
+      |  SELECT j, i, (('0x'||substr(md5('p'||j||'d'||i),1,15))::BIGINT % 2001 - 1000) AS w
+      |  FROM unnest(range(0, 4)) a(j), unnest(range(1, 65)) b(i)),
+      |proj AS (
+      |  SELECT e.vec_id, w.j,
+      |    SUM(CAST(floor(e.embedding[w.i]::DOUBLE * 1e6) AS BIGINT) * w.w) AS p
+      |  FROM embeddings e, w GROUP BY 1, 2),
+      |buckets AS (
+      |  SELECT vec_id, SUM(CASE WHEN p > 0 THEN (1 << j) ELSE 0 END) AS bucket
+      |  FROM proj GROUP BY 1),
+      |norms AS (
+      |  SELECT vec_id, embedding,
+      |    (SELECT CAST(SUM(CAST(floor(embedding[i]::DOUBLE * embedding[i]::DOUBLE * 1e15) AS BIGINT)) AS BIGINT)
+      |     FROM unnest(range(1, len(embedding)+1)) u(i)) AS norm
+      |  FROM embeddings),
+      |cand AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      |scored AS (
+      |  SELECT vec_a, vec_b,
+      |    CAST((SELECT SUM(CAST(floor(x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE * 1e15) AS BIGINT))
+      |          FROM unnest(range(1, len(x.embedding)+1)) u(i)) AS DOUBLE)
+      |      / (sqrt(CAST(x.norm AS DOUBLE)) * sqrt(CAST(y.norm AS DOUBLE))) AS cosine
+      |  FROM cand JOIN norms x ON vec_a = x.vec_id JOIN norms y ON vec_b = y.vec_id)
+      |SELECT vec_a, vec_b, cosine FROM scored
+      |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
+
+  // q41 — approximate distinct (HLL++): the sketch-based path a 100 TB
+  // count-distinct must take (exact shown alongside; no oracle — sketch
+  // internals are engine-specific; accuracy asserted in PipelineOpsSpec).
+  private def q41(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
+        countDistinct($"l_partkey").as("exact_parts"),
+        approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"))
+      .orderBy($"l_returnflag")
+  }
+
   // q39 — multimodal binary-column plumbing: opaque binary payload + typed
   // metadata, with deterministic byte-level feature extraction (octet length,
   // content fingerprint, head-bytes sample — the shape of a thumbnail/
@@ -143,12 +222,15 @@ object Similarity {
     "q37_ann_brute" -> q37,
     "q38_ann_ivf" -> (q38(_, _)),
     "q39_multimodal_binary" -> q39,
+    "q40_embed_near_dup_lsh" -> q40,
+    "q41_approx_distinct_hll" -> q41,
   )
 
-  /** q38 is approximate by design → no SQL oracle (driver rows-only check);
-    * its recall against q37 is asserted in SimilaritySpec. */
+  /** q38/q41 are approximate by design → no SQL oracle (driver rows-only
+    * check); their accuracy is asserted in PipelineOpsSpec. */
   val oracles: Map[String, String] = Map(
     "q37_ann_brute" -> q37Sql,
     "q39_multimodal_binary" -> q39Sql,
+    "q40_embed_near_dup_lsh" -> q40Sql,
   )
 }

@@ -180,7 +180,9 @@ object Text {
   // all-pairs), then exact Jaccard ≥ 0.8.
   private def q34(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sh = shingleRows(s, d)
+    // the shingle relation feeds three plan branches (sizes + both join
+    // sides) — persist so it is computed once, not three times
+    val sh = shingleRows(s, d).persist()
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.toDF("doc_a", "s").join(sh.toDF("doc_b", "s2"),
         $"s" === $"s2" && $"doc_a" < $"doc_b")
@@ -213,9 +215,11 @@ object Text {
   private def q35(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sh = shingleRows(s, d)
+    // sigs feeds three branches (banding + both verify sides); persist it
     val sigs = sh.groupBy($"doc_id").agg(
       min(md5Long(concat(lit("s0:"), $"s"))).as("h0"),
       (1 until K).map(i => min(md5Long(concat(lit(s"s$i:"), $"s"))).as(s"h$i")): _*)
+      .persist()
     val banded = sigs.select($"doc_id", explode(array(
       struct(lit(0).as("band"), concat_ws(",", $"h0", $"h1", $"h2", $"h3").as("bkey")),
       struct(lit(1).as("band"), concat_ws(",", $"h4", $"h5", $"h6", $"h7").as("bkey"))))

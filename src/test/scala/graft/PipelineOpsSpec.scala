@@ -61,6 +61,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ivf.size <= brute.size)
   }
 
+  test("embedding-cosine LSH near-dup finds planted near-identical vectors") {
+    import spark.implicits._
+    // 40 random vectors + one planted near-duplicate pair (ids 100, 101)
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(16)(rnd.nextFloat() - 0.5f)
+    val base = vec()
+    val near = base.map(v => v + 0.001f)
+    val rows = (0 until 40).map(i => (i.toLong, vec())) ++
+      Seq((100L, base), (101L, near))
+    val emb = rows.toDF("vec_id", "embedding")
+    val pairs = operators.Similarity.cosineNearDups(emb, planes = 4, threshold = 0.95)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+    assert(pairs.contains((100L, 101L)), s"planted pair missing from ${pairs.toSeq}")
+  }
+
+  test("approx_count_distinct stays within its error bound") {
+    val rows = SparkEntry.queries("q41_approx_distinct_hll")(spark, sf).collect()
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      assert(math.abs(approx - exact) / exact < 0.1,
+        s"approx $approx vs exact $exact")
+    }
+  }
+
   test("lang-id heuristic is deterministic and total") {
     val out = SparkEntry.queries("q31_lang_id")(spark, sf).collect()
     assert(out.forall(r => Set("en", "de", "es", "fr", "unknown")

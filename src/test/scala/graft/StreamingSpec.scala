@@ -115,6 +115,32 @@ class StreamingSpec extends AnyFunSuite {
       batched.select(cols.map(col): _*).collect().toSet)
   }
 
+  test("watermarked window agg drops late events (superset of reference, which has no late-data policy)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = mem.toDF().toDF("ts", "k", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("k"))
+      .agg(sum(col("v")).as("sv"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("wm_out").start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    mem.addData((t(0), "a", 1.0), (t(2), "a", 2.0))
+    q.processAllAvailable()
+    mem.addData((t(30), "a", 5.0)) // advances watermark past first window
+    q.processAllAvailable()
+    mem.addData((t(1), "a", 100.0)) // late beyond watermark -> dropped
+    q.processAllAvailable()
+    mem.addData((t(50), "a", 1.0)) // close the 10:30 window too
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("wm_out").collect()
+      .map(r => r.getAs[Double]("sv"))
+    assert(out.contains(3.0), s"first window should emit 1+2=3, got ${out.toSeq}")
+    assert(!out.contains(103.0) && !out.contains(100.0), "late event must be dropped")
+  }
+
   test("hybrid view unions historical base with fresh realtime parts") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-base").toString
