@@ -1,0 +1,17 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+import graft.plans.ScaledDotProduct
+
+/** SQL function registry — the UDF/extension surface the reference lacks
+  * entirely (SURVEY.md §2.A.3: "no UDF/UDAF/UDTF registration surface").
+  * Registers graft's native expressions so they are reachable from
+  * `spark.sql` text as well as the Column API.
+  */
+object Registry {
+  def install(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "scaled_dot", exprs => ScaledDotProduct(exprs.head, exprs(1)), "built-in")
+  }
+}

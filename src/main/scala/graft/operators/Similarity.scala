@@ -22,8 +22,14 @@ import graft.Tables
   */
 object Similarity {
 
-  /** Termwise scaled-integer dot product of two float-array columns. */
+  /** Termwise scaled-integer dot product of two float-array columns —
+    * the native codegen'd kernel (graft.plans.ScaledDotProduct). */
   private def dotScaled(a: String, b: String): Column =
+    graft.plans.ScaledDotProduct(col(a), col(b))
+
+  /** Composable-functions form of the same kernel (kept for the equivalence
+    * spec + as the reference implementation of the semantics). */
+  def dotScaledLambda(a: String, b: String): Column =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> " +
       s"CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1e15) AS BIGINT)), " +
       s"0L, (acc, v) -> acc + v)")

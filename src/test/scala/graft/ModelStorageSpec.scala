@@ -58,6 +58,30 @@ class ModelStorageSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 2)
   }
 
+  test("csv bulk load applies spec types/defaults and round-trips via export") {
+    import graft.sources.Csv
+    val dir = Files.createTempDirectory("graft-csv").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/in.csv"),
+      "id,label,score\n1,a,2.5\n2,b,\n3,,9.0\n")
+    val spec = TableSpec("csvt", Seq(
+      ColumnSpec("id", "bigint", index = true),
+      ColumnSpec("label", "varchar", default = Some("none")),
+      ColumnSpec("score", "double", default = Some("-1")),
+      ColumnSpec("extra", "int", default = Some("42"))),
+      sortColumns = Seq("id"))
+    Csv.load(spark, s"$dir/in.csv", spec, s"$dir/table", numSegments = 2)
+    val t = spark.read.parquet(s"$dir/table").orderBy("id").collect()
+    assert(t.length == 3)
+    assert(t(1).getAs[Double]("score") == -1.0) // empty → default
+    assert(t(2).getAs[String]("label") == "none")
+    assert(t.forall(_.getAs[Int]("extra") == 42)) // missing col → default
+    assert(Segments.readManifest(s"$dir/table").nonEmpty)
+    Csv.export(spark, s"$dir/table", s"$dir/out")
+    val back = spark.read.option("header", "true").csv(s"$dir/out")
+    assert(back.count() == 3 && back.columns.toSeq ==
+      Seq("id", "label", "score", "extra"))
+  }
+
   test("segment write sorts by dims and manifest prunes file scans") {
     val dir = Files.createTempDirectory("graft-seg").toString + "/lineitem"
     val li = Tables.lineitem(spark, sf)
