@@ -1,0 +1,125 @@
+package graft.plans
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.storage.Segments
+
+/** Catalyst-integrated segment-level pruning: a FileIndex that consults the
+  * graft manifest (per-file min/max, graft.storage.Segments) during file
+  * listing, so `spark.read → filter` skips whole segment files before
+  * Parquet ever opens a footer.
+  *
+  * This is the reference's level-1 "rough set" index made native
+  * (ColumnNode / InfoSegment pruning, SURVEY.md §4.2): Parquet row-group
+  * stats already give level-2; this restores segment-level skipping inside
+  * the optimizer, visible in the plan's file listing rather than bolted on
+  * outside. Tier (c) of the custom-op ladder — justified because file
+  * listing genuinely cannot be expressed with public composable operators.
+  *
+  * Filter translation is conservative (tri-state RSValue semantics): any
+  * expression shape we do not recognize simply prunes nothing.
+  */
+class ManifestFileIndex(spark: SparkSession, dir: String) extends FileIndex {
+
+  /** observability: how many files the last listFiles call kept (tests/UI). */
+  @volatile var lastKept: Int = -1
+
+  private def normalize(p: String): String = new Path(p).toUri.getPath
+
+  private var manifest: Seq[Segments.FileStats] = Segments.readManifest(dir)
+
+  private def listStatuses(): Map[String, FileStatus] = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(path).filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .map(s => normalize(s.getPath.toString) -> s).toMap
+  }
+  private var statuses: Map[String, FileStatus] = listStatuses()
+
+  override def rootPaths: Seq[Path] = Seq(new Path(dir))
+  override def partitionSchema: StructType = StructType(Nil)
+  override def sizeInBytes: Long = statuses.values.map(_.getLen).sum
+  override def inputFiles: Array[String] = statuses.keys.toArray
+  override def refresh(): Unit = {
+    manifest = Segments.readManifest(dir)
+    statuses = listStatuses()
+  }
+
+  /** literal → the string space the manifest stats were cast into. */
+  private def litStr(l: Literal): Option[(String, Boolean)] = l.value match {
+    case null => None
+    case u: UTF8String => Some((u.toString, false))
+    case n @ (_: Byte | _: Short | _: Int | _: Long | _: Float | _: Double) =>
+      Some((n.toString, true))
+    case d: Decimal => Some((d.toString, true))
+    case _ => None // timestamps/dates etc.: conservatively no pruning
+  }
+
+  private def toRange(e: Expression): Option[Segments.Range] = e match {
+    case EqualTo(a: Attribute, l: Literal) =>
+      litStr(l).map { case (v, num) => Segments.Range(a.name, Some(v), Some(v), num) }
+    case EqualTo(l: Literal, a: Attribute) => toRange(EqualTo(a, l))
+    case GreaterThan(a: Attribute, l: Literal) =>
+      litStr(l).map { case (v, num) => Segments.Range(a.name, Some(v), None, num) }
+    case GreaterThanOrEqual(a: Attribute, l: Literal) =>
+      litStr(l).map { case (v, num) => Segments.Range(a.name, Some(v), None, num) }
+    case LessThan(a: Attribute, l: Literal) =>
+      litStr(l).map { case (v, num) => Segments.Range(a.name, None, Some(v), num) }
+    case LessThanOrEqual(a: Attribute, l: Literal) =>
+      litStr(l).map { case (v, num) => Segments.Range(a.name, None, Some(v), num) }
+    // flipped operand order
+    case GreaterThan(l: Literal, a: Attribute) => toRange(LessThan(a, l))
+    case GreaterThanOrEqual(l: Literal, a: Attribute) => toRange(LessThanOrEqual(a, l))
+    case LessThan(l: Literal, a: Attribute) => toRange(GreaterThan(a, l))
+    case LessThanOrEqual(l: Literal, a: Attribute) => toRange(GreaterThanOrEqual(a, l))
+    case In(a: Attribute, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+      val parsed = vs.map(v => litStr(v.asInstanceOf[Literal]))
+      if (parsed.exists(_.isEmpty)) None
+      else {
+        val strs = parsed.flatten
+        val num = strs.head._2
+        val vals = strs.map(_._1)
+        val ord: Ordering[String] =
+          if (num) Ordering.by((s: String) => BigDecimal(s)) else Ordering.String
+        Some(Segments.Range(a.name, Some(vals.min(ord)), Some(vals.max(ord)), num))
+      }
+    case _ => None
+  }
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val ranges = dataFilters.flatMap(toRange)
+    val kept = manifest.filter(fs => ranges.forall(_.mayMatch(fs)))
+      .flatMap(fs => statuses.get(normalize(fs.file)))
+    lastKept = kept.size
+    Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
+  }
+}
+
+object ManifestFileIndex {
+  /** Open a segmented table through its manifest: filters on indexed columns
+    * skip whole files inside the scan node. */
+  def read(spark: SparkSession, dir: String): DataFrame = readWithIndex(spark, dir)._1
+
+  /** As `read`, also returning the index for pruning introspection. */
+  def readWithIndex(spark: SparkSession, dir: String): (DataFrame, ManifestFileIndex) = {
+    val schema = spark.read.parquet(dir).schema
+    val index = new ManifestFileIndex(spark, dir)
+    val relation = HadoopFsRelation(
+      location = index,
+      partitionSchema = StructType(Nil),
+      dataSchema = schema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = Map.empty)(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+    (Bridge.ofRows(spark, LogicalRelation(relation, isStreaming = false)), index)
+  }
+}

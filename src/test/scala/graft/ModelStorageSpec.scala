@@ -58,6 +58,26 @@ class ModelStorageSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 2)
   }
 
+  test("ManifestFileIndex prunes segment files inside the Catalyst scan") {
+    import graft.plans.ManifestFileIndex
+    val dir = Files.createTempDirectory("graft-mfi").toString + "/li"
+    val li = Tables.lineitem(spark, sf)
+    Segments.write(li, dir, sortCols = Seq("l_orderkey"),
+      indexedCols = Seq("l_orderkey"), numSegments = 8)
+
+    val (df, index) = ManifestFileIndex.readWithIndex(spark, dir)
+    // correctness: same rows as a plain read
+    val n = df.filter(col("l_orderkey") <= 50L).count()
+    assert(n == spark.read.parquet(dir).filter(col("l_orderkey") <= 50L).count())
+    // pruning happened inside the real scan (resolved data filters reach
+    // listFiles during execution)
+    val keptFiltered = index.lastKept
+    assert(keptFiltered >= 1 && keptFiltered < 8,
+      s"index kept $keptFiltered of 8 files for the range predicate")
+    assert(df.count() == li.count()) // unfiltered read keeps everything
+    assert(index.lastKept == 8)
+  }
+
   test("csv bulk load applies spec types/defaults and round-trips via export") {
     import graft.sources.Csv
     val dir = Files.createTempDirectory("graft-csv").toString

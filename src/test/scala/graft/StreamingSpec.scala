@@ -141,6 +141,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(!out.contains(103.0) && !out.contains(100.0), "late event must be dropped")
   }
 
+  test("checkpoint restart resumes without reprocessing (commitlog replay parity)") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-in").toString
+    val out = Files.createTempDirectory("graft-out").toString
+    val ckpt = Files.createTempDirectory("graft-ck").toString
+    def run(): Unit = {
+      val q = graft.sources.Streams.jsonFiles(spark, in)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          b.write.mode("overwrite").parquet(s"$out/batch=$id"); ()
+        }.start()
+      q.processAllAvailable(); q.stop()
+    }
+    Files.writeString(java.nio.file.Paths.get(s"$in/a.json"), "{\"x\":1}\n{\"x\":2}\n")
+    run()
+    val afterFirst = spark.read.parquet(s"$out/batch=*").count()
+    Files.writeString(java.nio.file.Paths.get(s"$in/b.json"), "{\"x\":3}\n")
+    run() // restart from checkpoint: only the new file forms a batch
+    val all = spark.read.parquet(s"$out/batch=*").count()
+    assert(afterFirst == 2 && all == 3, s"expected 2 then 3 rows total, got $afterFirst then $all")
+  }
+
   test("hybrid view unions historical base with fresh realtime parts") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-base").toString
