@@ -124,6 +124,9 @@ object Extended {
         dense_rank().over(w).as("drk"),
         lag($"o_totalprice", 1).over(w).as("prev_price"),
         lead($"o_totalprice", 1).over(w).as("next_price"),
+        percent_rank().over(w).as("prk"),
+        cume_dist().over(w).as("cdist"),
+        ntile(4).over(w).as("quartile"),
         sum(dwin($"o_totalprice")).over(run).cast(DoubleType).as("running_total"))
       .orderBy($"o_custkey", $"rn")
   }
@@ -134,6 +137,9 @@ object Extended {
       | DENSE_RANK() OVER w AS drk,
       | LAG(o_totalprice, 1) OVER w AS prev_price,
       | LEAD(o_totalprice, 1) OVER w AS next_price,
+      | PERCENT_RANK() OVER w AS prk,
+      | CUME_DIST() OVER w AS cdist,
+      | CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
       | CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
       |   OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
@@ -301,7 +307,21 @@ object Extended {
       | round(l_extendedprice / 7.0, 3) AS r3
       |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  // q42 — explicit GROUPING SETS (distinct from rollup/cube), via the SQL
+  // passthrough surface.
+  private def q42(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(q42Sql)
+  }
+  private val q42Sql =
+    s"""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+       | COUNT(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+       |ORDER BY rf, ls""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_grouping_sets" -> q42,
     "q13_join_facts" -> q13,
     "q14_join_broadcast_star" -> q14,
     "q15_semi_anti" -> q15,
@@ -317,6 +337,7 @@ object Extended {
   )
 
   val oracles: Map[String, String] = Map(
+    "q42_grouping_sets" -> q42Sql,
     "q13_join_facts" -> q13Sql,
     "q14_join_broadcast_star" -> q14Sql,
     "q15_semi_anti" -> q15Sql,

@@ -152,6 +152,7 @@ object Relational {
     Tables.part(s, d)
       .filter($"p_type".isin("PROMO", "LARGE", "ECONOMY") &&
         $"p_size".between(5, 25) &&
+        !$"p_retailprice".between(950.0, 960.0) &&
         $"p_name".like("%bo%") &&
         !$"p_brand".like("Brand#1_") &&
         !$"p_partkey".isin(1, 2, 3))
@@ -163,6 +164,7 @@ object Relational {
       |FROM part
       |WHERE p_type IN ('PROMO','LARGE','ECONOMY')
       |  AND p_size BETWEEN 5 AND 25
+      |  AND p_retailprice NOT BETWEEN 950.0 AND 960.0
       |  AND p_name LIKE '%bo%'
       |  AND p_brand NOT LIKE 'Brand#1_'
       |  AND p_partkey NOT IN (1,2,3)

@@ -80,10 +80,21 @@ object Realtime {
   /** Arrival-anchor column name for a FIRST/LAST metric. */
   def arrCol(metric: String, t: AggType): String = s"__${t.name}_arr_$metric"
 
+  // Float/double SUM metrics travel as DECIMAL(30,6) so per-batch rollups
+  // merge to bit-identical totals regardless of how the stream was split
+  // into batches or partitions (same rule as graft.functions.Ops.dsum;
+  // split-invariance is asserted by PropertySpec).
+  private val D = DecimalType(30, 6)
+  private def sumCol(df: DataFrame, m: String): Column =
+    df.schema(m).dataType match {
+      case DoubleType | FloatType => sum(col(m).cast(D)).as(m)
+      case _ => sum(col(m)).as(m)
+    }
+
   /** Roll up raw rows: one shuffle on dims; FIRST/LAST anchored to arrival. */
   def rollupBatch(df: DataFrame, r: RollupSpec): DataFrame = {
     val aggs = r.metrics.flatMap {
-      case (m, Sum) => Seq(sum(col(m)).as(m))
+      case (m, Sum) => Seq(sumCol(df, m))
       case (m, Cnt) => Seq(count(col(m)).as(m))
       case (m, Min) => Seq(min(col(m)).as(m))
       case (m, Max) => Seq(max(col(m)).as(m))
@@ -101,7 +112,7 @@ object Realtime {
     * MIN/MAX re-min/max, FIRST/LAST resolve via their arrival anchors. */
   def mergeRollups(df: DataFrame, r: RollupSpec): DataFrame = {
     val aggs = r.metrics.flatMap {
-      case (m, Sum) => Seq(sum(col(m)).as(m))
+      case (m, Sum) => Seq(sumCol(df, m)) // decimal sums stay decimal (exact)
       case (m, Cnt) => Seq(sum(col(m)).as(m)) // counts merge by summing
       case (m, Min) => Seq(min(col(m)).as(m))
       case (m, Max) => Seq(max(col(m)).as(m))

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Realtime
+import graft.streaming.Realtime._
+
+/** Property tests (SURVEY.md §5 test plan): LIKE semantics vs an
+  * independent matcher, rollup-merge associativity over random splits,
+  * TIME codec round-trip. Uses ScalaCheck generators with explicit
+  * sampling (scalatestplus bridge is not among the pinned deps). */
+class PropertySpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    Iterator.continually(g.sample).flatten.take(n).toSeq
+
+  /** Independent SQL-LIKE reference matcher (%, _) — the semantics of the
+    * reference's SQLLike.match (indexr-common/.../SQLLike.java:8-13). */
+  private def likeRef(s: String, p: String): Boolean = {
+    def m(si: Int, pi: Int): Boolean =
+      if (pi == p.length) si == s.length
+      else p(pi) match {
+        case '%' => (si to s.length).exists(k => m(k, pi + 1))
+        case '_' => si < s.length && m(si + 1, pi + 1)
+        case c => si < s.length && s(si) == c && m(si + 1, pi + 1)
+      }
+    m(0, 0)
+  }
+
+  test("Spark LIKE matches the reference semantics on random strings/patterns") {
+    import spark.implicits._
+    val chars = Gen.oneOf('a', 'b', 'c')
+    val strGen = Gen.chooseNum(0, 8).flatMap(n => Gen.listOfN(n, chars).map(_.mkString))
+    val patGen = Gen.chooseNum(0, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(3 -> chars, 1 -> Gen.const('%'), 1 -> Gen.const('_')))
+        .map(_.mkString))
+    val cases = samples(Gen.zip(strGen, patGen), 400)
+    val got = cases.toDF("s", "p")
+      .select(col("s"), col("p"), expr("s LIKE p").as("m")).collect()
+    assert(got.length == 400)
+    got.foreach { r =>
+      val (s, p) = (r.getString(0), r.getString(1))
+      assert(r.getBoolean(2) == likeRef(s, p), s"LIKE mismatch: '$s' LIKE '$p'")
+    }
+  }
+
+  test("rollup merge is split-invariant (random data, random split points)") {
+    import spark.implicits._
+    val r = RollupSpec(Seq("dim"), Seq("v" -> Sum, "mn" -> Min, "mx" -> Max,
+      "fv" -> First, "lv" -> Last), "arr")
+    samples(Gen.zip(Gen.chooseNum(1, 79), Gen.chooseNum(2, 11)), 5)
+      .foreach { case (split, nDims) =>
+        val rows = (1 to 80).map { i =>
+          val v = ((i * 2654435761L) % 1000) / 10.0
+          (i.toLong, s"d${i % nDims}", v, v, v, v, v)
+        }
+        val df = rows.toDF("arr", "dim", "v", "mn", "mx", "fv", "lv")
+        val cols = Seq(col("dim"), col("v").cast("double").as("v"),
+          col("mn"), col("mx"), col("fv"), col("lv"))
+        val oneShot = Realtime.rollupBatch(df, r)
+          .select(cols: _*).collect().toSet
+        val merged = Realtime.mergeRollups(
+          Realtime.rollupBatch(df.filter($"arr" <= split), r)
+            .unionByName(Realtime.rollupBatch(df.filter($"arr" > split), r)), r)
+          .select(cols: _*).collect().toSet
+        assert(oneShot == merged, s"split=$split dims=$nDims")
+      }
+  }
+
+  test("TIME codec round-trips random seconds of day") {
+    samples(Gen.chooseNum(0, 86399), 300).foreach { sec =>
+      assert(graft.model.TimeCodec.parse(graft.model.TimeCodec.format(sec)) == sec)
+    }
+  }
+}

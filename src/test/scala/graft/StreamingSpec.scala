@@ -92,7 +92,8 @@ class StreamingSpec extends AnyFunSuite {
       .map(row => row.getAs[String]("dim") -> row).toMap
 
     val a = merged("a")
-    assert(a.getAs[Double]("v") == 11.0) // 1+3+7
+    // SUM metrics on doubles travel as exact decimals
+    assert(a.getAs[java.math.BigDecimal]("v").doubleValue == 11.0) // 1+3+7
     assert(a.getAs[Double]("v2") == 1.0) // min
     assert(a.getAs[Long]("cnt") == 7L) // 2+1+4
     assert(a.getAs[Double]("first_v") == 1.0) // ev_id 10
