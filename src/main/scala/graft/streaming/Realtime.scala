@@ -164,6 +164,20 @@ object Realtime {
     gen
   }
 
+  /** Rt2His (Rt2HisOnHive.java:52,200-251 parity): reorganize realtime
+    * output into a date-partitioned historical table. The INSERT-OVERWRITE-
+    * PARTITION Hive SQL becomes a dynamic-partition parquet write; at
+    * 100 TB this is a map-only repartition on the partition column. */
+  def rt2His(spark: SparkSession, rtDir: String, histDir: String,
+      partitionExpr: Column, partitionName: String = "p_date"): Unit = {
+    spark.read.parquet(s"$rtDir/batch=*")
+      .withColumn(partitionName, partitionExpr)
+      .repartition(col(partitionName))
+      .write.mode("overwrite")
+      .partitionBy(partitionName)
+      .parquet(histDir)
+  }
+
   /** Hybrid view: historical base ∪ fresh realtime parts (HybridTable.all()). */
   def hybrid(spark: SparkSession, baseDir: String, rtDir: String): DataFrame = {
     val base = spark.read.parquet(baseDir)

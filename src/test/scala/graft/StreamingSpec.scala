@@ -164,6 +164,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(afterFirst == 2 && all == 3, s"expected 2 then 3 rows total, got $afterFirst then $all")
   }
 
+  test("rt2his reorganizes realtime parts into a date-partitioned historical table") {
+    import spark.implicits._
+    val rt = Files.createTempDirectory("graft-rt3").toString
+    val hist = Files.createTempDirectory("graft-hist").toString + "/t"
+    Seq(("2024-01-01 10:00:00", "a", 1.0), ("2024-01-02 11:00:00", "b", 2.0))
+      .toDF("ts", "dim", "v").write.parquet(s"$rt/batch=0")
+    Seq(("2024-01-02 12:00:00", "c", 3.0))
+      .toDF("ts", "dim", "v").write.parquet(s"$rt/batch=1")
+    Realtime.rt2His(spark, rt, hist, to_date(col("ts")))
+    val out = spark.read.parquet(hist)
+    assert(out.count() == 3)
+    assert(out.select("p_date").distinct().count() == 2) // two partitions
+    val dirs = new java.io.File(hist).listFiles().map(_.getName).filter(_.startsWith("p_date="))
+    assert(dirs.length == 2, s"expected partition dirs, got ${dirs.toSeq}")
+  }
+
+  test("salted join equals plain join on skewed keys") {
+    import spark.implicits._
+    val skewed = (1 to 2000).map(i => (if (i % 10 == 0) 1L else i.toLong, i))
+      .toDF("k", "v")
+    val dim = (1L to 2000L).map(k => (k, s"d$k")).toDF("k", "name")
+    val plain = skewed.join(dim, Seq("k")).select("k", "v", "name").collect().toSet
+    val salted = operators.Skew.saltedJoin(skewed, dim, "k", salt = 8)
+      .select("k", "v", "name").collect().toSet
+    assert(salted == plain)
+  }
+
   test("hybrid view unions historical base with fresh realtime parts") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-base").toString
