@@ -41,6 +41,21 @@ object Realtime {
     * `arrival` names a monotone arrival column (event id / kafka offset). */
   case class RollupSpec(dims: Seq[String], metrics: Seq[(String, AggType)], arrival: String)
 
+  /** Parse an agg-type name from a table spec metric (AggSchema JSON). */
+  def aggType(name: String): AggType = name.toLowerCase match {
+    case "sum" => Sum
+    case "count" => Cnt
+    case "min" => Min
+    case "max" => Max
+    case "first" => First
+    case "last" => Last
+    case t => throw new IllegalArgumentException(s"unknown agg type: $t")
+  }
+
+  /** RollupSpec from a table spec's agg schema (dims + metrics). */
+  def rollupFromSpec(spec: graft.model.TableSpec, arrival: String): RollupSpec =
+    RollupSpec(spec.dims, spec.metrics.map { case (n, a) => (n, aggType(a)) }, arrival)
+
   /** Ingest spec: RealtimeSetting parity. */
   case class IngestSpec(
       schema: StructType,

@@ -86,6 +86,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("typed MinHashAgg produces the same signatures as the SQL minhash path") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.Ops.md5Long
+    // shingle rows for a few docs, both paths
+    val sh = Tables.documents(spark, sf).limit(20)
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .withColumn("sh", expr("transform(sequence(1, size(toks)-3), i -> concat_ws(' ', slice(toks, i, 4)))"))
+      .select(col("doc_id"), explode(array_distinct(col("sh"))).as("s"))
+    val k = 4
+    val sqlSigs = sh.groupBy(col("doc_id")).agg(
+      min(md5Long(concat(lit("s0:"), col("s")))).as("h0"),
+      (1 until k).map(i => min(md5Long(concat(lit(s"s$i:"), col("s")))).as(s"h$i")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to k).map(r.getLong).toSeq).toMap
+    val agg = new graft.functions.MinHashAgg(k).toColumn
+    val typedSigs = sh.as[(Long, String)].groupByKey(_._1)
+      .mapValues(_._2).agg(agg.name("sig"))
+      .collect().map { case (id, sig) => id -> sig.toSeq }.toMap
+    assert(typedSigs == sqlSigs)
+  }
+
+  test("rollup materialization from a table spec's agg schema") {
+    import org.apache.spark.sql.functions._
+    val spec = model.TableSpec("events_rollup", Nil,
+      dims = Seq("event_type"), grouping = true,
+      metrics = Seq("value" -> "sum", "value2" -> "max", "value3" -> "first"))
+    val r = streaming.Realtime.rollupFromSpec(spec, arrival = "event_id")
+    val df = Tables.events(spark, sf)
+      .withColumn("value2", col("value")).withColumn("value3", col("value"))
+    val out = streaming.Realtime.rollupBatch(df, r)
+    assert(out.count() == Tables.events(spark, sf).select("event_type").distinct().count())
+    assert(out.columns.contains("value") && out.columns.contains("value3"))
+  }
+
   test("lang-id heuristic is deterministic and total") {
     val out = SparkEntry.queries("q31_lang_id")(spark, sf).collect()
     assert(out.forall(r => Set("en", "de", "es", "fr", "unknown")
