@@ -24,15 +24,15 @@ object Extended {
   private def dwin(c: Column): Column = c.cast(D)
 
   // q13 — fact ⋈ fact ⋈ dim join with aggregation. lineitem⋈orders shuffles
-  // on the key; customer is broadcast (a dim at any scale that fits 8 GB —
-  // at 100 TB customer would shuffle too, which AQE decides from stats).
+  // on the key; customer is left unhinted — it scales with SF, so AQE
+  // broadcasts it when its runtime stats are small and shuffles otherwise.
   private def q13(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, d)
     val o = Tables.orders(s, d)
     val c = Tables.customer(s, d)
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey")) // customer scales with SF: AQE decides broadcast
       .groupBy($"c_mktsegment")
       .agg(
         dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),

@@ -23,7 +23,7 @@ object Reporting {
     val o = Tables.orders(s, d).filter($"o_orderdate" < cutoff)
     val li = Tables.lineitem(s, d).filter($"l_shipdate" > cutoff)
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey")) // scaling dim: AQE decides
       .groupBy($"o_orderkey", $"o_orderdate".cast(DateType).cast(StringType).as("order_day"))
       .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
       .orderBy($"revenue".desc, $"o_orderkey".asc)
@@ -53,8 +53,8 @@ object Reporting {
     val li = Tables.lineitem(s, d)
     val su = Tables.supplier(s, d)
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-      .join(broadcast(su),
+      .join(c, o("o_custkey") === c("c_custkey")) // scaling dim: AQE decides
+      .join(su, // scaling dim: AQE decides
         li("l_suppkey") === su("s_suppkey") && c("c_nationkey") === su("s_nationkey"))
       .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
@@ -86,7 +86,7 @@ object Reporting {
     val c = Tables.customer(s, d)
     val n = Tables.nation(s, d)
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey")) // scaling dim: AQE decides
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy($"c_custkey", $"c_name", $"n_name")
       .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))

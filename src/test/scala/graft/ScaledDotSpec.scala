@@ -27,6 +27,19 @@ class ScaledDotSpec extends AnyFunSuite {
     assert(out.forall(_.getAs[Long]("n") > 0))
   }
 
+  test("GraftExtensions injects scaled_dot into a function registry") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.plans.GraftExtensions().apply(ext)
+    val reg = new org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry
+    org.apache.spark.sql.graft.Bridge.registerFunctions(ext, reg)
+    assert(reg.functionExists(FunctionIdentifier("scaled_dot")))
+    val e = reg.lookupFunction(FunctionIdentifier("scaled_dot"), Seq(
+      org.apache.spark.sql.graft.Bridge.expression(lit(Array(1.0f))),
+      org.apache.spark.sql.graft.Bridge.expression(lit(Array(2.0f)))))
+    assert(e.isInstanceOf[graft.plans.ScaledDotProduct])
+  }
+
   test("native kernel participates in codegen (no fallback errors) and is faster") {
     val e = Tables.embeddings(spark, sf)
     val pairs = e.select(col("embedding").as("ea"))
