@@ -80,6 +80,13 @@ class ManifestFileIndex(spark: SparkSession, dir: String) extends FileIndex {
     case GreaterThanOrEqual(l: Literal, a: Attribute) => toRange(LessThanOrEqual(a, l))
     case LessThan(l: Literal, a: Attribute) => toRange(GreaterThan(a, l))
     case LessThanOrEqual(l: Literal, a: Attribute) => toRange(GreaterThanOrEqual(a, l))
+    // LIKE 'prefix%' arrives as StartsWith after Catalyst simplification;
+    // prefix-prune with [prefix, prefix+U+FFFF] — the reference's CMap
+    // LIKE-prefix rough check (rc/Like.java:60-87) recovered from min/max.
+    case StartsWith(a: Attribute, l: Literal) =>
+      litStr(l).collect { case (p, false) =>
+        Segments.Range(a.name, Some(p), Some(p + '￿'), numeric = false)
+      }
     case In(a: Attribute, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
       val parsed = vs.map(v => litStr(v.asInstanceOf[Literal]))
       if (parsed.exists(_.isEmpty)) None

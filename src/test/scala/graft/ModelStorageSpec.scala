@@ -78,6 +78,22 @@ class ModelStorageSpec extends AnyFunSuite {
     assert(index.lastKept == 8)
   }
 
+  test("ManifestFileIndex prunes on LIKE-prefix predicates (CMap parity)") {
+    import graft.plans.ManifestFileIndex
+    val dir = Files.createTempDirectory("graft-mfi2").toString + "/part"
+    Segments.write(Tables.part(spark, sf), dir, sortCols = Seq("p_name"),
+      indexedCols = Seq("p_name"), numSegments = 6)
+    val (df, index) = ManifestFileIndex.readWithIndex(spark, dir)
+    val n = df.filter(col("p_name").like("s%")).count()
+    assert(n == Tables.part(spark, sf).filter(col("p_name").like("s%")).count())
+    assert(n > 0, "fixture assumption: some part names start with 's'")
+    assert(index.lastKept >= 1 && index.lastKept < 6,
+      s"LIKE-prefix kept ${index.lastKept} of 6 files")
+    // a prefix past every name prunes all files
+    assert(df.filter(col("p_name").like("zzz%")).count() == 0)
+    assert(index.lastKept == 0)
+  }
+
   test("csv bulk load applies spec types/defaults and round-trips via export") {
     import graft.sources.Csv
     val dir = Files.createTempDirectory("graft-csv").toString
