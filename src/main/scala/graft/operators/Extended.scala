@@ -320,8 +320,36 @@ object Extended {
        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
        |ORDER BY rf, ls""".stripMargin
 
+  // q46 — exact interpolated percentiles (the ORDER-BY-free quantile path;
+  // both engines implement the standard linear-interpolation definition
+  // over exact sorted values, so results are deterministic).
+  private def q46(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("median_price"),
+        expr("percentile(l_quantity, array(0.25, 0.75))").as("qty_quartiles"),
+        min($"l_extendedprice").as("min_price"),
+        max($"l_extendedprice").as("max_price"))
+      .select($"l_returnflag", $"median_price",
+        $"qty_quartiles".getItem(0).as("qty_p25"),
+        $"qty_quartiles".getItem(1).as("qty_p75"),
+        $"min_price", $"max_price")
+      .orderBy($"l_returnflag")
+  }
+  private val q46Sql =
+    """SELECT l_returnflag,
+      | quantile_cont(l_extendedprice, 0.5) AS median_price,
+      | quantile_cont(l_quantity, 0.25) AS qty_p25,
+      | quantile_cont(l_quantity, 0.75) AS qty_p75,
+      | min(l_extendedprice) AS min_price,
+      | max(l_extendedprice) AS max_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_grouping_sets" -> q42,
+    "q46_percentiles" -> q46,
     "q13_join_facts" -> q13,
     "q14_join_broadcast_star" -> q14,
     "q15_semi_anti" -> q15,
@@ -338,6 +366,7 @@ object Extended {
 
   val oracles: Map[String, String] = Map(
     "q42_grouping_sets" -> q42Sql,
+    "q46_percentiles" -> q46Sql,
     "q13_join_facts" -> q13Sql,
     "q14_join_broadcast_star" -> q14Sql,
     "q15_semi_anti" -> q15Sql,

@@ -164,6 +164,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(afterFirst == 2 && all == 3, s"expected 2 then 3 rows total, got $afterFirst then $all")
   }
 
+  test("Realtime.start drives the full ingest query (decode -> rollup -> dumps)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-start").toString
+    val ckpt = Files.createTempDirectory("graft-start-ck").toString
+    val simpleSpec = IngestSpec(
+      schema = schema,
+      defaults = Map("v" -> 0.0),
+      rollup = Some(RollupSpec(Seq("dim"), Seq("v" -> Sum, "ev_id" -> Max), "ev_id")))
+    val mem = MemoryStream[String]
+    val q = Realtime.start(mem.toDF().toDF("json"), "json", simpleSpec, dir, ckpt)
+    mem.addData(
+      """{"ev_id":1,"dim":"a","tag":"t","v":2.0,"n":0}""",
+      """{"ev_id":2,"dim":"a","tag":"t","v":3.0,"n":0}""")
+    q.processAllAvailable(); q.stop()
+    val out = spark.read.parquet(s"$dir/batch=0")
+    val a = out.filter($"dim" === "a").head()
+    assert(a.getAs[java.math.BigDecimal]("v").doubleValue == 5.0)
+    assert(a.getAs[Long]("ev_id") == 2L)
+  }
+
   test("rt2his reorganizes realtime parts into a date-partitioned historical table") {
     import spark.implicits._
     val rt = Files.createTempDirectory("graft-rt3").toString
