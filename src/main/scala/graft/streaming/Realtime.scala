@@ -179,6 +179,16 @@ object Realtime {
     gen
   }
 
+  /** Streaming exact dedup: drop events whose key was already seen, with
+    * state bounded by the watermark (the streaming face of the exact-dedup
+    * operator; at 100 TB/day the TTL bounds state to the late-data horizon).
+    * Uses Spark's native `dropDuplicatesWithinWatermark` — idiomatic
+    * preference over hand-rolled mapGroupsWithState for this shape. */
+  def dedupStream(df: DataFrame, eventTimeCol: String, ttl: String,
+      keys: String*): DataFrame =
+    df.withWatermark(eventTimeCol, ttl)
+      .dropDuplicatesWithinWatermark(keys.toSeq)
+
   /** Rt2His (Rt2HisOnHive.java:52,200-251 parity): reorganize realtime
     * output into a date-partitioned historical table. The INSERT-OVERWRITE-
     * PARTITION Hive SQL becomes a dynamic-partition parquet write; at

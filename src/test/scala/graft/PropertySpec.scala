@@ -70,6 +70,22 @@ class PropertySpec extends AnyFunSuite {
       }
   }
 
+  test("manifest pruning is sound: pruned read + filter == full filter (random ranges)") {
+    import graft.storage.Segments
+    val dir = java.nio.file.Files.createTempDirectory("graft-prop").toString + "/li"
+    val li = Tables.lineitem(spark, sf)
+    Segments.write(li, dir, Seq("l_orderkey"), Seq("l_orderkey"), numSegments = 5)
+    samples(Gen.zip(Gen.chooseNum(0L, 1500L), Gen.chooseNum(0L, 1500L)), 4)
+      .foreach { case (a, b) =>
+        val (lo, hi) = (math.min(a, b), math.max(a, b))
+        val r = Segments.Range("l_orderkey", Some(lo.toString), Some(hi.toString))
+        val got = Segments.prunedRead(spark, dir, Seq(r))
+          .filter(col("l_orderkey").between(lo, hi)).count()
+        val want = li.filter(col("l_orderkey").between(lo, hi)).count()
+        assert(got == want, s"range [$lo,$hi]: pruned=$got full=$want")
+      }
+  }
+
   test("TIME codec round-trips random seconds of day") {
     samples(Gen.chooseNum(0, 86399), 300).foreach { sec =>
       assert(graft.model.TimeCodec.parse(graft.model.TimeCodec.format(sec)) == sec)

@@ -116,6 +116,24 @@ class StreamingSpec extends AnyFunSuite {
       batched.select(cols.map(col): _*).collect().toSet)
   }
 
+  test("streaming exact dedup drops duplicate keys within the watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val deduped = Realtime.dedupStream(
+      mem.toDF().toDF("ts", "event_id", "v"), "ts", "10 minutes", "event_id")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    mem.addData((t(0), 1L, 1.0), (t(1), 2L, 2.0), (t(2), 1L, 99.0)) // dup id=1
+    q.processAllAvailable()
+    mem.addData((t(3), 1L, 98.0), (t(4), 3L, 3.0)) // dup id=1 again, next batch
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_out").collect().map(_.getAs[Long]("event_id")).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
+  }
+
   test("watermarked window agg drops late events (superset of reference, which has no late-data policy)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
