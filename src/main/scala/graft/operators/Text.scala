@@ -287,7 +287,61 @@ object Text {
        |FROM votes ORDER BY doc_id""".stripMargin
   }
 
+  // q47 — near-dup clustering: connected components over the Jaccard≥0.8
+  // pair graph (min-label propagation), then a canonical doc per cluster.
+  // The step a real dedup pipeline runs after pair detection: keep the
+  // canonical, drop members. Components here are tiny (near-dup clusters),
+  // so a fixed number of propagation rounds converges; at 100 TB-scale
+  // graphs the same loop structure runs with large-star/small-star
+  // optimizations — the per-round plan (edges ⋈ labels, min-agg) is
+  // shuffle-on-key and size-stable.
+  private def q47(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = q34(s, d).select($"doc_a", $"doc_b")
+    val edges = pairs.unionAll(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .toDF("src", "dst").persist()
+    var labels = edges.select($"src".as("n")).distinct()
+      .withColumn("lbl", $"n")
+    for (_ <- 1 to 8) {
+      val prop = edges.join(labels, $"dst" === $"n")
+        .groupBy($"src").agg(min($"lbl").as("nlbl"))
+      labels = labels.join(prop, $"n" === $"src", "left_outer")
+        .select($"n", least($"lbl", coalesce($"nlbl", $"lbl")).as("lbl"))
+    }
+    Tables.documents(s, d)
+      .join(labels, $"doc_id" === $"n", "left_outer")
+      .select($"doc_id",
+        coalesce($"lbl", $"doc_id").as("canonical_id"),
+        when(coalesce($"lbl", $"doc_id") =!= $"doc_id", 1).otherwise(0).as("is_dup"))
+      .orderBy($"doc_id")
+  }
+  private val q47Sql = {
+    val pairsSql = // q34's pair query without the final projection/order
+      s"""$shingleRowsSql,
+         |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) shared
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |good AS (SELECT doc_a, doc_b FROM pairs
+         |         JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
+         |         WHERE CAST(shared AS DOUBLE) / (x.n + y.n - shared) >= 0.8),
+         |edges AS (SELECT doc_a src, doc_b dst FROM good
+         |          UNION ALL SELECT doc_b, doc_a FROM good)""".stripMargin
+    s"""WITH RECURSIVE $pairsSql,
+       |reach(n, m) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.n, e.dst FROM reach r JOIN edges e ON r.m = e.src),
+       |comp AS (SELECT n, least(n, min(m)) AS lbl FROM reach GROUP BY n)
+       |SELECT d.doc_id,
+       |  coalesce(c.lbl, d.doc_id) AS canonical_id,
+       |  CASE WHEN coalesce(c.lbl, d.doc_id) <> d.doc_id THEN 1 ELSE 0 END AS is_dup
+       |FROM documents d LEFT OUTER JOIN comp c ON d.doc_id = c.n
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_dedup_clusters" -> q47,
     "q29_text_tokens" -> q29,
     "q30_text_quality" -> q30,
     "q31_lang_id" -> q31,
@@ -299,6 +353,7 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    "q47_dedup_clusters" -> q47Sql,
     "q29_text_tokens" -> q29Sql,
     "q30_text_quality" -> q30Sql,
     "q31_lang_id" -> q31Sql,
