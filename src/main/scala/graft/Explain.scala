@@ -19,7 +19,8 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq
-      else Seq("q03_agg_tpch1", "q13_join_facts", "q14_join_broadcast_star", "q37_ann_brute")
+      else Seq("q03_agg_tpch1", "q13_join_facts", "q14_join_broadcast_star",
+        "q37_ann_brute", "q44_tpch5_local_volume", "q34_dedup_ngram_jaccard")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
