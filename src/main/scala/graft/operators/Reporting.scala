@@ -81,15 +81,23 @@ object Reporting {
   // lost revenue on returned lines.
   private def q45(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val li = Tables.lineitem(s, d).filter($"l_returnflag" === "R")
+    // push the aggregation below the joins: collapse lineitem to one exact
+    // decimal revenue row per orderkey BEFORE joining (shrinks the join
+    // input ~4× here, orders of magnitude at 100 TB), then re-sum per
+    // customer — decimal sums re-aggregate exactly, so the result is
+    // identical to aggregating after the join.
+    val perOrder = Tables.lineitem(s, d).filter($"l_returnflag" === "R")
+      .groupBy($"l_orderkey")
+      .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+        .cast(DecimalType(30, 6))).as("order_rev"))
     val o = Tables.orders(s, d)
     val c = Tables.customer(s, d)
     val n = Tables.nation(s, d)
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
+    perOrder.join(o, $"l_orderkey" === o("o_orderkey"))
       .join(c, o("o_custkey") === c("c_custkey")) // scaling dim: AQE decides
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy($"c_custkey", $"c_name", $"n_name")
-      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .agg(sum($"order_rev").cast(DoubleType).as("revenue"))
       .orderBy($"revenue".desc, $"c_custkey".asc)
       .limit(20)
   }

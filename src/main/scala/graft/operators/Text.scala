@@ -298,15 +298,29 @@ object Text {
   private def q47(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val pairs = q34(s, d).select($"doc_a", $"doc_b")
+    // materialize the edge list once; each propagation round eagerly
+    // truncates lineage (localCheckpoint) so the plan stays O(1) per round
+    // instead of nesting 8 joins — the standard iterative-graph pattern.
     val edges = pairs.unionAll(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
-      .toDF("src", "dst").persist()
+      .toDF("src", "dst").localCheckpoint()
     var labels = edges.select($"src".as("n")).distinct()
-      .withColumn("lbl", $"n")
-    for (_ <- 1 to 8) {
+      .withColumn("lbl", $"n").localCheckpoint()
+    // min-propagation monotonically decreases the label sum; an unchanged
+    // sum is the fixpoint (early exit — near-dup clusters have tiny
+    // diameter, so this converges in 2-3 rounds)
+    var prevSum = Long.MaxValue
+    var iter = 0
+    var converged = false
+    while (iter < 16 && !converged) {
       val prop = edges.join(labels, $"dst" === $"n")
         .groupBy($"src").agg(min($"lbl").as("nlbl"))
       labels = labels.join(prop, $"n" === $"src", "left_outer")
         .select($"n", least($"lbl", coalesce($"nlbl", $"lbl")).as("lbl"))
+        .localCheckpoint()
+      val sumNow = labels.agg(coalesce(sum($"lbl"), lit(0L))).head().getLong(0)
+      converged = sumNow == prevSum
+      prevSum = sumNow
+      iter += 1
     }
     Tables.documents(s, d)
       .join(labels, $"doc_id" === $"n", "left_outer")
