@@ -126,7 +126,32 @@ object Events {
        |FROM events GROUP BY user_id, event_type
        |ORDER BY user_id, event_type""".stripMargin
 
+  // q48 — as-of join (point-in-time enrichment): attach to every purchase
+  // the most recent prior signup value of the same user. Composed from
+  // union + carry-forward window (tier (a) of the custom-op ladder — no
+  // custom plan needed); one shuffle on user_id, sorted within partition.
+  private def q48(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("last_signup_value",
+        last(when($"event_type" === "signup", $"value"), ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"value", $"last_signup_value")
+      .orderBy($"event_id")
+  }
+  private val q48Sql =
+    """SELECT event_id, user_id, value, last_signup_value FROM (
+      |  SELECT event_id, user_id, event_type, value,
+      |    last_value(CASE WHEN event_type = 'signup' THEN value END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_value
+      |  FROM events)
+      |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_asof_join" -> q48,
     "q25_json_ingest" -> q25,
     "q26_window_tumbling" -> q26,
     "q27_sessionize" -> q27,
@@ -134,6 +159,7 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q48_asof_join" -> q48Sql,
     "q25_json_ingest" -> q25Sql,
     "q26_window_tumbling" -> q26Sql,
     "q27_sessionize" -> q27Sql,

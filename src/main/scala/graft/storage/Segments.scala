@@ -30,13 +30,18 @@ object Segments {
   /** Write `df` as a dim-sorted segmented table and build its manifest.
     * `numSegments` controls file count (→ one range partition each). */
   def write(df: DataFrame, dir: String, sortCols: Seq[String],
-      indexedCols: Seq[String], numSegments: Int = 8): Unit = {
+      indexedCols: Seq[String], numSegments: Int = 8,
+      rowGroupBytes: Long = 8L << 20): Unit = {
     val sorted =
       if (sortCols.nonEmpty)
         df.repartitionByRange(numSegments, sortCols.map(col): _*)
           .sortWithinPartitions(sortCols.map(col): _*)
       else df.repartition(numSegments)
-    sorted.write.mode("overwrite").parquet(dir)
+    // row-group size ≈ the reference's 64Ki-row pack granularity (the unit
+    // of stats-based skipping inside a file — DataPack.java:36-38 parity)
+    sorted.write.mode("overwrite")
+      .option("parquet.block.size", rowGroupBytes.toString)
+      .parquet(dir)
     buildManifest(df.sparkSession, dir, indexedCols)
   }
 
