@@ -37,9 +37,9 @@ object Csv {
   }
 
   /** Export a table (or any DataFrame) to CSV. */
-  def export(df: DataFrame, outPath: String, header: Boolean = true): Unit =
+  def exportCsv(df: DataFrame, outPath: String, header: Boolean = true): Unit =
     df.write.mode("overwrite").option("header", header.toString).csv(outPath)
 
-  def export(spark: SparkSession, tableDir: String, outPath: String): Unit =
-    export(spark.read.parquet(tableDir), outPath)
+  def exportCsv(spark: SparkSession, tableDir: String, outPath: String): Unit =
+    exportCsv(spark.read.parquet(tableDir), outPath)
 }

@@ -112,7 +112,7 @@ class ModelStorageSpec extends AnyFunSuite {
     assert(t(2).getAs[String]("label") == "none")
     assert(t.forall(_.getAs[Int]("extra") == 42)) // missing col → default
     assert(Segments.readManifest(s"$dir/table").nonEmpty)
-    Csv.export(spark, s"$dir/table", s"$dir/out")
+    Csv.exportCsv(spark, s"$dir/table", s"$dir/out")
     val back = spark.read.option("header", "true").csv(s"$dir/out")
     assert(back.count() == 3 && back.columns.toSeq ==
       Seq("id", "label", "score", "extra"))
