@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.storage.Segments
+import graft.streaming.Realtime
+
+/** Full-pipeline integration: the composed flow a training-data user runs —
+  * stream JSON documents in, exact-dedup, quality-filter, tokenize, write
+  * dim-sorted segments with a manifest, read back pruned. Exercises every
+  * module boundary in one pass (sources → streaming → operators → storage →
+  * plans).
+  */
+class PipelineE2ESpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("ingest -> dedup -> quality filter -> tokenize -> segments -> pruned read") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val stage = Files.createTempDirectory("graft-e2e").toString
+
+    // 1. streaming ingest of JSON documents (with a duplicate and a junk doc)
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType)))
+    val mem = MemoryStream[String]
+    val q = Realtime.start(mem.toDF().toDF("json"),
+      "json", Realtime.IngestSpec(schema = docSchema),
+      s"$stage/raw", s"$stage/ckpt")
+    val good = "the quick brown fox jumps over the lazy dog and runs far away"
+    mem.addData(
+      s"""{"doc_id":1,"text":"$good","lang":"en"}""",
+      s"""{"doc_id":2,"text":"$good","lang":"en"}""", // exact duplicate
+      s"""{"doc_id":3,"text":"x","lang":"en"}""", // junk (too short)
+      s"""{"doc_id":4,"text":"completely different content about data engines and columnar scans","lang":"en"}""")
+    q.processAllAvailable(); q.stop()
+
+    // 2. exact dedup: canonical = min doc_id per content hash
+    val raw = Realtime.hybrid(spark, s"$stage/raw/batch=0", s"$stage/raw")
+      .dropDuplicates("doc_id")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(md5($"text"))
+    val deduped = raw
+      .withColumn("canonical_id", min($"doc_id").over(w))
+      .filter($"doc_id" === $"canonical_id").drop("canonical_id")
+    assert(deduped.count() == 3) // one duplicate removed
+
+    // 3. quality filter + tokenize (operators.Text semantics)
+    val curated = deduped
+      .withColumn("toks", split(trim($"text"), "\\s+"))
+      .withColumn("n_tokens", size($"toks"))
+      .filter($"n_tokens" >= 5)
+      .select($"doc_id", $"text", $"lang", $"n_tokens")
+    assert(curated.count() == 2) // junk doc dropped
+
+    // 4. write sorted segments + manifest, read back through the FileIndex
+    Segments.write(curated, s"$stage/table", sortCols = Seq("doc_id"),
+      indexedCols = Seq("doc_id"), numSegments = 2)
+    val (table, index) = graft.plans.ManifestFileIndex.readWithIndex(spark, s"$stage/table")
+    val hit = table.filter($"doc_id" === 4L).collect()
+    assert(hit.length == 1 && hit.head.getAs[Int]("n_tokens") >= 5)
+    assert(index.lastKept <= 2) // manifest consulted during the scan
+  }
+}
