@@ -44,6 +44,9 @@ object ColumnSpec {
     case "date" => DateType
     case "time" => IntegerType // seconds-of-day convention (documented gap)
     case "datetime" => TimestampType
+    // native extension beyond the reference's 8 types (embedding columns;
+    // the reference has no nested types — SURVEY.md §1.2)
+    case "floatvector" => ArrayType(FloatType)
     case t => throw new IllegalArgumentException(s"unknown sqlType: $t")
   }
   def zeroOf(sqlType: String): String = sqlType.toLowerCase match {

@@ -198,7 +198,8 @@ object Similarity {
       .agg(
         approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
         countDistinct($"l_partkey").as("exact_parts"),
-        approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"))
+        approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"),
+        percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("approx_median_price"))
       .orderBy($"l_returnflag")
   }
 

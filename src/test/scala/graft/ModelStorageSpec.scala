@@ -35,6 +35,27 @@ class ModelStorageSpec extends AnyFunSuite {
     assert(TimeCodec.format(49530) == "13:45:30")
   }
 
+  test("catalog table_specs/*.json parse and match the parquet schemas") {
+    val specDir = new java.io.File("table_specs")
+    val files = specDir.listFiles().filter(_.getName.endsWith(".json"))
+    assert(files.length == 10)
+    files.foreach { f =>
+      val spec = TableSpec.fromJson(Files.readString(f.toPath))
+      val actual = Tables.df(spark, sf, spec.name).schema
+      assert(spec.structType.fieldNames.toSeq == actual.fieldNames.toSeq,
+        s"${spec.name}: column names")
+      spec.structType.fields.zip(actual.fields).foreach { case (want, got) =>
+        // events.ts: TIMESTAMP(NANOS) parquet is read as epoch-nano long
+        // (nanosAsLong session setting) though the spec declares datetime
+        val ok = want.dataType == got.dataType ||
+          // datetime: parquet without isAdjustedToUTC reads as NTZ in Spark 4
+          (want.dataType == TimestampType && got.dataType == TimestampNTZType) ||
+          (spec.name == "events" && want.name == "ts" && got.dataType == LongType)
+        assert(ok, s"${spec.name}.${want.name}: ${want.dataType} vs ${got.dataType}")
+      }
+    }
+  }
+
   test("applyDefaults fills nulls with typed defaults (no-null parity)") {
     import spark.implicits._
     val spec = TableSpec.fromJson(specJson)
