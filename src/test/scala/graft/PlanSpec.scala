@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality regression net: the properties that make these operators
+  * scale are asserted on the actual plans, so a refactor that silently drops
+  * a pushdown, broadcasts a fact table, or breaks codegen fails CI.
+  */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def planOf(name: String): String = {
+    // AQE wraps the plan until runtime; disable it for a static snapshot so
+    // codegen/exchange structure is visible
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString()
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+  private def explained(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("q03: filter is pushed to the parquet scan and aggregation is codegen'd") {
+    val e = explained("q03_agg_tpch1")
+    assert(e.contains("PushedFilters"), "expected PushedFilters section")
+    assert(e.contains("LessThanOrEqual(l_shipdate"), "shipdate filter must reach the scan")
+    val p = planOf("q03_agg_tpch1")
+    // whole-stage codegen stages render as "*(n)" in the compact plan
+    assert(p.contains("*(1)"), "agg pipeline must stay in whole-stage codegen")
+    assert(p.contains("HashAggregate"), "expected hash aggregation")
+    assert(p.contains("partial_sum"), "expected map-side partial aggregation")
+  }
+
+  test("q03: scan reads only the needed columns (pruning)") {
+    val e = explained("q03_agg_tpch1")
+    val readSchema = e.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"), s"unneeded column read: $readSchema")
+    assert(readSchema.contains("l_quantity"))
+  }
+
+  test("q14: fixed-size dims are broadcast, never shuffled") {
+    val p = planOf("q14_join_broadcast_star")
+    assert(p.contains("BroadcastHashJoin"), "dims must broadcast")
+  }
+
+  test("q34/q35: near-dup candidate generation is equi-join, not cartesian") {
+    Seq("q34_dedup_ngram_jaccard", "q35_dedup_minhash_lsh").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q must not build all-pairs")
+    }
+  }
+
+  test("q12: top-n plans as TakeOrderedAndProject (no full global sort)") {
+    val p = planOf("q12_top_n")
+    assert(p.contains("TakeOrderedAndProject"), "LIMIT after ORDER BY must avoid a full sort")
+  }
+}
