@@ -298,30 +298,7 @@ object Text {
   private def q47(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val pairs = q34(s, d).select($"doc_a", $"doc_b")
-    // materialize the edge list once; each propagation round eagerly
-    // truncates lineage (localCheckpoint) so the plan stays O(1) per round
-    // instead of nesting 8 joins — the standard iterative-graph pattern.
-    val edges = pairs.unionAll(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
-      .toDF("src", "dst").localCheckpoint()
-    var labels = edges.select($"src".as("n")).distinct()
-      .withColumn("lbl", $"n").localCheckpoint()
-    // min-propagation monotonically decreases the label sum; an unchanged
-    // sum is the fixpoint (early exit — near-dup clusters have tiny
-    // diameter, so this converges in 2-3 rounds)
-    var prevSum = Long.MaxValue
-    var iter = 0
-    var converged = false
-    while (iter < 16 && !converged) {
-      val prop = edges.join(labels, $"dst" === $"n")
-        .groupBy($"src").agg(min($"lbl").as("nlbl"))
-      labels = labels.join(prop, $"n" === $"src", "left_outer")
-        .select($"n", least($"lbl", coalesce($"nlbl", $"lbl")).as("lbl"))
-        .localCheckpoint()
-      val sumNow = labels.agg(coalesce(sum($"lbl"), lit(0L))).head().getLong(0)
-      converged = sumNow == prevSum
-      prevSum = sumNow
-      iter += 1
-    }
+    val labels = connectedComponents(pairs)
     Tables.documents(s, d)
       .join(labels, $"doc_id" === $"n", "left_outer")
       .select($"doc_id",
@@ -352,6 +329,60 @@ object Text {
        |  CASE WHEN coalesce(c.lbl, d.doc_id) <> d.doc_id THEN 1 ELSE 0 END AS is_dup
        |FROM documents d LEFT OUTER JOIN comp c ON d.doc_id = c.n
        |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Connected components over an undirected pair list (doc_a, doc_b) →
+    * (n, lbl) where lbl = min node id in n's component.
+    *
+    * Adaptive engine choice (near-dup edge sets are a vanishing fraction of
+    * the corpus even at 100 TB):
+    *  - small graph (≤ localThreshold edges): exact union-find on the
+    *    driver — like AQE localizing a tiny shuffle;
+    *  - large graph: distributed min-label propagation with eager lineage
+    *    truncation (localCheckpoint) per round and a label-sum fixpoint
+    *    early-exit — the standard iterative-graph pattern.
+    */
+  def connectedComponents(pairs: DataFrame, localThreshold: Long = 1000000L): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val p2 = pairs.toDF("doc_a", "doc_b")
+    val edges = p2.unionAll(p2.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .toDF("src", "dst").localCheckpoint()
+    if (edges.count() <= localThreshold) {
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = es.flatMap { case (a, b) => Seq(a, b) }.distinct
+      nodes.map(n => (n, find(n))).toSeq.toDF("n", "lbl")
+    } else {
+      var labels = edges.select($"src".as("n")).distinct()
+        .withColumn("lbl", $"n").localCheckpoint()
+      var prevSum = Long.MaxValue
+      var iter = 0
+      var converged = false
+      while (iter < 16 && !converged) {
+        val prop = edges.join(labels, $"dst" === $"n")
+          .groupBy($"src").agg(min($"lbl").as("nlbl"))
+        labels = labels.join(prop, $"n" === $"src", "left_outer")
+          .select($"n", least($"lbl", coalesce($"nlbl", $"lbl")).as("lbl"))
+          .localCheckpoint()
+        val sumNow = labels.agg(coalesce(sum($"lbl"), lit(0L))).head().getLong(0)
+        converged = sumNow == prevSum
+        prevSum = sumNow
+        iter += 1
+      }
+      labels
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

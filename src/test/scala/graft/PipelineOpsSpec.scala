@@ -86,6 +86,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents: local union-find and distributed propagation agree") {
+    import spark.implicits._
+    // chain 1-2-3, pair 10-11, triangle 20-21-22, singleton edge 30-31
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L),
+      (20L, 22L), (30L, 31L)).toDF("doc_a", "doc_b")
+    val local = operators.Text.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = operators.Text.connectedComponents(pairs, localThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist)
+    assert(local(3L) == 1L && local(11L) == 10L && local(22L) == 20L && local(31L) == 30L)
+  }
+
   test("typed MinHashAgg produces the same signatures as the SQL minhash path") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
