@@ -31,23 +31,25 @@ object Segments {
     * `numSegments` controls file count (→ one range partition each). */
   def write(df: DataFrame, dir: String, sortCols: Seq[String],
       indexedCols: Seq[String], numSegments: Int = 8,
-      rowGroupBytes: Long = 8L << 20): Unit = {
+      rowGroupBytes: Long = 8L << 20, format: String = "parquet"): Unit = {
     val sorted =
       if (sortCols.nonEmpty)
         df.repartitionByRange(numSegments, sortCols.map(col): _*)
           .sortWithinPartitions(sortCols.map(col): _*)
       else df.repartition(numSegments)
-    // row-group size ≈ the reference's 64Ki-row pack granularity (the unit
-    // of stats-based skipping inside a file — DataPack.java:36-38 parity)
+    // row-group/stripe size ≈ the reference's 64Ki-row pack granularity
+    // (the unit of stats-based skipping inside a file — DataPack.java:36-38)
     sorted.write.mode("overwrite")
       .option("parquet.block.size", rowGroupBytes.toString)
-      .parquet(dir)
-    buildManifest(df.sparkSession, dir, indexedCols)
+      .option("orc.stripe.size", rowGroupBytes.toString)
+      .format(format).save(dir)
+    buildManifest(df.sparkSession, dir, indexedCols, format)
   }
 
   /** Build/refresh the manifest: per-file row count + min/max per column. */
-  def buildManifest(spark: SparkSession, dir: String, indexedCols: Seq[String]): Unit = {
-    val df = spark.read.parquet(dir)
+  def buildManifest(spark: SparkSession, dir: String, indexedCols: Seq[String],
+      format: String = "parquet"): Unit = {
+    val df = spark.read.format(format).load(dir)
     val aggs = count(lit(1)).as("__rows") +:
       indexedCols.flatMap(c => Seq(
         min(col(c)).cast("string").as(s"__min_$c"),
@@ -63,10 +65,20 @@ object Segments {
       }.mkString(",")
       s"""{"file":${jq(r.getAs[String]("__file"))},"rows":${r.getAs[Long]("__rows")},"stats":{$cols}}"""
     }.mkString("[", ",", "]")
-    Files.writeString(Paths.get(dir, ManifestFile), s"""{"files":$entries}""")
+    Files.writeString(Paths.get(dir, ManifestFile),
+      s"""{"format":${jq(format)},"files":$entries}""")
   }
 
   case class FileStats(file: String, rows: Long, stats: Map[String, (String, String)])
+
+  /** The storage format recorded in the manifest ("parquet" or "orc"). */
+  def manifestFormat(dir: String): String = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmt: Formats = DefaultFormats
+    val j = JsonMethods.parse(Files.readString(Paths.get(dir, ManifestFile)))
+    (j \ "format").extractOpt[String].getOrElse("parquet")
+  }
 
   def readManifest(dir: String): Seq[FileStats] = {
     import org.json4s._
@@ -103,9 +115,10 @@ object Segments {
     * segment-level pruning before Parquet sees a footer. */
   def prunedRead(spark: SparkSession, dir: String, ranges: Seq[Range]): DataFrame = {
     val manifest = readManifest(dir)
+    val fmt = manifestFormat(dir)
     val keep = manifest.filter(fs => ranges.forall(_.mayMatch(fs))).map(_.file)
-    if (keep.isEmpty) spark.read.parquet(dir).limit(0)
-    else spark.read.parquet(keep: _*)
+    if (keep.isEmpty) spark.read.format(fmt).load(dir).limit(0)
+    else spark.read.format(fmt).load(keep: _*)
   }
 
   /** How many files the manifest would keep (for tests/introspection). */

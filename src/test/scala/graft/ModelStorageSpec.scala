@@ -139,6 +139,21 @@ class ModelStorageSpec extends AnyFunSuite {
       Seq("id", "label", "score", "extra"))
   }
 
+  test("ORC segments: write, manifest, pruned read (Parquet/ORC parity)") {
+    val dir = Files.createTempDirectory("graft-orc").toString + "/li"
+    val li = Tables.lineitem(spark, sf)
+    Segments.write(li, dir, sortCols = Seq("l_orderkey"),
+      indexedCols = Seq("l_orderkey"), numSegments = 4, format = "orc")
+    assert(Segments.manifestFormat(dir) == "orc")
+    assert(spark.read.orc(dir).count() == li.count())
+    val r = Segments.Range("l_orderkey", lo = None, hi = Some("100"))
+    val (kept, total) = Segments.prunedFileCount(dir, Seq(r))
+    assert(kept < total, s"expected ORC pruning, kept $kept of $total")
+    val got = Segments.prunedRead(spark, dir, Seq(r))
+      .filter(col("l_orderkey") <= 100L).count()
+    assert(got == li.filter(col("l_orderkey") <= 100L).count())
+  }
+
   test("segment write sorts by dims and manifest prunes file scans") {
     val dir = Files.createTempDirectory("graft-seg").toString + "/lineitem"
     val li = Tables.lineitem(spark, sf)
