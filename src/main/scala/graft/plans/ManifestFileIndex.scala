@@ -116,16 +116,22 @@ object ManifestFileIndex {
     * skip whole files inside the scan node. */
   def read(spark: SparkSession, dir: String): DataFrame = readWithIndex(spark, dir)._1
 
-  /** As `read`, also returning the index for pruning introspection. */
+  /** As `read`, also returning the index for pruning introspection. The
+    * file format (parquet/orc) comes from the manifest. */
   def readWithIndex(spark: SparkSession, dir: String): (DataFrame, ManifestFileIndex) = {
-    val schema = spark.read.parquet(dir).schema
+    val fmt = Segments.manifestFormat(dir)
+    val fileFormat = fmt match {
+      case "orc" => new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat
+      case _ => new ParquetFileFormat
+    }
+    val schema = spark.read.format(fmt).load(dir).schema
     val index = new ManifestFileIndex(spark, dir)
     val relation = HadoopFsRelation(
       location = index,
       partitionSchema = StructType(Nil),
       dataSchema = schema,
       bucketSpec = None,
-      fileFormat = new ParquetFileFormat,
+      fileFormat = fileFormat,
       options = Map.empty)(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
     (Bridge.ofRows(spark, LogicalRelation(relation, isStreaming = false)), index)
   }

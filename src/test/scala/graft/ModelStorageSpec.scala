@@ -146,6 +146,11 @@ class ModelStorageSpec extends AnyFunSuite {
       indexedCols = Seq("l_orderkey"), numSegments = 4, format = "orc")
     assert(Segments.manifestFormat(dir) == "orc")
     assert(spark.read.orc(dir).count() == li.count())
+    // the Catalyst FileIndex path also honors the ORC format
+    val (mdf, midx) = graft.plans.ManifestFileIndex.readWithIndex(spark, dir)
+    assert(mdf.filter(col("l_orderkey") <= 100L).count() ==
+      li.filter(col("l_orderkey") <= 100L).count())
+    assert(midx.lastKept >= 1 && midx.lastKept < 4)
     val r = Segments.Range("l_orderkey", lo = None, hi = Some("100"))
     val (kept, total) = Segments.prunedFileCount(dir, Seq(r))
     assert(kept < total, s"expected ORC pruning, kept $kept of $total")
