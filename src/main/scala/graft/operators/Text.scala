@@ -311,30 +311,32 @@ object Text {
         when(coalesce($"lbl", $"doc_id") =!= $"doc_id", 1).otherwise(0).as("is_dup"))
       .orderBy($"doc_id")
   }
-  private val q47Sql = {
-    val pairsSql = // q34's pair query without the final projection/order
-      s"""$shingleRowsSql,
-         |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
-         |pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) shared
-         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         |          GROUP BY 1, 2),
-         |good AS (SELECT doc_a, doc_b FROM pairs
-         |         JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
-         |         WHERE CAST(shared AS DOUBLE) / (x.n + y.n - shared) >= 0.8),
-         |edges AS (SELECT doc_a src, doc_b dst FROM good
-         |          UNION ALL SELECT doc_b, doc_a FROM good)""".stripMargin
-    s"""WITH RECURSIVE $pairsSql,
+  /** Shared CTE chain: shingles → Jaccard≥0.8 pairs → symmetric edges →
+    * transitive closure → per-node component label. Used by q47 and q49. */
+  private val closureCtes =
+    s"""$shingleRowsSql,
+       |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+       |pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) shared
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |good AS (SELECT doc_a, doc_b FROM pairs
+       |         JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
+       |         WHERE CAST(shared AS DOUBLE) / (x.n + y.n - shared) >= 0.8),
+       |edges AS (SELECT doc_a src, doc_b dst FROM good
+       |          UNION ALL SELECT doc_b, doc_a FROM good),
        |reach(n, m) AS (
        |  SELECT src, dst FROM edges
        |  UNION
        |  SELECT r.n, e.dst FROM reach r JOIN edges e ON r.m = e.src),
-       |comp AS (SELECT n, least(n, min(m)) AS lbl FROM reach GROUP BY n)
+       |comp AS (SELECT n, least(n, min(m)) AS lbl FROM reach GROUP BY n)""".stripMargin
+
+  private val q47Sql =
+    s"""WITH RECURSIVE $closureCtes
        |SELECT d.doc_id,
        |  coalesce(c.lbl, d.doc_id) AS canonical_id,
        |  CASE WHEN coalesce(c.lbl, d.doc_id) <> d.doc_id THEN 1 ELSE 0 END AS is_dup
        |FROM documents d LEFT OUTER JOIN comp c ON d.doc_id = c.n
        |ORDER BY d.doc_id""".stripMargin
-  }
 
   /** Connected components over an undirected pair list (doc_a, doc_b) →
     * (n, lbl) where lbl = min node id in n's component.
@@ -390,7 +392,35 @@ object Text {
     }
   }
 
+  // q49 — keep-best dedup: within each near-dup cluster keep the highest-
+  // quality member (longest text, tie-break lowest doc_id) — what a curation
+  // pipeline actually ships, vs q47's min-id canonical.
+  private def q49(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val clusters = q47(s, d).select($"doc_id", $"canonical_id")
+    val docs = Tables.documents(s, d).select($"doc_id", $"n_chars")
+    val w = Window.partitionBy($"canonical_id")
+      .orderBy($"n_chars".desc, $"doc_id".asc)
+    clusters.join(docs, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .select($"doc_id", $"canonical_id",
+        when($"rk" === 1, 1).otherwise(0).as("keep"),
+        $"n_chars")
+      .orderBy($"doc_id")
+  }
+  private val q49Sql =
+    s"""WITH RECURSIVE $closureCtes,
+       |assigned AS (
+       |  SELECT d.doc_id, coalesce(c.lbl, d.doc_id) AS canonical_id, d.n_chars
+       |  FROM documents d LEFT OUTER JOIN comp c ON d.doc_id = c.n)
+       |SELECT doc_id, canonical_id,
+       |  CASE WHEN ROW_NUMBER() OVER (PARTITION BY canonical_id
+       |       ORDER BY n_chars DESC, doc_id ASC) = 1 THEN 1 ELSE 0 END AS keep,
+       |  n_chars
+       |FROM assigned ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_dedup_keep_best" -> q49,
     "q47_dedup_clusters" -> q47,
     "q29_text_tokens" -> q29,
     "q30_text_quality" -> q30,
@@ -403,6 +433,7 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    "q49_dedup_keep_best" -> q49Sql,
     "q47_dedup_clusters" -> q47Sql,
     "q29_text_tokens" -> q29Sql,
     "q30_text_quality" -> q30Sql,
