@@ -15,8 +15,20 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Join types where replicating `other` is semantics-preserving: the
+    * skewed (left) side carries ONE salt per row, so inner/left variants
+    * see each left row at most once. Right/full outer would emit `salt`
+    * null-extended copies of every unmatched replicated-side row, and
+    * semi/anti with the sides swapped would be equally wrong. */
+  private val SafeJoinTypes = Set(
+    "inner", "cross", "left", "leftouter", "leftsemi", "leftanti")
+
   def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
       salt: Int, joinType: String = "inner"): DataFrame = {
+    val jt = joinType.toLowerCase.replaceAll("[_ ]", "")
+    require(SafeJoinTypes.contains(jt),
+      s"saltedJoin supports inner/left join types only (got '$joinType'): " +
+        "the replicated side duplicates unmatched rows under right/full outer")
     val saltedL = skewed.withColumn("__salt",
       (rand(seed = 42) * salt).cast("int"))
     val saltedR = other.withColumn("__salt",

@@ -374,10 +374,14 @@ object Text {
     } else {
       var labels = edges.select($"src".as("n")).distinct()
         .withColumn("lbl", $"n").localCheckpoint()
+      // Loop to the label-sum fixpoint, NOT a fixed round cap: labels move
+      // one hop per round, so a cap silently splits any component whose
+      // diameter exceeds it. Termination is guaranteed — labels only ever
+      // decrease (least of self and neighbors) and are bounded below by the
+      // component's min id, so the sum strictly decreases until fixpoint.
       var prevSum = Long.MaxValue
-      var iter = 0
       var converged = false
-      while (iter < 16 && !converged) {
+      while (!converged) {
         val prop = edges.join(labels, $"dst" === $"n")
           .groupBy($"src").agg(min($"lbl").as("nlbl"))
         labels = labels.join(prop, $"n" === $"src", "left_outer")
@@ -386,7 +390,6 @@ object Text {
         val sumNow = labels.agg(coalesce(sum($"lbl"), lit(0L))).head().getLong(0)
         converged = sumNow == prevSum
         prevSum = sumNow
-        iter += 1
       }
       labels
     }

@@ -63,7 +63,7 @@ class ManifestFileIndex(spark: SparkSession, dir: String) extends FileIndex {
     case _ => None // timestamps/dates etc.: conservatively no pruning
   }
 
-  private def toRange(e: Expression): Option[Segments.Range] = e match {
+  private def toRange(e: Expression): Option[Segments.FilePred] = e match {
     case EqualTo(a: Attribute, l: Literal) =>
       litStr(l).map { case (v, num) => Segments.Range(a.name, Some(v), Some(v), num) }
     case EqualTo(l: Literal, a: Attribute) => toRange(EqualTo(a, l))
@@ -81,12 +81,12 @@ class ManifestFileIndex(spark: SparkSession, dir: String) extends FileIndex {
     case LessThan(l: Literal, a: Attribute) => toRange(GreaterThan(a, l))
     case LessThanOrEqual(l: Literal, a: Attribute) => toRange(GreaterThanOrEqual(a, l))
     // LIKE 'prefix%' arrives as StartsWith after Catalyst simplification;
-    // prefix-prune with [prefix, prefix+U+FFFF] — the reference's CMap
-    // LIKE-prefix rough check (rc/Like.java:60-87) recovered from min/max.
+    // prefix-prune by comparing against prefix-TRUNCATED min/max — the
+    // reference's CMap rough check (rc/Like.java:60-87). A sentinel upper
+    // bound (prefix + U+FFFF) would wrongly prune files whose matching
+    // strings contain U+FFFF right after the prefix.
     case StartsWith(a: Attribute, l: Literal) =>
-      litStr(l).collect { case (p, false) =>
-        Segments.Range(a.name, Some(p), Some(p + '￿'), numeric = false)
-      }
+      litStr(l).collect { case (p, false) => Segments.Prefix(a.name, p) }
     case In(a: Attribute, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
       val parsed = vs.map(v => litStr(v.asInstanceOf[Literal]))
       if (parsed.exists(_.isEmpty)) None

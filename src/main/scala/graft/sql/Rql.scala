@@ -27,11 +27,30 @@ object Rql {
     // split into string-literal and code segments so rewrites never touch
     // quoted text
     val parts = splitLiterals(rql)
-    val out = parts.map {
-      case (code, false) => rewrite(code)
+    // pass 1: per-segment rewrites; TOP is only STRIPPED here — its LIMIT
+    // belongs at the end of the whole statement, not of whatever code
+    // segment TOP happened to sit in (a trailing string literal would
+    // otherwise land after the LIMIT and break the SQL)
+    var topN: Option[String] = None
+    val rewritten = parts.map {
+      case (code, false) =>
+        var c = code
+        if (topN.isEmpty) TopRe.findFirstMatchIn(c).foreach { m =>
+          topN = Some(m.group(1))
+          c = TopRe.replaceFirstIn(c, "SELECT ")
+        }
+        rewrite(c)
       case (lit, true) => lit
     }.mkString
-    out
+    // pass 2: append TOP's LIMIT after the final segment (before any
+    // trailing whitespace/semicolon)
+    topN match {
+      case Some(n) =>
+        val end = rewritten.lastIndexWhere(ch => !ch.isWhitespace && ch != ';') + 1
+        val (body, tail) = rewritten.splitAt(end)
+        s"$body LIMIT $n$tail"
+      case None => rewritten
+    }
   }
 
   private def splitLiterals(s: String): Seq[(String, Boolean)] = {
@@ -62,14 +81,6 @@ object Rql {
 
   private def rewrite(code: String): String = {
     var c = code
-    // SELECT TOP n …  →  SELECT … (+ LIMIT n at the end of the statement)
-    c = TopRe.findFirstMatchIn(c) match {
-      case Some(m) =>
-        val n = m.group(1)
-        val stripped = TopRe.replaceFirstIn(c, "SELECT ")
-        s"$stripped LIMIT $n"
-      case None => c
-    }
     c = LimitOffRe.replaceAllIn(c, m => s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}")
     c = ConvertRe.replaceAllIn(c, m => s"CAST(${m.group(1)} AS ${m.group(2)})")
     c = OneRe.replaceAllIn(c, "(")

@@ -57,11 +57,15 @@ object Segments {
     val stats = df.groupBy(input_file_name().as("__file")).agg(aggs.head, aggs.tail: _*)
       .collect()
     def jq(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // absent stats (all-null column in this file) → JSON null, NOT the string
+    // "null" — the two must stay distinguishable for string columns whose
+    // real min/max is the literal text "null"
+    def jv(s: String) = if (s == null) "null" else jq(s)
     val entries = stats.map { r =>
       val cols = indexedCols.map { c =>
         s"${jq(c)}:{" +
-          s""""min":${jq(String.valueOf(r.getAs[String](s"__min_$c")))},""" +
-          s""""max":${jq(String.valueOf(r.getAs[String](s"__max_$c")))}}"""
+          s""""min":${jv(r.getAs[String](s"__min_$c"))},""" +
+          s""""max":${jv(r.getAs[String](s"__max_$c"))}}"""
       }.mkString(",")
       s"""{"file":${jq(r.getAs[String]("__file"))},"rows":${r.getAs[Long]("__rows")},"stats":{$cols}}"""
     }.mkString("[", ",", "]")
@@ -69,7 +73,10 @@ object Segments {
       s"""{"format":${jq(format)},"files":$entries}""")
   }
 
-  case class FileStats(file: String, rows: Long, stats: Map[String, (String, String)])
+  /** Per-file stats; a bound is None when the column is entirely null in the
+    * file (no min/max exists) — such files are never pruned. */
+  case class FileStats(file: String, rows: Long,
+      stats: Map[String, (Option[String], Option[String])])
 
   /** The storage format recorded in the manifest ("parquet" or "orc"). */
   def manifestFormat(dir: String): String = {
@@ -90,9 +97,16 @@ object Segments {
         (f \ "file").extract[String],
         (f \ "rows").extract[Long],
         (f \ "stats").asInstanceOf[JObject].obj.map { case (k, v) =>
-          k -> (((v \ "min").extract[String]), ((v \ "max").extract[String]))
+          k -> (((v \ "min").extractOpt[String]), ((v \ "max").extractOpt[String]))
         }.toMap)
     }
+  }
+
+  /** A per-file rough check, RSValue-style: may this file contain matches?
+    * Implementations must be conservative — when stats are missing (unindexed
+    * column, or all-null column → None bounds) the answer is true. */
+  sealed trait FilePred {
+    def mayMatch(fs: FileStats): Boolean
   }
 
   /** A closed-interval predicate on one column, for manifest pruning.
@@ -100,20 +114,31 @@ object Segments {
     * (numeric → BigDecimal compare, else lexicographic — matching how the
     * stats were stringified). */
   case class Range(colName: String, lo: Option[String], hi: Option[String],
-      numeric: Boolean = true) {
+      numeric: Boolean = true) extends FilePred {
     private def cmp(a: String, b: String): Int =
       if (numeric) BigDecimal(a).compare(BigDecimal(b)) else a.compareTo(b)
-    /** tri-state rough check, RSValue-style: may this file contain matches? */
     def mayMatch(fs: FileStats): Boolean = fs.stats.get(colName) match {
-      case None => true // unindexed column → RSValue.Some (can't prune)
-      case Some((mn, mx)) =>
+      case Some((Some(mn), Some(mx))) =>
         lo.forall(l => cmp(mx, l) >= 0) && hi.forall(h => cmp(mn, h) <= 0)
+      case _ => true // unindexed column or no stats (all-null) → can't prune
+    }
+  }
+
+  /** Prefix predicate (LIKE 'p%') via prefix-truncated min/max compare — the
+    * reference's CMap rough check shape (rc/Like.java:60-87). Truncation
+    * avoids the off-by-one of a synthesized upper-bound sentinel: a file
+    * matches iff min.take(|p|) <= p <= max.take(|p|). */
+  case class Prefix(colName: String, prefix: String) extends FilePred {
+    def mayMatch(fs: FileStats): Boolean = fs.stats.get(colName) match {
+      case Some((Some(mn), Some(mx))) =>
+        mn.take(prefix.length) <= prefix && mx.take(prefix.length) >= prefix
+      case _ => true
     }
   }
 
   /** Read only the files whose manifest interval intersects all ranges —
     * segment-level pruning before Parquet sees a footer. */
-  def prunedRead(spark: SparkSession, dir: String, ranges: Seq[Range]): DataFrame = {
+  def prunedRead(spark: SparkSession, dir: String, ranges: Seq[FilePred]): DataFrame = {
     val manifest = readManifest(dir)
     val fmt = manifestFormat(dir)
     val keep = manifest.filter(fs => ranges.forall(_.mayMatch(fs))).map(_.file)
@@ -122,7 +147,7 @@ object Segments {
   }
 
   /** How many files the manifest would keep (for tests/introspection). */
-  def prunedFileCount(dir: String, ranges: Seq[Range]): (Int, Int) = {
+  def prunedFileCount(dir: String, ranges: Seq[FilePred]): (Int, Int) = {
     val manifest = readManifest(dir)
     (manifest.count(fs => ranges.forall(_.mayMatch(fs))), manifest.size)
   }

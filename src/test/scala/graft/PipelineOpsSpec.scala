@@ -99,6 +99,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(local(3L) == 1L && local(11L) == 10L && local(22L) == 20L && local(31L) == 30L)
   }
 
+  test("connectedComponents converges on components with diameter > 16") {
+    import spark.implicits._
+    // a 40-node path graph: min-label needs ~39 propagation rounds, so any
+    // fixed round cap below that silently splits the component
+    val pairs = (1L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val dist = operators.Text.connectedComponents(pairs, localThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist.size == 40)
+    assert(dist.values.forall(_ == 1L), s"unconverged labels: $dist")
+  }
+
   test("typed MinHashAgg produces the same signatures as the SQL minhash path") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -21,6 +21,16 @@ class RqlSpec extends AnyFunSuite {
       == "SELECT 'TOP 3, CONVERT(x, INT)' AS s FROM t LIMIT 1 OFFSET 2")
   }
 
+  test("TOP's LIMIT lands at statement end even with trailing literals") {
+    // a string literal after the TOP clause must not swallow the LIMIT
+    assert(Rql.translate("SELECT TOP 5 a FROM t WHERE x = 'y'")
+      == "SELECT a FROM t WHERE x = 'y' LIMIT 5")
+    assert(Rql.translate("SELECT TOP 2 a FROM t WHERE x = 'y' ORDER BY a;")
+      == "SELECT a FROM t WHERE x = 'y' ORDER BY a LIMIT 2;")
+    assert(Rql.translate("SELECT TOP 3 a FROM t WHERE x = 'p' AND y = 'q'  ")
+      == "SELECT a FROM t WHERE x = 'p' AND y = 'q' LIMIT 3  ")
+  }
+
   test("RQL strings execute against the catalog (reference query shapes)") {
     Tables.register(spark, sf)
     // RQL.g4 native shape: scan→where→group→having→order→limit

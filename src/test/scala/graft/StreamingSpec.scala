@@ -228,6 +228,18 @@ class StreamingSpec extends AnyFunSuite {
     val salted = operators.Skew.saltedJoin(skewed, dim, "k", salt = 8)
       .select("k", "v", "name").collect().toSet
     assert(salted == plain)
+    // left outer keeps unmatched skewed-side rows exactly once
+    val dimHalf = dim.filter($"k" <= 1000L)
+    val lo = operators.Skew.saltedJoin(skewed, dimHalf, "k", salt = 8, joinType = "left_outer")
+    assert(lo.count() == skewed.count())
+    // replicating the right side under right/full outer would duplicate its
+    // unmatched rows `salt` times — rejected up front
+    intercept[IllegalArgumentException] {
+      operators.Skew.saltedJoin(skewed, dim, "k", salt = 8, joinType = "right_outer")
+    }
+    intercept[IllegalArgumentException] {
+      operators.Skew.saltedJoin(skewed, dim, "k", salt = 8, joinType = "full")
+    }
   }
 
   test("hybrid view unions historical base with fresh realtime parts") {
