@@ -379,7 +379,9 @@ object Text {
       // diameter exceeds it. Termination is guaranteed — labels only ever
       // decrease (least of self and neighbors) and are bounded below by the
       // component's min id, so the sum strictly decreases until fixpoint.
-      var prevSum = Long.MaxValue
+      // Sum into decimal(38,0): with 64-bit-hash doc ids a Long sum can
+      // overflow (ANSI mode would abort; wrap-around could falsely converge).
+      var prevSum: java.math.BigDecimal = null
       var converged = false
       while (!converged) {
         val prop = edges.join(labels, $"dst" === $"n")
@@ -387,8 +389,10 @@ object Text {
         labels = labels.join(prop, $"n" === $"src", "left_outer")
           .select($"n", least($"lbl", coalesce($"nlbl", $"lbl")).as("lbl"))
           .localCheckpoint()
-        val sumNow = labels.agg(coalesce(sum($"lbl"), lit(0L))).head().getLong(0)
-        converged = sumNow == prevSum
+        val sumNow = labels
+          .agg(coalesce(sum($"lbl".cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")))
+          .head().getDecimal(0)
+        converged = prevSum != null && sumNow.compareTo(prevSum) == 0
         prevSum = sumNow
       }
       labels

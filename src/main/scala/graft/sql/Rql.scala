@@ -39,6 +39,12 @@ object Rql {
           topN = Some(m.group(1))
           c = TopRe.replaceFirstIn(c, "SELECT ")
         }
+        // single-TOP assumption: RQL (Pinot-derived) has no subqueries or
+        // UNION, so at most one TOP can occur; a leftover second TOP would
+        // silently reach Spark and fail to parse — reject it here instead
+        if (TopRe.findFirstIn(c).isDefined)
+          throw new IllegalArgumentException(
+            s"RQL translate: multiple TOP clauses are not supported (RQL has no subqueries): $rql")
         rewrite(c)
       case (lit, true) => lit
     }.mkString

@@ -27,6 +27,27 @@ object Segments {
 
   val ManifestFile = "_graft_manifest.json"
 
+  /** Manifest format version. v2 distinguishes absent stats (JSON null) from
+    * the literal string "null"; v1 (version-less) manifests conflated them. */
+  val ManifestVersion = 2
+
+  /** Unsigned UTF-8 byte-wise compare — the order Spark's UTF8String min/max
+    * used when the stats were computed. JVM String.compareTo (UTF-16 code
+    * units) disagrees with it for strings mixing U+E000–U+FFFF with
+    * supplementary-plane code points, which could prune a matching file. */
+  private[graft] def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
   /** Write `df` as a dim-sorted segmented table and build its manifest.
     * `numSegments` controls file count (→ one range partition each). */
   def write(df: DataFrame, dir: String, sortCols: Seq[String],
@@ -70,7 +91,7 @@ object Segments {
       s"""{"file":${jq(r.getAs[String]("__file"))},"rows":${r.getAs[Long]("__rows")},"stats":{$cols}}"""
     }.mkString("[", ",", "]")
     Files.writeString(Paths.get(dir, ManifestFile),
-      s"""{"format":${jq(format)},"files":$entries}""")
+      s"""{"version":$ManifestVersion,"format":${jq(format)},"files":$entries}""")
   }
 
   /** Per-file stats; a bound is None when the column is entirely null in the
@@ -92,12 +113,18 @@ object Segments {
     import org.json4s.jackson.JsonMethods
     implicit val fmt: Formats = DefaultFormats
     val j = JsonMethods.parse(Files.readString(Paths.get(dir, ManifestFile)))
+    val version = (j \ "version").extractOpt[Int].getOrElse(1)
+    // v1 manifests serialized absent stats as the *string* "null", so a
+    // Some("null") bound there may really mean "no stats" — drop it (the file
+    // is then never pruned on that column) rather than risk wrong pruning.
+    def bound(v: JValue): Option[String] =
+      v.extractOpt[String].filterNot(s => version < 2 && s == "null")
     (j \ "files").children.map { f =>
       FileStats(
         (f \ "file").extract[String],
         (f \ "rows").extract[Long],
         (f \ "stats").asInstanceOf[JObject].obj.map { case (k, v) =>
-          k -> (((v \ "min").extractOpt[String]), ((v \ "max").extractOpt[String]))
+          k -> ((bound(v \ "min")), (bound(v \ "max")))
         }.toMap)
     }
   }
@@ -116,7 +143,7 @@ object Segments {
   case class Range(colName: String, lo: Option[String], hi: Option[String],
       numeric: Boolean = true) extends FilePred {
     private def cmp(a: String, b: String): Int =
-      if (numeric) BigDecimal(a).compare(BigDecimal(b)) else a.compareTo(b)
+      if (numeric) BigDecimal(a).compare(BigDecimal(b)) else utf8Cmp(a, b)
     def mayMatch(fs: FileStats): Boolean = fs.stats.get(colName) match {
       case Some((Some(mn), Some(mx))) =>
         lo.forall(l => cmp(mx, l) >= 0) && hi.forall(h => cmp(mn, h) <= 0)
@@ -131,7 +158,8 @@ object Segments {
   case class Prefix(colName: String, prefix: String) extends FilePred {
     def mayMatch(fs: FileStats): Boolean = fs.stats.get(colName) match {
       case Some((Some(mn), Some(mx))) =>
-        mn.take(prefix.length) <= prefix && mx.take(prefix.length) >= prefix
+        utf8Cmp(mn.take(prefix.length), prefix) <= 0 &&
+          utf8Cmp(mx.take(prefix.length), prefix) >= 0
       case _ => true
     }
   }

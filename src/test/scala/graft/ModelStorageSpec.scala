@@ -187,4 +187,38 @@ class ModelStorageSpec extends AnyFunSuite {
     val none = Segments.Range("l_orderkey", lo = Some("99999999"), hi = None)
     assert(Segments.prunedRead(spark, dir, Seq(none)).count() == 0)
   }
+
+  test("manifest string compares use UTF-8 byte order (UTF8String parity)") {
+    // U+FFFD (3-byte UTF-8, high UTF-16 code unit) vs U+10400 (4-byte UTF-8,
+    // surrogate pair): compareTo says FFFD > 10400, UTF-8 bytes say the
+    // opposite — the order Spark's min/max used
+    val bmp = "�"
+    val supp = new String(Character.toChars(0x10400))
+    assert(bmp.compareTo(supp) > 0)           // JVM order (wrong for stats)
+    assert(Segments.utf8Cmp(bmp, supp) < 0)   // UTF8String order
+    // a file whose min/max straddle the probe in UTF-8 order must be kept
+    val fs = Segments.FileStats("f", 1, Map("s" -> (Some(bmp), Some(supp))))
+    val probe = Segments.Range("s", lo = Some(supp), hi = Some(supp), numeric = false)
+    assert(probe.mayMatch(fs), "UTF-8-order max bound wrongly pruned the file")
+  }
+
+  test("v1 manifests: literal \"null\" bounds are treated as absent stats") {
+    val dir = Files.createTempDirectory("graft-v1m").toString
+    // a version-less (v1) manifest where col s serialized all-null stats as
+    // the string "null" — must NOT prune, even for probes far from "null"
+    Files.writeString(java.nio.file.Paths.get(dir, Segments.ManifestFile),
+      """{"format":"parquet","files":[
+        |{"file":"f1","rows":10,"stats":{"s":{"min":"null","max":"null"}}}]}"""
+        .stripMargin.replace("\n", ""))
+    val m = Segments.readManifest(dir)
+    assert(m.head.stats("s") == (None, None))
+    val probe = Segments.Range("s", lo = Some("zzz"), hi = None, numeric = false)
+    assert(m.count(fs => probe.mayMatch(fs)) == 1, "v1 \"null\" stats caused pruning")
+    // v2 manifests keep a real "null" string bound distinguishable
+    Files.writeString(java.nio.file.Paths.get(dir, Segments.ManifestFile),
+      """{"version":2,"format":"parquet","files":[
+        |{"file":"f1","rows":10,"stats":{"s":{"min":"null","max":"null"}}}]}"""
+        .stripMargin.replace("\n", ""))
+    assert(Segments.readManifest(dir).head.stats("s") == (Some("null"), Some("null")))
+  }
 }

@@ -31,6 +31,12 @@ class RqlSpec extends AnyFunSuite {
       == "SELECT a FROM t WHERE x = 'p' AND y = 'q' LIMIT 3  ")
   }
 
+  test("a second TOP is rejected, not silently left untranslated") {
+    intercept[IllegalArgumentException] {
+      Rql.translate("SELECT TOP 5 a FROM t UNION SELECT TOP 3 b FROM u")
+    }
+  }
+
   test("RQL strings execute against the catalog (reference query shapes)") {
     Tables.register(spark, sf)
     // RQL.g4 native shape: scan→where→group→having→order→limit
