@@ -126,6 +126,29 @@ object Events {
        |FROM events GROUP BY user_id, event_type
        |ORDER BY user_id, event_type""".stripMargin
 
+  // q51 — event-time SLIDING window aggregation (1 h size / 30 min slide):
+  // the overlapping-window superset of q26. Spark's window() expands each
+  // event into size/slide window rows before the aggregate — one shuffle on
+  // (window, type), partial aggregation map-side, same as tumbling.
+  private def q51(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy(window(tsMicros, "1 hour", "30 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .select($"w.start".cast(StringType).as("window_start"), $"event_type", $"n", $"sum_value")
+      .orderBy($"window_start", $"event_type")
+  }
+  // oracle: every event falls in exactly two 1h/30min windows — the 30-min
+  // bucket it lands in (k=0) and the previous one (k=1); replicate per k.
+  private val q51Sql =
+    s"""WITH t AS (SELECT epoch_ns(ts) // 1000000000 AS sec, event_type, value FROM events),
+       |w AS (SELECT make_timestamp((sec - sec % 1800 - k * 1800) * 1000000) AS ws,
+       |             event_type, value
+       |      FROM t, unnest(range(0, 2)) u(k))
+       |SELECT CAST(ws AS VARCHAR) AS window_start, event_type,
+       | COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+       |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
   // q48 — as-of join (point-in-time enrichment): attach to every purchase
   // the most recent prior signup value of the same user. Composed from
   // union + carry-forward window (tier (a) of the custom-op ladder — no
@@ -156,9 +179,11 @@ object Events {
     "q26_window_tumbling" -> q26,
     "q27_sessionize" -> q27,
     "q28_rollup_first_last" -> q28,
+    "q51_window_sliding" -> q51,
   )
 
   val oracles: Map[String, String] = Map(
+    "q51_window_sliding" -> q51Sql,
     "q48_asof_join" -> q48Sql,
     "q25_json_ingest" -> q25Sql,
     "q26_window_tumbling" -> q26Sql,

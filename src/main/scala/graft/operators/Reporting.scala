@@ -113,15 +113,46 @@ object Reporting {
        |ORDER BY revenue DESC, c_custkey ASC
        |LIMIT 20""".stripMargin
 
+  // q50 — large-volume orders (TPC-H Q18 shape): aggregate-then-join. The
+  // lineitem rollup runs FIRST (one shuffle on l_orderkey, heavy side shrinks
+  // ~4× here, ~#lines/#orders at scale) and only qualifying orders join out
+  // to orders/customer — the aggregate-pushdown pattern q45 uses, with the
+  // HAVING acting as the join's semi-filter.
+  private def q50(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val big = Tables.lineitem(s, d)
+      .groupBy($"l_orderkey")
+      .agg(dsum($"l_quantity").as("sum_qty"))
+      .filter($"sum_qty" > 250.0)
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    big.join(o, $"l_orderkey" === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey")) // scaling dim: AQE decides
+      .select($"c_custkey", $"c_name", $"o_orderkey", $"o_totalprice", $"sum_qty")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .limit(20)
+  }
+  private val q50Sql =
+    s"""SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+       |FROM (SELECT l_orderkey, ${dsumSql("l_quantity")} AS sum_qty
+       |      FROM lineitem GROUP BY l_orderkey
+       |      HAVING ${dsumSql("l_quantity")} > 250.0) big
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |ORDER BY o_totalprice DESC, o_orderkey ASC
+       |LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_tpch3_shipping_priority" -> q43,
     "q44_tpch5_local_volume" -> q44,
     "q45_tpch10_returns" -> q45,
+    "q50_tpch18_big_orders" -> q50,
   )
 
   val oracles: Map[String, String] = Map(
     "q43_tpch3_shipping_priority" -> q43Sql,
     "q44_tpch5_local_volume" -> q44Sql,
     "q45_tpch10_returns" -> q45Sql,
+    "q50_tpch18_big_orders" -> q50Sql,
   )
 }

@@ -450,7 +450,31 @@ object Text {
        |  n_chars
        |FROM assigned ORDER BY doc_id""".stripMargin
 
+  // q52 — deterministic hash sharding/sampling: content-hash mod-100 shard,
+  // keep shards < 20 (a 20% sample), with per-language sampled/total counts.
+  // The training-pipeline primitive for reproducible subsets: membership is a
+  // pure function of content (stable across engines, partitionings, reruns),
+  // map-only — no shuffle until the tiny per-stratum report.
+  private def q52(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("shard", md5Long(concat(lit("smp:"), $"text")) % 100L)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("total"),
+        sum(when($"shard" < 20, 1L).otherwise(0L)).as("sampled"))
+      .withColumn("rate", $"sampled".cast(DoubleType) / $"total")
+      .orderBy($"lang")
+  }
+  private val q52Sql =
+    s"""SELECT lang, COUNT(*) AS total,
+       | CAST(SUM(CASE WHEN ${md5LongSql("'smp:' || text")} % 100 < 20
+       |               THEN 1 ELSE 0 END) AS BIGINT) AS sampled,
+       | CAST(SUM(CASE WHEN ${md5LongSql("'smp:' || text")} % 100 < 20
+       |               THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS rate
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_sample_hash_stratified" -> q52,
     "q49_dedup_keep_best" -> q49,
     "q47_dedup_clusters" -> q47,
     "q29_text_tokens" -> q29,
@@ -464,6 +488,7 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    "q52_sample_hash_stratified" -> q52Sql,
     "q49_dedup_keep_best" -> q49Sql,
     "q47_dedup_clusters" -> q47Sql,
     "q29_text_tokens" -> q29Sql,

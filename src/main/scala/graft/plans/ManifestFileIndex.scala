@@ -64,8 +64,10 @@ class ManifestFileIndex(spark: SparkSession, dir: String) extends FileIndex {
   }
 
   private def toRange(e: Expression): Option[Segments.FilePred] = e match {
+    // Equals is range + bloom: point lookups on unsorted string columns
+    // prune via the per-file equality bloom when the manifest carries one
     case EqualTo(a: Attribute, l: Literal) =>
-      litStr(l).map { case (v, num) => Segments.Range(a.name, Some(v), Some(v), num) }
+      litStr(l).map { case (v, num) => Segments.Equals(a.name, v, num) }
     case EqualTo(l: Literal, a: Attribute) => toRange(EqualTo(a, l))
     case GreaterThan(a: Attribute, l: Literal) =>
       litStr(l).map { case (v, num) => Segments.Range(a.name, Some(v), None, num) }
@@ -92,11 +94,9 @@ class ManifestFileIndex(spark: SparkSession, dir: String) extends FileIndex {
       if (parsed.exists(_.isEmpty)) None
       else {
         val strs = parsed.flatten
-        val num = strs.head._2
-        val vals = strs.map(_._1)
-        val ord: Ordering[String] =
-          if (num) Ordering.by((s: String) => BigDecimal(s)) else Ordering.String
-        Some(Segments.Range(a.name, Some(vals.min(ord)), Some(vals.max(ord)), num))
+        // per-value Equals (bloom-aware), disjunction — strictly tighter
+        // than the old min..max span over the IN-list
+        Some(Segments.InSet(a.name, strs.map(_._1), strs.head._2))
       }
     case _ => None
   }

@@ -48,11 +48,43 @@ object Segments {
     x.length - y.length
   }
 
+  // ---- per-file bloom sketch (equality pruning for string columns) ------
+  //
+  // Reference parity: IndexR's string-equality rough checks run against a
+  // per-pack hash/bitmap structure (ExtIndex_Str_Hash.java:25,49-55; the 2 KiB
+  // CMap of RSIndex_CMap.java:23-25; the VLT OuterIndex_Inverted segment
+  // index). Min/max ranges can't prune point lookups on unsorted string
+  // columns; a 1024-bit bloom per file per column (the same 128 B/1024-bit
+  // budget as the reference's histogram index) answers `col = v` with
+  // None/Some semantics: all k bits set → maybe, any bit clear → never.
+
+  val BloomBits = 1024
+  val BloomK = 4
+
+  /** JVM twin of graft.functions.Ops.md5Long (first 60 bits of md5 as a
+    * non-negative long) — bloom probes must hash identically on the build
+    * side (Spark executors) and the check side (driver pruning). */
+  private[graft] def md5LongJvm(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.take(8).map("%02x".format(_)).mkString // 16 hex chars, use 15
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  private[graft] def bloomPositions(v: String): Seq[Int] =
+    (0 until BloomK).map(i => (md5LongJvm(s"b$i:$v") % BloomBits).toInt)
+
+  private[graft] def bloomMightContain(hex: String, v: String): Boolean = {
+    val bytes = hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    bloomPositions(v).forall(p => (bytes(p / 8) & (1 << (p % 8))) != 0)
+  }
+
   /** Write `df` as a dim-sorted segmented table and build its manifest.
     * `numSegments` controls file count (→ one range partition each). */
   def write(df: DataFrame, dir: String, sortCols: Seq[String],
       indexedCols: Seq[String], numSegments: Int = 8,
-      rowGroupBytes: Long = 8L << 20, format: String = "parquet"): Unit = {
+      rowGroupBytes: Long = 8L << 20, format: String = "parquet",
+      bloomCols: Seq[String] = Nil): Unit = {
     val sorted =
       if (sortCols.nonEmpty)
         df.repartitionByRange(numSegments, sortCols.map(col): _*)
@@ -64,12 +96,15 @@ object Segments {
       .option("parquet.block.size", rowGroupBytes.toString)
       .option("orc.stripe.size", rowGroupBytes.toString)
       .format(format).save(dir)
-    buildManifest(df.sparkSession, dir, indexedCols, format)
+    buildManifest(df.sparkSession, dir, indexedCols, format, bloomCols)
   }
 
-  /** Build/refresh the manifest: per-file row count + min/max per column. */
+  /** Build/refresh the manifest: per-file row count + min/max per column,
+    * plus a 1024-bit equality bloom for each column in `bloomCols`.
+    * Offline maintenance op: one map-side-combinable aggregation over the
+    * table for stats, plus one distinct+aggregate per bloom column. */
   def buildManifest(spark: SparkSession, dir: String, indexedCols: Seq[String],
-      format: String = "parquet"): Unit = {
+      format: String = "parquet", bloomCols: Seq[String] = Nil): Unit = {
     val df = spark.read.format(format).load(dir)
     val aggs = count(lit(1)).as("__rows") +:
       indexedCols.flatMap(c => Seq(
@@ -77,27 +112,52 @@ object Segments {
         max(col(c)).cast("string").as(s"__max_$c")))
     val stats = df.groupBy(input_file_name().as("__file")).agg(aggs.head, aggs.tail: _*)
       .collect()
+    // per (file, bloomCol): the set bit positions, computed distributed with
+    // the SAME hash family as the driver-side check (md5Long("b<i>:"+v))
+    import graft.functions.Ops.md5Long
+    val blooms: Map[(String, String), String] = bloomCols.flatMap { c =>
+      df.select(input_file_name().as("__file"), col(c).cast("string").as("v"))
+        .filter(col("v").isNotNull).distinct()
+        .select(col("__file"), explode(array((0 until BloomK).map(i =>
+          pmod(md5Long(concat(lit(s"b$i:"), col("v"))), lit(BloomBits.toLong))): _*)).as("pos"))
+        .groupBy("__file").agg(collect_set(col("pos")).as("ps"))
+        .collect()
+        .map { r =>
+          val bytes = new Array[Byte](BloomBits / 8)
+          r.getAs[Seq[Long]]("ps").foreach { p =>
+            bytes(p.toInt / 8) = (bytes(p.toInt / 8) | (1 << (p.toInt % 8))).toByte
+          }
+          (r.getString(0), c) -> bytes.map("%02x".format(_)).mkString
+        }
+    }.toMap
     def jq(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     // absent stats (all-null column in this file) → JSON null, NOT the string
     // "null" — the two must stay distinguishable for string columns whose
     // real min/max is the literal text "null"
     def jv(s: String) = if (s == null) "null" else jq(s)
     val entries = stats.map { r =>
-      val cols = indexedCols.map { c =>
+      val file = r.getAs[String]("__file")
+      val statCols = indexedCols.map { c =>
         s"${jq(c)}:{" +
           s""""min":${jv(r.getAs[String](s"__min_$c"))},""" +
           s""""max":${jv(r.getAs[String](s"__max_$c"))}}"""
-      }.mkString(",")
-      s"""{"file":${jq(r.getAs[String]("__file"))},"rows":${r.getAs[Long]("__rows")},"stats":{$cols}}"""
+      }
+      val bloomColsJson = bloomCols.flatMap(c =>
+        blooms.get((file, c)).map(hex => s"${jq(c)}:${jq(hex)}"))
+      val bloomPart =
+        if (bloomColsJson.isEmpty) "" else s""","blooms":{${bloomColsJson.mkString(",")}}"""
+      s"""{"file":${jq(file)},"rows":${r.getAs[Long]("__rows")},"stats":{${statCols.mkString(",")}}$bloomPart}"""
     }.mkString("[", ",", "]")
     Files.writeString(Paths.get(dir, ManifestFile),
       s"""{"version":$ManifestVersion,"format":${jq(format)},"files":$entries}""")
   }
 
   /** Per-file stats; a bound is None when the column is entirely null in the
-    * file (no min/max exists) — such files are never pruned. */
+    * file (no min/max exists) — such files are never pruned. `blooms` maps a
+    * column to its 1024-bit equality bloom (hex), when built. */
   case class FileStats(file: String, rows: Long,
-      stats: Map[String, (Option[String], Option[String])])
+      stats: Map[String, (Option[String], Option[String])],
+      blooms: Map[String, String] = Map.empty)
 
   /** The storage format recorded in the manifest ("parquet" or "orc"). */
   def manifestFormat(dir: String): String = {
@@ -125,7 +185,11 @@ object Segments {
         (f \ "rows").extract[Long],
         (f \ "stats").asInstanceOf[JObject].obj.map { case (k, v) =>
           k -> ((bound(v \ "min")), (bound(v \ "max")))
-        }.toMap)
+        }.toMap,
+        (f \ "blooms") match {
+          case JObject(obj) => obj.collect { case (k, JString(hex)) => k -> hex }.toMap
+          case _ => Map.empty[String, String]
+        })
     }
   }
 
@@ -149,6 +213,25 @@ object Segments {
         lo.forall(l => cmp(mx, l) >= 0) && hi.forall(h => cmp(mn, h) <= 0)
       case _ => true // unindexed column or no stats (all-null) → can't prune
     }
+  }
+
+  /** Point-lookup predicate `col = value`: min/max range check AND (when the
+    * manifest carries a bloom for the column) the k-bit bloom membership
+    * test — the file-level form of the reference's string-hash equality
+    * rough check (ExtIndex_Str_Hash / CMap isValue). */
+  case class Equals(colName: String, value: String, numeric: Boolean = true)
+      extends FilePred {
+    def mayMatch(fs: FileStats): Boolean =
+      Range(colName, Some(value), Some(value), numeric).mayMatch(fs) &&
+        fs.blooms.get(colName).forall(hex => bloomMightContain(hex, value))
+  }
+
+  /** Membership predicate `col IN (values)`: the file may match if ANY value
+    * may be present (per-value Equals, bloom-aware). */
+  case class InSet(colName: String, values: Seq[String], numeric: Boolean = true)
+      extends FilePred {
+    def mayMatch(fs: FileStats): Boolean =
+      values.exists(v => Equals(colName, v, numeric).mayMatch(fs))
   }
 
   /** Prefix predicate (LIKE 'p%') via prefix-truncated min/max compare — the

@@ -189,6 +189,17 @@ object Realtime {
     df.withWatermark(eventTimeCol, ttl)
       .dropDuplicatesWithinWatermark(keys.toSeq)
 
+  /** Event-time session windows (gap-based), streaming form of the batch
+    * sessionization operator (q27): sessions close and emit once the
+    * watermark passes last-event + gap. State per open session only — the
+    * 100 TB-friendly bound (superset of the reference, which has no
+    * windowing). Output carries `session.start` / `session.end`. */
+  def sessionizeStream(df: DataFrame, eventTimeCol: String, gap: String,
+      watermarkDelay: String, keys: Seq[String], aggs: Seq[Column]): DataFrame =
+    df.withWatermark(eventTimeCol, watermarkDelay)
+      .groupBy(session_window(col(eventTimeCol), gap).as("session") +: keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
   /** Rt2His (Rt2HisOnHive.java:52,200-251 parity): reorganize realtime
     * output into a date-partitioned historical table. The INSERT-OVERWRITE-
     * PARTITION Hive SQL becomes a dynamic-partition parquet write; at

@@ -115,6 +115,43 @@ class ModelStorageSpec extends AnyFunSuite {
     assert(index.lastKept == 0)
   }
 
+  test("bloom manifest prunes string-equality probes min/max cannot") {
+    import graft.plans.ManifestFileIndex
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-bloom").toString + "/t"
+    // high-cardinality string key scattered across id-sorted files: every
+    // file's (min,max) spans nearly the whole hex space, so range pruning is
+    // useless for point lookups — exactly the case the bloom exists for
+    val df = spark.range(1000)
+      .select($"id", md5(concat(lit("k"), $"id")).as("key"))
+    Segments.write(df.toDF(), dir, sortCols = Seq("id"),
+      indexedCols = Seq("id", "key"), numSegments = 8, bloomCols = Seq("key"))
+    val m = Segments.readManifest(dir)
+    assert(m.forall(_.blooms.contains("key")), "every file carries a key bloom")
+
+    // present value: its own file is kept (no false negatives — checked for
+    // every 50th key) and pruning beats the min/max-only answer (8 files)
+    val keys = df.filter($"id" % 50 === 0).select($"key").as[String].collect()
+    val (fullRead, index) = ManifestFileIndex.readWithIndex(spark, dir)
+    keys.foreach { k =>
+      assert(fullRead.filter($"key" === k).count() == 1, s"lost the row for $k")
+      assert(index.lastKept < 8, s"bloom failed to prune any file for $k")
+    }
+    // absent values: expected-case prune to ~0 files (bloom false-positive
+    // rate leaves a small tail), and never a phantom row
+    val probes = (0 until 20).map(i => s"absent-$i")
+    val keptCounts = probes.map { p =>
+      val c = fullRead.filter($"key" === p).count()
+      assert(c == 0)
+      index.lastKept
+    }
+    assert(keptCounts.sum < 8, s"absent probes kept ${keptCounts.sum} files total")
+
+    // IN-list pruning is per-value (disjunction of blooms), not min..max span
+    val n = fullRead.filter($"key".isin(keys(0), "absent-x")).count()
+    assert(n == 1 && index.lastKept < 8)
+  }
+
   test("csv bulk load applies spec types/defaults and round-trips via export") {
     import graft.sources.Csv
     val dir = Files.createTempDirectory("graft-csv").toString

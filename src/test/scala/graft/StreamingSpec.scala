@@ -160,6 +160,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(!out.contains(103.0) && !out.contains(100.0), "late event must be dropped")
   }
 
+  test("streaming session windows close at watermark (gap-based sessionization)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = Realtime.sessionizeStream(
+      mem.toDF().toDF("ts", "k", "v"),
+      "ts", gap = "5 minutes", watermarkDelay = "10 minutes",
+      keys = Seq("k"), aggs = Seq(sum(col("v")).as("sv"), count(lit(1)).as("n")))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    mem.addData((t(0), "a", 1.0), (t(2), "a", 2.0)) // one session (gap < 5m)
+    q.processAllAvailable()
+    mem.addData((t(30), "a", 5.0)) // new session; watermark closes the first
+    q.processAllAvailable()
+    mem.addData((t(50), "a", 1.0)) // closes the 10:30 session
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess_out").collect().map { r =>
+      val w = r.getAs[org.apache.spark.sql.Row]("session")
+      (w.getAs[java.sql.Timestamp]("start"), w.getAs[java.sql.Timestamp]("end"),
+        r.getAs[Double]("sv"), r.getAs[Long]("n"))
+    }
+    // first session: events at 10:00 and 10:02 merge (end = last + gap = 10:07)
+    assert(rows.contains((t(0), t(7), 3.0, 2L)), s"got ${rows.toSeq}")
+    // second session: the lone 10:30 event, closed by the 10:50 watermark
+    assert(rows.contains((t(30), t(35), 5.0, 1L)), s"got ${rows.toSeq}")
+  }
+
   test("checkpoint restart resumes without reprocessing (commitlog replay parity)") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft-in").toString
