@@ -21,25 +21,36 @@ object Text {
   /** whitespace tokenization; `\s+` split of trimmed text. */
   private val toks: Column = split(trim(col("text")), "\\s+")
 
-  /** word n-gram shingles over `toks` (empty when the doc is shorter than n). */
-  private def shingles(n: Int): Column =
-    when(size(col("toks")) >= n,
-      expr(s"transform(sequence(1, size(toks)-${n - 1}), i -> concat_ws(' ', slice(toks, i, $n)))"))
-      .otherwise(array().cast(ArrayType(StringType)))
+  /** word n-gram rows (doc_id, gram), one row per gram INSTANCE, built
+    * codegen-friendly: posexplode tokens, stitch each gram with window
+    * lead()s, keep positions that fit. A `transform(sequence, …)` array
+    * expression is interpreted (higher-order functions don't codegen) and
+    * re-evaluates per explode output row — measured 8× slower at sf0.1.
+    * Cost: one shuffle on doc_id (window sort by pos); docs ≫ partitions so
+    * it scales evenly. */
+  private def gramRows(docs: DataFrame, n: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val byDoc = Window.partitionBy($"doc_id").orderBy($"pos")
+    val parts = $"tok" +: (1 until n).map(i => lead($"tok", i).over(byDoc))
+    docs.withColumn("toks", toks)
+      .select($"doc_id", size($"toks").as("n_toks"), posexplode($"toks").as(Seq("pos", "tok")))
+      .withColumn("gram", concat_ws(" ", parts: _*))
+      .filter($"pos" <= $"n_toks" - n)
+      .select($"doc_id", $"gram")
+  }
 
   /** (doc_id, s) distinct 4-gram shingle pairs — the inverted-index layout.
     * Memoized per (session, dir) and persisted: three operators (Jaccard,
-    * MinHash, clustering) share this relation, and recomputing the explode
-    * dominates their cost. */
+    * MinHash, clustering) share this relation, and recomputing the shingle
+    * generation dominates their cost. */
   private val shCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def shingleRows(s: SparkSession, d: String): DataFrame =
     shCache.getOrElseUpdate((s, d), {
       import s.implicits._
-      Tables.documents(s, d)
-        .withColumn("toks", toks)
-        .withColumn("sh", shingles(4))
-        .select($"doc_id", explode(array_distinct($"sh")).as("s"))
+      gramRows(Tables.documents(s, d), 4)
+        .select($"doc_id", $"gram".as("s")).distinct()
         .persist()
     })
   private val shingleRowsSql =
@@ -473,8 +484,81 @@ object Text {
        |               THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS rate
        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // q53 — intra-document repetition (Gopher/C4-style quality signal): the
+  // fraction of a doc's word 3-grams that are repeats. Map-side explode +
+  // one shuffle on doc_id; high dup_ratio marks boilerplate/spam for the
+  // quality-filter stage.
+  private def q53(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // two-level aggregate over codegen'd gram rows: level 1 combines
+    // map-side on (doc_id, gram), level 2 folds to per-doc counts. Both a
+    // countDistinct plan (Expand doubling every gram) and array-expression
+    // gram generation measured 3-8× slower at sf0.1 (see gramRows).
+    gramRows(Tables.documents(s, d), 3)
+      .groupBy($"doc_id", $"gram").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_grams"), count(lit(1)).as("n_distinct"))
+      .withColumn("dup_ratio",
+        lit(1.0) - $"n_distinct".cast(DoubleType) / $"n_grams")
+      .orderBy($"doc_id")
+  }
+  private val q53Sql =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
+      |g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(t)-1,1)),
+      |      i -> array_to_string(t[i:i+2], ' '))) AS gram FROM toks)
+      |SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT gram) AS n_distinct,
+      | 1.0 - CAST(COUNT(DISTINCT gram) AS DOUBLE) / COUNT(*) AS dup_ratio
+      |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // q54 — cross-document passage overlap (contamination detection): per doc,
+  // the fraction of its distinct 4-gram passages that also appear in some
+  // other document. Reuses the shared shingle relation; document frequency
+  // is one aggregate on the shingle key (the inverted-index layout), joined
+  // back — both shuffles are on high-cardinality keys.
+  private def q54(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = shingleRows(s, d)
+    val docFreq = sh.groupBy($"s").agg(countDistinct($"doc_id").as("df"))
+    sh.join(docFreq, "s")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when($"df" > 1, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("overlap_ratio",
+        $"n_shared".cast(DoubleType) / $"n_passages")
+      .orderBy($"doc_id")
+  }
+  private val q54Sql =
+    s"""WITH $shingleRowsSql,
+       |df AS (SELECT s, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY s)
+       |SELECT sh.doc_id, COUNT(*) AS n_passages,
+       | CAST(SUM(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       | CAST(SUM(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS overlap_ratio
+       |FROM sh JOIN df ON sh.s = df.s
+       |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin
+
+  // q55 — corpus vocabulary top-k (exact heavy hitters): token frequencies
+  // with a deterministic tie-break. Two map-side-combinable aggregations;
+  // at 100 TB the same plan holds (vocab is small after the first combine).
+  private def q55(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("toks", toks)
+      .select(explode($"toks").as("tok"))
+      .groupBy($"tok")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy($"freq".desc, $"tok".asc)
+      .limit(15)
+  }
+  private val q55Sql =
+    """SELECT tok, COUNT(*) AS freq
+      |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents)
+      |GROUP BY tok ORDER BY freq DESC, tok ASC LIMIT 15""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q52_sample_hash_stratified" -> q52,
+    "q53_repetition_ratio" -> q53,
+    "q54_passage_overlap" -> q54,
+    "q55_vocab_topk" -> q55,
     "q49_dedup_keep_best" -> q49,
     "q47_dedup_clusters" -> q47,
     "q29_text_tokens" -> q29,
@@ -489,6 +573,9 @@ object Text {
 
   val oracles: Map[String, String] = Map(
     "q52_sample_hash_stratified" -> q52Sql,
+    "q53_repetition_ratio" -> q53Sql,
+    "q54_passage_overlap" -> q54Sql,
+    "q55_vocab_topk" -> q55Sql,
     "q49_dedup_keep_best" -> q49Sql,
     "q47_dedup_clusters" -> q47Sql,
     "q29_text_tokens" -> q29Sql,

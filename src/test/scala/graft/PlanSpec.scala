@@ -57,4 +57,40 @@ class PlanSpec extends AnyFunSuite {
     val p = planOf("q12_top_n")
     assert(p.contains("TakeOrderedAndProject"), "LIMIT after ORDER BY must avoid a full sort")
   }
+
+  test("bucketed tables join without any shuffle (co-located fact-fact join)") {
+    // the 100 TB fact⋈fact answer: both sides bucketed+sorted on the join
+    // key at write time → SortMergeJoin with zero Exchange in the plan
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // at test scale the dim side auto-broadcasts, which would hide the
+    // bucketing; at fact-fact scale neither side broadcasts — model that
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = Tables.lineitem(spark, sf)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      val o = Tables.orders(spark, sf)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      li.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("li_bkt")
+      o.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("o_bkt")
+      val joined = spark.table("li_bkt")
+        .join(spark.table("o_bkt"), col("l_orderkey") === col("o_orderkey"))
+      val p = joined.queryExecution.executedPlan.toString()
+      assert(p.contains("SortMergeJoin"), s"expected sort-merge join:\n$p")
+      assert(!p.contains("Exchange"), s"bucketed join must not shuffle:\n$p")
+      // and it computes the same rows as the shuffled join
+      assert(joined.count() == li.join(o, col("l_orderkey") === col("o_orderkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prev)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.sql("DROP TABLE IF EXISTS li_bkt")
+      spark.sql("DROP TABLE IF EXISTS o_bkt")
+    }
+  }
 }
