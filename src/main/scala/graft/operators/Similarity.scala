@@ -225,12 +225,41 @@ object Similarity {
       | substring(hex(CAST(text AS BLOB)), 1, 16) AS head_hex
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // q56 — frame sampling over video payloads: every 2nd fixed-size byte
+  // window ("frame") of each video object, fingerprinted. The real pipeline
+  // shape for video: map-only explode of media into frame rows, no shuffle
+  // until downstream grouping; the decode inside the window is the stub
+  // (graft.operators.Multimodal.FakeDecoder notes), the plumbing is real.
+  private def q56(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val frames = graft.operators.Multimodal.sampleFrames(
+      graft.operators.Multimodal.mediaTable(s, d), every = 2, window = 32)
+    frames.select($"doc_id", $"frame_no",
+      md5($"frame_bytes").as("frame_fp"),
+      length($"frame_bytes").as("frame_len"))
+      .orderBy($"doc_id", $"frame_no")
+  }
+  // DuckDB has no BLOB substring; the synthetic text is pure ASCII (verified
+  // octet_length == length corpus-wide), so char windows == byte windows and
+  // md5(varchar chunk) hashes the same UTF-8 bytes as the binary chunk.
+  private val q56Sql =
+    """WITH v AS (SELECT doc_id, text AS payload
+      |           FROM documents WHERE doc_id % 3 = 2),
+      |idx AS (SELECT doc_id, payload,
+      |          unnest(range(0, CAST(ceil(length(payload) / 32.0) AS BIGINT))) AS i
+      |        FROM v)
+      |SELECT doc_id, CAST(i AS INTEGER) AS frame_no,
+      | md5(substring(payload, CAST(i * 32 + 1 AS BIGINT), 32)) AS frame_fp,
+      | CAST(length(substring(payload, CAST(i * 32 + 1 AS BIGINT), 32)) AS INTEGER) AS frame_len
+      |FROM idx WHERE i % 2 = 0 ORDER BY doc_id, frame_no""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_ann_brute" -> q37,
     "q38_ann_ivf" -> (q38(_, _)),
     "q39_multimodal_binary" -> q39,
     "q40_embed_near_dup_lsh" -> q40,
     "q41_approx_distinct_hll" -> q41,
+    "q56_frame_sample" -> q56,
   )
 
   /** q38/q41 are approximate by design → no SQL oracle (driver rows-only
@@ -239,5 +268,6 @@ object Similarity {
     "q37_ann_brute" -> q37Sql,
     "q39_multimodal_binary" -> q39Sql,
     "q40_embed_near_dup_lsh" -> q40Sql,
+    "q56_frame_sample" -> q56Sql,
   )
 }

@@ -189,6 +189,31 @@ object Realtime {
     df.withWatermark(eventTimeCol, ttl)
       .dropDuplicatesWithinWatermark(keys.toSeq)
 
+  /** Custom keyed streaming state (`KeyValueGroupedDataset
+    * .flatMapGroupsWithState`): a running (total, count) per key maintained
+    * across micro-batches, emitted on every update — the escape hatch for
+    * state machines the built-in aggregations can't express. State is one
+    * small tuple per key (100 TB-friendly: bounded by key cardinality, not
+    * event volume). */
+  def runningTotals(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col(keyCol).cast(StringType).as("k"), col(valCol).cast(DoubleType).as("v"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Double, Long), (String, Double, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (k: String, rows: Iterator[(String, Double)], state: GroupState[(Double, Long)]) =>
+          val (pt, pn) = state.getOption.getOrElse((0.0, 0L))
+          var t = pt; var n = pn
+          rows.foreach { r => t += r._2; n += 1 }
+          state.update((t, n))
+          Iterator((k, t, n))
+      }
+      .toDF(keyCol, "total", "n")
+  }
+
   /** Event-time session windows (gap-based), streaming form of the batch
     * sessionization operator (q27): sessions close and emit once the
     * watermark passes last-event + gap. State per open session only — the

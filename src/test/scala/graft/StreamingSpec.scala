@@ -189,6 +189,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains((t(30), t(35), 5.0, 1L)), s"got ${rows.toSeq}")
   }
 
+  test("flatMapGroupsWithState keeps running per-key totals across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, Double)]
+    val out = Realtime.runningTotals(mem.toDF().toDF("k", "v"), "k", "v")
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("state_out").start()
+    mem.addData(("a", 1.0), ("a", 2.0), ("b", 10.0))
+    q.processAllAvailable()
+    mem.addData(("a", 4.0)) // state carries 3.0 forward
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("state_out").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(rows.contains(("a", 3.0, 2L)), s"batch-1 total, got ${rows.toSeq}")
+    assert(rows.contains(("a", 7.0, 3L)), s"batch-2 cumulative total, got ${rows.toSeq}")
+    assert(rows.contains(("b", 10.0, 1L)))
+  }
+
   test("checkpoint restart resumes without reprocessing (commitlog replay parity)") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft-in").toString
