@@ -58,6 +58,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), "LIMIT after ORDER BY must avoid a full sort")
   }
 
+  test("q53/q54: text aggregates avoid Expand and self-joins") {
+    // q53: two-level agg, not countDistinct (whose Expand doubles every gram)
+    val p53 = planOf("q53_repetition_ratio")
+    assert(!p53.contains("Expand"), "q53 must not plan a distinct-Expand")
+    assert(p53.contains("partial_count") || p53.contains("HashAggregate"),
+      "q53 must aggregate map-side first")
+    // q54: document frequency via window over the distinct shingle relation,
+    // not a groupBy + self-join (which re-shuffles the relation twice)
+    val p54 = planOf("q54_passage_overlap")
+    assert(!p54.contains("SortMergeJoin") && !p54.contains("BroadcastHashJoin"),
+      "q54 must not self-join the shingle relation")
+  }
+
   test("bucketed tables join without any shuffle (co-located fact-fact join)") {
     // the 100 TB fact⋈fact answer: both sides bucketed+sorted on the join
     // key at write time → SortMergeJoin with zero Exchange in the plan
