@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Ops.md5Long
+
+/** Public deduplication / corpus-curation API over ANY DataFrame — the
+  * library surface a pipeline calls (the `qNN` entries in SparkEntry are
+  * these operators instantiated on the test corpus). Callers name their id
+  * and text columns; ids must be (castable to) long, unique per document.
+  *
+  * Every operator is a declarative plan: candidate generation is an
+  * equi-join on a derived key (shingle / content hash), never all-pairs;
+  * hashes are md5-derived so results replicate bit-for-bit across engines,
+  * partitionings and reruns. Persist the returned pair/cluster frames when
+  * consuming them more than once — they are the natural materialization
+  * boundaries of a multi-stage pipeline.
+  */
+object Dedup {
+
+  private def normalized(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).cast(LongType).as("doc_id"), col(textCol).as("text"))
+
+  /** Distinct (doc_id, s) word n-gram shingle relation — the inverted-index
+    * layout every near-dup variant builds on. `maxDocFreq` drops shingles
+    * present in more than that many documents (hot boilerplate n-grams are
+    * the join's skew risk at scale and can't discriminate near-dups). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 4,
+      maxDocFreq: Option[Long] = None): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val sh = Text.gramRows(normalized(df, idCol, textCol), n)
+      .select($"doc_id", $"gram".as("s")).distinct()
+    maxDocFreq match {
+      case Some(cap) =>
+        sh.withColumn("__df", count(lit(1)).over(Window.partitionBy($"s")))
+          .filter($"__df" <= cap).drop("__df")
+      case None => sh
+    }
+  }
+
+  /** Exact duplicates: canonical = min id per content hash. One shuffle on
+    * md5(text). Output: (doc_id, canonical_id, n_copies, is_dup). */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy(md5($"text"))
+    normalized(df, idCol, textCol)
+      .select($"doc_id",
+        min($"doc_id").over(w).as("canonical_id"),
+        count(lit(1)).over(w).as("n_copies"))
+      .withColumn("is_dup", when($"doc_id" =!= $"canonical_id", 1).otherwise(0))
+  }
+
+  /** Near-duplicate pairs at exact n-gram Jaccard ≥ threshold.
+    * Output: (doc_a, doc_b, shared, jaccard), doc_a < doc_b. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int = 4,
+      threshold: Double = 0.8, maxDocFreq: Option[Long] = None): DataFrame =
+    Text.jaccardPairsFrom(shingles(df, idCol, textCol, n, maxDocFreq), threshold)
+
+  /** Near-dup clusters: connected components over the pair graph, joined
+    * back so every document gets a canonical id.
+    * Output: (doc_id, canonical_id, is_dup). */
+  def clusters(df: DataFrame, idCol: String, textCol: String, n: Int = 4,
+      threshold: Double = 0.8, maxDocFreq: Option[Long] = None): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val pairs = jaccardPairs(df, idCol, textCol, n, threshold, maxDocFreq)
+      .select($"doc_a", $"doc_b")
+    val labels = Text.connectedComponents(pairs)
+    normalized(df, idCol, textCol)
+      .join(labels, $"doc_id" === $"n", "left_outer")
+      .select($"doc_id",
+        coalesce($"lbl", $"doc_id").as("canonical_id"),
+        when(coalesce($"lbl", $"doc_id") =!= $"doc_id", 1).otherwise(0).as("is_dup"))
+  }
+
+  /** Keep-best selection: within each cluster keep the row with the highest
+    * `quality` (ties → lowest id). Output: input ids + (canonical_id, keep).
+    * `clustersDf` is the output of [[clusters]] (or any (doc_id,
+    * canonical_id) frame) — pass it in, computed once. */
+  def keepBest(df: DataFrame, idCol: String, qualityCol: String,
+      clustersDf: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"canonical_id")
+      .orderBy(col(qualityCol).desc, $"doc_id".asc)
+    df.select(col(idCol).cast(LongType).as("doc_id"), col(qualityCol))
+      .join(clustersDf.select($"doc_id", $"canonical_id"), "doc_id")
+      .withColumn("keep", when(row_number().over(w) === 1, 1).otherwise(0))
+  }
+
+  /** Deterministic content-hash sampling: keeps rows whose
+    * md5(tag + text) mod 100 < keepPct. Map-only; membership is a pure
+    * function of content (reproducible subsets at any scale). Vary `tag`
+    * to draw independent samples. */
+  def hashSample(df: DataFrame, textCol: String, keepPct: Int,
+      tag: String = "smp:"): DataFrame =
+    df.filter(md5Long(concat(lit(tag), col(textCol))) % 100L < keepPct)
+}

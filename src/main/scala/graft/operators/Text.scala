@@ -28,7 +28,7 @@ object Text {
     * re-evaluates per explode output row — measured 8× slower at sf0.1.
     * Cost: one shuffle on doc_id (window sort by pos); docs ≫ partitions so
     * it scales evenly. */
-  private def gramRows(docs: DataFrame, n: Int): DataFrame = {
+  private[operators] def gramRows(docs: DataFrame, n: Int): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val byDoc = Window.partitionBy($"doc_id").orderBy($"pos")
@@ -200,24 +200,30 @@ object Text {
   // The pair graph is a shared pipeline stage: q34 reports it, q47 clusters
   // it, q49 picks winners per cluster. A real dedup pipeline materializes it
   // once, so it's memoized per (session, dir) and persisted, like shingleRows.
+  /** Jaccard≥threshold pairs from a distinct (doc_id, s) shingle relation:
+    * inverted-index equi-join on the shingle, shared-count agg, exact
+    * Jaccard via per-doc sizes. The core the public Dedup API and the
+    * oracled queries share. */
+  private[operators] def jaccardPairsFrom(sh: DataFrame, threshold: Double): DataFrame = {
+    val s = sh.sparkSession
+    import s.implicits._
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.toDF("doc_a", "s").join(sh.toDF("doc_b", "s2"),
+        $"s" === $"s2" && $"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.toDF("doc_a", "na"), "doc_a")
+      .join(sizes.toDF("doc_b", "nb"), "doc_b")
+      .select($"doc_a", $"doc_b", $"shared",
+        ($"shared".cast(DoubleType) / ($"na" + $"nb" - $"shared")).as("jaccard"))
+      .filter($"jaccard" >= threshold)
+  }
+
   private val pairCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def nearDupPairs(s: SparkSession, d: String): DataFrame =
-    pairCache.getOrElseUpdate((s, d), {
-      import s.implicits._
-      val sh = shingleRows(s, d) // persisted via the memoized relation
-      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val pairs = sh.toDF("doc_a", "s").join(sh.toDF("doc_b", "s2"),
-          $"s" === $"s2" && $"doc_a" < $"doc_b")
-        .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("shared"))
-      pairs
-        .join(sizes.toDF("doc_a", "na"), "doc_a")
-        .join(sizes.toDF("doc_b", "nb"), "doc_b")
-        .select($"doc_a", $"doc_b", $"shared",
-          ($"shared".cast(DoubleType) / ($"na" + $"nb" - $"shared")).as("jaccard"))
-        .filter($"jaccard" >= 0.8)
-        .persist()
-    })
+    pairCache.getOrElseUpdate((s, d),
+      jaccardPairsFrom(shingleRows(s, d), 0.8).persist())
   private def q34(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     nearDupPairs(s, d).orderBy($"doc_a", $"doc_b")

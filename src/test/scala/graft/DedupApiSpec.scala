@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** The public column-parameterized Dedup API on a synthetic corpus with
+  * caller-named columns — what a user migrating off the reference calls. */
+class DedupApiSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // corpus: 0/1 exact dups; 2/3 near-dups (one word changed); 4 unique;
+  // every doc shares the same hot boilerplate prefix (8 tokens)
+  private val boiler = "terms of service apply to all content here"
+  private val docs = Seq(
+    (100L, s"$boiler alpha beta gamma delta epsilon zeta eta theta"),
+    (101L, s"$boiler alpha beta gamma delta epsilon zeta eta theta"),
+    (102L, s"$boiler one two three four five six seven eight nine ten"),
+    (103L, s"$boiler one two three four five six seven CHANGED nine ten"),
+    (104L, s"$boiler completely different words in this document entirely")
+  ).toDF("my_id", "body")
+
+  test("exact: catches literal duplicates under caller-named columns") {
+    val out = Dedup.exact(docs, "my_id", "body").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("is_dup")).toMap
+    assert(out(100L) == 0 && out(101L) == 1, "101 duplicates 100")
+    assert(out(102L) == 0 && out(103L) == 0 && out(104L) == 0)
+  }
+
+  test("jaccardPairs finds the planted near-dup; the hot-shingle cap keeps it") {
+    val uncapped = Dedup.jaccardPairs(docs, "my_id", "body", threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(uncapped.contains((100L, 101L)), s"exact pair missing: $uncapped")
+    assert(uncapped.contains((102L, 103L)), s"near pair missing: $uncapped")
+    // cap at df<=2: the boilerplate shingles (df=5) drop out; real pairs
+    // survive on their distinctive shingles, and no pair appears that the
+    // uncapped run didn't find (capping only removes evidence)
+    val capped = Dedup.jaccardPairs(docs, "my_id", "body", threshold = 0.5,
+      maxDocFreq = Some(2L))
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(capped.contains((100L, 101L)) && capped.contains((102L, 103L)))
+    assert(capped.subsetOf(uncapped))
+    // and the boilerplate-only "pair" (104 vs others) must not appear capped
+    assert(!capped.exists(p => p._1 == 104L || p._2 == 104L))
+  }
+
+  test("clusters + keepBest: one winner per cluster, best quality kept") {
+    val cl = Dedup.clusters(docs, "my_id", "body", threshold = 0.5).persist()
+    val byId = cl.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical_id")).toMap
+    assert(byId(100L) == byId(101L), "exact dups cluster together")
+    assert(byId(102L) == byId(103L), "near dups cluster together")
+    assert(byId(104L) == 104L, "unique doc is its own canonical")
+    val withQ = docs.withColumn("q", length($"body"))
+    val kept = Dedup.keepBest(withQ, "my_id", "q", cl)
+      .filter($"keep" === 1).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept.size == 3, s"one winner per cluster, got $kept")
+    assert(kept.contains(104L))
+    assert(kept.contains(100L), "tie on quality -> lowest id wins")
+  }
+
+  test("hashSample is deterministic and respects the rate") {
+    val big = spark.range(2000).select($"id".as("k"),
+      concat(lit("doc "), $"id").as("body"))
+    val a = Dedup.hashSample(big, "body", 20).collect().map(_.getLong(0)).toSet
+    val b = Dedup.hashSample(big, "body", 20).collect().map(_.getLong(0)).toSet
+    assert(a == b, "same content -> same sample")
+    assert(math.abs(a.size - 400) < 100, s"~20% of 2000 expected, got ${a.size}")
+    // independent tag draws a different (but overlapping-by-chance) sample
+    val c = Dedup.hashSample(big, "body", 20, tag = "other:").collect()
+      .map(_.getLong(0)).toSet
+    assert(c != a)
+  }
+}
