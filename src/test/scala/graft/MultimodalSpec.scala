@@ -37,4 +37,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.select("doc_id").distinct().count() == nVideos)
     assert(frames.groupBy("doc_id").count().collect().forall(_.getLong(1) >= 1))
   }
+
+  test("decoded features feed the similarity operators (end-to-end handoff)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // plant a byte-identical duplicate media object under a new id, then run
+    // decode → feature embedding → hyperplane-LSH near-dup over the features
+    val m = Multimodal.mediaTable(spark, sf).limit(50)
+    val dup = m.toDF().withColumn("doc_id", $"doc_id" + 100000L)
+      .as[Multimodal.MediaRow]
+    val emb = Multimodal.decodeFeatures(m.union(dup))
+      .select($"doc_id".as("vec_id"), $"feature".as("embedding"))
+    val pairs = operators.Similarity.cosineNearDups(emb.toDF(), planes = 4,
+      threshold = 0.999)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val ids = m.collect().map(_.doc_id)
+    assert(ids.forall(i => pairs.contains((i, i + 100000L))),
+      s"every planted duplicate must be found; got ${pairs.size} pairs")
+  }
 }
