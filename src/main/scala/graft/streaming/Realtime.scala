@@ -163,8 +163,12 @@ object Realtime {
 
   /** Compaction (RTSMerge + Rt2His parity): merge every dumped part with the
     * merge aggregation, write dim-sorted to a new generation dir, then swap
-    * the manifest atomically (readers resolve via `current`). */
-  def compact(spark: SparkSession, tableDir: String, r: RollupSpec): String = {
+    * the manifest atomically (readers resolve via `current`). When
+    * `indexedCols` is non-empty the generation also gets a segment manifest
+    * (graft.storage.Segments), so historical reads of compacted realtime
+    * data prune files like any other segment table. */
+  def compact(spark: SparkSession, tableDir: String, r: RollupSpec,
+      indexedCols: Seq[String] = Nil): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val parts = spark.read.parquet(s"$tableDir/batch=*")
     val gen = s"$tableDir/compacted-${System.currentTimeMillis()}"
@@ -172,6 +176,8 @@ object Realtime {
       .repartition(spark.sessionState.conf.numShufflePartitions, r.dims.map(col): _*)
       .sortWithinPartitions(r.dims.map(col): _*)
       .write.mode("overwrite").parquet(gen)
+    if (indexedCols.nonEmpty)
+      graft.storage.Segments.buildManifest(spark, gen, indexedCols)
     val tmp = Paths.get(s"$tableDir/current.tmp")
     Files.writeString(tmp, gen)
     Files.move(tmp, Paths.get(s"$tableDir/current"), StandardCopyOption.ATOMIC_MOVE,

@@ -91,4 +91,23 @@ class PropertySpec extends AnyFunSuite {
       assert(graft.model.TimeCodec.parse(graft.model.TimeCodec.format(sec)) == sec)
     }
   }
+
+  test("manifest utf8Cmp agrees with Spark's UTF8String binary order") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // random strings biased toward the divergence zone: BMP private-use /
+    // high code units vs supplementary-plane code points
+    val codePoint = Gen.frequency(
+      3 -> Gen.chooseNum(0x20, 0x7e),              // ASCII
+      2 -> Gen.chooseNum(0xe000, 0xfffd),          // high BMP (3-byte UTF-8)
+      2 -> Gen.chooseNum(0x10000, 0x10fff),        // supplementary (4-byte)
+      1 -> Gen.chooseNum(0x80, 0x7ff))             // 2-byte
+    val strGen = Gen.chooseNum(0, 6).flatMap(n =>
+      Gen.listOfN(n, codePoint).map(_.flatMap(Character.toChars(_)).mkString))
+    samples(Gen.zip(strGen, strGen), 500).foreach { case (a, b) =>
+      val want = UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
+      val got = graft.storage.Segments.utf8Cmp(a, b)
+      assert(math.signum(got) == math.signum(want),
+        s"order mismatch for ${a.codePoints().toArray.toSeq} vs ${b.codePoints().toArray.toSeq}")
+    }
+  }
 }

@@ -86,8 +86,16 @@ class StreamingSpec extends AnyFunSuite {
     val parts = spark.read.parquet(s"$dir/batch=*")
     assert(parts.select("dim").distinct().count() == 2)
 
-    Realtime.compact(spark, dir, r)
+    Realtime.compact(spark, dir, r, indexedCols = Seq("dim"))
     val gen = Files.readString(java.nio.file.Paths.get(s"$dir/current"))
+    // the compacted generation is a manifest-indexed segment table: a probe
+    // outside the dim range prunes every file, inside keeps the data
+    import graft.storage.Segments
+    assert(Segments.readManifest(gen).nonEmpty)
+    assert(Segments.prunedRead(spark, gen,
+      Seq(Segments.Range("dim", Some("zzz"), None, numeric = false))).count() == 0)
+    assert(Segments.prunedRead(spark, gen,
+      Seq(Segments.Range("dim", Some("a"), Some("b"), numeric = false))).count() == 2)
     val merged = spark.read.parquet(gen).collect()
       .map(row => row.getAs[String]("dim") -> row).toMap
 
