@@ -20,7 +20,8 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q03_agg_tpch1", "q13_join_facts", "q14_join_broadcast_star",
-        "q37_ann_brute", "q44_tpch5_local_volume", "q34_dedup_ngram_jaccard")
+        "q37_ann_brute", "q44_tpch5_local_volume", "q34_dedup_ngram_jaccard",
+        "q50_tpch18_big_orders", "q53_repetition_ratio", "q54_passage_overlap")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

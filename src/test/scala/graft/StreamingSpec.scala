@@ -273,6 +273,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.select("p_date").distinct().count() == 2) // two partitions
     val dirs = new java.io.File(hist).listFiles().map(_.getName).filter(_.startsWith("p_date="))
     assert(dirs.length == 2, s"expected partition dirs, got ${dirs.toSeq}")
+    // date predicates prune at the PARTITION level (directory skip, the
+    // coarsest index a date-organized 100 TB table has)
+    val filtered = out.filter(col("p_date") === "2024-01-02")
+    val e = filtered.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(e.contains("PartitionFilters: [isnotnull(p_date"),
+      s"date filter must become a partition filter:\n$e")
+    assert(filtered.count() == 2)
   }
 
   test("salted join equals plain join on skewed keys") {
