@@ -61,6 +61,15 @@ class DedupApiSpec extends AnyFunSuite {
     assert(kept.contains(100L), "tie on quality -> lowest id wins")
   }
 
+  test("invalidateCaches rebuilds the memoized stages to identical results") {
+    val before = SparkEntry.queries("q34_dedup_ngram_jaccard")(spark, sf)
+      .collect().toSeq
+    operators.Text.invalidateCaches(spark, sf)
+    val after = SparkEntry.queries("q34_dedup_ngram_jaccard")(spark, sf)
+      .collect().toSeq
+    assert(before == after)
+  }
+
   test("hashSample is deterministic and respects the rate") {
     val big = spark.range(2000).select($"id".as("k"),
       concat(lit("doc "), $"id").as("body"))
