@@ -98,6 +98,19 @@ class ManifestFileIndex(spark: SparkSession, dir: String) extends FileIndex {
         // than the old min..max span over the IN-list
         Some(Segments.InSet(a.name, strs.map(_._1), strs.head._2))
       }
+    // boolean algebra (RSValue tri-state parity): AND prunes with whichever
+    // side translates (A∧B ⊆ A, still conservative); OR needs both sides;
+    // NOT(=) prunes only single-valued files
+    case And(l, r) =>
+      (toRange(l), toRange(r)) match {
+        case (Some(a), Some(b)) => Some(Segments.AndPred(Seq(a, b)))
+        case (a, b) => a.orElse(b)
+      }
+    case Or(l, r) =>
+      for (a <- toRange(l); b <- toRange(r)) yield Segments.OrPred(Seq(a, b))
+    case Not(EqualTo(a: Attribute, l: Literal)) =>
+      litStr(l).map { case (v, num) => Segments.NotEquals(a.name, v, num) }
+    case Not(EqualTo(l: Literal, a: Attribute)) => toRange(Not(EqualTo(a, l)))
     case _ => None
   }
 

@@ -234,6 +234,30 @@ object Segments {
       values.exists(v => Equals(colName, v, numeric).mayMatch(fs))
   }
 
+  /** Boolean algebra over rough checks — the reference's And/Or/Not tri-state
+    * combine (rc/And.java:20, rc/Or.java:22, rc/Not.java:18) at file scope.
+    * `mayMatch` is an upper bound on "contains a matching row", so:
+    * AND may intersect bounds; OR needs every branch's bound; NOT(x) can only
+    * prune when the file is single-valued on the column (min==max==x). */
+  case class AndPred(ps: Seq[FilePred]) extends FilePred {
+    def mayMatch(fs: FileStats): Boolean = ps.forall(_.mayMatch(fs))
+  }
+  case class OrPred(ps: Seq[FilePred]) extends FilePred {
+    def mayMatch(fs: FileStats): Boolean = ps.exists(_.mayMatch(fs))
+  }
+
+  /** `col <> value`: prunes only files constant at exactly `value`. */
+  case class NotEquals(colName: String, value: String, numeric: Boolean = true)
+      extends FilePred {
+    def mayMatch(fs: FileStats): Boolean = fs.stats.get(colName) match {
+      case Some((Some(mn), Some(mx))) =>
+        def eq(a: String, b: String) =
+          (if (numeric) BigDecimal(a).compare(BigDecimal(b)) else utf8Cmp(a, b)) == 0
+        !(eq(mn, mx) && eq(mn, value))
+      case _ => true
+    }
+  }
+
   /** Prefix predicate (LIKE 'p%') via prefix-truncated min/max compare — the
     * reference's CMap rough check shape (rc/Like.java:60-87). Truncation
     * avoids the off-by-one of a synthesized upper-bound sentinel: a file

@@ -225,6 +225,28 @@ class ModelStorageSpec extends AnyFunSuite {
     assert(Segments.prunedRead(spark, dir, Seq(none)).count() == 0)
   }
 
+  test("And/Or/Not rough-check algebra prunes conservatively") {
+    import graft.plans.ManifestFileIndex
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-bool").toString + "/t"
+    // sorted by k so files hold disjoint k ranges; c is constant per file half
+    val df = spark.range(800).select($"id".as("k"),
+      when($"id" < 400, "lo").otherwise("hi").as("c"))
+    Segments.write(df.toDF(), dir, sortCols = Seq("k"),
+      indexedCols = Seq("k", "c"), numSegments = 8)
+    val (read, index) = ManifestFileIndex.readWithIndex(spark, dir)
+    // OR of two disjoint ranges keeps both ends, prunes the middle
+    val n = read.filter($"k" < 50L || $"k" >= 750L).count()
+    assert(n == 100 && index.lastKept >= 2 && index.lastKept < 8,
+      s"OR kept ${index.lastKept} of 8")
+    // NOT(=) prunes files whose column is constant at the value
+    val m = read.filter($"c" =!= "lo").count()
+    assert(m == 400 && index.lastKept < 8, s"NOT kept ${index.lastKept} of 8")
+    // AND with one untranslatable side still prunes via the other
+    val a = read.filter($"k" < 50L && length($"c") >= 0).count()
+    assert(a == 50 && index.lastKept < 8, s"AND kept ${index.lastKept} of 8")
+  }
+
   test("manifest string compares use UTF-8 byte order (UTF8String parity)") {
     // U+FFFD (3-byte UTF-8, high UTF-16 code unit) vs U+10400 (4-byte UTF-8,
     // surrogate pair): compareTo says FFFD > 10400, UTF-8 bytes say the
