@@ -93,6 +93,22 @@ object Dedup {
       .withColumn("keep", when(row_number().over(w) === 1, 1).otherwise(0))
   }
 
+  /** MinHash+LSH near-dup candidates: k md5-derived min-hashes over the
+    * n-gram shingles, `bands` LSH bands (equi-join on the band key — the
+    * scalable candidate path), est_sim = matching-signature fraction.
+    * Output: (doc_a, doc_b, est_sim). */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String, n: Int = 4,
+      k: Int = 8, bands: Int = 2, maxDocFreq: Option[Long] = None): DataFrame =
+    Text.minhashPairsFrom(
+      Text.minhashSigsFrom(shingles(df, idCol, textCol, n, maxDocFreq), k), k, bands)
+
+  /** SimHash per document (per-bit majority vote of md5 token hashes);
+    * near-dups land within small hamming distance of each other.
+    * Output: (doc_id, simhash). */
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 16): DataFrame =
+    Text.simhashFrom(normalized(df, idCol, textCol), bits)
+
   /** Deterministic content-hash sampling: keeps rows whose
     * md5(tag + text) mod 100 < keepPct. Map-only; membership is a pure
     * function of content (reproducible subsets at any scale). Vary `tag`

@@ -70,14 +70,7 @@ object Text {
   // (letters / digits / single punctuation as separate tokens).
   private def q29(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d)
-      .withColumn("toks", toks)
-      .select($"doc_id",
-        size($"toks").as("n_tokens"),
-        regexp_count($"text", lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).as("n_bpeish"),
-        length($"text").as("len"),
-        (length(regexp_replace($"text", "\\s", "")).cast(DoubleType) / size($"toks"))
-          .as("avg_tok_len"))
+    TextStats.tokenCounts(Tables.documents(s, d), "doc_id", "text")
       .orderBy($"doc_id")
   }
   private val q29Sql =
@@ -92,17 +85,7 @@ object Text {
   // q30 — quality scoring: length, stopword ratio, alpha ratio, punctuation.
   private def q30(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d)
-      .withColumn("toks", toks)
-      .select($"doc_id",
-        length($"text").as("n_chars"),
-        size($"toks").as("n_words"),
-        regexp_count($"text", lit("\\b(the|a|or|and)\\b")).as("n_stop"),
-        (regexp_count($"text", lit("\\b(the|a|or|and)\\b")).cast(DoubleType) / size($"toks"))
-          .as("stop_ratio"),
-        (length(regexp_replace($"text", "[^a-z]", "")).cast(DoubleType) / length($"text"))
-          .as("alpha_ratio"),
-        regexp_count($"text", lit("[.,;:!?]")).as("n_punct"))
+    TextStats.quality(Tables.documents(s, d), "doc_id", "text")
       .orderBy($"doc_id")
   }
   private val q30Sql =
@@ -125,16 +108,9 @@ object Text {
     "fr" -> "\\b(le|les|et|est|une)\\b")
   private def q31(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val counted = Tables.documents(s, d)
-      .select(($"doc_id" +: $"lang" +:
-        langMarkers.map { case (l, re) => regexp_count($"text", lit(re)).as(s"c_$l") }): _*)
-    val Seq(en, de, es, fr) = langMarkers.map(m => col(s"c_${m._1}"))
-    counted.withColumn("predicted",
-      when(en >= de && en >= es && en >= fr && en > 0, "en")
-        .when(de >= es && de >= fr && de > 0, "de")
-        .when(es >= fr && es > 0, "es")
-        .when(fr > 0, "fr")
-        .otherwise("unknown"))
+    val docs = Tables.documents(s, d)
+    TextStats.langId(docs, "doc_id", "text", langMarkers)
+      .join(docs.select($"doc_id", $"lang"), "doc_id")
       .withColumn("is_match", when($"predicted" === $"lang", 1).otherwise(0))
       .orderBy($"doc_id")
   }
@@ -161,14 +137,7 @@ object Text {
   // polynomial bag hash over tokens (rolling-hash style, exact integers).
   private def q32(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d)
-      .withColumn("norm", regexp_replace(lower(trim($"text")), "\\s+", " "))
-      .withColumn("toks", split($"norm", " "))
-      .select($"doc_id", $"norm", posexplode($"toks").as(Seq("pos", "tok")))
-      .groupBy($"doc_id")
-      .agg(
-        min(md5($"norm")).as("md5_fp"),
-        sum((md5Long($"tok") % 1000003L) * (($"pos" % 31) + 1)).as("bag_fp"))
+    TextStats.fingerprint(Tables.documents(s, d), "doc_id", "text")
       .orderBy($"doc_id")
   }
   private val q32Sql =
@@ -253,36 +222,50 @@ object Text {
   // generation is a plain equi-join on the band key (the scalable LSH path),
   // est_sim = matching-signature fraction.
   private val K = 8
-  // sigs feeds three branches (banding + both verify sides); memoized +
-  // persisted per (session, dir) so repeat calls don't stack cached copies
-  private val sigCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def minhashSigs(s: SparkSession, d: String): DataFrame =
-    sigCache.getOrElseUpdate((s, d), {
-      import s.implicits._
-      shingleRows(s, d).groupBy($"doc_id").agg(
-        min(md5Long(concat(lit("s0:"), $"s"))).as("h0"),
-        (1 until K).map(i => min(md5Long(concat(lit(s"s$i:"), $"s"))).as(s"h$i")): _*)
-        .persist()
-    })
-  private def q35(s: SparkSession, d: String): DataFrame = {
+
+  /** k md5-derived min-hashes per doc from a distinct (doc_id, s) shingle
+    * relation — permutation-free MinHash (one aggregate, columns h0..h{k-1}). */
+  private[operators] def minhashSigsFrom(sh: DataFrame, k: Int): DataFrame = {
+    val s = sh.sparkSession
     import s.implicits._
-    val sigs = minhashSigs(s, d)
-    val banded = sigs.select($"doc_id", explode(array(
-      struct(lit(0).as("band"), concat_ws(",", $"h0", $"h1", $"h2", $"h3").as("bkey")),
-      struct(lit(1).as("band"), concat_ws(",", $"h4", $"h5", $"h6", $"h7").as("bkey"))))
+    sh.groupBy($"doc_id").agg(
+      min(md5Long(concat(lit("s0:"), $"s"))).as("h0"),
+      (1 until k).map(i => min(md5Long(concat(lit(s"s$i:"), $"s"))).as(s"h$i")): _*)
+  }
+
+  /** LSH banding over minhash signatures: `bands` bands of k/bands rows;
+    * candidates = equi-join on (band, key); est_sim = matching fraction. */
+  private[operators] def minhashPairsFrom(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    val s = sigs.sparkSession
+    import s.implicits._
+    val r = k / bands
+    val banded = sigs.select($"doc_id", explode(array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (b * r until (b + 1) * r).map(i => col(s"h$i")): _*).as("bkey"))): _*))
       .as("b")).select($"doc_id", $"b.band", $"b.bkey")
     val cand = banded.toDF("doc_a", "band", "bkey")
       .join(banded.toDF("doc_b", "band2", "bkey2"),
         $"band" === $"band2" && $"bkey" === $"bkey2" && $"doc_a" < $"doc_b")
       .select($"doc_a", $"doc_b").distinct()
-    val x = sigs.toDF(("doc_a" +: (0 until K).map(i => s"x$i")): _*)
-    val y = sigs.toDF(("doc_b" +: (0 until K).map(i => s"y$i")): _*)
+    val x = sigs.toDF(("doc_a" +: (0 until k).map(i => s"x$i")): _*)
+    val y = sigs.toDF(("doc_b" +: (0 until k).map(i => s"y$i")): _*)
     cand.join(x, "doc_a").join(y, "doc_b")
       .select($"doc_a", $"doc_b",
-        ((0 until K).map(i => when(col(s"x$i") === col(s"y$i"), 1).otherwise(0))
-          .reduce(_ + _).cast(DoubleType) / K).as("est_sim"))
-      .orderBy($"doc_a", $"doc_b")
+        ((0 until k).map(i => when(col(s"x$i") === col(s"y$i"), 1).otherwise(0))
+          .reduce(_ + _).cast(DoubleType) / k).as("est_sim"))
+  }
+
+  // sigs feeds three branches (banding + both verify sides); memoized +
+  // persisted per (session, dir) so repeat calls don't stack cached copies
+  private val sigCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def minhashSigs(s: SparkSession, d: String): DataFrame =
+    sigCache.getOrElseUpdate((s, d), minhashSigsFrom(shingleRows(s, d), K).persist())
+
+  private def q35(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    minhashPairsFrom(minhashSigs(s, d), K, bands = 2).orderBy($"doc_a", $"doc_b")
   }
   private val q35Sql = {
     val mins = (0 until K).map(i =>
@@ -306,20 +289,29 @@ object Text {
   // q36 — SimHash (16-bit) per document: per-bit majority vote over token
   // hashes; near-dup docs land within small hamming distance.
   private val BITS = 16
-  private def q36(s: SparkSession, d: String): DataFrame = {
+
+  /** SimHash core over a normalized (doc_id, text) frame — per-bit majority
+    * vote of md5-derived token hashes, one map-side-combinable aggregate. */
+  private[operators] def simhashFrom(docs: DataFrame, bits: Int): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val votes = Tables.documents(s, d)
+    val votes = docs
       .withColumn("toks", toks)
       .select($"doc_id", explode($"toks").as("tok"))
       .withColumn("h", md5Long($"tok"))
       .groupBy($"doc_id")
       .agg(
         sum(when(shiftright($"h", 0).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as("s0"),
-        (1 until BITS).map(j =>
+        (1 until bits).map(j =>
           sum(when(shiftright($"h", j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$j")): _*)
     votes.select($"doc_id",
-      (0 until BITS).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      (0 until bits).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
         .reduce(_ + _).as("simhash"))
+  }
+
+  private def q36(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    simhashFrom(Tables.documents(s, d).select($"doc_id", $"text"), BITS)
       .orderBy($"doc_id")
   }
   private val q36Sql = {

@@ -111,6 +111,12 @@ class ManifestFileIndex(spark: SparkSession, dir: String) extends FileIndex {
     case Not(EqualTo(a: Attribute, l: Literal)) =>
       litStr(l).map { case (v, num) => Segments.NotEquals(a.name, v, num) }
     case Not(EqualTo(l: Literal, a: Attribute)) => toRange(Not(EqualTo(a, l)))
+    // NOT IN (v1..vk) ≡ AND of <> vi — prunes files constant at any vi
+    case Not(In(a: Attribute, vs)) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+      val parsed = vs.map(v => litStr(v.asInstanceOf[Literal]))
+      if (parsed.exists(_.isEmpty)) None
+      else Some(Segments.AndPred(parsed.flatten.map { case (v, num) =>
+        Segments.NotEquals(a.name, v, num) }))
     case _ => None
   }
 

@@ -61,6 +61,34 @@ class DedupApiSpec extends AnyFunSuite {
     assert(kept.contains(100L), "tie on quality -> lowest id wins")
   }
 
+  test("minhashPairs and simhash work under caller-named columns") {
+    val mh = Dedup.minhashPairs(docs, "my_id", "body", k = 8, bands = 4)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("est_sim")))
+    // the exact duplicate pair must be an LSH candidate with est_sim = 1
+    assert(mh.exists(p => p._1 == 100L && p._2 == 101L && p._3 == 1.0), s"got ${mh.toSeq}")
+    val sh = Dedup.simhash(docs, "my_id", "body").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sh(100L) == sh(101L), "identical docs -> identical simhash")
+    val hammingNear = java.lang.Long.bitCount(sh(102L) ^ sh(103L))
+    assert(hammingNear <= 4, s"near-dups should be hamming-close, got $hammingNear")
+  }
+
+  test("TextStats facade computes stats under caller-named columns") {
+    import graft.operators.TextStats
+    val tc = TextStats.tokenCounts(docs, "my_id", "body").collect()
+    assert(tc.length == 5 && tc.forall(_.getAs[Int]("n_tokens") > 0))
+    val q = TextStats.quality(docs, "my_id", "body").collect()
+    assert(q.forall(_.getAs[Double]("alpha_ratio") > 0))
+    val lid = TextStats.langId(docs, "my_id", "body",
+      Seq("latin" -> "\\b(terms|of)\\b", "other" -> "\\b(zzz)\\b")).collect()
+    assert(lid.forall(_.getAs[String]("predicted") == "latin"),
+      "every doc contains the boilerplate markers")
+    val fp = TextStats.fingerprint(docs, "my_id", "body").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("md5_fp")).toMap
+    assert(fp(100L) == fp(101L) && fp(102L) != fp(103L))
+  }
+
   test("invalidateCaches rebuilds the memoized stages to identical results") {
     val before = SparkEntry.queries("q34_dedup_ngram_jaccard")(spark, sf)
       .collect().toSeq
