@@ -20,12 +20,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.Extended.queries ++
       operators.Events.queries ++ operators.Text.queries ++
-      operators.Similarity.queries ++ operators.Reporting.queries
+      operators.Similarity.queries ++ operators.Reporting.queries ++
+      operators.Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.Extended.oracles ++
       operators.Events.oracles ++ operators.Text.oracles ++
-      operators.Similarity.oracles ++ operators.Reporting.oracles
+      operators.Similarity.oracles ++ operators.Reporting.oracles ++
+      operators.Curation.oracles
 }

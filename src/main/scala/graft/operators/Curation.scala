@@ -1,0 +1,221 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.Ops._
+
+/** Corpus-curation operators for training-data pipelines: cross-document
+  * boilerplate removal (CCNet-style), TF-IDF keyword extraction, and
+  * concatenate-then-chunk sequence packing. These complete the M5 extension
+  * surface (SURVEY.md §7.2) beyond dedup/similarity: they transform the
+  * corpus, not just score it.
+  *
+  * Scale notes (see SCALE.md): every cross-document step keys on a
+  * high-cardinality equi-join column (chunk text, term) — never all-pairs;
+  * packing parallelizes per shard, so 100 TB packs as thousands of
+  * independent shard streams.
+  */
+object Curation {
+
+  private val toks: Column = split(trim(col("text")), "\\s+")
+
+  private def normalized(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).cast(LongType).as("doc_id"), col(textCol).as("text"))
+
+  // ---------------------------------------------------------------------
+  // Boilerplate removal (CCNet removes lines whose document frequency is
+  // high; this corpus has no line breaks, so the unit is a fixed-size
+  // non-overlapping token chunk — same semantics, deterministic units).
+
+  /** Drop chunks of `chunkTokens` tokens that appear in more than `maxDf`
+    * documents, reassembling each document from its surviving chunks in
+    * order. Output: (doc_id, n_chunks, n_dropped, clean_text); clean_text is
+    * null when every chunk was boilerplate.
+    *
+    * Plan: posexplode → chunk assembly (one shuffle on (doc, chunk_id)) →
+    * document frequency via two stacked windows over ONE exchange on chunk
+    * (row_number marks each chunk's first instance per doc; summing the
+    * markers over the chunk partition counts distinct docs — no
+    * distinct+self-join, no recomputation of the chunk subtree) → one
+    * groupBy(doc_id) reassembly. Three shuffles total, single pass.
+    * Skew note: the chunk-partition window concentrates a corpus-wide
+    * boilerplate chunk's instances in one partition; at extreme scale,
+    * pre-cap hot chunks from a sample before this pass. */
+  def dropBoilerplateChunks(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 8, maxDf: Int = 2): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val chunks = normalized(df, idCol, textCol)
+      .withColumn("toks", toks)
+      .select($"doc_id", posexplode($"toks").as(Seq("pos", "tok")))
+      .withColumn("chunk_id", floor($"pos" / chunkTokens).cast(LongType))
+      .groupBy($"doc_id", $"chunk_id")
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok), ' ')")
+        .as("chunk"))
+    // both windows hash-partition on `chunk` (ClusteredDistribution(chunk,
+    // doc_id) is satisfied by HashPartitioning(chunk)) → a single Exchange
+    val firstInDoc = row_number().over(
+      Window.partitionBy($"chunk", $"doc_id").orderBy($"chunk_id")) === 1
+    chunks
+      .withColumn("df", sum(when(firstInDoc, 1L).otherwise(0L))
+        .over(Window.partitionBy($"chunk")))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when($"df" > maxDf, 1L).otherwise(0L)).as("n_dropped"),
+        expr(s"array_join(transform(array_sort(collect_list(" +
+          s"CASE WHEN df <= $maxDf THEN struct(chunk_id, chunk) END)), x -> x.chunk), ' ')")
+          .as("joined"))
+      .withColumn("clean_text",
+        when($"n_dropped" < $"n_chunks", $"joined").otherwise(lit(null).cast(StringType)))
+      .drop("joined")
+  }
+
+  private def q57(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    dropBoilerplateChunks(Tables.documents(s, d), "doc_id", "text").orderBy($"doc_id")
+  }
+  private val q57Sql =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
+      |tok AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) - 1 AS pos FROM toks),
+      |chunks AS (SELECT doc_id, pos // 8 AS chunk_id,
+      |                  string_agg(tok, ' ' ORDER BY pos) AS chunk
+      |           FROM tok GROUP BY 1, 2),
+      |dfs AS (SELECT chunk, COUNT(*) AS df
+      |        FROM (SELECT DISTINCT doc_id, chunk FROM chunks) GROUP BY 1)
+      |SELECT c.doc_id, COUNT(*) AS n_chunks,
+      |  CAST(SUM(CASE WHEN d.df > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      |  string_agg(c.chunk, ' ' ORDER BY c.chunk_id) FILTER (WHERE d.df <= 2) AS clean_text
+      |FROM chunks c JOIN dfs d USING (chunk)
+      |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // TF-IDF keyword extraction.
+
+  /** Top-`k` terms per document by scaled-integer TF-IDF:
+    * score = tf * (nDocs·10^6 div df) — integer arithmetic throughout, so
+    * scores and the (score desc, term asc) ranking replicate bit-for-bit in
+    * any engine (a float ln() idf would drift at the ulp level across
+    * libm implementations). Output: (doc_id, term, tf, df, score_scaled,
+    * rank).
+    *
+    * Plan: one shuffle for groupBy(doc, term); the relation is then
+    * distinct on (doc, term) so df is a window count over term (no
+    * self-join); top-k is a row_number window per doc. */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String, k: Int = 5,
+      nDocsHint: Option[Long] = None): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val base = normalized(df, idCol, textCol)
+    val nDocs = nDocsHint.getOrElse(base.count())  // one count job; pass the
+    // hint (or use the memoized q58 path) when the corpus size is known
+    val tf = base
+      .withColumn("toks", toks)
+      .select($"doc_id", explode($"toks").as("term"))
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy($"doc_id").orderBy($"score_scaled".desc, $"term".asc)
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy($"term")))
+      .withColumn("score_scaled", expr(s"tf * (CAST(${nDocs * 1000000L} AS BIGINT) div df)"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"doc_id", $"term", $"tf", $"df", $"score_scaled", $"rank")
+  }
+
+  // corpus size per (session, dir), memoized so repeated q58 builds don't
+  // re-scan just to count
+  private val nDocsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+
+  /** Drop the memoized corpus count for (session, dir) — chained from
+    * Text.invalidateCaches after re-ingesting the documents table. */
+  private[operators] def invalidateCaches(s: SparkSession, d: String): Unit =
+    nDocsCache.remove((s, d))
+  private def q58(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val n = nDocsCache.getOrElseUpdate((s, d), Tables.documents(s, d).count())
+    tfidfTopK(Tables.documents(s, d), "doc_id", "text", k = 5, nDocsHint = Some(n))
+      .orderBy($"doc_id", $"rank")
+  }
+  private val q58Sql =
+    """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |             FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |sc AS (SELECT doc_id, term, tf, COUNT(*) OVER (PARTITION BY term) AS df FROM tf),
+      |rk AS (SELECT doc_id, term, tf, df,
+      |         tf * ((SELECT COUNT(*) FROM documents) * 1000000 // df) AS score_scaled,
+      |         ROW_NUMBER() OVER (PARTITION BY doc_id
+      |           ORDER BY tf * ((SELECT COUNT(*) FROM documents) * 1000000 // df) DESC,
+      |                    term ASC) AS rank
+      |       FROM sc)
+      |SELECT doc_id, term, tf, df, score_scaled, rank FROM rk
+      |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Sequence packing (concatenate-then-chunk, the GPT-style pipeline step):
+  // documents are deterministically hash-shuffled into shards, concatenated
+  // per shard, and cut into fixed token-budget training sequences.
+
+  /** Assign every document a (shard, tok_offset, pack_id) under
+    * concatenate-then-chunk packing with `budget` tokens per sequence and
+    * `shards` parallel streams. Order within a shard is the md5 of the doc
+    * id (a deterministic shuffle); `spans_packs` marks documents cut by a
+    * sequence boundary. Output: (doc_id, shard, n_tokens, tok_offset,
+    * pack_id, spans_packs).
+    *
+    * Plan: map-only hashing + one window cumsum per shard — shards are
+    * independent, so 100 TB packs as thousands of parallel streams; the
+    * per-shard sort key is a hash, so skew is uniform by construction. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      budget: Int = 128, shards: Int = 4): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val base = normalized(df, idCol, textCol)
+      .select($"doc_id", size(toks).as("n_tokens"),
+        (md5Long(concat(lit("shard:"), $"doc_id".cast(StringType))) % shards).as("shard"),
+        md5(concat(lit("pack:"), $"doc_id".cast(StringType))).as("ord"))
+    val w = Window.partitionBy($"shard").orderBy($"ord", $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("tok_offset", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"tok_offset div $budget"))
+      .withColumn("spans_packs",
+        (expr(s"(tok_offset + n_tokens - 1) div $budget") > $"pack_id").cast(IntegerType))
+      .select($"doc_id", $"shard", $"n_tokens", $"tok_offset", $"pack_id", $"spans_packs")
+  }
+
+  private def q59(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    packSequences(Tables.documents(s, d), "doc_id", "text").orderBy($"doc_id")
+  }
+  private val q59Sql =
+    s"""WITH base AS (
+       |  SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       |    ${md5LongSql("'shard:' || doc_id")} % 4 AS shard,
+       |    md5('pack:' || doc_id) AS ord
+       |  FROM documents),
+       |off AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |    COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY ord, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+       |  FROM base)
+       |SELECT doc_id, shard, n_tokens, tok_offset,
+       |  tok_offset // 128 AS pack_id,
+       |  CAST(((tok_offset + n_tokens - 1) // 128 > tok_offset // 128) AS INT) AS spans_packs
+       |FROM off ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_boilerplate_removal" -> q57,
+    "q58_tfidf_topk" -> q58,
+    "q59_pack_sequences" -> q59,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q57_boilerplate_removal" -> q57Sql,
+    "q58_tfidf_topk" -> q58Sql,
+    "q59_pack_sequences" -> q59Sql,
+  )
+}

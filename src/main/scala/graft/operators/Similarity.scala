@@ -138,14 +138,21 @@ object Similarity {
       .crossJoin(s.range(1, dims + 1).select($"id".as("i")))
       .withColumn("w", graft.functions.Ops.md5Long(
         format_string("p%dd%d", $"j", $"i")) % 2001L - 1000L)
-    val proj = emb.select($"vec_id", posexplode($"embedding").as(Seq("pos", "v")))
+    // single shuffle: per-plane conditional sums in ONE groupBy(vec_id)
+    // (vs groupBy(vec_id, j) then groupBy(vec_id) — halves the shuffles),
+    // bucket assembled map-side from the plane columns
+    val term = floor($"v".cast(DoubleType) * lit(1e6)).cast(LongType) * $"w"
+    val buckets = emb.select($"vec_id", posexplode($"embedding").as(Seq("pos", "v")))
       .withColumn("i", $"pos" + 1)
       .join(broadcast(w), "i")
-      .groupBy($"vec_id", $"j")
-      .agg(sum(floor($"v".cast(DoubleType) * lit(1e6)).cast(LongType) * $"w").as("p"))
-    val buckets = proj.groupBy($"vec_id")
-      .agg(sum(when($"p" > 0, expr("shiftleft(1L, CAST(j AS INT))")).otherwise(0L))
-        .as("bucket"))
+      .groupBy($"vec_id")
+      .agg(sum(when($"j" === 0, term).otherwise(0L)).as("p0"),
+        (1 until planes).map(j =>
+          sum(when($"j" === j, term).otherwise(0L)).as(s"p$j")): _*)
+      .select($"vec_id",
+        (0 until planes).map(j =>
+          when(col(s"p$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("bucket"))
     val withNorm = emb.withColumn("norm", normScaled("embedding"))
     val a = buckets.toDF("vec_a", "bucket")
       .join(withNorm.select($"vec_id".as("vec_a"), $"embedding".as("ea"), $"norm".as("na")), "vec_a")

@@ -57,10 +57,12 @@ object Text {
   /** Drop every materialized dedup stage for (session, dir) — call after
     * re-ingesting/compacting the documents table in a long-lived session so
     * the pipeline rebuilds from the new files. */
-  def invalidateCaches(s: SparkSession, d: String): Unit =
+  def invalidateCaches(s: SparkSession, d: String): Unit = {
     Seq(shCache, pairCache, labelCache, sigCache).foreach { c =>
       c.remove((s, d)).foreach(_.unpersist(blocking = false))
     }
+    Curation.invalidateCaches(s, d)
+  }
   private val shingleRowsSql =
     """toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(t)-2,1)),
