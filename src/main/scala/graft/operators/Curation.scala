@@ -56,13 +56,18 @@ object Curation {
       .groupBy($"doc_id", $"chunk_id")
       .agg(expr("array_join(transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok), ' ')")
         .as("chunk"))
-    // both windows hash-partition on `chunk` (ClusteredDistribution(chunk,
-    // doc_id) is satisfied by HashPartitioning(chunk)) → a single Exchange
-    val firstInDoc = row_number().over(
-      Window.partitionBy($"chunk", $"doc_id").orderBy($"chunk_id")) === 1
+    // both windows partition by `chunk` ALONE so they share one Exchange
+    // (a (chunk, doc_id) partitioning would NOT satisfy the chunk-only
+    // distribution of the df window and would force a second shuffle):
+    // within the chunk partition ordered by doc, a row whose predecessor has
+    // a different doc is that doc's first instance of the chunk
+    val byChunk = Window.partitionBy($"chunk").orderBy($"doc_id", $"chunk_id")
+    val prevDoc = lag($"doc_id", 1).over(byChunk)
     chunks
-      .withColumn("df", sum(when(firstInDoc, 1L).otherwise(0L))
-        .over(Window.partitionBy($"chunk")))
+      .withColumn("first_in_doc",
+        when(prevDoc.isNull || prevDoc =!= $"doc_id", 1L).otherwise(0L))
+      .withColumn("df", sum($"first_in_doc").over(Window.partitionBy($"chunk")))
+      .drop("first_in_doc")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_chunks"),
         sum(when($"df" > maxDf, 1L).otherwise(0L)).as("n_dropped"),
@@ -207,15 +212,66 @@ object Curation {
        |  CAST(((tok_offset + n_tokens - 1) // 128 > tok_offset // 128) AS INT) AS spans_packs
        |FROM off ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Benchmark decontamination: flag training documents that share n-grams
+  // with a held-out evaluation set — the standard pre-training hygiene step.
+
+  /** Per-document contamination stats of `corpus` against `bench`: the
+    * fraction of each corpus document's distinct `n`-grams that appear
+    * anywhere in the benchmark set. Output: (doc_id, n_grams, n_contam,
+    * contam_ratio).
+    *
+    * Plan: the benchmark gram set is tiny next to a training corpus, so it
+    * broadcasts — the corpus side streams map-only through a broadcast left
+    * join and one groupBy(doc_id); the 100 TB side is never shuffled on the
+    * gram key. */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 4): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    val cg = Dedup.shingles(corpus, idCol, textCol, n)
+    val bg = Dedup.shingles(bench, idCol, textCol, n)
+      .select($"s").distinct().withColumn("hit", lit(1L))
+    cg.join(broadcast(bg), Seq("s"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce($"hit", lit(0L))).as("n_contam"))
+      .withColumn("contam_ratio", $"n_contam".cast(DoubleType) / $"n_grams")
+  }
+
+  private def q60(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    decontaminate(docs.filter($"source" =!= "src0"), docs.filter($"source" === "src0"),
+      "doc_id", "text").orderBy($"doc_id")
+  }
+  private val q60Sql =
+    """WITH toks AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') t
+      |              FROM documents),
+      |g AS (SELECT doc_id, source,
+      |        unnest(list_distinct(list_transform(range(1, greatest(len(t)-2,1)),
+      |          i -> array_to_string(t[i:i+3], ' ')))) AS s
+      |      FROM toks),
+      |bg AS (SELECT DISTINCT s FROM g WHERE source = 'src0')
+      |SELECT c.doc_id, COUNT(*) AS n_grams,
+      |  CAST(SUM(CASE WHEN bg.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contam,
+      |  CAST(SUM(CASE WHEN bg.s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+      |    AS contam_ratio
+      |FROM (SELECT doc_id, s FROM g WHERE source <> 'src0') c
+      |LEFT JOIN bg USING (s)
+      |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_boilerplate_removal" -> q57,
     "q58_tfidf_topk" -> q58,
     "q59_pack_sequences" -> q59,
+    "q60_decontaminate" -> q60,
   )
 
   val oracles: Map[String, String] = Map(
     "q57_boilerplate_removal" -> q57Sql,
     "q58_tfidf_topk" -> q58Sql,
     "q59_pack_sequences" -> q59Sql,
+    "q60_decontaminate" -> q60Sql,
   )
 }

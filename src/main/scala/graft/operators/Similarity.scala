@@ -260,8 +260,48 @@ object Similarity {
       | CAST(length(substring(payload, CAST(i * 32 + 1 AS BIGINT), 32)) AS INTEGER) AS frame_len
       |FROM idx WHERE i % 2 = 0 ORDER BY doc_id, frame_no""".stripMargin
 
+  /** Symmetric int8 quantization of an embedding column: per-vector scale
+    * 127/max|x|, elements floor(x·scale + 0.5). Map-only — the 4× memory
+    * shrink that lets an ANN serving tier hold 4× more vectors per
+    * executor. floor (not round) keeps the definition reproducible across
+    * engines regardless of their rounding mode; all inputs are exact float→
+    * double widenings, so results are bit-identical. Requires non-zero
+    * vectors (a zero vector has no scale). Output adds (scale, qvec). */
+  def quantizeInt8(emb: DataFrame, vecCol: String): DataFrame =
+    emb
+      .withColumn("scale",
+        lit(127.0) / expr(s"CAST(array_max(transform($vecCol, x -> abs(x))) AS DOUBLE)"))
+      .withColumn("qvec",
+        expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5d) AS INT))"))
+
+  private def q61(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    quantizeInt8(Tables.embeddings(s, d), "embedding")
+      .select($"vec_id", $"scale",
+        md5(concat_ws(",", $"qvec")).as("q_fp"),
+        expr("CAST(array_max(transform(arrays_zip(embedding, qvec), " +
+          "p -> abs(CAST(p.embedding AS DOUBLE) - CAST(p.qvec AS DOUBLE) / scale))) AS DOUBLE)")
+          .as("max_err"))
+      .orderBy($"vec_id")
+  }
+  private val q61Sql =
+    """WITH q AS (
+      |  SELECT vec_id, embedding,
+      |    127.0 / CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS scale
+      |  FROM embeddings),
+      |qq AS (
+      |  SELECT vec_id, embedding, scale,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INT)) AS qvec
+      |  FROM q)
+      |SELECT vec_id, scale, md5(array_to_string(qvec, ',')) AS q_fp,
+      |  CAST(list_max(list_transform(range(1, len(embedding) + 1),
+      |    i -> abs(CAST(embedding[i] AS DOUBLE) - CAST(qvec[i] AS DOUBLE) / scale))) AS DOUBLE)
+      |    AS max_err
+      |FROM qq ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_ann_brute" -> q37,
+    "q61_embed_quantize_int8" -> q61,
     "q38_ann_ivf" -> (q38(_, _)),
     "q39_multimodal_binary" -> q39,
     "q40_embed_near_dup_lsh" -> q40,
@@ -273,6 +313,7 @@ object Similarity {
     * check); their accuracy is asserted in PipelineOpsSpec. */
   val oracles: Map[String, String] = Map(
     "q37_ann_brute" -> q37Sql,
+    "q61_embed_quantize_int8" -> q61Sql,
     "q39_multimodal_binary" -> q39Sql,
     "q40_embed_near_dup_lsh" -> q40Sql,
     "q56_frame_sample" -> q56Sql,

@@ -53,6 +53,19 @@ class CurationSpec extends AnyFunSuite {
       r.getAs[Long]("tf") * (5L * 1000000L / r.getAs[Long]("df")))
   }
 
+  test("decontaminate flags benchmark-overlapping docs, clears clean ones") {
+    val bench = Seq((900L, "the quick brown fox jumps over the lazy dog")).toDF("my_id", "body")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps high above everything else today"), // shares grams
+      (2L, "completely unrelated training content with no overlap at all")
+    ).toDF("my_id", "body")
+    val out = Curation.decontaminate(corpus, bench, "my_id", "body").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_contam"), r.getAs[Double]("contam_ratio")))).toMap
+    assert(out(1L)._1 >= 1L, "doc 1 shares 'the quick brown fox' grams")
+    assert(out(2L) == ((0L, 0.0)), "doc 2 is clean")
+  }
+
   test("packSequences: offsets are contiguous per shard and budget-aligned") {
     val out = Curation.packSequences(docs, "my_id", "body",
       budget = 10, shards = 2).collect()

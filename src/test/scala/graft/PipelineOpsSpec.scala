@@ -76,6 +76,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(pairs.contains((100L, 101L)), s"planted pair missing from ${pairs.toSeq}")
   }
 
+  test("int8 quantization bounds reconstruction error by half a step") {
+    val out = operators.Similarity.quantizeInt8(
+      Tables.embeddings(spark, sf), "embedding").collect()
+    out.foreach { r =>
+      val e = r.getSeq[Float](r.fieldIndex("embedding"))
+      val q = r.getSeq[Int](r.fieldIndex("qvec"))
+      val scale = r.getAs[Double]("scale")
+      assert(q.length == e.length)
+      // every quantized value is a valid int8 and within half a quantization
+      // step of the original
+      q.foreach(v => assert(v >= -127 && v <= 127, s"int8 overflow: $v"))
+      e.zip(q).foreach { case (x, v) =>
+        assert(math.abs(x.toDouble - v / scale) <= 0.5 / scale + 1e-12)
+      }
+    }
+  }
+
   test("approx_count_distinct stays within its error bound") {
     val rows = SparkEntry.queries("q41_approx_distinct_hll")(spark, sf).collect()
     rows.foreach { r =>

@@ -71,6 +71,22 @@ class PlanSpec extends AnyFunSuite {
       "q54 must not self-join the shingle relation")
   }
 
+  test("q57: chunk document frequency reuses one exchange, never joins") {
+    val p = planOf("q57_boilerplate_removal")
+    assert(!p.contains("Join"), "q57 must not join the chunk relation back")
+    // the two stacked windows (first-in-doc marker, df sum) must share the
+    // hash partitioning on `chunk` — exactly one Exchange between them
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n <= 3, s"q57 should shuffle ≤3 times (chunk agg, window, reassembly), got $n:\n$p")
+  }
+
+  test("q59: sequence packing is one window pass, no joins or extra shuffles") {
+    val p = planOf("q59_pack_sequences")
+    assert(!p.contains("Join"), "packing must not join")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n <= 1, s"q59 should shuffle once (per-shard window), got $n:\n$p")
+  }
+
   test("bucketed tables join without any shuffle (co-located fact-fact join)") {
     // the 100 TB fact⋈fact answer: both sides bucketed+sorted on the join
     // key at write time → SortMergeJoin with zero Exchange in the plan
