@@ -19,5 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("scaled_dot"),
       new ExpressionInfo(classOf[ScaledDotProduct].getName, "scaled_dot"),
       (exprs: Seq[Expression]) => ScaledDotProduct(exprs.head, exprs(1))))
+    // metadata-only count/min/max over manifest-backed scans
+    ext.injectOptimizerRule(ManifestAggregates)
   }
 }

@@ -32,6 +32,19 @@ class ManifestFileIndex(spark: SparkSession, dir: String) extends FileIndex {
   /** observability: how many files the last listFiles call kept (tests/UI). */
   @volatile var lastKept: Int = -1
 
+  /** Manifest entries for files that actually exist on disk — exactly the
+    * set an unfiltered listFiles would scan (for ManifestAggregates). */
+  def effectiveStats: Seq[Segments.FileStats] =
+    manifest.filter(fs => statuses.contains(normalize(fs.file)))
+
+  /** Columns with min/max recorded in EVERY effective file — only these can
+    * answer a metadata min/max (a file without the stat hides values). */
+  def indexedColumns: Set[String] = {
+    val eff = effectiveStats
+    if (eff.isEmpty) Set.empty
+    else eff.map(_.stats.keySet).reduce(_ intersect _)
+  }
+
   private def normalize(p: String): String = new Path(p).toUri.getPath
 
   private var manifest: Seq[Segments.FileStats] = Segments.readManifest(dir)

@@ -99,6 +99,45 @@ class ModelStorageSpec extends AnyFunSuite {
     assert(index.lastKept == 8)
   }
 
+  test("ManifestAggregates answers count/min/max from metadata, no scan") {
+    import graft.plans.{ManifestAggregates, ManifestFileIndex}
+    val dir = Files.createTempDirectory("graft-magg").toString + "/li"
+    val li = Tables.lineitem(spark, sf)
+    Segments.write(li, dir, sortCols = Seq("l_orderkey"),
+      indexedCols = Seq("l_orderkey", "l_shipdate", "l_quantity"), numSegments = 8)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ ManifestAggregates(spark)
+    try {
+      val df = ManifestFileIndex.read(spark, dir)
+      val out = df.agg(
+        count(lit(1)).as("n"),
+        min(col("l_orderkey")).as("min_ok"), max(col("l_orderkey")).as("max_ok"),
+        min(col("l_shipdate")).as("min_sd"), max(col("l_quantity")).as("max_q"))
+      // the whole aggregate collapses to metadata: no scan in the plan
+      val plan = out.queryExecution.optimizedPlan.toString()
+      assert(plan.contains("LocalRelation"), s"expected metadata answer:\n$plan")
+      assert(!plan.contains("Relation") || !plan.contains("parquet"),
+        s"scan survived the rewrite:\n$plan")
+      // and the metadata answer equals the scan answer exactly
+      val expect = spark.read.parquet(dir).agg(
+        count(lit(1)), min(col("l_orderkey")), max(col("l_orderkey")),
+        min(col("l_shipdate")), max(col("l_quantity"))).collect().head
+      assert(out.collect().head == expect)
+      // shapes metadata can't answer are left alone: filters, count(col),
+      // unindexed columns
+      val filtered = df.filter(col("l_orderkey") > 10L).agg(min(col("l_orderkey")))
+      assert(!filtered.queryExecution.optimizedPlan.toString().contains("LocalRelation"))
+      val countCol = df.agg(count(col("l_returnflag")))
+      assert(!countCol.queryExecution.optimizedPlan.toString().contains("LocalRelation"))
+      val unindexed = df.agg(min(col("l_extendedprice")))
+      assert(!unindexed.queryExecution.optimizedPlan.toString().contains("LocalRelation"))
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_.isInstanceOf[ManifestAggregates])
+    }
+  }
+
   test("ManifestFileIndex prunes on LIKE-prefix predicates (CMap parity)") {
     import graft.plans.ManifestFileIndex
     val dir = Files.createTempDirectory("graft-mfi2").toString + "/part"
