@@ -86,6 +86,33 @@ class PropertySpec extends AnyFunSuite {
       }
   }
 
+  test("boilerplate chunking round-trips: unlimited cap reassembles the text") {
+    import spark.implicits._
+    // random token docs of varied lengths, including lengths that don't
+    // divide the chunk size and duplicate docs (high-df chunks)
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "x1", "y2")
+    val docGen = Gen.chooseNum(1, 23).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val texts = samples(docGen, 40) ++ samples(docGen, 5) // some repeats
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "txt")
+    val out = operators.Curation
+      .dropBoilerplateChunks(df, "id", "txt", chunkTokens = 8, maxDf = Int.MaxValue)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(out(i.toLong) == t, s"doc $i did not round-trip")
+    }
+  }
+
+  test("sequence packing is invariant under input partitioning") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      operators.Curation.packSequences(d, "doc_id", "text", budget = 64, shards = 3)
+        .collect().map(_.toString).sorted.toSeq
+    assert(run(docs) == run(docs.repartition(13)),
+      "pack assignment must not depend on physical partitioning")
+  }
+
   test("TIME codec round-trips random seconds of day") {
     samples(Gen.chooseNum(0, 86399), 300).foreach { sec =>
       assert(graft.model.TimeCodec.parse(graft.model.TimeCodec.format(sec)) == sec)
