@@ -261,11 +261,61 @@ object Curation {
       |LEFT JOIN bg USING (s)
       |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Composed quality filtering (C4-style): one map-only pass that applies
+  // an ordered rule list and tags each document keep/drop with the first
+  // failing rule as the reason — the audit trail curation jobs need.
+
+  /** Apply ordered (name, dropWhen) rules; a document is dropped by the
+    * first rule whose predicate holds. Map-only — at 100 TB this is a
+    * streaming scan with no shuffle at all. Output: input columns renamed
+    * to (doc_id, text) plus (keep, reason). */
+  def qualityFilter(df: DataFrame, idCol: String, textCol: String,
+      rules: Seq[(String, Column)]): DataFrame = {
+    val reason = rules.foldRight(lit(null).cast(StringType)) {
+      case ((name, pred), alt) => when(pred, lit(name)).otherwise(alt)
+    }
+    normalized(df, idCol, textCol)
+      .withColumn("reason", reason)
+      .withColumn("keep", when(col("reason").isNull, 1).otherwise(0))
+  }
+
+  /** The default rule set over (doc_id, text): length floor, vocabulary
+    * diversity (distinct-token ratio), and a stopword-presence floor. */
+  def defaultRules: Seq[(String, Column)] = {
+    val t = toks
+    Seq(
+      "too_short" -> (length(col("text")) < 100),
+      "low_diversity" ->
+        (size(array_distinct(t)).cast(DoubleType) / size(t) < 0.1),
+      "no_stopwords" -> (regexp_count(col("text"), lit("\\b(the|a|or|and)\\b")) === 0))
+  }
+
+  private def q62(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    qualityFilter(Tables.documents(s, d), "doc_id", "text", defaultRules)
+      .select($"doc_id", $"keep", $"reason")
+      .orderBy($"doc_id")
+  }
+  private val q62Sql =
+    """WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') tk
+      |           FROM documents),
+      |r AS (SELECT doc_id,
+      |        CASE WHEN length(text) < 100 THEN 'too_short'
+      |             WHEN CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) < 0.1
+      |               THEN 'low_diversity'
+      |             WHEN regexp_extract(text, '\b(the|a|or|and)\b') = '' THEN 'no_stopwords'
+      |             ELSE NULL END AS reason
+      |      FROM t)
+      |SELECT doc_id, CASE WHEN reason IS NULL THEN 1 ELSE 0 END AS keep, reason
+      |FROM r ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_boilerplate_removal" -> q57,
     "q58_tfidf_topk" -> q58,
     "q59_pack_sequences" -> q59,
     "q60_decontaminate" -> q60,
+    "q62_quality_filter" -> q62,
   )
 
   val oracles: Map[String, String] = Map(
@@ -273,5 +323,6 @@ object Curation {
     "q58_tfidf_topk" -> q58Sql,
     "q59_pack_sequences" -> q59Sql,
     "q60_decontaminate" -> q60Sql,
+    "q62_quality_filter" -> q62Sql,
   )
 }

@@ -53,6 +53,24 @@ class CurationSpec extends AnyFunSuite {
       r.getAs[Long]("tf") * (5L * 1000000L / r.getAs[Long]("df")))
   }
 
+  test("qualityFilter drops by the FIRST failing rule and keeps good docs") {
+    val cases = Seq(
+      (1L, "tiny"), // too_short
+      (2L, ("spam " * 40).trim), // long enough but one distinct token
+      (3L, "der baum und so weiter gar kein englisch hier drin x1 x2 x3 y4 " +
+        "y5 y6 z7 z8 z9 w0 w1 w2 q3 q4 q5 q6 q7 q8"), // diverse, no English stopwords
+      (4L, "the quick brown fox and a dog walked over the hill while many " +
+        "other animals watched or slept nearby all afternoon long")
+    ).toDF("my_id", "body")
+    val out = Curation.qualityFilter(cases, "my_id", "body", Curation.defaultRules)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("keep"), r.getAs[String]("reason")))).toMap
+    assert(out(1L) == ((0, "too_short")))
+    assert(out(2L) == ((0, "low_diversity")), s"got ${out(2L)}")
+    assert(out(3L) == ((0, "no_stopwords")), s"got ${out(3L)}")
+    assert(out(4L) == ((1, null)))
+  }
+
   test("decontaminate flags benchmark-overlapping docs, clears clean ones") {
     val bench = Seq((900L, "the quick brown fox jumps over the lazy dog")).toDF("my_id", "body")
     val corpus = Seq(
