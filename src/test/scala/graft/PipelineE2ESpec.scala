@@ -66,4 +66,35 @@ class PipelineE2ESpec extends AnyFunSuite {
     assert(hit.length == 1 && hit.head.getAs[Int]("n_tokens") >= 5)
     assert(index.lastKept <= 2) // manifest consulted during the scan
   }
+
+  test("curation chain: quality filter -> decontaminate -> pack, tokens conserved") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val docs = Tables.documents(spark, sf)
+
+    // 1. drop junk with an audit reason
+    val scored = Curation.qualityFilter(docs, "doc_id", "text", Curation.defaultRules)
+    val kept = scored.filter($"keep" === 1).select($"doc_id", $"text")
+    assert(kept.count() > 0 && kept.count() <= docs.count())
+
+    // 2. drop anything sharing >50% of its grams with the held-out set
+    val bench = docs.filter($"source" === "src0")
+    val contam = Curation.decontaminate(
+      kept.join(docs.select("doc_id", "source"), "doc_id")
+        .filter($"source" =!= "src0").select($"doc_id", $"text"),
+      bench, "doc_id", "text")
+    val clean = kept.join(contam.filter($"contam_ratio" < 0.5).select("doc_id"), "doc_id")
+
+    // 3. pack into training sequences; every doc assigned, tokens conserved
+    val packed = Curation.packSequences(clean, "doc_id", "text", budget = 256, shards = 4)
+    assert(packed.count() == clean.count(), "every clean doc must be packed")
+    val tokIn = clean.select(sum(size(split(trim($"text"), "\\s+")))).head().getLong(0)
+    val tokOut = packed.select(sum($"n_tokens")).head().getLong(0)
+    assert(tokIn == tokOut, s"token count must be conserved: $tokIn != $tokOut")
+    // shards partition the stream: per-shard max offset+len == shard token sum
+    packed.groupBy($"shard")
+      .agg(max($"tok_offset" + $"n_tokens").as("end"), sum($"n_tokens").as("tot"))
+      .collect().foreach(r =>
+        assert(r.getAs[Long]("end") == r.getAs[Long]("tot")))
+  }
 }
