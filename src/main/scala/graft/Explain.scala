@@ -21,7 +21,9 @@ object Explain {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q03_agg_tpch1", "q13_join_facts", "q14_join_broadcast_star",
         "q37_ann_brute", "q44_tpch5_local_volume", "q34_dedup_ngram_jaccard",
-        "q50_tpch18_big_orders", "q53_repetition_ratio", "q54_passage_overlap")
+        "q50_tpch18_big_orders", "q53_repetition_ratio", "q54_passage_overlap",
+        "q57_boilerplate_removal", "q58_tfidf_topk", "q59_pack_sequences",
+        "q60_decontaminate")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
