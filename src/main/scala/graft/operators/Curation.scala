@@ -262,6 +262,71 @@ object Curation {
       |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Corpus mixing: deterministically subsample classes (sources, languages,
+  // domains) to hit target mix proportions — the reweighting step between
+  // curation and packing. The largest corpus satisfying the exact mix keeps
+  // K = min_s(count_s / target_s) docs; class s keeps K·target_s of its
+  // count_s, selected by content hash so membership is reproducible at any
+  // scale and stable across reruns.
+
+  /** Per-document keep decision under target class proportions. `targets`
+    * maps class value → target fraction (need not sum to 1 — they are
+    * normalized); classes absent from `targets` are dropped. One tiny
+    * per-class count (collected — #classes rows), then a map-only hash
+    * filter; the corpus is never shuffled. Output: (doc_id, cls, keep). */
+  def mixCorpus(df: DataFrame, idCol: String, textCol: String, classCol: String,
+      targets: Map[String, Double], tag: String = ""): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val base = df.select(col(idCol).cast(LongType).as("doc_id"),
+      col(textCol).as("text"), col(classCol).cast(StringType).as("cls"))
+    val norm = {
+      val tot = targets.values.sum
+      targets.map { case (k, v) => k -> v / tot }
+    }
+    val counts = base.groupBy($"cls").agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getAs[String]("cls") -> r.getAs[Long]("c")).toMap
+    val present = norm.filter { case (k, _) => counts.contains(k) }
+    val kMax = present.map { case (k, t) => counts(k) / t }.min
+    // integer thresholds out of 1e6: identical double arithmetic to the
+    // oracle (count/target division, min, scale, floor) → identical bits
+    val thr = present.map { case (k, t) =>
+      k -> math.floor(1000000.0 * (kMax * t / counts(k))).toLong
+    }
+    val thrCol = thr.foldLeft(lit(-1L)) { case (alt, (k, th)) =>
+      when($"cls" === k, lit(th)).otherwise(alt)
+    }
+    base.withColumn("keep",
+      when(md5Long(concat(lit(s"mix:$tag"), $"text")) % 1000000L < thrCol, 1)
+        .otherwise(0))
+      .select($"doc_id", $"cls", $"keep")
+  }
+
+  private val mixTargets = Seq(
+    "en" -> 0.5, "de" -> 0.2, "es" -> 0.15, "fr" -> 0.1, "zh" -> 0.05)
+  private def q63(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mixCorpus(Tables.documents(s, d), "doc_id", "text", "lang", mixTargets.toMap)
+      .groupBy($"cls")
+      .agg(count(lit(1)).as("total"), sum($"keep").as("kept"))
+      .orderBy($"cls")
+  }
+  private val q63Sql =
+    s"""WITH t(lang, tf) AS (VALUES ${mixTargets.map { case (l, f) =>
+          s"('$l', CAST($f AS DOUBLE))" }.mkString(", ")}),
+       |counts AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY 1),
+       |k AS (SELECT MIN(CAST(c AS DOUBLE) / tf) AS kk FROM counts JOIN t USING (lang)),
+       |thr AS (SELECT lang,
+       |          CAST(floor(1000000.0 * ((SELECT kk FROM k) * tf / CAST(c AS DOUBLE)))
+       |            AS BIGINT) AS th
+       |        FROM counts JOIN t USING (lang))
+       |SELECT d.lang AS cls, COUNT(*) AS total,
+       |  CAST(SUM(CASE WHEN ${md5LongSql("'mix:' || text")} % 1000000 < thr.th
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS kept
+       |FROM documents d JOIN thr ON d.lang = thr.lang
+       |GROUP BY d.lang ORDER BY cls""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Composed quality filtering (C4-style): one map-only pass that applies
   // an ordered rule list and tags each document keep/drop with the first
   // failing rule as the reason — the audit trail curation jobs need.
@@ -316,6 +381,7 @@ object Curation {
     "q59_pack_sequences" -> q59,
     "q60_decontaminate" -> q60,
     "q62_quality_filter" -> q62,
+    "q63_mix_sources" -> q63,
   )
 
   val oracles: Map[String, String] = Map(
@@ -324,5 +390,6 @@ object Curation {
     "q59_pack_sequences" -> q59Sql,
     "q60_decontaminate" -> q60Sql,
     "q62_quality_filter" -> q62Sql,
+    "q63_mix_sources" -> q63Sql,
   )
 }

@@ -84,6 +84,29 @@ class CurationSpec extends AnyFunSuite {
     assert(out(2L) == ((0L, 0.0)), "doc 2 is clean")
   }
 
+  test("mixCorpus hits target proportions and keeps the limiting class whole") {
+    import org.apache.spark.sql.functions.{count => fcount, _}
+    // 400 a / 100 b with targets 50/50 → b limits: all 100 b kept, ~100 a
+    val rows = (1 to 400).map(i => (i.toLong, s"alpha doc number $i unique words", "a")) ++
+      (1001 to 1100).map(i => (i.toLong, s"beta doc number $i other words", "b"))
+    val df = rows.toDF("my_id", "body", "src")
+    val out = Curation.mixCorpus(df, "my_id", "body", "src",
+      Map("a" -> 0.5, "b" -> 0.5))
+    val kept = out.filter($"keep" === 1).groupBy($"cls").agg(fcount(lit(1)).as("n"))
+      .collect().map(r => r.getAs[String]("cls") -> r.getAs[Long]("n")).toMap
+    assert(kept("b") == 100L, s"limiting class must keep everything: $kept")
+    // hash sampling is approximate: a should land near 100 of 400
+    assert(kept("a") > 60L && kept("a") < 140L, s"a kept ${kept("a")}, want ~100")
+    // determinism: same decisions on rerun
+    val again = Curation.mixCorpus(df, "my_id", "body", "src",
+      Map("a" -> 0.5, "b" -> 0.5)).collect().map(_.toString).sorted
+    assert(out.collect().map(_.toString).sorted.sameElements(again))
+    // classes without a target are dropped
+    val dropped = Curation.mixCorpus(df, "my_id", "body", "src", Map("a" -> 1.0))
+      .filter($"cls" === "b" && $"keep" === 1).count()
+    assert(dropped == 0L)
+  }
+
   test("packSequences: offsets are contiguous per shard and budget-aligned") {
     val out = Curation.packSequences(docs, "my_id", "body",
       budget = 10, shards = 2).collect()
