@@ -142,6 +142,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
   }
 
+  test("quality filter and hash mixing run unchanged on a stream (map-only ops)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    // the same map-only curation ops used in batch apply to a stream as-is
+    val curated = graft.operators.Curation.qualityFilter(
+      mem.toDF().toDF("id", "txt"), "id", "txt",
+      graft.operators.Curation.defaultRules)
+    assert(curated.isStreaming, "qualityFilter must preserve streaming-ness")
+    val q = curated.writeStream.outputMode("append")
+      .format("memory").queryName("qf_out").start()
+    mem.addData(
+      (1L, "tiny"),
+      (2L, "the quick brown fox and a dog walked over the hill while many " +
+        "other animals watched or slept nearby all afternoon long"))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("qf_out").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("keep")).toMap
+    assert(out == Map(1L -> 0, 2L -> 1), s"got $out")
+  }
+
   test("watermarked window agg drops late events (superset of reference, which has no late-data policy)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
