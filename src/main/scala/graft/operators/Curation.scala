@@ -135,10 +135,12 @@ object Curation {
   private val nDocsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
 
-  /** Drop the memoized corpus count for (session, dir) — chained from
-    * Text.invalidateCaches after re-ingesting the documents table. */
-  private[operators] def invalidateCaches(s: SparkSession, d: String): Unit =
+  /** Drop the memoized corpus count + mix thresholds for (session, dir) —
+    * chained from Text.invalidateCaches after re-ingesting documents. */
+  private[operators] def invalidateCaches(s: SparkSession, d: String): Unit = {
     nDocsCache.remove((s, d))
+    mixCache.remove((s, d))
+  }
   private def q58(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val n = nDocsCache.getOrElseUpdate((s, d), Tables.documents(s, d).count())
@@ -304,9 +306,14 @@ object Curation {
 
   private val mixTargets = Seq(
     "en" -> 0.5, "de" -> 0.2, "es" -> 0.15, "fr" -> 0.1, "zh" -> 0.05)
+  // mixCorpus runs one per-class count job at plan-build; memoize the built
+  // frame per (session, dir) so repeated builds don't re-count (q58 pattern)
+  private val mixCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def q63(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    mixCorpus(Tables.documents(s, d), "doc_id", "text", "lang", mixTargets.toMap)
+    mixCache.getOrElseUpdate((s, d),
+      mixCorpus(Tables.documents(s, d), "doc_id", "text", "lang", mixTargets.toMap))
       .groupBy($"cls")
       .agg(count(lit(1)).as("total"), sum($"keep").as("kept"))
       .orderBy($"cls")
