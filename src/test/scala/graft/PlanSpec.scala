@@ -87,6 +87,18 @@ class PlanSpec extends AnyFunSuite {
     assert(n <= 1, s"q59 should shuffle once (per-shard window), got $n:\n$p")
   }
 
+  test("q60: benchmark gram set broadcasts; corpus side never shuffles on grams") {
+    val p = planOf("q60_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), "bench grams must broadcast")
+    assert(!p.contains("SortMergeJoin"), "corpus must not shuffle on the gram key")
+  }
+
+  test("q62: quality filter is a pure map (no exchange before the sort)") {
+    val p = planOf("q62_quality_filter")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 0, s"quality filter must not shuffle, got $n:\n$p")
+  }
+
   test("bucketed tables join without any shuffle (co-located fact-fact join)") {
     // the 100 TB fact⋈fact answer: both sides bucketed+sorted on the join
     // key at write time → SortMergeJoin with zero Exchange in the plan
