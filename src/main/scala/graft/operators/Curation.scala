@@ -37,16 +37,24 @@ object Curation {
     * null when every chunk was boilerplate.
     *
     * Plan: posexplode → chunk assembly (one shuffle on (doc, chunk_id)) →
-    * document frequency via two stacked windows over ONE exchange on chunk
-    * (row_number marks each chunk's first instance per doc; summing the
-    * markers over the chunk partition counts distinct docs — no
-    * distinct+self-join, no recomputation of the chunk subtree) → one
-    * groupBy(doc_id) reassembly. Three shuffles total, single pass.
-    * Skew note: the chunk-partition window concentrates a corpus-wide
-    * boilerplate chunk's instances in one partition; at extreme scale,
-    * pre-cap hot chunks from a sample before this pass. */
+    * hot-chunk certification from a deterministic `hotSamplePct`% doc
+    * sample (the sample is a SUBSET of the corpus, so sample-df > maxDf
+    * proves true df > maxDf — zero false positives, the result is unchanged
+    * by construction; the filter on doc_id pushes below the explode so the
+    * sample pass scans only its share) → exact df for the remaining chunks
+    * via groupBy(chunk).countDistinct(doc_id) — a two-level aggregate whose
+    * map-side partials shrink every chunk to ≤ #partitions rows — joined
+    * back → one groupBy(doc_id) reassembly. The input to this operator is
+    * by definition boilerplate-heavy, so the df computation must not
+    * concentrate a corpus-wide chunk's instances in one task: the pre-cap
+    * removes the certain skew heads before the chunk-keyed join, and the
+    * residual join skew is AQE-splittable (a `Window.partitionBy(chunk)`
+    * count is neither). Costs one extra traversal of the chunk relation vs
+    * the single-exchange window shape — at 100 TB persist `df` (or the
+    * chunk assembly) upstream if traversals dominate; a straggler task
+    * holding every copy of "click here to subscribe" dominates far sooner. */
   def dropBoilerplateChunks(df: DataFrame, idCol: String, textCol: String,
-      chunkTokens: Int = 8, maxDf: Int = 2): DataFrame = {
+      chunkTokens: Int = 8, maxDf: Int = 2, hotSamplePct: Int = 10): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
     val chunks = normalized(df, idCol, textCol)
@@ -56,18 +64,18 @@ object Curation {
       .groupBy($"doc_id", $"chunk_id")
       .agg(expr("array_join(transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok), ' ')")
         .as("chunk"))
-    // both windows partition by `chunk` ALONE so they share one Exchange
-    // (a (chunk, doc_id) partitioning would NOT satisfy the chunk-only
-    // distribution of the df window and would force a second shuffle):
-    // within the chunk partition ordered by doc, a row whose predecessor has
-    // a different doc is that doc's first instance of the chunk
-    val byChunk = Window.partitionBy($"chunk").orderBy($"doc_id", $"chunk_id")
-    val prevDoc = lag($"doc_id", 1).over(byChunk)
-    chunks
-      .withColumn("first_in_doc",
-        when(prevDoc.isNull || prevDoc =!= $"doc_id", 1L).otherwise(0L))
-      .withColumn("df", sum($"first_in_doc").over(Window.partitionBy($"chunk")))
-      .drop("first_in_doc")
+    val hot = chunks
+      .filter(md5Long(concat(lit("bphot:"), $"doc_id".cast(StringType))) % 100L
+        < hotSamplePct)
+      .groupBy($"chunk").agg(countDistinct($"doc_id").as("sdf"))
+      .filter($"sdf" > maxDf)
+      .select($"chunk", lit(1).as("hot"))
+    val base = chunks.join(broadcast(hot), Seq("chunk"), "left")
+    val dfs = base.filter($"hot".isNull)
+      .groupBy($"chunk").agg(countDistinct($"doc_id").as("cdf"))
+    base.join(dfs, Seq("chunk"), "left")
+      .withColumn("df",
+        when($"hot".isNotNull, lit(Long.MaxValue)).otherwise($"cdf"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_chunks"),
         sum(when($"df" > maxDf, 1L).otherwise(0L)).as("n_dropped"),
@@ -108,8 +116,14 @@ object Curation {
     * rank).
     *
     * Plan: one shuffle for groupBy(doc, term); the relation is then
-    * distinct on (doc, term) so df is a window count over term (no
-    * self-join); top-k is a row_number window per doc. */
+    * distinct on (doc, term) so df is a groupBy(term) count — the partial
+    * (map-side) aggregate shrinks every term to at most #partitions rows,
+    * so a corpus-wide hot term ("the" ≈ every document) never concentrates
+    * in one partition — joined back broadcast + map-only (the build side is
+    * vocab-sized, tiny next to the corpus). A `count over
+    * Window.partitionBy(term)` would instead land every row of a hot term
+    * in ONE partition: a guaranteed straggler at 100 TB. Top-k is a
+    * row_number window per doc (doc-sized partitions, bounded). */
   def tfidfTopK(df: DataFrame, idCol: String, textCol: String, k: Int = 5,
       nDocsHint: Option[Long] = None): DataFrame = {
     val s = df.sparkSession
@@ -123,7 +137,8 @@ object Curation {
       .groupBy($"doc_id", $"term")
       .agg(count(lit(1)).as("tf"))
     val w = Window.partitionBy($"doc_id").orderBy($"score_scaled".desc, $"term".asc)
-    tf.withColumn("df", count(lit(1)).over(Window.partitionBy($"term")))
+    val dfCounts = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfCounts), Seq("term"))
       .withColumn("score_scaled", expr(s"tf * (CAST(${nDocs * 1000000L} AS BIGINT) div df)"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
@@ -200,17 +215,18 @@ object Curation {
   }
   private val q59Sql =
     s"""WITH base AS (
-       |  SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       |  SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER)
+       |      AS n_tokens,
        |    ${md5LongSql("'shard:' || doc_id")} % 4 AS shard,
        |    md5('pack:' || doc_id) AS ord
        |  FROM documents),
        |off AS (
        |  SELECT doc_id, shard, n_tokens,
-       |    COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY ord, doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+       |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY ord, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
        |  FROM base)
        |SELECT doc_id, shard, n_tokens, tok_offset,
-       |  tok_offset // 128 AS pack_id,
+       |  CAST(tok_offset // 128 AS BIGINT) AS pack_id,
        |  CAST(((tok_offset + n_tokens - 1) // 128 > tok_offset // 128) AS INT) AS spans_packs
        |FROM off ORDER BY doc_id""".stripMargin
 
@@ -271,21 +287,31 @@ object Curation {
   // count_s, selected by content hash so membership is reproducible at any
   // scale and stable across reruns.
 
+  /** Normalize target fractions to sum to 1. Entries are summed in
+    * sorted-key order (a fixed fp addition order — Map iteration order must
+    * never influence results in a bit-reproducible engine) and a sum that is
+    * already exactly 1.0 is used as-is, so the common "fractions that look
+    * like they sum to 1" case never picks up a ÷(1+ulp) perturbation. */
+  private[graft] def normalizeTargets(targets: Map[String, Double]): Map[String, Double] = {
+    val entries = targets.toSeq.sortBy(_._1)
+    val tot = entries.map(_._2).sum
+    if (tot == 1.0) targets
+    else entries.map { case (k, v) => k -> v / tot }.toMap
+  }
+
   /** Per-document keep decision under target class proportions. `targets`
-    * maps class value → target fraction (need not sum to 1 — they are
-    * normalized); classes absent from `targets` are dropped. One tiny
-    * per-class count (collected — #classes rows), then a map-only hash
-    * filter; the corpus is never shuffled. Output: (doc_id, cls, keep). */
+    * maps class value → target fraction (need not sum to 1 — see
+    * [[normalizeTargets]]); documents of classes absent from `targets` are
+    * dropped from the output entirely. One tiny per-class count (collected —
+    * #classes rows), then a map-only hash filter; the corpus is never
+    * shuffled. Output: (doc_id, cls, keep). */
   def mixCorpus(df: DataFrame, idCol: String, textCol: String, classCol: String,
       targets: Map[String, Double], tag: String = ""): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
     val base = df.select(col(idCol).cast(LongType).as("doc_id"),
       col(textCol).as("text"), col(classCol).cast(StringType).as("cls"))
-    val norm = {
-      val tot = targets.values.sum
-      targets.map { case (k, v) => k -> v / tot }
-    }
+    val norm = normalizeTargets(targets)
     val counts = base.groupBy($"cls").agg(count(lit(1)).as("c")).collect()
       .map(r => r.getAs[String]("cls") -> r.getAs[Long]("c")).toMap
     val present = norm.filter { case (k, _) => counts.contains(k) }
@@ -295,12 +321,14 @@ object Curation {
     val thr = present.map { case (k, t) =>
       k -> math.floor(1000000.0 * (kMax * t / counts(k))).toLong
     }
-    val thrCol = thr.foldLeft(lit(-1L)) { case (alt, (k, th)) =>
+    val thrCol = thr.foldLeft(lit(null).cast(LongType)) { case (alt, (k, th)) =>
       when($"cls" === k, lit(th)).otherwise(alt)
     }
-    base.withColumn("keep",
-      when(md5Long(concat(lit(s"mix:$tag"), $"text")) % 1000000L < thrCol, 1)
-        .otherwise(0))
+    base.withColumn("__thr", thrCol)
+      .filter($"__thr".isNotNull) // classes without a target are dropped
+      .withColumn("keep",
+        when(md5Long(concat(lit(s"mix:$tag"), $"text")) % 1000000L < $"__thr", 1)
+          .otherwise(0))
       .select($"doc_id", $"cls", $"keep")
   }
 
@@ -318,9 +346,14 @@ object Curation {
       .agg(count(lit(1)).as("total"), sum($"keep").as("kept"))
       .orderBy($"cls")
   }
-  private val q63Sql =
-    s"""WITH t(lang, tf) AS (VALUES ${mixTargets.map { case (l, f) =>
-          s"('$l', CAST($f AS DOUBLE))" }.mkString(", ")}),
+  // the oracle receives the SAME normalized fractions mixCorpus computes
+  // (inlined as round-trip double literals), so engine and oracle share
+  // every input bit of the threshold arithmetic regardless of whether the
+  // raw targets sum to 1.0
+  private val q63Sql = {
+    val norm = normalizeTargets(mixTargets.toMap)
+    s"""WITH t(lang, tf) AS (VALUES ${mixTargets.map { case (l, _) =>
+          s"('$l', CAST(${norm(l)} AS DOUBLE))" }.mkString(", ")}),
        |counts AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY 1),
        |k AS (SELECT MIN(CAST(c AS DOUBLE) / tf) AS kk FROM counts JOIN t USING (lang)),
        |thr AS (SELECT lang,
@@ -332,6 +365,7 @@ object Curation {
        |                THEN 1 ELSE 0 END) AS BIGINT) AS kept
        |FROM documents d JOIN thr ON d.lang = thr.lang
        |GROUP BY d.lang ORDER BY cls""".stripMargin
+  }
 
   // ---------------------------------------------------------------------
   // Composed quality filtering (C4-style): one map-only pass that applies

@@ -520,21 +520,28 @@ object Text {
 
   // q54 — cross-document passage overlap (contamination detection): per doc,
   // the fraction of its distinct 4-gram passages that also appear in some
-  // other document. Reuses the shared shingle relation; document frequency
-  // is one aggregate on the shingle key (the inverted-index layout), joined
-  // back — both shuffles are on high-cardinality keys.
+  // other document. Reuses the shared shingle relation.
   private def q54(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // sh is DISTINCT (doc_id, s), so count(*) over partition s IS the
-    // document frequency — a window instead of groupBy+self-join drops a
-    // whole shuffle of the shingle relation (measured 6× faster at sf0.1)
+    // sh is DISTINCT (doc_id, s), so n_shared = n_passages - n_unique, and a
+    // df==1 shingle's min(doc_id) IS its owning doc — so both sides come
+    // from combiner-friendly groupBy aggregates (map-side partials shrink a
+    // corpus-wide boilerplate shingle to #partitions rows) plus one
+    // doc-keyed join of two doc-sized frames. The shingle relation is never
+    // range-partitioned by s: the previous `count over
+    // Window.partitionBy(s)` put every instance of a hot shingle in ONE
+    // partition — a guaranteed straggler on a real corpus.
     val sh = shingleRows(s, d)
-    sh.withColumn("df", count(lit(1)).over(Window.partitionBy($"s")))
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_passages"),
-        sum(when($"df" > 1, 1L).otherwise(0L)).as("n_shared"))
+    val perDoc = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_passages"))
+    val uniq = sh.groupBy($"s")
+      .agg(count(lit(1)).as("df"), min($"doc_id").as("doc_id"))
+      .filter($"df" === 1)
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_unique"))
+    perDoc.join(uniq, Seq("doc_id"), "left")
+      .withColumn("n_shared", $"n_passages" - coalesce($"n_unique", lit(0L)))
       .withColumn("overlap_ratio",
         $"n_shared".cast(DoubleType) / $"n_passages")
+      .select($"doc_id", $"n_passages", $"n_shared", $"overlap_ratio")
       .orderBy($"doc_id")
   }
   private val q54Sql =

@@ -36,6 +36,25 @@ class CurationSpec extends AnyFunSuite {
     assert(out(104L) == ((1L, 1L, null)))
   }
 
+  test("hot-chunk pre-cap: sample-certified boilerplate changes nothing") {
+    // 200 docs all opening with the same corpus-wide chunk: the ~10% doc
+    // sample certifies it (sample-df ≫ maxDf) so it bypasses the exact-df
+    // join entirely — and because certification can only flag chunks whose
+    // true df exceeds maxDf, the output is bit-identical to the uncapped run
+    val many = (1 to 200).map(i =>
+      (i.toLong, s"$boiler unique body token$i alpha$i beta$i gamma$i delta$i eps$i"))
+      .toDF("my_id", "body")
+    val capped = Curation.dropBoilerplateChunks(many, "my_id", "body",
+      chunkTokens = 8, maxDf = 2, hotSamplePct = 10).collect()
+    val exact = Curation.dropBoilerplateChunks(many, "my_id", "body",
+      chunkTokens = 8, maxDf = 2, hotSamplePct = 0).collect()
+    assert(capped.map(_.toString).sorted.sameElements(exact.map(_.toString).sorted))
+    // the planted chunk is gone from every document either way
+    assert(capped.forall(r =>
+      !Option(r.getAs[String]("clean_text")).exists(_.contains("terms of service"))))
+    assert(capped.forall(r => r.getAs[Long]("n_dropped") >= 1L))
+  }
+
   test("tfidfTopK ranks distinctive terms above corpus-wide ones") {
     val top1 = Curation.tfidfTopK(docs, "my_id", "body", k = 1).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("term")).toMap

@@ -58,26 +58,44 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), "LIMIT after ORDER BY must avoid a full sort")
   }
 
-  test("q53/q54: text aggregates avoid Expand and self-joins") {
+  test("q53/q54: text aggregates avoid Expand and hot-key windows") {
     // q53: two-level agg, not countDistinct (whose Expand doubles every gram)
     val p53 = planOf("q53_repetition_ratio")
     assert(!p53.contains("Expand"), "q53 must not plan a distinct-Expand")
     assert(p53.contains("partial_count") || p53.contains("HashAggregate"),
       "q53 must aggregate map-side first")
-    // q54: document frequency via window over the distinct shingle relation,
-    // not a groupBy + self-join (which re-shuffles the relation twice)
+    // q54: document frequency side must be combiner-friendly aggregates —
+    // a Window.partitionBy(s) would land every instance of a hot
+    // boilerplate shingle in ONE partition (straggler at corpus scale)
+    // (gramRows' per-doc lead window is fine: doc-sized partitions)
     val p54 = planOf("q54_passage_overlap")
-    assert(!p54.contains("SortMergeJoin") && !p54.contains("BroadcastHashJoin"),
-      "q54 must not self-join the shingle relation")
+    val w54 = p54.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(w54.forall(_.contains("doc_id")),
+      s"q54 must not window by the shingle key:\n${w54.mkString("\n")}")
+    assert(p54.contains("partial_count"),
+      "q54 shingle counts must combine map-side")
   }
 
-  test("q57: chunk document frequency reuses one exchange, never joins") {
+  test("q57: chunk doc frequency is pre-capped + aggregated, never windowed") {
     val p = planOf("q57_boilerplate_removal")
-    assert(!p.contains("Join"), "q57 must not join the chunk relation back")
-    // the two stacked windows (first-in-doc marker, df sum) must share the
-    // hash partitioning on `chunk` — exactly one Exchange between them
-    val n = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(n <= 3, s"q57 should shuffle ≤3 times (chunk agg, window, reassembly), got $n:\n$p")
+    // hot chunks certified from the doc sample must join back as a
+    // broadcast (map-only over the corpus side)
+    assert(p.contains("BroadcastHashJoin"), "hot-chunk flag must broadcast")
+    // exact df is groupBy(chunk).countDistinct(doc_id) — map-side partials,
+    // AQE-splittable join-back; a Window.partitionBy(chunk) would put every
+    // copy of a corpus-wide boilerplate chunk in ONE partition
+    assert(!p.contains("Window"), "q57 must not window the chunk relation")
+  }
+
+  test("q58: term document frequency is a broadcast join-back, not a window") {
+    val p = planOf("q58_tfidf_topk")
+    assert(p.contains("BroadcastHashJoin"),
+      "vocab-sized df counts must broadcast back")
+    // exactly one Window remains: the per-doc top-k (doc-sized partitions,
+    // bounded); none over the (doc,term) relation partitioned by term alone
+    val windows = p.linesIterator.filter(_.contains("Window [")).toList
+    assert(windows.size == 1 && windows.head.contains("doc_id"),
+      s"only the per-doc rank window may remain, got:\n${windows.mkString("\n")}")
   }
 
   test("q59: sequence packing is one window pass, no joins or extra shuffles") {
