@@ -42,9 +42,13 @@ object AsOf {
       .select((keys.map(col) :+ col("__t") :+ col("__rv") :+ col("__isLeft")) ++
         lCols.filterNot(keys.contains).map(col): _*)
     // right rows sort BEFORE left rows at equal times → a right row at
-    // exactly leftTime is visible (≤ semantics)
+    // exactly leftTime is visible (≤ semantics). Right rows tied on
+    // (keys, time) take a final value-struct hash tiebreak so which one is
+    // carried is a pure function of the data, not of partitioning order
+    // (bit-reproducibility contract; only an exact 64-bit hash collision
+    // between distinct tied values is left unspecified).
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__isLeft").asc)
+      .orderBy(col("__t").asc, col("__isLeft").asc, xxhash64(col("__rv")).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = lTagged.unionByName(
         rTagged.select((keys.map(col) :+ col("__t") :+ col("__rv") :+ col("__isLeft")): _*),

@@ -51,10 +51,14 @@ case class ManifestAggregates(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  // TimestampType (TZ-aware) is deliberately absent: manifest stat strings
+  // were rendered under the BUILD session's timezone, so casting them back
+  // under a different current session timezone would yield silently shifted
+  // min/max. Date and TimestampNTZ render timezone-independently and stay;
+  // TZ timestamps fall back to the scan (which is always correct).
   private def supported(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | FloatType |
-         DoubleType | StringType | DateType | TimestampType |
-         TimestampNTZType => true
+         DoubleType | StringType | DateType | TimestampNTZType => true
     case _: DecimalType => true
     case _ => false
   }

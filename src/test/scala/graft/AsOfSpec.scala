@@ -48,6 +48,20 @@ class AsOfSpec extends AnyFunSuite {
     assert(out(103L).isEmpty, "stale (99-30=69 > 10) must be null")
   }
 
+  test("tied right rows resolve by value hash, independent of input order") {
+    // two quotes for the same (sym, t) with different values: which one is
+    // attached must be a pure function of the data — identical across input
+    // orderings and partitionings
+    val dup1 = Seq(("A", 10L, 1.0), ("A", 10L, 2.0)).toDF("sym", "t", "px")
+    val dup2 = Seq(("A", 10L, 2.0), ("A", 10L, 1.0)).toDF("sym", "t", "px")
+      .repartition(3)
+    val tr = Seq(("A", 11L, 1L)).toDF("sym", "t", "qty")
+    def pick(q: org.apache.spark.sql.DataFrame): Double =
+      AsOf.joinBackward(tr, q, Seq("sym"), "t", "t", Seq("px"))
+        .collect().head.getAs[Double]("px")
+    assert(pick(dup1) == pick(dup2))
+  }
+
   test("q48 equals the generic operator instantiated on events") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, sf)

@@ -124,13 +124,36 @@ class ModelStorageSpec extends AnyFunSuite {
         min(col("l_shipdate")), max(col("l_quantity"))).collect().head
       assert(out.collect().head == expect)
       // shapes metadata can't answer are left alone: filters, count(col),
-      // unindexed columns
+      // unindexed columns, and TZ-aware timestamps (manifest strings were
+      // rendered under the build session's timezone — a session with a
+      // different spark.sql.session.timeZone would get shifted bounds, so
+      // they must take the always-correct scan path)
       val filtered = df.filter(col("l_orderkey") > 10L).agg(min(col("l_orderkey")))
       assert(!filtered.queryExecution.optimizedPlan.toString().contains("LocalRelation"))
       val countCol = df.agg(count(col("l_returnflag")))
       assert(!countCol.queryExecution.optimizedPlan.toString().contains("LocalRelation"))
       val unindexed = df.agg(min(col("l_extendedprice")))
       assert(!unindexed.queryExecution.optimizedPlan.toString().contains("LocalRelation"))
+      // (l_shipdate above is TimestampNTZ in this parquet — TZ-independent
+      // strings, legitimately collapsible; a TZ-AWARE timestamp must not be)
+      val tsDir = Files.createTempDirectory("graft-magg-ts").toString + "/ts"
+      val tsDf = spark.range(100).select(col("id"),
+        timestamp_seconds(col("id") * 3600).as("ts"))
+      Segments.write(tsDf, tsDir, sortCols = Seq("id"),
+        indexedCols = Seq("id", "ts"), numSegments = 2)
+      val tdf = ManifestFileIndex.read(spark, tsDir)
+      assert(tdf.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType)
+      val tzTimestamp = tdf.agg(min(col("ts")))
+      assert(!tzTimestamp.queryExecution.optimizedPlan.toString().contains("LocalRelation"),
+        "TZ-aware timestamp bounds depend on the build session timezone and " +
+          "must take the scan path")
+      // the fallback still computes the right value through the scan
+      assert(tzTimestamp.collect().head ==
+        spark.read.parquet(tsDir).agg(min(col("ts"))).collect().head)
+      // while the TZ-independent columns of the same table still collapse
+      assert(tdf.agg(min(col("id"))).queryExecution.optimizedPlan.toString()
+        .contains("LocalRelation"))
     } finally {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations
