@@ -36,12 +36,30 @@ object Bench {
     val p1 = timed()
     val p2 = timed()
     val results = names.map(n => n -> math.min(p1(n), p2(n)))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // the memoized dedup chain (persisted shingle/pair/label stages) pushes
+    // shared cost into warmup; time those queries once COLD — caches dropped
+    // before each — so per-query cost isn't hidden. Reported separately;
+    // the warm "queries" map stays the comparable headline.
+    val coldNames = Seq("q34_dedup_ngram_jaccard", "q35_dedup_minhash_lsh",
+      "q47_dedup_clusters", "q49_dedup_keep_best", "q54_passage_overlap")
+      .filter(SparkEntry.queries.contains)
+    val cold = coldNames.map { name =>
+      graft.operators.Text.invalidateCaches(spark, sfDir)
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, sfDir).count()
+      catch { case _: Throwable => () }
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    // 3-decimal seconds keep the whole line well inside the driver's tail
+    // capture (full-precision doubles once overflowed it and lost the head)
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def jmap(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // stop Spark BEFORE emitting the JSON line so no shutdown logging can
     // interleave after it — the driver parses this line from the stream tail
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jmap(results)},"cold":${jmap(cold)},"sf":"$sfDir"}""")
   }
 }
