@@ -136,21 +136,21 @@ object TableSpec {
   * rewrite keeps every file self-describing like the reference.
   */
 object SchemaUpdate {
-  private def rm(f: java.io.File): Unit = {
-    import scala.reflect.io.Directory
-    if (f.exists()) new Directory(f).deleteRecursively()
-    ()
-  }
-
+  // staging + swap through the Hadoop FileSystem API so the rewrite works
+  // on HDFS/cloud storage exactly as on a local disk (the reference's
+  // UpdateColumnJob runs against HDFS segment dirs)
   private def rewrite(spark: SparkSession, dir: String)(f: DataFrame => DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
     val staged = s"$dir.staged"
     f(spark.read.parquet(dir)).write.mode("overwrite").parquet(staged)
-    val old = new java.io.File(dir)
-    val bak = new java.io.File(s"$dir.old")
-    rm(bak)
-    old.renameTo(bak)
-    new java.io.File(staged).renameTo(old)
-    rm(bak)
+    val old = new Path(dir)
+    val fs = old.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bak = new Path(s"$dir.old")
+    if (fs.exists(bak)) fs.delete(bak, true)
+    fs.rename(old, bak)
+    fs.rename(new Path(staged), old)
+    fs.delete(bak, true)
+    ()
   }
 
   /** Add a column filled with its default value. */

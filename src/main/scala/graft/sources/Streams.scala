@@ -11,10 +11,21 @@ import org.apache.spark.sql.types.StructType
   */
 object Streams {
 
+  /** Kafka wire records (binary key/value + topic/partition/offset
+    * metadata — the schema the spark-sql-kafka source emits) → the single
+    * string `json` column the whole ingest chain consumes. Factored out of
+    * [[kafka]] so the projection is exercised end-to-end (decode → rollup →
+    * compact → hybrid, StreamingSpec) against a kafka-schema-shaped stream
+    * even in environments without the connector jar. */
+  def kafkaValueToJson(records: DataFrame): DataFrame =
+    records.selectExpr("CAST(value AS STRING) AS json")
+
   /** Kafka topic → json-lines stream (Kafka08Fetcher.java:36-80 parity).
     * Requires the spark-sql-kafka connector jar on the cluster classpath
-    * (standard Spark distribution add-on; not bundled in this build env,
-    * so this constructor is exercised in deployment, not unit tests). */
+    * (standard Spark distribution add-on; not bundled in this build env, so
+    * the `format("kafka")` registration itself is exercised in deployment —
+    * everything downstream of load() is covered by StreamingSpec via
+    * [[kafkaValueToJson]]). */
   def kafka(spark: SparkSession, bootstrapServers: String, topic: String,
       startingOffsets: String = "latest"): DataFrame =
     spark.readStream
@@ -23,7 +34,7 @@ object Streams {
       .option("subscribe", topic)
       .option("startingOffsets", startingOffsets)
       .load()
-      .selectExpr("CAST(value AS STRING) AS json")
+      .transform(kafkaValueToJson)
 
   /** Directory of json-lines files (CsvFetcher-style file tailing; each
     * appended file becomes part of the next micro-batch). */

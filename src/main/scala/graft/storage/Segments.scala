@@ -1,6 +1,5 @@
 package graft.storage
 
-import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -148,8 +147,31 @@ object Segments {
         if (bloomColsJson.isEmpty) "" else s""","blooms":{${bloomColsJson.mkString(",")}}"""
       s"""{"file":${jq(file)},"rows":${r.getAs[Long]("__rows")},"stats":{${statCols.mkString(",")}}$bloomPart}"""
     }.mkString("[", ",", "]")
-    Files.writeString(Paths.get(dir, ManifestFile),
+    writeTextFile(s"$dir/$ManifestFile",
       s"""{"version":$ManifestVersion,"format":${jq(format)},"files":$entries}""")
+  }
+
+  // Manifest IO goes through the Hadoop FileSystem API, not java.nio: the
+  // manifest must live beside its segment files on whatever store holds them
+  // (HDFS / cloud object store / local), like the reference's segment
+  // upload path (indexr-server/.../SegmentUploader.java).
+  private def hadoopConf: org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  private[graft] def writeTextFile(path: String, content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val out = p.getFileSystem(hadoopConf).create(p, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private[graft] def readTextFile(path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val in = p.getFileSystem(hadoopConf).open(p)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
   }
 
   /** Per-file stats; a bound is None when the column is entirely null in the
@@ -164,7 +186,7 @@ object Segments {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     implicit val fmt: Formats = DefaultFormats
-    val j = JsonMethods.parse(Files.readString(Paths.get(dir, ManifestFile)))
+    val j = JsonMethods.parse(readTextFile(s"$dir/$ManifestFile"))
     (j \ "format").extractOpt[String].getOrElse("parquet")
   }
 
@@ -172,7 +194,7 @@ object Segments {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     implicit val fmt: Formats = DefaultFormats
-    val j = JsonMethods.parse(Files.readString(Paths.get(dir, ManifestFile)))
+    val j = JsonMethods.parse(readTextFile(s"$dir/$ManifestFile"))
     val version = (j \ "version").extractOpt[Int].getOrElse(1)
     // v1 manifests serialized absent stats as the *string* "null", so a
     // Some("null") bound there may really mean "no stats" — drop it (the file

@@ -169,7 +169,7 @@ object Realtime {
     * data prune files like any other segment table. */
   def compact(spark: SparkSession, tableDir: String, r: RollupSpec,
       indexedCols: Seq[String] = Nil): String = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.hadoop.fs.{FileContext, Options, Path}
     val parts = spark.read.parquet(s"$tableDir/batch=*")
     val gen = s"$tableDir/compacted-${System.currentTimeMillis()}"
     mergeRollups(parts, r)
@@ -178,10 +178,15 @@ object Realtime {
       .write.mode("overwrite").parquet(gen)
     if (indexedCols.nonEmpty)
       graft.storage.Segments.buildManifest(spark, gen, indexedCols)
-    val tmp = Paths.get(s"$tableDir/current.tmp")
-    Files.writeString(tmp, gen)
-    Files.move(tmp, Paths.get(s"$tableDir/current"), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    // `current` pointer swap through the Hadoop FS API so it works on
+    // HDFS/cloud stores like the reference's segment upload
+    // (SegmentUploader.java); FileContext.rename(OVERWRITE) is the
+    // FS-level atomic-replace (plain FileSystem.rename won't overwrite)
+    val tmp = new Path(s"$tableDir/current.tmp")
+    graft.storage.Segments.writeTextFile(tmp.toString, gen)
+    val fc = FileContext.getFileContext(tmp.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, new Path(s"$tableDir/current"), Options.Rename.OVERWRITE)
     gen
   }
 

@@ -280,6 +280,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(a.getAs[Long]("ev_id") == 2L)
   }
 
+  test("kafka-shaped ingest: wire records -> decode -> rollup -> compact -> hybrid") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-kafka").toString
+    val ckpt = Files.createTempDirectory("graft-kafka-ck").toString
+    val simpleSpec = IngestSpec(
+      schema = schema,
+      defaults = Map("v" -> 0.0),
+      rollup = Some(RollupSpec(Seq("dim"), Seq("v" -> Sum, "ev_id" -> Max), "ev_id")))
+    // exactly the stream shape Streams.kafka emits before its projection:
+    // binary key/value plus topic/partition/offset metadata, the value
+    // bytes holding the json payload (Kafka08Fetcher's wire format)
+    val mem = MemoryStream[(Array[Byte], Array[Byte], String, Int, Long)]
+    val wire = mem.toDF().toDF("key", "value", "topic", "partition", "offset")
+    val q = Realtime.start(
+      graft.sources.Streams.kafkaValueToJson(wire), "json", simpleSpec, dir, ckpt)
+    def rec(off: Long, s: String) =
+      (Array.empty[Byte], s.getBytes("UTF-8"), "events", 0, off)
+    mem.addData(
+      rec(0, """{"ev_id":1,"dim":"a","tag":"t","v":2.0,"n":0}"""),
+      rec(1, """{"ev_id":2,"dim":"b","tag":"t","v":1.5,"n":0}"""))
+    q.processAllAvailable()
+    mem.addData(rec(2, """{"ev_id":3,"dim":"a","tag":"t","v":3.0,"n":0}"""))
+    q.processAllAvailable(); q.stop()
+    // compaction merges the per-batch rollups across micro-batches
+    val r = simpleSpec.rollup.get
+    val gen = Realtime.compact(spark, dir, r, indexedCols = Seq("dim"))
+    val merged = spark.read.parquet(gen).collect()
+      .map(row => row.getAs[String]("dim") -> row).toMap
+    assert(merged("a").getAs[java.math.BigDecimal]("v").doubleValue == 5.0) // 2+3
+    assert(merged("a").getAs[Long]("ev_id") == 3L)
+    assert(merged("b").getAs[java.math.BigDecimal]("v").doubleValue == 1.5)
+    // hybrid read: the compacted generation ∪ parts that arrived after it
+    val rtNew = Files.createTempDirectory("graft-kafka-rt").toString
+    Seq(("c", new java.math.BigDecimal("9.000000"), 7L)).toDF("dim", "v", "ev_id")
+      .write.mode("overwrite").parquet(s"$rtNew/batch=0")
+    val all = Realtime.hybrid(spark, gen, rtNew)
+    assert(all.count() == 3)
+    assert(all.select("dim").collect().map(_.getString(0)).toSet == Set("a", "b", "c"))
+  }
+
   test("rt2his reorganizes realtime parts into a date-partitioned historical table") {
     import spark.implicits._
     val rt = Files.createTempDirectory("graft-rt3").toString
