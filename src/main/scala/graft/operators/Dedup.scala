@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -27,7 +26,15 @@ object Dedup {
   /** Distinct (doc_id, s) word n-gram shingle relation — the inverted-index
     * layout every near-dup variant builds on. `maxDocFreq` drops shingles
     * present in more than that many documents (hot boilerplate n-grams are
-    * the join's skew risk at scale and can't discriminate near-dups). */
+    * the join's skew risk at scale and can't discriminate near-dups).
+    *
+    * The cap itself is skew-safe: document frequency comes from a
+    * combiner-friendly groupBy (map-side partials shrink a corpus-wide
+    * shingle to #partitions rows), and the over-cap key set — tiny, it's
+    * only the hot shingles — joins back as a broadcast anti-join, map-only
+    * over the corpus side. A `count over Window.partitionBy(s)` would land
+    * every instance of a hot shingle in ONE task: the exact straggler the
+    * cap exists to prevent. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 4,
       maxDocFreq: Option[Long] = None): DataFrame = {
     val s = df.sparkSession
@@ -35,23 +42,28 @@ object Dedup {
     val sh = Text.gramRows(normalized(df, idCol, textCol), n)
       .select($"doc_id", $"gram".as("s")).distinct()
     maxDocFreq match {
-      case Some(cap) =>
-        sh.withColumn("__df", count(lit(1)).over(Window.partitionBy($"s")))
-          .filter($"__df" <= cap).drop("__df")
+      case Some(cap) => Text.capShingles(sh, cap)
       case None => sh
     }
   }
 
-  /** Exact duplicates: canonical = min id per content hash. One shuffle on
-    * md5(text). Output: (doc_id, canonical_id, n_copies, is_dup). */
+  /** Exact duplicates: canonical = min id per content hash.
+    * Output: (doc_id, canonical_id, n_copies, is_dup).
+    *
+    * canonical/count come from a map-side-combinable groupBy on md5(text) —
+    * a page duplicated millions of times shrinks to #partitions partial rows
+    * before the shuffle — then join back on the hash (AQE splits the skewed
+    * join partition). A `Window.partitionBy(md5(text))` would serialize all
+    * copies of the hot page through one task. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
-    val w = Window.partitionBy(md5($"text"))
-    normalized(df, idCol, textCol)
-      .select($"doc_id",
-        min($"doc_id").over(w).as("canonical_id"),
-        count(lit(1)).over(w).as("n_copies"))
+    val hashed = normalized(df, idCol, textCol)
+      .select($"doc_id", md5($"text").as("__h"))
+    val canon = hashed.groupBy($"__h")
+      .agg(min($"doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+    hashed.join(canon, "__h")
+      .select($"doc_id", $"canonical_id", $"n_copies")
       .withColumn("is_dup", when($"doc_id" =!= $"canonical_id", 1).otherwise(0))
   }
 
@@ -86,11 +98,20 @@ object Dedup {
       clustersDf: DataFrame): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
-    val w = Window.partitionBy($"canonical_id")
-      .orderBy(col(qualityCol).desc, $"doc_id".asc)
-    df.select(col(idCol).cast(LongType).as("doc_id"), col(qualityCol))
+    // winner per cluster via a combiner-friendly min_by aggregate (ordering
+    // struct = (-quality, doc_id): max quality, ties -> lowest id) + join
+    // back on canonical_id. A row_number window partitioned by canonical_id
+    // would put an entire boilerplate mega-cluster in one task; the groupBy
+    // shrinks it map-side and AQE splits the skewed join-back.
+    val joined = df
+      .select(col(idCol).cast(LongType).as("doc_id"), col(qualityCol))
       .join(clustersDf.select($"doc_id", $"canonical_id"), "doc_id")
-      .withColumn("keep", when(row_number().over(w) === 1, 1).otherwise(0))
+    val winners = joined.groupBy($"canonical_id")
+      .agg(min_by($"doc_id",
+        struct(negate(col(qualityCol)).as("q"), $"doc_id".as("i"))).as("__best"))
+    joined.join(winners, "canonical_id")
+      .withColumn("keep", when($"doc_id" === $"__best", 1).otherwise(0))
+      .select($"doc_id", col(qualityCol), $"canonical_id", $"keep")
   }
 
   /** MinHash+LSH near-dup candidates: k md5-derived min-hashes over the

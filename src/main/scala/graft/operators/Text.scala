@@ -54,11 +54,41 @@ object Text {
         .persist()
     })
 
+  /** Drop shingles whose document frequency exceeds `cap` — skew-safely:
+    * df via combiner-friendly groupBy (map-side partials shrink a
+    * corpus-wide shingle to #partitions rows), over-cap keys (tiny — only
+    * the hot shingles) anti-joined back broadcast, map-only over the corpus
+    * side. Never a shingle-keyed window. */
+  private[operators] def capShingles(sh: DataFrame, cap: Long): DataFrame = {
+    val s = sh.sparkSession
+    import s.implicits._
+    val hot = sh.groupBy($"s").agg(count(lit(1)).as("__df"))
+      .filter($"__df" > cap).select($"s")
+    // a USING-column join moves the key first; restore (doc_id, s) so
+    // downstream positional renames keep working
+    sh.join(broadcast(hot), Seq("s"), "left_anti").select($"doc_id", $"s")
+  }
+
+  /** df cap for the oracled near-dup pair chain (q34 → q47 → q49): a shingle
+    * in more than this many documents is boilerplate — it can't discriminate
+    * near-dups, and it blows the candidate equi-join up quadratically (df
+    * docs → df² candidate pairs). The DuckDB oracles apply the identical cap
+    * (HAVING COUNT(*) <= cap on the shingle CTE), so correctness is checked
+    * on the capped semantics. q54 (overlap) and q35 (minhash sigs) stay
+    * uncapped: overlap *measures* hot shingles, and minhash aggregates
+    * per-doc without a shingle-keyed join. */
+  private[operators] val MaxDocFreq = 100L
+  private val cappedShCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def cappedShingleRows(s: SparkSession, d: String): DataFrame =
+    cappedShCache.getOrElseUpdate((s, d),
+      capShingles(shingleRows(s, d), MaxDocFreq).persist())
+
   /** Drop every materialized dedup stage for (session, dir) — call after
     * re-ingesting/compacting the documents table in a long-lived session so
     * the pipeline rebuilds from the new files. */
   def invalidateCaches(s: SparkSession, d: String): Unit = {
-    Seq(shCache, pairCache, labelCache, sigCache).foreach { c =>
+    Seq(shCache, cappedShCache, pairCache, labelCache, sigCache).foreach { c =>
       c.remove((s, d)).foreach(_.unpersist(blocking = false))
     }
     Curation.invalidateCaches(s, d)
@@ -67,6 +97,13 @@ object Text {
     """toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(t)-2,1)),
       |       i -> array_to_string(t[i:i+3], ' ')))) AS s FROM toks)""".stripMargin
+  // identical df cap as cappedShingleRows, applied oracle-side: sh is
+  // already distinct (doc_id, s), so COUNT(*) per s IS the doc frequency
+  private def cappedShingleRowsSql =
+    s"""$shingleRowsSql,
+       |hot AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) > $MaxDocFreq),
+       |shc AS (SELECT doc_id, s FROM sh
+       |        WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.s = sh.s))""".stripMargin
 
   // q29 — token counting: whitespace tokens + a BPE-ish regex token count
   // (letters / digits / single punctuation as separate tokens).
@@ -151,15 +188,18 @@ object Text {
        |FROM t, unnest(range(1, len(toks)+1)) u(i)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
-  // q33 — exact deduplication: canonical = min doc_id per content hash
-  // (hash-partitioned window; at 100 TB this is one shuffle on md5(text)).
+  // q33 — exact deduplication: canonical = min doc_id per content hash.
+  // groupBy(md5(text)) + join-back, NOT a hash-partitioned window: the hot
+  // key of exact dedup is a page duplicated millions of times, and the
+  // map-side-combinable aggregate shrinks it to #partitions partial rows
+  // before the shuffle (AQE then splits the skewed join-back partition).
   private def q33(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy(md5($"text"))
-    Tables.documents(s, d)
-      .select($"doc_id",
-        min($"doc_id").over(w).as("canonical_id"),
-        count(lit(1)).over(w).as("n_copies"))
+    val hashed = Tables.documents(s, d).select($"doc_id", md5($"text").as("__h"))
+    val canon = hashed.groupBy($"__h")
+      .agg(min($"doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+    hashed.join(canon, "__h")
+      .select($"doc_id", $"canonical_id", $"n_copies")
       .withColumn("is_dup",
         when($"doc_id" =!= $"canonical_id", 1).otherwise(0))
       .orderBy($"doc_id")
@@ -174,7 +214,10 @@ object Text {
 
   // q34 — n-gram Jaccard near-dup pairs: inverted-index candidate join on
   // shared 4-gram shingles (equi-join, shuffles on the shingle — never
-  // all-pairs), then exact Jaccard ≥ 0.8.
+  // all-pairs), then exact Jaccard ≥ 0.8. The chain runs on the df-capped
+  // shingle relation (MaxDocFreq, same cap in the oracle): without the cap a
+  // shingle in D documents emits D² candidate pairs, so one corpus-wide
+  // boilerplate n-gram would dominate the whole join.
   //
   // The pair graph is a shared pipeline stage: q34 reports it, q47 clusters
   // it, q49 picks winners per cluster. A real dedup pipeline materializes it
@@ -202,16 +245,16 @@ object Text {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def nearDupPairs(s: SparkSession, d: String): DataFrame =
     pairCache.getOrElseUpdate((s, d),
-      jaccardPairsFrom(shingleRows(s, d), 0.8).persist())
+      jaccardPairsFrom(cappedShingleRows(s, d), 0.8).persist())
   private def q34(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     nearDupPairs(s, d).orderBy($"doc_a", $"doc_b")
   }
   private val q34Sql =
-    s"""WITH $shingleRowsSql,
-       |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+    s"""WITH $cappedShingleRowsSql,
+       |sizes AS (SELECT doc_id, count(*) n FROM shc GROUP BY doc_id),
        |pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) shared
-       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
        |          GROUP BY 1, 2)
        |SELECT doc_a, doc_b, shared,
        |  CAST(shared AS DOUBLE) / (x.n + y.n - shared) AS jaccard
@@ -357,10 +400,10 @@ object Text {
   /** Shared CTE chain: shingles → Jaccard≥0.8 pairs → symmetric edges →
     * transitive closure → per-node component label. Used by q47 and q49. */
   private val closureCtes =
-    s"""$shingleRowsSql,
-       |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+    s"""$cappedShingleRowsSql,
+       |sizes AS (SELECT doc_id, count(*) n FROM shc GROUP BY doc_id),
        |pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) shared
-       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
        |          GROUP BY 1, 2),
        |good AS (SELECT doc_a, doc_b FROM pairs
        |         JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
@@ -447,14 +490,19 @@ object Text {
   // pipeline actually ships, vs q47's min-id canonical.
   private def q49(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // winner per cluster = min_by over the ordering struct (-n_chars,
+    // doc_id): max length, ties -> lowest id. A combiner-friendly groupBy +
+    // join-back, not a row_number window partitioned by canonical_id — a
+    // boilerplate mega-cluster would serialize through one window task.
     val clusters = q47(s, d).select($"doc_id", $"canonical_id")
     val docs = Tables.documents(s, d).select($"doc_id", $"n_chars")
-    val w = Window.partitionBy($"canonical_id")
-      .orderBy($"n_chars".desc, $"doc_id".asc)
-    clusters.join(docs, "doc_id")
-      .withColumn("rk", row_number().over(w))
+    val joined = clusters.join(docs, "doc_id")
+    val winners = joined.groupBy($"canonical_id")
+      .agg(min_by($"doc_id",
+        struct((-$"n_chars").as("q"), $"doc_id".as("i"))).as("__best"))
+    joined.join(winners, "canonical_id")
       .select($"doc_id", $"canonical_id",
-        when($"rk" === 1, 1).otherwise(0).as("keep"),
+        when($"doc_id" === $"__best", 1).otherwise(0).as("keep"),
         $"n_chars")
       .orderBy($"doc_id")
   }

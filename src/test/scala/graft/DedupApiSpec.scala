@@ -46,6 +46,38 @@ class DedupApiSpec extends AnyFunSuite {
     assert(!capped.exists(p => p._1 == 104L || p._2 == 104L))
   }
 
+  test("maxDocFreq cap plans as aggregate + broadcast anti-join, never a shingle window") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = Dedup.shingles(docs, "my_id", "body", maxDocFreq = Some(2L))
+        .queryExecution.executedPlan.toString()
+      // the only window allowed is gramRows' doc-keyed lead (doc-sized
+      // partitions); the df cap itself must never partition by the shingle
+      val w = p.linesIterator.filter(_.contains("windowspecdefinition")).toList
+      assert(w.forall(_.contains("doc_id")),
+        s"cap must not window by shingle:\n${w.mkString("\n")}")
+      assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+        s"over-cap keys must anti-join back broadcast:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("a planted corpus-wide shingle does not blow up the candidate join") {
+    // 60 docs share exactly one hot 4-gram ("common shared boiler plate");
+    // the rest of each doc is unique. Uncapped, that single shingle emits
+    // ~60²/2 candidate pairs; capped it contributes none.
+    val s = spark
+    import s.implicits._
+    val hotCorpus = (0 until 60).map(i =>
+      (i.toLong, s"common shared boiler plate unique$i token$i word$i more$i"))
+      .toDF("my_id", "body")
+    val uncapped = Dedup.jaccardPairs(hotCorpus, "my_id", "body", threshold = 0.1)
+    assert(uncapped.count() == 60L * 59 / 2, "hot shingle: quadratic pair blowup")
+    val capped = Dedup.jaccardPairs(hotCorpus, "my_id", "body", threshold = 0.1,
+      maxDocFreq = Some(10L))
+    assert(capped.count() == 0, "df cap must drop the boilerplate shingle's pairs")
+  }
+
   test("clusters + keepBest: one winner per cluster, best quality kept") {
     val cl = Dedup.clusters(docs, "my_id", "body", threshold = 0.5).persist()
     val byId = cl.collect().map(r =>

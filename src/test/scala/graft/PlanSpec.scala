@@ -76,6 +76,24 @@ class PlanSpec extends AnyFunSuite {
       "q54 shingle counts must combine map-side")
   }
 
+  test("q33/q49: dedup canonical/winner come from aggregates, not hot-key windows") {
+    // q33: a page duplicated millions of times is the hot key; canonical +
+    // copy count must be a map-side-combinable groupBy(md5(text)) +
+    // join-back, never Window.partitionBy(content hash)
+    val p33 = planOf("q33_dedup_exact")
+    assert(!p33.contains("Window"), s"q33 must not window the content hash:\n$p33")
+    assert(p33.contains("partial_min"), "q33 canonical must combine map-side")
+    // q49: winner per near-dup cluster is a min_by aggregate + join-back; a
+    // row_number window keyed on canonical_id would serialize a boilerplate
+    // mega-cluster through one task. (gramRows' doc-keyed lead window is
+    // fine: doc-sized partitions.)
+    val p49 = planOf("q49_dedup_keep_best")
+    val w49 = p49.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(w49.forall(_.contains("doc_id")),
+      s"q49 must not window by cluster id:\n${w49.mkString("\n")}")
+    assert(p49.contains("partial_min_by"), "q49 winner must combine map-side")
+  }
+
   test("q57: chunk doc frequency is pre-capped + aggregated, never windowed") {
     val p = planOf("q57_boilerplate_removal")
     // hot chunks certified from the doc sample must join back as a
