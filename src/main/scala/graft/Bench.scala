@@ -26,16 +26,18 @@ object Bench {
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
-    // two timed passes, min per query: steady-state time without GC noise
+    // three timed passes, min per query: steady-state time without GC noise.
+    // Per-pass totals are reported too — a sandbox-contended run shows up as
+    // one inflated pass against two consistent ones instead of silently
+    // poisoning the headline (r4's +57% phantom regression was exactly that).
     def timed(): Map[String, Double] = names.map { name =>
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    val p1 = timed()
-    val p2 = timed()
-    val results = names.map(n => n -> math.min(p1(n), p2(n)))
+    val passes = Seq(timed(), timed(), timed())
+    val results = names.map(n => n -> passes.map(_(n)).min)
     // the memoized dedup chain (persisted shingle/pair/label stages) pushes
     // shared cost into warmup; time those queries once COLD — caches dropped
     // before each — so per-query cost isn't hidden. Reported separately;
@@ -57,9 +59,10 @@ object Bench {
     def jmap(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val passTotals = passes.map(_.values.sum).map(f3).mkString("[", ",", "]")
     // stop Spark BEFORE emitting the JSON line so no shutdown logging can
     // interleave after it — the driver parses this line from the stream tail
     spark.stop()
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jmap(results)},"cold":${jmap(cold)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jmap(results)},"cold":${jmap(cold)},"pass_totals":$passTotals,"sf":"$sfDir"}""")
   }
 }
