@@ -76,6 +76,25 @@ class ManifestFileIndex(spark: SparkSession, dir: String) extends FileIndex {
     case _ => None // timestamps/dates etc.: conservatively no pruning
   }
 
+  /** Maximal literal runs of a LIKE pattern (between unescaped `%`/`_`),
+    * escape-aware — each must appear as a contiguous substring of any
+    * matching value. */
+  private def likeChunks(pattern: String, esc: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var i = 0
+    while (i < pattern.length) {
+      val ch = pattern.charAt(i)
+      if (ch == esc && i + 1 < pattern.length) { sb.append(pattern.charAt(i + 1)); i += 2 }
+      else if (ch == '%' || ch == '_') {
+        if (sb.nonEmpty) { out += sb.toString; sb.clear() }
+        i += 1
+      } else { sb.append(ch); i += 1 }
+    }
+    if (sb.nonEmpty) out += sb.toString
+    out.result()
+  }
+
   private def toRange(e: Expression): Option[Segments.FilePred] = e match {
     // Equals is range + bloom: point lookups on unsorted string columns
     // prune via the per-file equality bloom when the manifest carries one
@@ -99,9 +118,25 @@ class ManifestFileIndex(spark: SparkSession, dir: String) extends FileIndex {
     // prefix-prune by comparing against prefix-TRUNCATED min/max — the
     // reference's CMap rough check (rc/Like.java:60-87). A sentinel upper
     // bound (prefix + U+FFFF) would wrongly prune files whose matching
-    // strings contain U+FFFF right after the prefix.
+    // strings contain U+FFFF right after the prefix. The prefix is also a
+    // substring, so the trigram bloom tightens the check where built.
     case StartsWith(a: Attribute, l: Literal) =>
-      litStr(l).collect { case (p, false) => Segments.Prefix(a.name, p) }
+      litStr(l).collect { case (p, false) => Segments.AndPred(Seq(
+        Segments.Prefix(a.name, p), Segments.ContainsPred(a.name, p))) }
+    // LIKE '%x%' / LIKE '%x' simplify to Contains / EndsWith: substring
+    // rough check against the per-file character-trigram bloom — the CMap
+    // behavior SURVEY §4.2 previously conceded (rc/Like.java:88-110)
+    case Contains(a: Attribute, l: Literal) =>
+      litStr(l).collect { case (v, false) => Segments.ContainsPred(a.name, v) }
+    case EndsWith(a: Attribute, l: Literal) =>
+      litStr(l).collect { case (v, false) => Segments.ContainsPred(a.name, v) }
+    // general multi-wildcard LIKE ('a%b%c'): every maximal literal chunk
+    // between wildcards must appear as a substring of a matching value, so
+    // each prunes independently through the trigram bloom
+    case Like(a: Attribute, l: Literal, esc) =>
+      litStr(l).collect { case (p, false) =>
+        Segments.AndPred(likeChunks(p, esc).map(Segments.ContainsPred(a.name, _)))
+      }.filter(_.ps.nonEmpty)
     case In(a: Attribute, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
       val parsed = vs.map(v => litStr(v.asInstanceOf[Literal]))
       if (parsed.exists(_.isEmpty)) None

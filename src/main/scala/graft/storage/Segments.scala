@@ -78,12 +78,49 @@ object Segments {
     bloomPositions(v).forall(p => (bytes(p / 8) & (1 << (p % 8))) != 0)
   }
 
+  // ---- per-file character-trigram bloom (substring-LIKE pruning) --------
+  //
+  // Reference parity: IndexR's CMap answers `LIKE '%x%'` rough checks from a
+  // per-pack character sketch (rc/Like.java:60-110; index/RSIndex_CMap.java:
+  // 22-60, a 2 KiB structure). Min/max and the equality bloom can't prune a
+  // substring probe; a 8192-bit (1 KiB) bloom over every character TRIGRAM
+  // occurring in a file's column answers it: a file can contain a value
+  // matching '%x%' only if every trigram of x is present. Trigrams are
+  // CODE-POINT based on both sides (Spark's substring counts code points).
+
+  val NgramBits = 8192
+  val NgramK = 2
+  val NgramN = 3
+
+  /** Code-point trigrams of `s` — must mirror the Spark-side
+    * substring(v, i, 3) extraction exactly (both count code points). */
+  private[graft] def cpTrigrams(s: String): Seq[String] = {
+    val cps = s.codePoints().toArray
+    (0 to cps.length - NgramN).map(i => new String(cps, i, NgramN))
+  }
+
+  private[graft] def ngramPositions(tri: String): Seq[Int] =
+    (0 until NgramK).map(i => (md5LongJvm(s"c$i:$tri") % NgramBits).toInt)
+
+  /** May a value containing `needle` as a substring exist in this file's
+    * column? Conservative: needles shorter than one trigram can't be
+    * checked → true. */
+  private[graft] def ngramMightContain(hex: String, needle: String): Boolean = {
+    val tris = cpTrigrams(needle)
+    if (tris.isEmpty) true
+    else {
+      val bytes = hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      tris.forall(tri => ngramPositions(tri)
+        .forall(p => (bytes(p / 8) & (1 << (p % 8))) != 0))
+    }
+  }
+
   /** Write `df` as a dim-sorted segmented table and build its manifest.
     * `numSegments` controls file count (→ one range partition each). */
   def write(df: DataFrame, dir: String, sortCols: Seq[String],
       indexedCols: Seq[String], numSegments: Int = 8,
       rowGroupBytes: Long = 8L << 20, format: String = "parquet",
-      bloomCols: Seq[String] = Nil): Unit = {
+      bloomCols: Seq[String] = Nil, ngramCols: Seq[String] = Nil): Unit = {
     val sorted =
       if (sortCols.nonEmpty)
         df.repartitionByRange(numSegments, sortCols.map(col): _*)
@@ -95,15 +132,18 @@ object Segments {
       .option("parquet.block.size", rowGroupBytes.toString)
       .option("orc.stripe.size", rowGroupBytes.toString)
       .format(format).save(dir)
-    buildManifest(df.sparkSession, dir, indexedCols, format, bloomCols)
+    buildManifest(df.sparkSession, dir, indexedCols, format, bloomCols, ngramCols)
   }
 
   /** Build/refresh the manifest: per-file row count + min/max per column,
-    * plus a 1024-bit equality bloom for each column in `bloomCols`.
-    * Offline maintenance op: one map-side-combinable aggregation over the
-    * table for stats, plus one distinct+aggregate per bloom column. */
+    * plus a 1024-bit equality bloom for each column in `bloomCols` and an
+    * 8192-bit character-trigram bloom (substring-LIKE pruning) for each
+    * column in `ngramCols`. Offline maintenance op: one map-side-combinable
+    * aggregation over the table for stats, plus one distinct+aggregate per
+    * bloom/ngram column. */
   def buildManifest(spark: SparkSession, dir: String, indexedCols: Seq[String],
-      format: String = "parquet", bloomCols: Seq[String] = Nil): Unit = {
+      format: String = "parquet", bloomCols: Seq[String] = Nil,
+      ngramCols: Seq[String] = Nil): Unit = {
     val df = spark.read.format(format).load(dir)
     val aggs = count(lit(1)).as("__rows") +:
       indexedCols.flatMap(c => Seq(
@@ -129,6 +169,29 @@ object Segments {
           (r.getString(0), c) -> bytes.map("%02x".format(_)).mkString
         }
     }.toMap
+    // per (file, ngramCol): bit positions of every distinct code-point
+    // trigram in the column, same hash family as the driver-side check
+    // (md5Long("c<i>:"+tri)). transform/sequence are interpreted, not
+    // codegen'd — acceptable: this is the offline manifest build, not a
+    // query path.
+    val ngrams: Map[(String, String), String] = ngramCols.flatMap { c =>
+      df.select(input_file_name().as("__file"), col(c).cast("string").as("v"))
+        .filter(col("v").isNotNull && length(col("v")) >= NgramN)
+        .select(col("__file"), explode(expr(
+          s"transform(sequence(1, length(v) - ${NgramN - 1}), i -> substring(v, i, $NgramN))")).as("tri"))
+        .distinct()
+        .select(col("__file"), explode(array((0 until NgramK).map(i =>
+          pmod(md5Long(concat(lit(s"c$i:"), col("tri"))), lit(NgramBits.toLong))): _*)).as("pos"))
+        .groupBy("__file").agg(collect_set(col("pos")).as("ps"))
+        .collect()
+        .map { r =>
+          val bytes = new Array[Byte](NgramBits / 8)
+          r.getAs[Seq[Long]]("ps").foreach { p =>
+            bytes(p.toInt / 8) = (bytes(p.toInt / 8) | (1 << (p.toInt % 8))).toByte
+          }
+          (r.getString(0), c) -> bytes.map("%02x".format(_)).mkString
+        }
+    }.toMap
     def jq(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     // absent stats (all-null column in this file) → JSON null, NOT the string
     // "null" — the two must stay distinguishable for string columns whose
@@ -145,7 +208,15 @@ object Segments {
         blooms.get((file, c)).map(hex => s"${jq(c)}:${jq(hex)}"))
       val bloomPart =
         if (bloomColsJson.isEmpty) "" else s""","blooms":{${bloomColsJson.mkString(",")}}"""
-      s"""{"file":${jq(file)},"rows":${r.getAs[Long]("__rows")},"stats":{${statCols.mkString(",")}}$bloomPart}"""
+      // a file absent from the ngram aggregate has no value long enough to
+      // contain a trigram — an all-zero bloom is exact there (any >=3-char
+      // needle prunes it), not merely conservative
+      val zeroHex = "00" * (NgramBits / 8)
+      val ngramColsJson = ngramCols.map(c =>
+        s"${jq(c)}:${jq(ngrams.getOrElse((file, c), zeroHex))}")
+      val ngramPart =
+        if (ngramColsJson.isEmpty) "" else s""","ngrams":{${ngramColsJson.mkString(",")}}"""
+      s"""{"file":${jq(file)},"rows":${r.getAs[Long]("__rows")},"stats":{${statCols.mkString(",")}}$bloomPart$ngramPart}"""
     }.mkString("[", ",", "]")
     writeTextFile(s"$dir/$ManifestFile",
       s"""{"version":$ManifestVersion,"format":${jq(format)},"files":$entries}""")
@@ -176,10 +247,12 @@ object Segments {
 
   /** Per-file stats; a bound is None when the column is entirely null in the
     * file (no min/max exists) — such files are never pruned. `blooms` maps a
-    * column to its 1024-bit equality bloom (hex), when built. */
+    * column to its 1024-bit equality bloom (hex), `ngrams` to its 8192-bit
+    * character-trigram bloom (substring pruning), when built. */
   case class FileStats(file: String, rows: Long,
       stats: Map[String, (Option[String], Option[String])],
-      blooms: Map[String, String] = Map.empty)
+      blooms: Map[String, String] = Map.empty,
+      ngrams: Map[String, String] = Map.empty)
 
   /** The storage format recorded in the manifest ("parquet" or "orc"). */
   def manifestFormat(dir: String): String = {
@@ -209,6 +282,10 @@ object Segments {
           k -> ((bound(v \ "min")), (bound(v \ "max")))
         }.toMap,
         (f \ "blooms") match {
+          case JObject(obj) => obj.collect { case (k, JString(hex)) => k -> hex }.toMap
+          case _ => Map.empty[String, String]
+        },
+        (f \ "ngrams") match {
           case JObject(obj) => obj.collect { case (k, JString(hex)) => k -> hex }.toMap
           case _ => Map.empty[String, String]
         })
@@ -278,6 +355,17 @@ object Segments {
         !(eq(mn, mx) && eq(mn, value))
       case _ => true
     }
+  }
+
+  /** Substring predicate (`LIKE '%needle%'`, or one literal chunk of a
+    * general LIKE pattern) via the per-file character-trigram bloom — the
+    * reference's CMap substring rough check (rc/Like.java:88-110). A file
+    * may match only if every trigram of the needle is present; files
+    * without an ngram bloom for the column, and needles shorter than one
+    * trigram, are never pruned. */
+  case class ContainsPred(colName: String, needle: String) extends FilePred {
+    def mayMatch(fs: FileStats): Boolean =
+      fs.ngrams.get(colName).forall(hex => ngramMightContain(hex, needle))
   }
 
   /** Prefix predicate (LIKE 'p%') via prefix-truncated min/max compare — the

@@ -214,6 +214,35 @@ class ModelStorageSpec extends AnyFunSuite {
     assert(n == 1 && index.lastKept < 8)
   }
 
+  test("trigram manifest prunes substring-LIKE probes (CMap parity)") {
+    import graft.plans.ManifestFileIndex
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ngram").toString + "/t"
+    // 1000 id-sorted rows in 8 files; only ids < 100 (one range file)
+    // contain the marker substring — min/max on txt can't express that
+    val df = spark.range(1000).select($"id",
+      concat(lit("plain text body "),
+        when($"id" < 100, lit("xylophone ")).otherwise(lit("")),
+        lit("tail"), $"id").as("txt"))
+    Segments.write(df.toDF(), dir, sortCols = Seq("id"),
+      indexedCols = Seq("id"), numSegments = 8, ngramCols = Seq("txt"))
+    val m = Segments.readManifest(dir)
+    assert(m.forall(_.ngrams.contains("txt")), "every file carries a txt trigram bloom")
+
+    val (fullRead, index) = ManifestFileIndex.readWithIndex(spark, dir)
+    // present substring: all matching rows survive, non-matching files skip
+    assert(fullRead.filter($"txt".like("%xylophone%")).count() == 100)
+    assert(index.lastKept <= 2, s"substring-LIKE kept ${index.lastKept} of 8 files")
+    // absent substring: no rows, (near-)total prune — bloom FP tail allowed
+    assert(fullRead.filter($"txt".like("%qqqzzz%")).count() == 0)
+    assert(index.lastKept <= 2, s"absent needle kept ${index.lastKept} of 8 files")
+    // general multi-wildcard LIKE: each literal chunk prunes independently
+    assert(fullRead.filter($"txt".like("%xylo%hone%")).count() == 100)
+    assert(index.lastKept <= 2, s"chunked LIKE kept ${index.lastKept} of 8 files")
+    // sub-trigram needle can't prune but must stay correct
+    assert(fullRead.filter($"txt".like("%xy%")).count() == 100)
+  }
+
   test("csv bulk load applies spec types/defaults and round-trips via export") {
     import graft.sources.Csv
     val dir = Files.createTempDirectory("graft-csv").toString
