@@ -81,40 +81,112 @@ object Similarity {
       |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine
       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
-  // q38 — IVF-style ANN: centroids = per-label mean vector (the "coarse
-  // quantizer"); each query probes its `nprobe` nearest centroids' clusters
-  // and scans only those. Approximate (no oracle — verified by
-  // recall-vs-brute in PipelineOpsSpec). On clustered data recall@k ≈ 1 with
-  // small nprobe; on uniform-random embeddings (this testdata — measured
-  // intra≈inter cosine) recall is bounded by ≈ nprobe/nlist, which the spec
-  // asserts.
+  // q38 — IVF ANN: coarse quantizer = LEARNED k-means centroids (Lloyd's,
+  // deterministic hash-spread init — no label column involved); each query
+  // probes its `nprobe` nearest centroids' clusters and scans only those.
+  // Approximate (no oracle — verified by recall-vs-brute in
+  // PipelineOpsSpec). On clustered data recall@k ≈ 1 with small nprobe; on
+  // uniform-random embeddings (this testdata — measured intra≈inter cosine)
+  // recall is bounded by ≈ nprobe/nlist, which the spec asserts.
   val nprobe = 3
+  val nlist = 10
+
+  /** Deterministic Lloyd's k-means over an embedding column.
+    * Returns (centroids (cid, ce, cn), assignment (vec_id, cid)).
+    *
+    *  - init: deterministic farthest-point (maximin) seeding — first seed
+    *    by md5(vec_id) rank, each next seed the vector least similar to
+    *    every chosen seed (ties → lowest vec_id). No RNG, replicates across
+    *    engines/reruns, and one seed lands in each well-separated cluster
+    *    (random seeding's split-cluster local optimum can't happen);
+    *  - assign: nearest centroid by cosine, computed as a broadcast
+    *    cross-join (centroids are tiny) + map-side-combinable min_by — each
+    *    vector's nlist candidate rows collapse to one BEFORE the shuffle,
+    *    so per-iteration shuffle volume is one row per vector, skew-free;
+    *  - update: per-(cid, dim) mean, collected to the driver (nlist×dims
+    *    values — bounded, like AQE stats); empty clusters keep their
+    *    previous centroid.
+    *
+    * `trainPct` trains on a deterministic md5 hash-sample of the vectors
+    * (standard IVF practice: fit the quantizer on a sample, then one
+    * map-only labeling pass over everything) — at 100 TB pass 1-5; the
+    * final assignment always covers every vector. */
+  def kmeansFit(emb: DataFrame, vecCol: String, nlist: Int, iters: Int,
+      trainPct: Int = 100): (DataFrame, DataFrame) = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val vecs = emb.select($"vec_id", col(vecCol).as("ve"))
+      .withColumn("vn", normScaled("ve"))
+    val train =
+      if (trainPct >= 100) vecs
+      else vecs.filter(
+        graft.functions.Ops.md5Long(concat(lit("kms:"), $"vec_id".cast("string"))) % 100L < trainPct)
+    def centDf(cent: Seq[(Int, Array[Float])]): DataFrame =
+      broadcast(cent.toDF("cid", "ce").withColumn("cn", normScaled("ce")))
+    def assign(cDf: DataFrame, data: DataFrame): DataFrame =
+      data.crossJoin(cDf)
+        .select($"vec_id",
+          struct(negate(cosine(dotScaled("ve", "ce"), $"vn", $"cn")).as("negcos"),
+            $"cid").as("key"))
+        .groupBy($"vec_id").agg(min($"key").as("k"))
+        .select($"vec_id", $"k.cid".as("cid"))
+    val first = train
+      .orderBy(graft.functions.Ops.md5Long(concat(lit("km:"), $"vec_id".cast("string"))), $"vec_id")
+      .select($"ve").head().getSeq[Float](0).toArray
+    var cent: Seq[(Int, Array[Float])] = Seq(0 -> first)
+    while (cent.size < nlist) {
+      val next = train.crossJoin(centDf(cent))
+        .groupBy($"vec_id")
+        .agg(max(cosine(dotScaled("ve", "ce"), $"vn", $"cn")).as("maxcos"))
+        .orderBy($"maxcos".asc, $"vec_id".asc).limit(1)
+        .join(vecs, "vec_id").select($"ve").head().getSeq[Float](0).toArray
+      cent = cent :+ (cent.size -> next)
+    }
+    for (_ <- 0 until iters) {
+      val means = train.join(assign(centDf(cent), train), "vec_id")
+        .select($"cid", posexplode($"ve").as(Seq("pos", "v")))
+        .groupBy($"cid", $"pos").agg(avg($"v").as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toArray }
+      cent = cent.map { case (cid, old) => cid -> means.getOrElse(cid, old) }
+    }
+    (centDf(cent), assign(centDf(cent), vecs))
+  }
+
+  // the fitted quantizer is a materialization boundary (train once, serve
+  // many queries) — memoized per (session, dir) like the dedup stages
+  private val kmCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+  private[operators] def invalidateCaches(s: SparkSession, d: String): Unit =
+    kmCache.remove((s, d)).foreach(_._2.unpersist(blocking = false))
+  private def fittedIvf(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    kmCache.getOrElseUpdate((s, d), {
+      val (c, a) = kmeansFit(Tables.embeddings(s, d), "embedding",
+        nlist = nlist, iters = 4)
+      (c, a.persist())
+    })
+
   def q38(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, d).withColumn("norm", normScaled("embedding"))
-    // centroids: posexplode → per-(label, dim) mean → re-assembled array
-    val cent = Tables.embeddings(s, d)
-      .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
-      .groupBy($"label", $"pos").agg(avg($"v").as("m"))
-      .groupBy($"label")
-      .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
-      .select($"label".as("c_label"),
-        expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("ce"))
-      .withColumn("cn", normScaled("ce"))
+    val (cent, assignment) = fittedIvf(s, d)
     val q = e.filter($"vec_id" < 5)
       .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"norm".as("qn"))
-    // nearest centroid per query (tiny: #labels rows)
+    // nearest centroids per query (tiny: nlist rows)
     val wq = Window.partitionBy($"query_id")
-      .orderBy(cosine(dotScaled("qe", "ce"), col("qn"), col("cn")).desc, $"c_label".asc)
-    val probe = q.crossJoin(broadcast(cent))
+      .orderBy(cosine(dotScaled("qe", "ce"), col("qn"), col("cn")).desc, $"cid".asc)
+    val probe = q.crossJoin(cent)
       .withColumn("crank", row_number().over(wq))
       .filter($"crank" <= nprobe)
-      .select($"query_id", $"qe", $"qn", $"c_label")
-    // scan only the probed cluster
-    val b = e.select($"vec_id".as("neighbor_id"), $"embedding".as("be"),
-      $"norm".as("bn"), $"label")
+      .select($"query_id", $"qe", $"qn", $"cid".as("c_cid"))
+    // scan only the probed clusters (assignment join is doc-keyed, even)
+    val b = e.join(assignment, "vec_id")
+      .select($"vec_id".as("neighbor_id"), $"embedding".as("be"),
+        $"norm".as("bn"), $"cid")
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
-    b.join(broadcast(probe), $"label" === $"c_label" && $"neighbor_id" =!= $"query_id")
+    b.join(broadcast(probe), $"cid" === $"c_cid" && $"neighbor_id" =!= $"query_id")
       .select($"query_id", $"neighbor_id",
         cosine(dotScaled("qe", "be"), $"qn", $"bn").as("cosine"))
       .withColumn("rank", row_number().over(w))

@@ -92,6 +92,7 @@ object Text {
       c.remove((s, d)).foreach(_.unpersist(blocking = false))
     }
     Curation.invalidateCaches(s, d)
+    Similarity.invalidateCaches(s, d)
   }
   private val shingleRowsSql =
     """toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),

@@ -38,13 +38,12 @@ class PipelineOpsSpec extends AnyFunSuite {
   test("exact dedup is the identity on a dup-free corpus, and catches real dups") {
     val base = SparkEntry.queries("q33_dedup_exact")(spark, sf)
     assert(base.filter(col("is_dup") === 1).count() == 0)
-    // inject a duplicated corpus through the same operator shape
+    // inject a duplicated corpus through the public operator itself
     val docs = Tables.documents(spark, sf).limit(10)
-    val dup = docs.union(docs)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))
-    val out = dup.select(col("doc_id"), min(col("doc_id")).over(w).as("canonical_id"),
-      count(lit(1)).over(w).as("n_copies"))
+    val dup = docs.union(docs.withColumn("doc_id", col("doc_id") + 1000000))
+    val out = operators.Dedup.exact(dup, "doc_id", "text")
     assert(out.filter(col("n_copies") =!= 2).count() == 0)
+    assert(out.filter(col("is_dup") === 1).count() == 10)
   }
 
   test("IVF ANN: recall consistent with nprobe/nlist bound, and prunes the scan") {
@@ -59,6 +58,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.15, s"IVF recall@10 = $recall, below nprobe/nlist band")
     // the scale property: every result comes from a probed cluster only
     assert(ivf.size <= brute.size)
+  }
+
+  test("learned k-means recovers planted clusters without any label column") {
+    import spark.implicits._
+    // 5 tight direction-clusters of 40 vectors; the quantizer sees only the
+    // embedding column (deterministic hash-spread init, 6 Lloyd's rounds)
+    val rnd = new scala.util.Random(11)
+    val centers = (0 until 5).map(_ => Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    val rows = for (c <- 0 until 5; i <- 0 until 40) yield
+      ((c * 40 + i).toLong,
+        centers(c).map(v => v + (rnd.nextFloat() - 0.5f) * 0.05f), c)
+    val emb = rows.toDF("vec_id", "embedding", "true_c")
+    val (_, assignment) = operators.Similarity.kmeansFit(
+      emb.toDF(), "embedding", nlist = 5, iters = 6)
+    val a = assignment.join(emb.select($"vec_id", $"true_c"), "vec_id")
+      .collect().map(r => (r.getAs[Int]("true_c"), r.getAs[Int]("cid")))
+    // purity: each planted cluster is dominated by one learned cid
+    val purity = (0 until 5).map { c =>
+      val cids = a.filter(_._1 == c).map(_._2)
+      cids.groupBy(identity).values.map(_.size).max.toDouble / cids.size
+    }
+    assert(purity.forall(_ >= 0.9), s"cluster purity $purity")
+    // and rerunning reproduces the identical assignment (determinism)
+    val (_, again) = operators.Similarity.kmeansFit(
+      emb.toDF(), "embedding", nlist = 5, iters = 6)
+    assert(again.collect().toSet == assignment.collect().toSet)
   }
 
   test("embedding-cosine LSH near-dup finds planted near-identical vectors") {
