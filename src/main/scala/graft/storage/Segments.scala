@@ -128,10 +128,19 @@ object Segments {
       else df.repartition(numSegments)
     // row-group/stripe size ≈ the reference's 64Ki-row pack granularity
     // (the unit of stats-based skipping inside a file — DataPack.java:36-38)
-    sorted.write.mode("overwrite")
+    val base = sorted.write.mode("overwrite")
       .option("parquet.block.size", rowGroupBytes.toString)
       .option("orc.stripe.size", rowGroupBytes.toString)
-      .format(format).save(dir)
+    // pack-level value indexing for the equality-probe columns: native
+    // Parquet/ORC bloom filters per row group/stripe — the in-file analogue
+    // of the reference's per-pack string-hash index (ExtIndex_Str_Hash
+    // .java:25,49-55): the manifest bloom skips whole FILES, these skip row
+    // groups INSIDE kept files, and the reader consults them automatically
+    // on pushed-down = / IN probes.
+    val withBlooms = bloomCols.foldLeft(base)((w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true"))
+      .option("orc.bloom.filter.columns", bloomCols.mkString(","))
+    withBlooms.format(format).save(dir)
     buildManifest(df.sparkSession, dir, indexedCols, format, bloomCols, ngramCols)
   }
 

@@ -212,6 +212,24 @@ class ModelStorageSpec extends AnyFunSuite {
     // IN-list pruning is per-value (disjunction of blooms), not min..max span
     val n = fullRead.filter($"key".isin(keys(0), "absent-x")).count()
     assert(n == 1 && index.lastKept < 8)
+
+    // pack level: the parquet footer carries a native bloom filter for the
+    // column (row-group skipping inside kept files — ExtIndex_Str_Hash
+    // parity at pack scope; the reader consults it on pushed-down probes)
+    import scala.jdk.CollectionConverters._
+    val pf = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(pf.getPath),
+        spark.sparkContext.hadoopConfiguration))
+    try {
+      val cols = reader.getFooter.getBlocks.get(0).getColumns.asScala
+      val keyCol = cols.find(_.getPath.toDotString == "key").get
+      assert(keyCol.getBloomFilterOffset >= 0, "key column must carry a bloom filter")
+      val idCol = cols.find(_.getPath.toDotString == "id").get
+      assert(idCol.getBloomFilterOffset < 0, "non-bloom column stays bloom-free")
+    } finally reader.close()
   }
 
   test("trigram manifest prunes substring-LIKE probes (CMap parity)") {
