@@ -321,6 +321,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(all.select("dim").collect().map(_.getString(0)).toSet == Set("a", "b", "c"))
   }
 
+  test("kafka connector registration (auto-activates when the jar is present)") {
+    // the decode→rollup→compact→hybrid chain is proven above on
+    // kafka-wire-shaped records; this checks the `format("kafka")` source
+    // registration itself, which needs the spark-sql-kafka connector jar —
+    // absent in this environment, so the test self-skips until it appears
+    val available =
+      try {
+        org.apache.spark.sql.execution.datasources.DataSource
+          .lookupDataSource("kafka", spark.sessionState.conf)
+        true
+      } catch { case _: Throwable => false }
+    assume(available, "spark-sql-kafka connector jar not on the classpath")
+    val df = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", "localhost:9092")
+      .option("subscribe", "events").load()
+    // the wire schema Streams.kafkaValueToJson consumes
+    assert(Seq("key", "value", "topic", "partition", "offset")
+      .forall(df.schema.fieldNames.contains))
+  }
+
   test("rt2his reorganizes realtime parts into a date-partitioned historical table") {
     import spark.implicits._
     val rt = Files.createTempDirectory("graft-rt3").toString
