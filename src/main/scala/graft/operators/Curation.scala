@@ -416,6 +416,66 @@ object Curation {
       |SELECT doc_id, CASE WHEN reason IS NULL THEN 1 ELSE 0 END AS keep, reason
       |FROM r ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // PII redaction: the compliance pass every training-data pipeline runs
+  // before packing. Map-only (count + replace per pattern, no shuffle at
+  // any scale); patterns are chosen to mean the same thing in Java regex
+  // (Spark) and RE2 (DuckDB) — no lookaround, no backreferences — so the
+  // redacted bytes replicate bit-for-bit across engines.
+
+  /** (name, pattern, replacement), applied in order. Counts are measured on
+    * the ORIGINAL text; replacement is sequential. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\b\\d{3}-\\d{3,4}-\\d{4}\\b", "<PHONE>"))
+
+  /** Redact PII occurrences in `textCol`. Output: (doc_id, text,
+    * n_<name> per pattern, redacted). */
+  def redactPii(df: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[(String, String, String)] = piiPatterns): DataFrame = {
+    val base = normalized(df, idCol, textCol)
+    val counted = patterns.foldLeft(base) { case (d, (name, re, _)) =>
+      d.withColumn(s"n_$name", regexp_count(col("text"), lit(re)).cast(IntegerType))
+    }
+    val redacted = patterns.foldLeft(col("text")) { case (c, (_, re, repl)) =>
+      regexp_replace(c, lit(re), lit(repl))
+    }
+    counted.withColumn("redacted", redacted)
+  }
+
+  private def q64(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // the synthetic corpus contains no PII, which would make this gate
+    // vacuous — derive a PII-bearing column from each row (identical
+    // derivation in the oracle) so match/replace parity is exercised on
+    // every row with row-varying content
+    val enriched = Tables.documents(s, d).withColumn("text2",
+      concat($"text", lit(" contact user"), $"doc_id",
+        lit("@mail.example.org or 555-"),
+        lpad(($"doc_id" % 10000).cast(StringType), 4, "0"),
+        lit("-1234 at 10."), ($"doc_id" % 256).cast(StringType), lit(".0.7")))
+    redactPii(enriched, "doc_id", "text2")
+      .select($"doc_id", $"n_email", $"n_ip", $"n_phone",
+        md5($"redacted").as("red_fp"))
+      .orderBy($"doc_id")
+  }
+  private val q64Sql = {
+    val Seq(email, ip, phone) = piiPatterns.map(_._2)
+    s"""WITH e AS (SELECT doc_id,
+       |  text || ' contact user' || doc_id || '@mail.example.org or 555-' ||
+       |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-1234 at 10.' ||
+       |  CAST(doc_id % 256 AS VARCHAR) || '.0.7' AS t FROM documents)
+       |SELECT doc_id,
+       | CAST(length(regexp_extract_all(t, '$email')) AS INTEGER) AS n_email,
+       | CAST(length(regexp_extract_all(t, '$ip')) AS INTEGER) AS n_ip,
+       | CAST(length(regexp_extract_all(t, '$phone')) AS INTEGER) AS n_phone,
+       | md5(regexp_replace(regexp_replace(regexp_replace(t,
+       |   '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$phone', '<PHONE>', 'g'))
+       |   AS red_fp
+       |FROM e ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_boilerplate_removal" -> q57,
     "q58_tfidf_topk" -> q58,
@@ -423,6 +483,7 @@ object Curation {
     "q60_decontaminate" -> q60,
     "q62_quality_filter" -> q62,
     "q63_mix_sources" -> q63,
+    "q64_pii_redact" -> q64,
   )
 
   val oracles: Map[String, String] = Map(
@@ -432,5 +493,6 @@ object Curation {
     "q60_decontaminate" -> q60Sql,
     "q62_quality_filter" -> q62Sql,
     "q63_mix_sources" -> q63Sql,
+    "q64_pii_redact" -> q64Sql,
   )
 }

@@ -126,6 +126,31 @@ class CurationSpec extends AnyFunSuite {
     assert(dropped == 0L)
   }
 
+  test("redactPii counts and replaces emails/phones/IPs, leaves lookalikes") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail a.b+c%d@sub.example.co.uk now"),        // tricky local part
+      (2L, "call 555-867-5309 or 555-0042-1234 today"),  // 3- and 4-digit mid
+      (3L, "host 192.168.0.1 and 10.0.0.7 up"),          // two IPs
+      (4L, "not pii: 12-34, 1234.5.6.7, user@host, 3.14"), // lookalikes
+      (5L, "edge user@x.io"))                            // match at string end
+    .toDF("id", "body")
+    val out = graft.operators.Curation.redactPii(docs, "id", "body")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Int]("n_email") == 1)
+    assert(out(1L).getAs[String]("redacted") == "mail <EMAIL> now")
+    assert(out(2L).getAs[Int]("n_phone") == 2)
+    assert(out(2L).getAs[String]("redacted") == "call <PHONE> or <PHONE> today")
+    assert(out(3L).getAs[Int]("n_ip") == 2)
+    assert(out(3L).getAs[String]("redacted") == "host <IP> and <IP> up")
+    // lookalikes: user@host has no dot-TLD, 1234.5.6.7 has a 4-digit octet
+    // with no word boundary, 12-34 and 3.14 match nothing
+    assert(out(4L).getAs[Int]("n_email") == 0 && out(4L).getAs[Int]("n_ip") == 0
+      && out(4L).getAs[Int]("n_phone") == 0)
+    assert(out(4L).getAs[String]("redacted") == "not pii: 12-34, 1234.5.6.7, user@host, 3.14")
+    assert(out(5L).getAs[String]("redacted") == "edge <EMAIL>")
+  }
+
   test("packSequences: offsets are contiguous per shard and budget-aligned") {
     val out = Curation.packSequences(docs, "my_id", "body",
       budget = 10, shards = 2).collect()
