@@ -86,6 +86,39 @@ class PropertySpec extends AnyFunSuite {
       }
   }
 
+  test("trigram pruning is sound: substring probes never lose a match") {
+    import spark.implicits._
+    import graft.plans.ManifestFileIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft-prop-ng").toString + "/t"
+    // random word-soup texts (varied lengths, shared + rare vocab)
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "fox",
+      "golf", "hotel", "india", "jazz", "kilo", "xylem", "quartz", "zephyr")
+    val wordGen = Gen.oneOf(vocab)
+    val textGen = Gen.chooseNum(3, 9).flatMap(n =>
+      Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    val texts = samples(textGen, 300).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    graft.storage.Segments.write(texts.toDF("id", "txt"), dir,
+      sortCols = Seq("id"), indexedCols = Seq("id"), numSegments = 6,
+      ngramCols = Seq("txt"))
+    val (pruned, _) = ManifestFileIndex.readWithIndex(spark, dir)
+    val raw = spark.read.parquet(dir)
+    // probes: substrings of ACTUAL texts (must match; false negative = lost
+    // row) plus absent needles (must return 0, never a phantom)
+    val rnd = new scala.util.Random(4242)
+    val present = (0 until 25).map { _ =>
+      val t = texts(rnd.nextInt(texts.size))._2
+      val start = rnd.nextInt(math.max(1, t.length - 8))
+      t.substring(start, math.min(t.length, start + 3 + rnd.nextInt(6)))
+    }
+    val absent = Seq("zzz", "qqqxx", "bravoq", "xylemzz")
+    (present ++ absent).foreach { needle =>
+      val got = pruned.filter(col("txt").contains(needle)).count()
+      val want = raw.filter(col("txt").contains(needle)).count()
+      assert(got == want, s"probe '$needle': pruned=$got full=$want")
+    }
+  }
+
   test("boilerplate chunking round-trips: unlimited cap reassembles the text") {
     import spark.implicits._
     // random token docs of varied lengths, including lengths that don't
