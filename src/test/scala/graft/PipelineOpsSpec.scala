@@ -143,12 +143,14 @@ class PipelineOpsSpec extends AnyFunSuite {
 
   test("connectedComponents converges on components with diameter > 16") {
     import spark.implicits._
-    // a 40-node path graph: min-label needs ~39 propagation rounds, so any
-    // fixed round cap below that silently splits the component
-    val pairs = (1L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    // a 300-node path graph: plain min-label would need ~299 propagation
+    // rounds (and any fixed round cap below that silently splits the
+    // component); pointer jumping must converge it in O(log diameter) —
+    // the test completing in seconds IS the evidence
+    val pairs = (1L until 300L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val dist = operators.Text.connectedComponents(pairs, localThreshold = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(dist.size == 40)
+    assert(dist.size == 300)
     assert(dist.values.forall(_ == 1L), s"unconverged labels: $dist")
   }
 
