@@ -44,7 +44,8 @@ object Bench {
     // the warm "queries" map stays the comparable headline.
     val coldNames = Seq("q34_dedup_ngram_jaccard", "q35_dedup_minhash_lsh",
       "q47_dedup_clusters", "q49_dedup_keep_best", "q54_passage_overlap",
-      "q38_ann_ivf") // q38 cold = quantizer fit + assignment, hidden warm
+      "q38_ann_ivf", // q38/q67 cold = quantizer fit, hidden warm
+      "q67_semantic_dedup", "q68_minhash_against")
       .filter(SparkEntry.queries.contains)
     val cold = coldNames.map { name =>
       graft.operators.Text.invalidateCaches(spark, sfDir)

@@ -23,7 +23,8 @@ object Explain {
         "q37_ann_brute", "q44_tpch5_local_volume", "q34_dedup_ngram_jaccard",
         "q50_tpch18_big_orders", "q53_repetition_ratio", "q54_passage_overlap",
         "q57_boilerplate_removal", "q58_tfidf_topk", "q59_pack_sequences",
-        "q60_decontaminate")
+        "q60_decontaminate", "q65_exact_against", "q66_term_rarity",
+        "q68_minhash_against")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

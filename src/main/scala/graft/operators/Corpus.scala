@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Ops.md5LongSql
+
+/** Cross-corpus + corpus-statistics operators on the `documents` table —
+  * the decontamination / quality-scoring passes a training pipeline runs
+  * between dedup and packing. The reference set for q65/q68 is the
+  * deterministic `doc_id % 20 = 0` slice, standing in for a benchmark
+  * corpus (identical slice in the DuckDB oracles).
+  */
+object Corpus {
+
+  private def ref(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).filter($"doc_id" % 20 === 0)
+  }
+
+  // q65 — document-level exact decontamination: flag corpus docs whose
+  // content hash appears in the reference set (Dedup.exactAgainst — the
+  // broadcast hash semi-join; map-only over the corpus side at any scale).
+  private def q65(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.exactAgainst(Tables.documents(s, d), "doc_id", "text", ref(s, d), "text")
+      .withColumn("keep", lit(1) - $"in_ref")
+      .orderBy($"doc_id")
+  }
+  private val q65Sql =
+    """WITH ref AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 20 = 0)
+      |SELECT d.doc_id,
+      |  CASE WHEN r.h IS NOT NULL THEN 1 ELSE 0 END AS in_ref,
+      |  CASE WHEN r.h IS NOT NULL THEN 0 ELSE 1 END AS keep
+      |FROM documents d LEFT OUTER JOIN ref r ON md5(d.text) = r.h
+      |ORDER BY d.doc_id""".stripMargin
+
+  // q66 — corpus-frequency term-rarity score (TextStats.termRarity): exact
+  // integer mean inverse term probability per document — the cross-document
+  // quality signal (q30's signals are intra-document). The corpus token
+  // count is memoized per (session, dir) like q58's doc count.
+  private val totCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+  private def q66(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val total = totCache.getOrElseUpdate((s, d),
+      docs.select(size(split(trim($"text"), "\\s+")).as("n"))
+        .agg(sum($"n")).head().getLong(0))
+    TextStats.termRarity(docs, "doc_id", "text", totalHint = Some(total))
+      .orderBy($"doc_id")
+  }
+  private val q66Sql =
+    """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |             FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |freq AS (SELECT term, SUM(tf) AS freq FROM tf GROUP BY 1),
+      |tot AS (SELECT SUM(freq) AS t FROM freq)
+      |SELECT doc_id, CAST(SUM(tf) AS INTEGER) AS n_tokens,
+      |  CAST(SUM(tf * (((SELECT t FROM tot) * 1000000) // freq)) // SUM(tf) AS BIGINT)
+      |    AS rarity_scaled
+      |FROM tf JOIN freq USING (term)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // q68 — document-level FUZZY decontamination: corpus docs whose estimated
+  // shingle-Jaccard against a reference doc is ≥ 0.5, via MinHash + a band
+  // equi-join between the corpora (Dedup.minhashAgainst). Complements q60
+  // (shared-gram counts) and q65 (exact hash). The pair frame is a
+  // materialization boundary → memoized per (session, dir) like the
+  // intra-corpus dedup stages.
+  private val fuzzyCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def q68(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = fuzzyCache.getOrElseUpdate((s, d),
+      Dedup.minhashAgainst(Tables.documents(s, d), "doc_id", "text",
+        ref(s, d), "doc_id", "text", minSim = 0.5).persist())
+    pairs.orderBy($"doc_id", $"ref_id")
+  }
+  private val q68Sql = {
+    val K = 8
+    val mins = (0 until K).map(i =>
+      s"min(${md5LongSql(s"concat('s$i:', s)")}) AS h$i").mkString(",\n  ")
+    val matches = (0 until K).map(i =>
+      s"CASE WHEN x.h$i = y.h$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH ${Text.shingleRowsSql},
+       |sigs AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, 0 AS band, concat_ws(',', h0, h1, h2, h3) AS bkey FROM sigs
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, concat_ws(',', h4, h5, h6, h7) AS bkey FROM sigs),
+       |cand AS (SELECT DISTINCT c.doc_id AS doc_id, r.doc_id AS ref_id
+       |         FROM banded c JOIN banded r
+       |           ON c.band = r.band AND c.bkey = r.bkey AND r.doc_id % 20 = 0)
+       |SELECT cand.doc_id, cand.ref_id, CAST($matches AS DOUBLE) / $K AS est_sim
+       |FROM cand JOIN sigs x ON cand.doc_id = x.doc_id
+       |          JOIN sigs y ON cand.ref_id = y.doc_id
+       |WHERE CAST($matches AS DOUBLE) / $K >= 0.5
+       |ORDER BY cand.doc_id, cand.ref_id""".stripMargin
+  }
+
+  /** Drop the memoized corpus stats / fuzzy pairs for (session, dir) —
+    * chained from Text.invalidateCaches. */
+  private[operators] def invalidateCaches(s: SparkSession, d: String): Unit = {
+    totCache.remove((s, d))
+    fuzzyCache.remove((s, d)).foreach(_.unpersist(blocking = false))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_exact_against" -> q65,
+    "q66_term_rarity" -> q66,
+    "q68_minhash_against" -> q68,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q65_exact_against" -> q65Sql,
+    "q66_term_rarity" -> q66Sql,
+    "q68_minhash_against" -> q68Sql,
+  )
+}

@@ -67,6 +67,51 @@ object Dedup {
       .withColumn("is_dup", when($"doc_id" =!= $"canonical_id", 1).otherwise(0))
   }
 
+  /** Cross-corpus exact-duplicate marking: flag every row of `df` whose
+    * content hash appears in `ref` — document-level decontamination against
+    * a benchmark / blocklist / already-ingested corpus (the content-hash
+    * complement of [[graft.operators.Curation.decontaminate]]'s n-gram
+    * overlap check). Output: (doc_id, in_ref).
+    *
+    * Map-only over the corpus when the ref hash set broadcasts (benchmark
+    * corpora are tiny next to a crawl — the default); `broadcastRef=false`
+    * falls back to a shuffled join on the hash for a reference corpus too
+    * big to broadcast. Hashing first means only (id, md5) ever moves. */
+  def exactAgainst(df: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refTextCol: String,
+      broadcastRef: Boolean = true): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val hashes0 = ref.select(md5(col(refTextCol)).as("__h")).distinct()
+      .withColumn("__m", lit(1))
+    val hashes = if (broadcastRef) broadcast(hashes0) else hashes0
+    normalized(df, idCol, textCol)
+      .select($"doc_id", md5($"text").as("__h"))
+      .join(hashes, Seq("__h"), "left_outer")
+      .select($"doc_id", when($"__m".isNotNull, 1).otherwise(0).as("in_ref"))
+  }
+
+  /** Cross-corpus fuzzy contamination: corpus documents whose estimated
+    * n-gram Jaccard against some reference document reaches `minSim`, via
+    * MinHash signatures + an LSH band equi-join between the two corpora —
+    * the document-level fuzzy decontamination pass (vs [[exactAgainst]]'s
+    * exact hash and `Curation.decontaminate`'s shared-gram count).
+    * Output: (doc_id, ref_id, est_sim).
+    *
+    * Candidates come from a band-key equi-join (never corpus×ref pairs);
+    * signatures are one combiner-friendly aggregate per side, so the corpus
+    * side streams map-only into the shuffle. Band keys are degenerate only
+    * for content-identical docs — exactly the rows that should collide. */
+  def minhashAgainst(df: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refIdCol: String, refTextCol: String,
+      n: Int = 4, k: Int = 8, bands: Int = 2, minSim: Double = 0.5,
+      maxDocFreq: Option[Long] = None): DataFrame = {
+    val sigsC = Text.minhashSigsFrom(shingles(df, idCol, textCol, n, maxDocFreq), k)
+    val sigsR = Text.minhashSigsFrom(shingles(ref, refIdCol, refTextCol, n, maxDocFreq), k)
+    Text.minhashPairsAcross(sigsC, sigsR, k, bands)
+      .filter(col("est_sim") >= minSim)
+  }
+
   /** Near-duplicate pairs at exact n-gram Jaccard ≥ threshold.
     * Output: (doc_a, doc_b, shared, jaccard), doc_a < doc_b. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int = 4,

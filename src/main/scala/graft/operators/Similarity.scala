@@ -195,6 +195,60 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Semantic deduplication (SemDeDup, arXiv:2303.09540): cluster the
+    * embeddings with the learned coarse quantizer ([[kmeansFit]] — no
+    * labels involved), then connected components over within-cluster pairs
+    * at cosine ≥ `tau`; canonical = min id per component. Output:
+    * (vec_id, canonical_id, is_dup) for EVERY input vector.
+    *
+    * Scale: candidate pairs are an equi-join on the cluster id — never
+    * corpus all-pairs. The within-cluster cost is quadratic in cluster
+    * size, so `nlist` must grow with the corpus (nlist ∝ N keeps the mean
+    * cluster at a constant c vectors → total pair work ≈ N·c/2, linear in
+    * N — the sizing rule from the paper, which runs 50k clusters). Cosine
+    * is the scaled-integer kernel, so duplicate decisions replicate
+    * bit-for-bit across engines and reruns. */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int, tau: Double, trainPct: Int = 100): DataFrame = {
+    val base = emb.select(col(idCol).cast(LongType).as("vec_id"), col(vecCol).as("ve"))
+    val (_, assign) = kmeansFit(base, "ve", nlist, iters, trainPct)
+    semanticDedupFrom(base, assign, tau)
+  }
+
+  /** [[semanticDedup]] against a precomputed (vec_id, cid) assignment —
+    * the fitted quantizer is a materialization boundary shared with IVF
+    * search, so pipelines pass it in fitted once. */
+  private def semanticDedupFrom(base: DataFrame, assign: DataFrame,
+      tau: Double): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
+    val e = base.withColumn("vn", normScaled("ve")).join(assign, "vec_id")
+    val a = e.select($"cid", $"vec_id".as("va"), $"ve".as("ea"), $"vn".as("na"))
+    val b = e.select($"cid", $"vec_id".as("vb"), $"ve".as("eb"), $"vn".as("nb"))
+    val pairs = a.join(b, Seq("cid"))
+      .filter($"va" < $"vb")
+      .filter(cosine(dotScaled("ea", "eb"), $"na", $"nb") >= tau)
+      .select($"va", $"vb")
+    val labels = Text.connectedComponents(pairs)
+    base.join(labels, $"vec_id" === $"n", "left_outer")
+      .select($"vec_id",
+        coalesce($"lbl", $"vec_id").as("canonical_id"),
+        when(coalesce($"lbl", $"vec_id") =!= $"vec_id", 1).otherwise(0).as("is_dup"))
+  }
+
+  // q67 — SemDeDup on the embeddings table, reusing the memoized IVF
+  // quantizer fit (the same clustering serves search and dedup). tau=0.9:
+  // this testdata is uniform-random (max pairwise cosine ≈ 0.51), so every
+  // vector is its own canonical here — the planted-duplicate semantics are
+  // proven in PipelineOpsSpec. Approximate by design (k-means) → no SQL
+  // oracle; driver records the rows-only check.
+  private def q67(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (_, assign) = fittedIvf(s, d)
+    val base = Tables.embeddings(s, d).select($"vec_id", $"embedding".as("ve"))
+    semanticDedupFrom(base, assign, tau = 0.9).orderBy($"vec_id")
+  }
+
   /** Embedding-cosine near-duplicate detection via random-hyperplane LSH:
     * `planes` deterministic md5-derived integer hyperplanes bucket every
     * vector by projection signs (SimHash-for-vectors); only same-bucket
@@ -379,10 +433,11 @@ object Similarity {
     "q40_embed_near_dup_lsh" -> q40,
     "q41_approx_distinct_hll" -> q41,
     "q56_frame_sample" -> q56,
+    "q67_semantic_dedup" -> q67,
   )
 
-  /** q38/q41 are approximate by design → no SQL oracle (driver rows-only
-    * check); their accuracy is asserted in PipelineOpsSpec. */
+  /** q38/q41/q67 are approximate by design → no SQL oracle (driver
+    * rows-only check); their accuracy is asserted in PipelineOpsSpec. */
   val oracles: Map[String, String] = Map(
     "q37_ann_brute" -> q37Sql,
     "q61_embed_quantize_int8" -> q61Sql,

@@ -93,8 +93,9 @@ object Text {
     }
     Curation.invalidateCaches(s, d)
     Similarity.invalidateCaches(s, d)
+    Corpus.invalidateCaches(s, d)
   }
-  private val shingleRowsSql =
+  private[operators] val shingleRowsSql =
     """toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(t)-2,1)),
       |       i -> array_to_string(t[i:i+3], ' ')))) AS s FROM toks)""".stripMargin
@@ -279,17 +280,30 @@ object Text {
       (1 until k).map(i => min(md5Long(concat(lit(s"s$i:"), $"s"))).as(s"h$i")): _*)
   }
 
-  /** LSH banding over minhash signatures: `bands` bands of k/bands rows;
-    * candidates = equi-join on (band, key); est_sim = matching fraction. */
-  private[operators] def minhashPairsFrom(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+  /** (doc_id, band, bkey) LSH band-key rows: `bands` bands of k/bands
+    * signature rows each, band key = the concatenated row hashes. */
+  private def bandedKeys(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     val s = sigs.sparkSession
     import s.implicits._
     val r = k / bands
-    val banded = sigs.select($"doc_id", explode(array((0 until bands).map(b =>
+    sigs.select($"doc_id", explode(array((0 until bands).map(b =>
       struct(lit(b).as("band"),
         concat_ws(",", (b * r until (b + 1) * r).map(i => col(s"h$i")): _*).as("bkey"))): _*))
       .as("b")).select($"doc_id", $"b.band", $"b.bkey")
+  }
+
+  /** Matching-signature fraction between the x-/y-renamed signature sides. */
+  private def estSim(k: Int): Column =
+    ((0 until k).map(i => when(col(s"x$i") === col(s"y$i"), 1).otherwise(0))
+      .reduce(_ + _).cast(DoubleType) / k).as("est_sim")
+
+  /** LSH banding over minhash signatures: `bands` bands of k/bands rows;
+    * candidates = equi-join on (band, key); est_sim = matching fraction. */
+  private[operators] def minhashPairsFrom(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    val s = sigs.sparkSession
+    import s.implicits._
+    val banded = bandedKeys(sigs, k, bands)
     val cand = banded.toDF("doc_a", "band", "bkey")
       .join(banded.toDF("doc_b", "band2", "bkey2"),
         $"band" === $"band2" && $"bkey" === $"bkey2" && $"doc_a" < $"doc_b")
@@ -297,9 +311,27 @@ object Text {
     val x = sigs.toDF(("doc_a" +: (0 until k).map(i => s"x$i")): _*)
     val y = sigs.toDF(("doc_b" +: (0 until k).map(i => s"y$i")): _*)
     cand.join(x, "doc_a").join(y, "doc_b")
-      .select($"doc_a", $"doc_b",
-        ((0 until k).map(i => when(col(s"x$i") === col(s"y$i"), 1).otherwise(0))
-          .reduce(_ + _).cast(DoubleType) / k).as("est_sim"))
+      .select($"doc_a", $"doc_b", estSim(k))
+  }
+
+  /** Cross-corpus LSH candidates: corpus docs (sigsA) whose band keys
+    * collide with reference docs (sigsB) — the fuzzy-decontamination
+    * candidate path. Same band equi-join shape as [[minhashPairsFrom]], but
+    * across two signature relations and without the a<b dedup (a corpus doc
+    * pairs with every ref doc it collides with).
+    * Output: (doc_id, ref_id, est_sim). */
+  private[operators] def minhashPairsAcross(sigsA: DataFrame, sigsB: DataFrame,
+      k: Int, bands: Int): DataFrame = {
+    val s = sigsA.sparkSession
+    import s.implicits._
+    val cand = bandedKeys(sigsA, k, bands).toDF("doc_id", "band", "bkey")
+      .join(bandedKeys(sigsB, k, bands).toDF("ref_id", "band2", "bkey2"),
+        $"band" === $"band2" && $"bkey" === $"bkey2")
+      .select($"doc_id", $"ref_id").distinct()
+    val x = sigsA.toDF(("doc_id" +: (0 until k).map(i => s"x$i")): _*)
+    val y = sigsB.toDF(("ref_id" +: (0 until k).map(i => s"y$i")): _*)
+    cand.join(x, "doc_id").join(y, "ref_id")
+      .select($"doc_id", $"ref_id", estSim(k))
   }
 
   // sigs feeds three branches (banding + both verify sides); memoized +

@@ -61,6 +61,41 @@ object TextStats {
     counted.withColumn("predicted", predicted)
   }
 
+  /** Corpus-frequency term-rarity score — the cross-document quality signal
+    * (an LM-perplexity proxy: documents of corpus-rare terms score high,
+    * boilerplate scores low) in exact integer arithmetic, so it replicates
+    * bit-for-bit in any engine (a float log-prob would drift at the ulp
+    * level across libm implementations — same discipline as TF-IDF's
+    * scaled-integer idf). Per document over corpus term-instance counts:
+    * rarity_scaled = (Σ_term tf·((T·scale) div freq)) div n_tokens, i.e.
+    * the mean scaled inverse term probability. Output: (doc_id, n_tokens,
+    * rarity_scaled).
+    *
+    * Plan: tf = one groupBy(doc, term); corpus freq = a combiner-friendly
+    * groupBy(term) SUM (a corpus-wide hot term shrinks to #partitions
+    * partial rows — never a term-keyed window); join-back broadcast (the
+    * build side is vocab-sized); final agg is doc-keyed. Pass `totalHint`
+    * when the corpus token count is known to skip the count pass. T·scale
+    * must fit a long — lower `scale` for corpora beyond ~10^12 tokens. */
+  def termRarity(df: DataFrame, idCol: String, textCol: String,
+      scale: Long = 1000000L, totalHint: Option[Long] = None): DataFrame = {
+    val tf = normalized(df, idCol, textCol)
+      .withColumn("toks", toks)
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val freq = tf.groupBy(col("term")).agg(sum(col("tf")).as("freq"))
+    val total = totalHint.getOrElse(
+      freq.agg(sum(col("freq"))).head().getLong(0))
+    val ts = math.multiplyExact(total, scale)
+    tf.join(broadcast(freq), Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("nt"),
+        sum(expr(s"tf * (CAST($ts AS BIGINT) div freq)")).as("rw"))
+      .select(col("doc_id"), col("nt").cast(IntegerType).as("n_tokens"),
+        expr("CAST(rw div nt AS BIGINT)").as("rarity_scaled"))
+  }
+
   /** md5 content fingerprint + positional polynomial bag hash (exact
     * integers — reproducible in any engine). */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
