@@ -53,6 +53,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q67/q68: cross-corpus and within-cluster candidates are equi-joins, not cartesian") {
+    // q67's pair join is equi on the cluster id, q68's on the LSH band key —
+    // corpus×ref / cluster all-pairs must never materialize
+    Seq("q67_semantic_dedup", "q68_minhash_against").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q must not build all-pairs")
+    }
+  }
+
   test("q12: top-n plans as TakeOrderedAndProject (no full global sort)") {
     val p = planOf("q12_top_n")
     assert(p.contains("TakeOrderedAndProject"), "LIMIT after ORDER BY must avoid a full sort")

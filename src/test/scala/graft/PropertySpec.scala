@@ -146,6 +146,29 @@ class PropertySpec extends AnyFunSuite {
       "pack assignment must not depend on physical partitioning")
   }
 
+  test("termRarity matches an independent integer model on random corpora") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "dd", "ee", "fff", "gg", "hh")
+    val docs = (0 until 40).map { i =>
+      val n = 1 + rnd.nextInt(12)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val tokss = docs.map { case (id, t) => id -> t.trim.split("\\s+").toSeq }
+    val freq = tokss.flatMap(_._2).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val total = tokss.map(_._2.size.toLong).sum
+    val expected = tokss.map { case (id, ts) =>
+      val rw = ts.groupBy(identity)
+        .map { case (t, xs) => xs.size.toLong * ((total * 1000000L) / freq(t)) }.sum
+      id -> ((ts.size, rw / ts.size))
+    }.toMap
+    val out = graft.operators.TextStats.termRarity(docs.toDF("id", "body"), "id", "body")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_tokens"), r.getAs[Long]("rarity_scaled")))).toMap
+    assert(out == expected)
+  }
+
   test("TIME codec round-trips random seconds of day") {
     samples(Gen.chooseNum(0, 86399), 300).foreach { sec =>
       assert(graft.model.TimeCodec.parse(graft.model.TimeCodec.format(sec)) == sec)
