@@ -100,10 +100,51 @@ object Corpus {
        |ORDER BY cand.doc_id, cand.ref_id""".stripMargin
   }
 
+  // q69 — BM25 top-k keyword retrieval (TextStats.bm25TopK): exact-integer
+  // rational-idf BM25 over a fixed query term set; the corpus stats
+  // (N docs, total tokens) are memoized per (session, dir) like q66's
+  // token total so repeated builds skip the stats pass.
+  private val bm25Terms = Seq("vector", "hash", "scan")
+  private val statsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (Long, Long)]
+  private def q69(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val stats = statsCache.getOrElseUpdate((s, d), {
+      val r = docs.select(size(split(trim($"text"), "\\s+")).cast("long").as("dl"))
+        .agg(count(lit(1)), sum($"dl")).head()
+      (r.getLong(0), r.getLong(1))
+    })
+    TextStats.bm25TopK(docs, "doc_id", "text", bm25Terms, k = 20,
+      statsHint = Some(stats))
+  }
+  private val q69Sql = {
+    val terms = bm25Terms.map(t => s"'$t'").mkString(", ")
+    """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |             FROM documents),
+      |lens AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+      |st AS (SELECT (SELECT COUNT(*) FROM documents) AS n, SUM(dl) AS t FROM lens),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+      |       WHERE term IN (TERMS) GROUP BY 1, 2),
+      |dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |sc AS (SELECT tf.doc_id,
+      |         ((2 * ((SELECT n FROM st) - df) + 1) * 1000 // (2 * df + 1)) *
+      |         ((2200000000 * tf) // (1000000 * tf +
+      |           (1200000 * (250000 + (750000 * dl *
+      |             ((SELECT n FROM st) * 1000000 // (SELECT t FROM st))) // 1000000)) // 1000000))
+      |         AS s
+      |       FROM tf JOIN dfc USING (term) JOIN lens USING (doc_id))
+      |SELECT doc_id, COUNT(*) AS n_terms_hit, CAST(SUM(s) AS BIGINT) AS score_scaled
+      |FROM sc GROUP BY doc_id
+      |ORDER BY score_scaled DESC, doc_id LIMIT 20""".stripMargin
+      .replace("TERMS", terms)
+  }
+
   /** Drop the memoized corpus stats / fuzzy pairs for (session, dir) —
     * chained from Text.invalidateCaches. */
   private[operators] def invalidateCaches(s: SparkSession, d: String): Unit = {
     totCache.remove((s, d))
+    statsCache.remove((s, d))
     fuzzyCache.remove((s, d)).foreach(_.unpersist(blocking = false))
   }
 
@@ -111,11 +152,13 @@ object Corpus {
     "q65_exact_against" -> q65,
     "q66_term_rarity" -> q66,
     "q68_minhash_against" -> q68,
+    "q69_bm25_topk" -> q69,
   )
 
   val oracles: Map[String, String] = Map(
     "q65_exact_against" -> q65Sql,
     "q66_term_rarity" -> q66Sql,
     "q68_minhash_against" -> q68Sql,
+    "q69_bm25_topk" -> q69Sql,
   )
 }

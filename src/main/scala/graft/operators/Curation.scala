@@ -476,6 +476,52 @@ object Curation {
        |FROM e ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // Fixed-width overlapping chunking (the RAG / context-window prep step —
+  // the sliding-window complement of packSequences' concatenate-then-chunk).
+
+  /** Split every document into token windows of `width` tokens advancing by
+    * `stride` (overlap = width − stride): chunk i covers tokens
+    * [i·stride, min(i·stride + width, n)); the last chunk may be short; a
+    * document of ≤ width tokens yields exactly one chunk. Output: (doc_id,
+    * chunk_id, start_tok, n_chunk_toks), exact integers.
+    *
+    * Plan: map-only — a per-row token count plus an explode of the chunk
+    * index sequence (≤ n/stride + 1 rows per doc, proportional to the
+    * document's own size); no shuffle, no window, trivially partition-
+    * parallel at any scale. */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+      width: Int = 64, stride: Int = 48): DataFrame = {
+    require(width > 0 && stride > 0 && stride <= width,
+      s"need 0 < stride <= width, got width=$width stride=$stride")
+    val s = df.sparkSession
+    import s.implicits._
+    normalized(df, idCol, textCol)
+      .select($"doc_id", size(toks).as("n"))
+      .withColumn("n_chunks",
+        expr(s"1 + (greatest(n - $width, 0) + ${stride - 1}) div $stride"))
+      .select($"doc_id", $"n",
+        explode(sequence(lit(0), ($"n_chunks" - 1).cast(IntegerType))).as("chunk_id"))
+      .select($"doc_id", $"chunk_id",
+        ($"chunk_id" * stride).as("start_tok"),
+        least(lit(width), $"n" - $"chunk_id" * stride).cast(IntegerType).as("n_chunk_toks"))
+  }
+
+  private def q71(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    chunkDocs(Tables.documents(s, d), "doc_id", "text")
+      .orderBy($"doc_id", $"chunk_id")
+  }
+  private val q71Sql =
+    """WITH t AS (SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n
+      |           FROM documents),
+      |c AS (SELECT doc_id, n, 1 + (greatest(n - 64, 0) + 47) // 48 AS n_chunks FROM t)
+      |SELECT doc_id, CAST(u.k AS INTEGER) AS chunk_id,
+      |  CAST(u.k * 48 AS INTEGER) AS start_tok,
+      |  CAST(least(64, n - u.k * 48) AS INTEGER) AS n_chunk_toks
+      |FROM c, unnest(range(0, n_chunks)) u(k)
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_boilerplate_removal" -> q57,
     "q58_tfidf_topk" -> q58,
@@ -484,6 +530,7 @@ object Curation {
     "q62_quality_filter" -> q62,
     "q63_mix_sources" -> q63,
     "q64_pii_redact" -> q64,
+    "q71_chunk_overlap" -> q71,
   )
 
   val oracles: Map[String, String] = Map(
@@ -494,5 +541,6 @@ object Curation {
     "q62_quality_filter" -> q62Sql,
     "q63_mix_sources" -> q63Sql,
     "q64_pii_redact" -> q64Sql,
+    "q71_chunk_overlap" -> q71Sql,
   )
 }

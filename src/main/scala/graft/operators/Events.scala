@@ -173,6 +173,103 @@ object Events {
       |  FROM events)
       |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
 
+  /** Ordered funnel: for each user who performed `steps.head`, the earliest
+    * strictly-increasing completion chain through `steps` — t(i) is the
+    * first `steps(i)` event after t(i−1) — plus `stage` = number of steps
+    * reached. Users who never performed the first step are not funnel
+    * entrants and are absent. Output: (user_id, t0 … t(n−1), stage).
+    *
+    * Plan: one combiner-friendly min-aggregate per step (each filters the
+    * event stream to ONE type before grouping, so map-side partials shrink
+    * any hot user to #partitions rows) joined on user_id — never a per-user
+    * event sort/window, so a bot user with millions of events costs its
+    * partial rows, not a straggler task. The accumulator frame is at most
+    * one row per entrant and shrinks monotonically down the funnel. */
+  def funnel(df: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    var acc = df.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol).as("user_id"))
+      .agg(min(col(tsCol)).as("t0"))
+    for (i <- 1 until steps.length) {
+      val prev = s"t${i - 1}"
+      val next = df.filter(col(typeCol) === steps(i))
+        .select(col(userCol).as("user_id"), col(tsCol).as("__ts"))
+        .join(acc.select(col("user_id"), col(prev)), "user_id")
+        .filter(col("__ts") > col(prev))
+        .groupBy(col("user_id"))
+        .agg(min(col("__ts")).as(s"t$i"))
+      acc = acc.join(next, Seq("user_id"), "left_outer")
+    }
+    val stage = steps.indices
+      .map(i => when(col(s"t$i").isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    acc.withColumn("stage", stage)
+  }
+
+  // q70 — conversion funnel view→click→purchase over the event stream: the
+  // classic OLAP event-analytics ask the reference serves via external
+  // engines (SURVEY.md §2.A joins + aggregation); here three chained
+  // min-aggregates, exact epoch-nano integers.
+  // DuckDB truncates TIMESTAMP_NS parquet to micros on read, so the oracle
+  // comparison runs at micro precision on both sides (ts DIV 1000).
+  private def q70(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    funnel(Tables.events(s, d).withColumn("ts_us", expr("ts DIV 1000")),
+        "user_id", "ts_us", "event_type", Seq("view", "click", "purchase"))
+      .select($"user_id", $"t0".as("t_view"), $"t1".as("t_click"),
+        $"t2".as("t_purchase"), $"stage")
+      .orderBy($"user_id")
+  }
+  private val q70Sql =
+    """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tns FROM events),
+      |s0 AS (SELECT user_id, min(tns) AS t_view FROM e
+      |       WHERE event_type = 'view' GROUP BY 1),
+      |s1 AS (SELECT e.user_id, min(tns) AS t_click FROM e JOIN s0 USING (user_id)
+      |       WHERE event_type = 'click' AND tns > t_view GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(tns) AS t_purchase FROM e JOIN s1 USING (user_id)
+      |       WHERE event_type = 'purchase' AND tns > t_click GROUP BY 1)
+      |SELECT s0.user_id, t_view, t_click, t_purchase,
+      |  CAST(1 + (CASE WHEN t_click IS NULL THEN 0 ELSE 1 END)
+      |         + (CASE WHEN t_purchase IS NULL THEN 0 ELSE 1 END) AS INTEGER) AS stage
+      |FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
+  /** Cohort retention: users are cohorted by the bucket of their first
+    * event; n_users counts cohort members active again `day_offset` buckets
+    * later. `tsCol` is an epoch-nano long; buckets are floor(sec /
+    * `bucketSeconds`) — exact integers in any engine. Output: (cohort_day,
+    * day_offset, n_users).
+    *
+    * Plan: activity = one distinct on (user, bucket) (combiner-friendly —
+    * a hot user's events shrink map-side); cohort = min-aggregate per user;
+    * equi-join on user_id (AQE-splittable); final aggregate is
+    * cohort×offset-sized, tiny. No windows, no per-user sort. */
+  def retention(df: DataFrame, userCol: String, tsCol: String,
+      bucketSeconds: Long = 86400L): DataFrame = {
+    val day = expr(s"$tsCol DIV 1000000000 DIV $bucketSeconds")
+    val act = df.select(col(userCol).as("user_id"), day.as("day")).distinct()
+    val cohorts = act.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    act.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  // q72 — daily cohort retention over the event stream (the other classic
+  // event-analytics shape; exact epoch-day integers).
+  private def q72(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    retention(Tables.events(s, d), "user_id", "ts")
+      .orderBy($"cohort_day", $"day_offset")
+  }
+  private val q72Sql =
+    """WITH act AS (SELECT DISTINCT user_id,
+      |               epoch_ns(ts) // 1000000000 // 86400 AS day FROM events),
+      |coh AS (SELECT user_id, min(day) AS cohort_day FROM act GROUP BY 1)
+      |SELECT cohort_day, day - cohort_day AS day_offset, COUNT(*) AS n_users
+      |FROM act JOIN coh USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_asof_join" -> q48,
     "q25_json_ingest" -> q25,
@@ -180,6 +277,8 @@ object Events {
     "q27_sessionize" -> q27,
     "q28_rollup_first_last" -> q28,
     "q51_window_sliding" -> q51,
+    "q70_funnel" -> q70,
+    "q72_retention" -> q72,
   )
 
   val oracles: Map[String, String] = Map(
@@ -189,5 +288,7 @@ object Events {
     "q26_window_tumbling" -> q26Sql,
     "q27_sessionize" -> q27Sql,
     "q28_rollup_first_last" -> q28Sql,
+    "q70_funnel" -> q70Sql,
+    "q72_retention" -> q72Sql,
   )
 }

@@ -347,9 +347,79 @@ object Extended {
       | max(l_extendedprice) AS max_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Mergeable histogram quantiles — q46's 100 TB scale path.
+
+  /** Approximate quantiles from a fixed-bin histogram sketch: values clamp
+    * into `bins` equal-`width` bins starting at `lo`; the pct-th percentile
+    * is the upper edge of the smallest bin whose cumulative count covers
+    * ceil(pct·N/100) (compared as 100·cum ≥ pct·N — exact integers, no
+    * rounding). Error is bounded by one bin width. Pick `lo`/`width`
+    * exactly representable as doubles (integral values are) — then the only
+    * float steps are one subtraction/division per row with identical IEEE
+    * semantics in any engine, and results replicate bit-for-bit.
+    *
+    * This is the quantile shape that survives 100 TB: exact
+    * percentile_cont (q46) needs the full sorted value set per group,
+    * while the histogram is ONE combiner-friendly aggregate over ≤ `bins`
+    * keys — partials merge associatively (segment → executor → final), the
+    * same mergeable-sketch contract as the manifest min/max stats. The
+    * cumulative window that follows runs on the bins relation (≤ `bins`
+    * rows by construction — bounded, unlike a data-keyed window).
+    * Output: (pct, bin, est) per requested percentile. */
+  def histQuantiles(df: DataFrame, valueCol: String, pcts: Seq[Int],
+      lo: Double, width: Double, bins: Int): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100)
+      && bins > 0 && width > 0)
+    val s = df.sparkSession
+    import s.implicits._
+    // CASTs (not literal suffixes) keep the expression text identical to
+    // the oracle SQL — decimal-literal promotion rules differ per engine
+    val counts = df
+      .select(expr(s"least(greatest(CAST(floor((CAST($valueCol AS DOUBLE) " +
+        s"- CAST($lo AS DOUBLE)) / CAST($width AS DOUBLE)) AS INT), 0), ${bins - 1})")
+        .as("bin"))
+      .groupBy($"bin").agg(count(lit(1)).as("n"))
+    val cum = counts.withColumn("cum",
+      sum($"n").over(Window.orderBy($"bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = counts.agg(sum($"n").as("total"))
+    pcts.toDF("pct")
+      .crossJoin(broadcast(cum))
+      .crossJoin(broadcast(tot))
+      .filter($"cum" * 100 >= $"pct" * $"total")
+      .groupBy($"pct").agg(min($"bin").as("bin"))
+      .withColumn("est",
+        expr(s"CAST($lo AS DOUBLE) + (bin + 1) * CAST($width AS DOUBLE)"))
+  }
+
+  // q73 — histogram-sketch quantiles of l_extendedprice: 8192 bins of
+  // width 13 from 900 (up to 107396, above every SF's max) → error ≤ 13.
+  private def q73(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    histQuantiles(Tables.lineitem(s, d), "l_extendedprice", Seq(50, 95, 99),
+        lo = 900.0, width = 13.0, bins = 8192)
+      .orderBy($"pct")
+  }
+  private val q73Sql =
+    """WITH b AS (SELECT least(greatest(CAST(floor((CAST(l_extendedprice AS DOUBLE)
+      |             - CAST(900.0 AS DOUBLE)) / CAST(13.0 AS DOUBLE)) AS INTEGER), 0),
+      |             8191) AS bin
+      |           FROM lineitem),
+      |c AS (SELECT bin, COUNT(*) AS n FROM b GROUP BY 1),
+      |cum AS (SELECT bin, SUM(n) OVER (ORDER BY bin
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM c),
+      |tot AS (SELECT COUNT(*) AS total FROM lineitem),
+      |p AS (SELECT * FROM (VALUES (50), (95), (99)) v(pct))
+      |SELECT pct, min(bin) AS bin,
+      |  CAST(900.0 AS DOUBLE) + (min(bin) + 1) * CAST(13.0 AS DOUBLE) AS est
+      |FROM p, cum, tot WHERE cum * 100 >= pct * total
+      |GROUP BY pct ORDER BY pct""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_grouping_sets" -> q42,
     "q46_percentiles" -> q46,
+    "q73_quantile_sketch" -> q73,
     "q13_join_facts" -> q13,
     "q14_join_broadcast_star" -> q14,
     "q15_semi_anti" -> q15,
@@ -367,6 +437,7 @@ object Extended {
   val oracles: Map[String, String] = Map(
     "q42_grouping_sets" -> q42Sql,
     "q46_percentiles" -> q46Sql,
+    "q73_quantile_sketch" -> q73Sql,
     "q13_join_facts" -> q13Sql,
     "q14_join_broadcast_star" -> q14Sql,
     "q15_semi_anti" -> q15Sql,

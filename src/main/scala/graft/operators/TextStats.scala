@@ -96,6 +96,62 @@ object TextStats {
         expr("CAST(rw div nt AS BIGINT)").as("rarity_scaled"))
   }
 
+  /** BM25 top-k keyword retrieval (k1 = 1.2, b = 0.75) in exact integer
+    * arithmetic. The standard ln((N−df+0.5)/(df+0.5)+1) idf is replaced by
+    * the scaled rational (N−df+0.5)/(df+0.5) — a monotone transform of the
+    * same document frequency, so single-term rankings are identical and
+    * multi-term rankings weight rare terms more sharply; in exchange every
+    * score replicates bit-for-bit in any engine (libm ln() differs in the
+    * last ulp across implementations — same discipline as [[termRarity]]).
+    * Fixed-point ppm pipeline per (doc, term):
+    * {{{
+    *   idf_m      = ((2(N − df) + 1) · 1000) div (2·df + 1)
+    *   c          = (N · 10^6) div T            // ppm of 1/avgdl, a constant
+    *   k1term_ppm = (1.2e6 · (0.25e6 + (0.75e6 · dl · c) div 10^6)) div 10^6
+    *   score      = idf_m · ((2.2e9 · tf) div (10^6 · tf + k1term_ppm))
+    * }}}
+    * summed over matched query terms (long addition — order-independent).
+    * Longs bound the corpus at N ≤ ~10^9 docs, dl ≤ ~10^5 tokens (score ≤
+    * ~2.4e16); beyond that lower the idf scale. Output: top `k` rows of
+    * (doc_id, n_terms_hit, score_scaled), score desc / doc_id asc.
+    *
+    * Plan: tf restricts to the query terms BEFORE its aggregate (a
+    * vocabulary-sized filter on the exploded tokens), so the candidate
+    * relation is query-selective; df is a combiner-friendly groupBy over it
+    * (≤ |terms| rows — broadcast back); doc lengths join on doc_id (AQE
+    * splits any skew); top-k is a global TakeOrderedAndProject, never a
+    * single-partition window. Pass `statsHint = (nDocs, totalTokens)` when
+    * corpus stats are known to skip the stats pass. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int = 20,
+      statsHint: Option[(Long, Long)] = None): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    val base = normalized(df, idCol, textCol)
+      .select(col("doc_id"), toks.as("toks"))
+    val lens = base.select(col("doc_id"), size(col("toks")).cast(LongType).as("dl"))
+    val (nDocs, totToks) = statsHint.getOrElse {
+      val r = lens.agg(count(lit(1)), sum(col("dl"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val c = math.multiplyExact(nDocs, 1000000L) / totToks
+    val tf = base
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfc), Seq("term"))
+      .join(lens, Seq("doc_id"))
+      .withColumn("s", expr(
+        s"((2 * (${nDocs}L - df) + 1) * 1000L div (2 * df + 1)) * " +
+          s"((2200000000L * tf) div (1000000L * tf + " +
+          s"(1200000L * (250000L + (750000L * dl * ${c}L) div 1000000L)) div 1000000L))"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"), sum(col("s")).as("score_scaled"))
+      .orderBy(col("score_scaled").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** md5 content fingerprint + positional polynomial bag hash (exact
     * integers — reproducible in any engine). */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -1,0 +1,183 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Curation, Events, TextStats}
+
+/** Round-5 analytics additions: BM25 retrieval (q69), event funnel (q70),
+  * chunking with overlap (q71), cohort retention (q72) — semantics on
+  * hand-computed inputs plus plan-shape locks (no hot-key windows, broadcast
+  * where a side is small by construction). */
+class AnalyticsOpsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // ------------------------------------------------------------ funnel
+
+  // user 1: full ordered chain; user 2: click BEFORE view (must not count),
+  // none after; user 3: view only; user 4: no view at all (absent).
+  private val funnelEvents = Seq(
+    (1L, 100L, "view"), (1L, 200L, "click"), (1L, 150L, "click"), (1L, 300L, "purchase"),
+    (2L, 500L, "click"), (2L, 600L, "view"),
+    (3L, 700L, "view"), (3L, 650L, "purchase"),
+    (4L, 800L, "purchase")
+  ).toDF("user_id", "ts", "event_type")
+
+  test("funnel: strictly-increasing chains only; first-step non-entrants absent") {
+    val out = Events.funnel(funnelEvents, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((Option(r.get(r.fieldIndex("t0"))), Option(r.get(r.fieldIndex("t1"))),
+          Option(r.get(r.fieldIndex("t2")))), r.getAs[Int]("stage"))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    // user 1: t_click = first click AFTER the view (150 < 200 both qualify —
+    // 150 is after 100, so min is 150), purchase after that
+    assert(out(1L) == ((Some(100L), Some(150L), Some(300L)), 3))
+    // user 2's click at 500 precedes the view at 600: not a conversion
+    assert(out(2L) == ((Some(600L), None, None), 1))
+    // user 3's purchase precedes the view: stage stops at 1
+    assert(out(3L) == ((Some(700L), None, None), 1))
+  }
+
+  test("funnel plans as joins + partial aggregates, never a per-user window") {
+    val p = Events.funnel(funnelEvents, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase")).queryExecution.executedPlan.toString()
+    assert(!p.contains("Window"), s"funnel must not sort events per user:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial min"),
+      s"step minima must combine map-side:\n$p")
+  }
+
+  // ---------------------------------------------------------- retention
+
+  test("retention cohorts by first-seen bucket with exact day offsets") {
+    val day = 86400L * 1000000000L
+    val ev = Seq(
+      (1L, 0L * day), (1L, 2L * day + 5L), // cohort day 0, active offsets 0 and 2
+      (2L, 0L * day + 99L), (2L, 0L * day + 200L), // cohort 0, offset 0 only (dedup)
+      (3L, 1L * day), (3L, 2L * day) // cohort 1, offsets 0 and 1
+    ).toDF("user_id", "ts")
+    val out = Events.retention(ev, "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((0L, 0L) -> 2L, (0L, 2L) -> 1L, (1L, 0L) -> 1L, (1L, 1L) -> 1L))
+  }
+
+  // ----------------------------------------------------------- chunking
+
+  test("chunkDocs boundaries: short doc, exact width, width+1, long doc") {
+    def text(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, text(10)),  // n < width: one short chunk
+      (2L, text(64)),  // n == width: exactly one chunk
+      (3L, text(65)),  // one token past: second chunk [48, 65)
+      (4L, text(200))  // 1 + ceil(136/48) = 4 chunks
+    ).toDF("id", "txt")
+    val out = Curation.chunkDocs(docs, "id", "txt")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getInt(2), r.getInt(3))).toMap
+    assert(out == Map(
+      (1L, 0) -> (0, 10),
+      (2L, 0) -> (0, 64),
+      (3L, 0) -> (0, 64), (3L, 1) -> (48, 17),
+      (4L, 0) -> (0, 64), (4L, 1) -> (48, 64), (4L, 2) -> (96, 64), (4L, 3) -> (144, 56)))
+  }
+
+  test("chunkDocs covers every token and overlaps by width - stride") {
+    val docs = Seq((1L, (1 to 500).map(i => s"t$i").mkString(" "))).toDF("id", "txt")
+    val rows = Curation.chunkDocs(docs, "id", "txt", width = 64, stride = 48)
+      .orderBy("chunk_id").collect()
+      .map(r => (r.getInt(2), r.getInt(3)))
+    assert(rows.head._1 == 0)
+    assert(rows.last._1 + rows.last._2 == 500, "last chunk must end at n")
+    rows.sliding(2).foreach { case Array((s1, l1), (s2, _)) =>
+      assert(s2 == s1 + 48)
+      assert(s1 + l1 - s2 == 16, "consecutive chunks overlap by width - stride")
+    case _ => ()
+    }
+  }
+
+  test("chunkDocs is map-only: no exchange in the plan") {
+    val docs = Seq((1L, "a b c")).toDF("id", "txt")
+    val p = Curation.chunkDocs(docs, "id", "txt").queryExecution.executedPlan.toString()
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+  }
+
+  // --------------------------------------------------------------- bm25
+
+  // 4 docs; "rare" appears in doc 4 only, "common" in all docs.
+  private val bmDocs = Seq(
+    (1L, "common alpha beta gamma"),
+    (2L, "common common delta epsilon"),
+    (3L, "common zeta eta theta"),
+    (4L, "rare common iota kappa")
+  ).toDF("id", "txt")
+
+  /** The documented fixed-point formula, reimplemented independently. */
+  private def bm25Ref(tf: Long, df: Long, dl: Long, n: Long, tot: Long): Long = {
+    val c = n * 1000000L / tot
+    val idf = (2 * (n - df) + 1) * 1000L / (2 * df + 1)
+    val k1t = (1200000L * (250000L + (750000L * dl * c) / 1000000L)) / 1000000L
+    idf * ((2200000000L * tf) / (1000000L * tf + k1t))
+  }
+
+  test("bm25TopK matches the hand formula; rare-term doc outranks common-only") {
+    val out = TextStats.bm25TopK(bmDocs, "id", "txt", Seq("rare", "common"), k = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (n, tot) = (4L, 16L)
+    val exp1 = bm25Ref(1, 4, 4, n, tot) // doc 1: common tf=1, df=4, dl=4
+    val exp2 = bm25Ref(2, 4, 4, n, tot) // doc 2: common tf=2
+    val exp4 = bm25Ref(1, 4, 4, n, tot) + bm25Ref(1, 1, 4, n, tot) // common + rare
+    assert(out(1L) == (1L, exp1))
+    assert(out(2L) == (1L, exp2))
+    assert(out(3L) == (1L, exp1))
+    assert(out(4L) == (2L, exp4))
+    // the rare term dominates any common-term tf inflation
+    assert(out(4L)._2 > out(2L)._2 && out(2L)._2 > out(1L)._2)
+  }
+
+  test("bm25TopK respects k with deterministic doc_id tiebreak") {
+    val top = TextStats.bm25TopK(bmDocs, "id", "txt", Seq("common"), k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    // equal scores for docs 1 and 3 (same tf/dl): tiebreak keeps lower ids
+    assert(top.head == 2L && top(1) == 1L)
+  }
+
+  // ---------------------------------------------- histogram quantiles
+
+  test("histQuantiles lands within one bin width of the exact percentile") {
+    val vals = (1 to 10000).map(_.toDouble)
+    val df = vals.toDF("v")
+    val out = graft.operators.Extended
+      .histQuantiles(df, "v", Seq(50, 95, 99), lo = 0.0, width = 16.0, bins = 1024)
+      .collect().map(r => r.getAs[Int]("pct") -> r.getAs[Double]("est")).toMap
+    for ((pct, est) <- out) {
+      val exact = vals(math.ceil(pct / 100.0 * vals.size).toInt - 1)
+      assert(math.abs(est - exact) <= 16.0, s"p$pct est=$est exact=$exact")
+      assert(est >= exact, "upper bin edge can never undershoot the exact value")
+    }
+  }
+
+  test("histQuantiles clamps out-of-range values into the edge bins") {
+    val df = Seq(-100.0, 1.0, 5.0, 1e9).toDF("v")
+    val out = graft.operators.Extended
+      .histQuantiles(df, "v", Seq(100), lo = 0.0, width = 1.0, bins = 10)
+      .collect().head
+    assert(out.getAs[Int]("bin") == 9, "overflow lands in the last bin")
+  }
+
+  test("histQuantiles bin counting combines map-side (partial aggregate)") {
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val p = graft.operators.Extended
+      .histQuantiles(df, "v", Seq(50), lo = 0.0, width = 1.0, bins = 128)
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"bin histogram must be a combiner-friendly aggregate:\n$p")
+  }
+
+  test("bm25TopK plan: df broadcast back, term filter below the aggregate, no window") {
+    val q = TextStats.bm25TopK(bmDocs, "id", "txt", Seq("rare", "common"), k = 5)
+    val p = q.queryExecution.executedPlan.toString()
+    assert(p.contains("BroadcastHashJoin"), s"df join-back must broadcast:\n$p")
+    assert(!p.contains("Window"), s"top-k must be TakeOrdered, not a window:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n$p")
+  }
+}
