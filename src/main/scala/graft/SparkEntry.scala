@@ -21,7 +21,8 @@ object SparkEntry {
     operators.Relational.queries ++ operators.Extended.queries ++
       operators.Events.queries ++ operators.Text.queries ++
       operators.Similarity.queries ++ operators.Reporting.queries ++
-      operators.Curation.queries ++ operators.Corpus.queries
+      operators.Curation.queries ++ operators.Corpus.queries ++
+      operators.Ranges.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
     operators.Relational.oracles ++ operators.Extended.oracles ++
       operators.Events.oracles ++ operators.Text.oracles ++
       operators.Similarity.oracles ++ operators.Reporting.oracles ++
-      operators.Curation.oracles ++ operators.Corpus.oracles
+      operators.Curation.oracles ++ operators.Corpus.oracles ++
+      operators.Ranges.oracles
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Curation, Events, TextStats}
+import graft.operators.{Curation, Events, Ranges, TextStats}
 
 /** Round-5 analytics additions: BM25 retrieval (q69), event funnel (q70),
   * chunking with overlap (q71), cohort retention (q72) — semantics on
@@ -139,6 +139,39 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     // equal scores for docs 1 and 3 (same tf/dl): tiebreak keeps lower ids
     assert(top.head == 2L && top(1) == 1L)
+  }
+
+  // ----------------------------------------------------- range join
+
+  test("pointInInterval matches a naive cross-join + filter on random data") {
+    val rnd = new scala.util.Random(42)
+    val pts = Seq.tabulate(200)(i => (i.toLong, rnd.nextInt(1000).toLong)).toDF("pid", "p")
+    val ivs = Seq.tabulate(60) { i =>
+      val lo = rnd.nextInt(1000).toLong
+      (i.toLong, lo, lo + rnd.nextInt(120).toLong) // includes empty intervals
+    }.toDF("iid", "lo", "hi")
+    for (w <- Seq(1L, 7L, 64L, 2000L)) {
+      val got = Ranges.pointInInterval(pts, "p", ivs, "lo", "hi", w)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = pts.crossJoin(ivs)
+        .filter($"p" >= $"lo" && $"p" < $"hi")
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, s"bucketWidth=$w")
+      // exactly-once pairing: no dedup hides double matches
+      val n = Ranges.pointInInterval(pts, "p", ivs, "lo", "hi", w).count()
+      assert(n == want.size.toLong, s"pairs must meet in exactly one bucket (w=$w)")
+    }
+  }
+
+  test("pointInInterval plans as an equi-join on the bucket, not a nested loop") {
+    val pts = Seq((1L, 5L)).toDF("pid", "p")
+    val ivs = Seq((1L, 0L, 10L)).toDF("iid", "lo", "hi")
+    val p = Ranges.pointInInterval(pts, "p", ivs, "lo", "hi", 8L)
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join must decompose to an equi-join:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected a hash/merge equi-join on the bucket key:\n$p")
   }
 
   // ---------------------------------------------- histogram quantiles
