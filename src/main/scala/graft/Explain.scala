@@ -24,7 +24,8 @@ object Explain {
         "q50_tpch18_big_orders", "q53_repetition_ratio", "q54_passage_overlap",
         "q57_boilerplate_removal", "q58_tfidf_topk", "q59_pack_sequences",
         "q60_decontaminate", "q65_exact_against", "q66_term_rarity",
-        "q68_minhash_against")
+        "q68_minhash_against", "q69_bm25_topk", "q70_funnel",
+        "q73_quantile_sketch", "q74_range_join")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

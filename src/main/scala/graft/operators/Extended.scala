@@ -368,27 +368,33 @@ object Extended {
     * rows by construction — bounded, unlike a data-keyed window).
     * Output: (pct, bin, est) per requested percentile. */
   def histQuantiles(df: DataFrame, valueCol: String, pcts: Seq[Int],
-      lo: Double, width: Double, bins: Int): DataFrame = {
+      lo: Double, width: Double, bins: Int,
+      groupCols: Seq[String] = Nil): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100)
       && bins > 0 && width > 0)
     val s = df.sparkSession
     import s.implicits._
+    val gs = groupCols.map(col)
     // CASTs (not literal suffixes) keep the expression text identical to
     // the oracle SQL — decimal-literal promotion rules differ per engine
     val counts = df
-      .select(expr(s"least(greatest(CAST(floor((CAST($valueCol AS DOUBLE) " +
+      .select(gs :+ expr(s"least(greatest(CAST(floor((CAST($valueCol AS DOUBLE) " +
         s"- CAST($lo AS DOUBLE)) / CAST($width AS DOUBLE)) AS INT), 0), ${bins - 1})")
-        .as("bin"))
-      .groupBy($"bin").agg(count(lit(1)).as("n"))
-    val cum = counts.withColumn("cum",
-      sum($"n").over(Window.orderBy($"bin")
+        .as("bin"): _*)
+      .groupBy(gs :+ $"bin": _*).agg(count(lit(1)).as("n"))
+    // cum/total windows key on the GROUP (≤ bins rows per group by
+    // construction — bounded, unlike a data-keyed window); ungrouped, the
+    // single partition holds ≤ bins rows total
+    val w = if (gs.isEmpty) Window.partitionBy() else Window.partitionBy(gs: _*)
+    val cum = counts
+      .withColumn("cum", sum($"n").over(w.orderBy($"bin")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val tot = counts.agg(sum($"n").as("total"))
+      .withColumn("total", sum($"n").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
     pcts.toDF("pct")
       .crossJoin(broadcast(cum))
-      .crossJoin(broadcast(tot))
       .filter($"cum" * 100 >= $"pct" * $"total")
-      .groupBy($"pct").agg(min($"bin").as("bin"))
+      .groupBy(gs :+ $"pct": _*).agg(min($"bin").as("bin"))
       .withColumn("est",
         expr(s"CAST($lo AS DOUBLE) + (bin + 1) * CAST($width AS DOUBLE)"))
   }

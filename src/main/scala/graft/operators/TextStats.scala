@@ -131,8 +131,9 @@ object TextStats {
     val lens = base.select(col("doc_id"), size(col("toks")).cast(LongType).as("dl"))
     val (nDocs, totToks) = statsHint.getOrElse {
       val r = lens.agg(count(lit(1)), sum(col("dl"))).head()
-      (r.getLong(0), r.getLong(1))
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
+    require(totToks > 0, "bm25TopK needs a non-empty corpus")
     val c = math.multiplyExact(nDocs, 1000000L) / totToks
     val tf = base
       .select(col("doc_id"), explode(col("toks")).as("term"))

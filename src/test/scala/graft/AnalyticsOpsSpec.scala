@@ -189,6 +189,21 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("histQuantiles per-group: each group's estimate brackets its own exact value") {
+    val df = ((1 to 1000).map(i => ("a", i.toDouble))
+      ++ (1 to 100).map(i => ("b", (i * 50).toDouble))).toDF("g", "v")
+    val out = graft.operators.Extended
+      .histQuantiles(df, "v", Seq(50, 99), lo = 0.0, width = 8.0, bins = 1024,
+        groupCols = Seq("g"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    val exact = Map(("a", 50) -> 500.0, ("a", 99) -> 990.0,
+      ("b", 50) -> 2500.0, ("b", 99) -> 4950.0)
+    for (((g, pct), e) <- exact) {
+      val est = out((g, pct))
+      assert(est >= e && est - e <= 8.0, s"$g p$pct est=$est exact=$e")
+    }
+  }
+
   test("histQuantiles clamps out-of-range values into the edge bins") {
     val df = Seq(-100.0, 1.0, 5.0, 1e9).toDF("v")
     val out = graft.operators.Extended
