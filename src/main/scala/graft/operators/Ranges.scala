@@ -44,6 +44,65 @@ object Ranges {
       .drop("__b")
   }
 
+  /** Join two interval relations on overlap (aLo < bHi ∧ bLo < aHi) via the
+    * same bucket decomposition. Both sides explode to their covered buckets,
+    * so an overlapping pair shares EVERY bucket in the intersection of its
+    * ranges — the join keeps only the FIRST shared bucket
+    * (max of the two start buckets), so each pair emits exactly once with
+    * no dedup pass. Column names must be disjoint across the two inputs
+    * (alias before calling); `extraKeys` adds (left, right) equality pairs
+    * that Catalyst folds into the hash-join key alongside the bucket — use
+    * them to bound candidates when a natural partition key exists.
+    *
+    * Plan: a genuine equi-join on (bucket [, extraKeys…]) — shuffled or
+    * broadcast like any other, never a nested loop. Each side is
+    * replicated ×(span/bucketWidth); pick the width near the median
+    * interval length. */
+  def intervalOverlap(left: DataFrame, leftLo: String, leftHi: String,
+      right: DataFrame, rightLo: String, rightHi: String,
+      bucketWidth: Long, extraKeys: Seq[(String, String)] = Nil): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
+      "alias left/right columns to distinct names before the overlap join")
+    val l = left.filter(col(leftHi) > col(leftLo)).withColumn("__bl",
+      explode(expr(s"sequence($leftLo div $bucketWidth, ($leftHi - 1) div $bucketWidth)")))
+    val r = right.filter(col(rightHi) > col(rightLo)).withColumn("__br",
+      explode(expr(s"sequence($rightLo div $bucketWidth, ($rightHi - 1) div $bucketWidth)")))
+    val base = col("__bl") === col("__br") &&
+      col(leftLo) < col(rightHi) && col(rightLo) < col(leftHi) &&
+      col("__bl") === greatest(
+        expr(s"$leftLo div $bucketWidth"), expr(s"$rightLo div $bucketWidth"))
+    val cond = extraKeys.foldLeft(base) { case (c, (a, b)) => c && col(a) === col(b) }
+    l.join(r, cond).drop("__bl", "__br")
+  }
+
+  // q75 — overlapping order service windows per customer: each order opens
+  // a 90-day window from its order date; count pairs of the SAME customer's
+  // orders whose windows overlap (an interval-overlap self-join; the
+  // customer key rides the bucket hash join as an extra equi key). Exact
+  // integer epoch days.
+  private def q75(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def win(p: String) = Tables.orders(s, d).select(
+        $"o_orderkey".as(s"${p}_key"), $"o_custkey".as(s"${p}_cust"),
+        datediff(to_date($"o_orderdate"), lit("1970-01-01")).cast("long").as(s"${p}_lo"))
+      .withColumn(s"${p}_hi", col(s"${p}_lo") + 90L)
+    intervalOverlap(win("a"), "a_lo", "a_hi", win("b"), "b_lo", "b_hi",
+        bucketWidth = 90L, extraKeys = Seq(("a_cust", "b_cust")))
+      .filter($"a_key" < $"b_key")
+      .groupBy($"a_cust".as("custkey"))
+      .agg(count(lit(1)).as("n_overlap_pairs"))
+      .orderBy($"custkey")
+  }
+  private val q75Sql =
+    """WITH w AS (SELECT o_orderkey AS k, o_custkey AS c,
+      |                  date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS lo
+      |           FROM orders)
+      |SELECT a.c AS custkey, COUNT(*) AS n_overlap_pairs
+      |FROM w a JOIN w b ON a.c = b.c AND a.k < b.k
+      |  AND a.lo < b.lo + 90 AND b.lo < a.lo + 90
+      |GROUP BY 1 ORDER BY custkey""".stripMargin
+
   // q74 — attribution windows: count events (and distinct users) falling in
   // each of 20 deterministic 12-hour campaign windows spaced 36 h apart
   // from 2024-01-01 (epoch 1704067200) — a pure point-in-interval join, no
@@ -72,9 +131,11 @@ object Ranges {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q74_range_join" -> q74,
+    "q75_interval_overlap" -> q75,
   )
 
   val oracles: Map[String, String] = Map(
     "q74_range_join" -> q74Sql,
+    "q75_interval_overlap" -> q75Sql,
   )
 }

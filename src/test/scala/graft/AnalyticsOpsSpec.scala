@@ -163,6 +163,29 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("intervalOverlap matches a naive cross-join + filter, each pair exactly once") {
+    val rnd = new scala.util.Random(7)
+    val as = Seq.tabulate(80) { i =>
+      val lo = rnd.nextInt(500).toLong
+      (i.toLong, rnd.nextInt(3).toLong, lo, lo + rnd.nextInt(200).toLong)
+    }.toDF("aid", "akey", "alo", "ahi")
+    val bs = Seq.tabulate(80) { i =>
+      val lo = rnd.nextInt(500).toLong
+      (i.toLong, rnd.nextInt(3).toLong, lo, lo + rnd.nextInt(200).toLong)
+    }.toDF("bid", "bkey", "blo", "bhi")
+    for (w <- Seq(1L, 30L, 256L, 4096L)) {
+      val joined = Ranges.intervalOverlap(as, "alo", "ahi", bs, "blo", "bhi", w,
+        extraKeys = Seq(("akey", "bkey")))
+      val got = joined.select("aid", "bid").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val want = as.crossJoin(bs)
+        .filter($"akey" === $"bkey" && $"alo" < $"bhi" && $"blo" < $"ahi")
+        .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.toSet == want, s"bucketWidth=$w")
+      assert(got.length == want.size, s"each pair must emit exactly once (w=$w)")
+    }
+  }
+
   test("pointInInterval plans as an equi-join on the bucket, not a nested loop") {
     val pts = Seq((1L, 5L)).toDF("pid", "p")
     val ivs = Seq((1L, 0L, 10L)).toDF("iid", "lo", "hi")
