@@ -422,10 +422,37 @@ object Extended {
       |FROM p, cum, tot WHERE cum * 100 >= pct * total
       |GROUP BY pct ORDER BY pct""".stripMargin
 
+  // q76 — per-group histogram quantiles (q46's grouped shape on the sketch
+  // path: one aggregate over (group, bin), no per-group sorted value sets).
+  private def q76(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    histQuantiles(Tables.lineitem(s, d), "l_extendedprice", Seq(50, 95),
+        lo = 900.0, width = 13.0, bins = 8192, groupCols = Seq("l_returnflag"))
+      .orderBy($"l_returnflag", $"pct")
+  }
+  private val q76Sql =
+    """WITH b AS (SELECT l_returnflag,
+      |             least(greatest(CAST(floor((CAST(l_extendedprice AS DOUBLE)
+      |               - CAST(900.0 AS DOUBLE)) / CAST(13.0 AS DOUBLE)) AS INTEGER), 0),
+      |               8191) AS bin
+      |           FROM lineitem),
+      |c AS (SELECT l_returnflag, bin, COUNT(*) AS n FROM b GROUP BY 1, 2),
+      |cum AS (SELECT l_returnflag, bin,
+      |          SUM(n) OVER (PARTITION BY l_returnflag ORDER BY bin
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |          SUM(n) OVER (PARTITION BY l_returnflag) AS total
+      |        FROM c),
+      |p AS (SELECT * FROM (VALUES (50), (95)) v(pct))
+      |SELECT l_returnflag, pct, min(bin) AS bin,
+      |  CAST(900.0 AS DOUBLE) + (min(bin) + 1) * CAST(13.0 AS DOUBLE) AS est
+      |FROM p, cum WHERE cum * 100 >= pct * total
+      |GROUP BY 1, 2 ORDER BY l_returnflag, pct""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_grouping_sets" -> q42,
     "q46_percentiles" -> q46,
     "q73_quantile_sketch" -> q73,
+    "q76_quantile_sketch_grouped" -> q76,
     "q13_join_facts" -> q13,
     "q14_join_broadcast_star" -> q14,
     "q15_semi_anti" -> q15,
@@ -444,6 +471,7 @@ object Extended {
     "q42_grouping_sets" -> q42Sql,
     "q46_percentiles" -> q46Sql,
     "q73_quantile_sketch" -> q73Sql,
+    "q76_quantile_sketch_grouped" -> q76Sql,
     "q13_join_facts" -> q13Sql,
     "q14_join_broadcast_star" -> q14Sql,
     "q15_semi_anti" -> q15Sql,

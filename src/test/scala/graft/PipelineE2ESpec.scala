@@ -41,13 +41,13 @@ class PipelineE2ESpec extends AnyFunSuite {
       s"""{"doc_id":4,"text":"completely different content about data engines and columnar scans","lang":"en"}""")
     q.processAllAvailable(); q.stop()
 
-    // 2. exact dedup: canonical = min doc_id per content hash
+    // 2. exact dedup through the library API (groupBy + join-back — the
+    // de-skewed path, not a content-hash window)
     val raw = Realtime.hybrid(spark, s"$stage/raw/batch=0", s"$stage/raw")
       .dropDuplicates("doc_id")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(md5($"text"))
-    val deduped = raw
-      .withColumn("canonical_id", min($"doc_id").over(w))
-      .filter($"doc_id" === $"canonical_id").drop("canonical_id")
+    val keepIds = graft.operators.Dedup.exact(raw, "doc_id", "text")
+      .filter($"is_dup" === 0).select($"doc_id")
+    val deduped = raw.join(keepIds, "doc_id")
     assert(deduped.count() == 3) // one duplicate removed
 
     // 3. quality filter + tokenize (operators.Text semantics)
@@ -96,5 +96,37 @@ class PipelineE2ESpec extends AnyFunSuite {
       .agg(max($"tok_offset" + $"n_tokens").as("end"), sum($"n_tokens").as("tot"))
       .collect().foreach(r =>
         assert(r.getAs[Long]("end") == r.getAs[Long]("tot")))
+  }
+
+  test("retrieval chain: chunk with overlap -> slice text -> BM25 over chunks") {
+    import spark.implicits._
+    import graft.operators.{Curation, TextStats}
+    val docs = Tables.documents(spark, sf)
+
+    // 1. chunk every document (width 32, stride 24) and materialize each
+    // chunk's text by slicing the token array — the RAG corpus
+    val chunks = Curation.chunkDocs(docs, "doc_id", "text", width = 32, stride = 24)
+      .join(docs.select($"doc_id", split(trim($"text"), "\\s+").as("toks")), "doc_id")
+      .select(
+        ($"doc_id" * 10000 + $"chunk_id").as("chunk_key"),
+        $"doc_id",
+        array_join(slice($"toks", $"start_tok" + 1, $"n_chunk_toks"), " ").as("chunk_text"))
+    val nChunks = chunks.count()
+    assert(nChunks > docs.count(), "overlapping chunks outnumber documents")
+
+    // 2. retrieve top chunks for a keyword query over the chunk corpus
+    val top = TextStats.bm25TopK(chunks, "chunk_key", "chunk_text",
+      Seq("vector", "merge"), k = 10).collect()
+    assert(top.length == 10)
+    // every hit must actually contain a query term, and scores are ranked
+    val byKey = chunks.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    top.foreach { r =>
+      val txt = byKey(r.getLong(0))
+      assert(txt.split(" ").exists(t => t == "vector" || t == "merge"),
+        s"retrieved chunk must contain a query term: $txt")
+    }
+    val scores = top.map(_.getLong(2))
+    assert(scores.sameElements(scores.sorted(Ordering[Long].reverse)),
+      "results must be in descending score order")
   }
 }
