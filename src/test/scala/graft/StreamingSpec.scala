@@ -388,6 +388,31 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel and retention over the hybrid view equal the all-batch answer") {
+    import spark.implicits._
+    import graft.operators.Events
+    val base = Files.createTempDirectory("graft-fr-base").toString
+    val rt = Files.createTempDirectory("graft-fr-rt").toString
+    val day = 86400L * 1000000000L
+    val rows = Seq(
+      (1L, 0L, "view"), (1L, day + 5L, "click"), (1L, 2 * day, "purchase"),
+      (2L, day, "view"), (2L, 2 * day, "click"),
+      (3L, 2 * day + 9L, "view"))
+      .toDF("user_id", "ts", "event_type")
+    // history holds the early events, a realtime part holds the rest —
+    // the split lands mid-funnel for user 1
+    rows.filter($"ts" < day + 6L).write.mode("overwrite").parquet(base)
+    rows.filter($"ts" >= day + 6L).write.mode("overwrite").parquet(s"$rt/batch=0")
+    val hybrid = Realtime.hybrid(spark, base, rt)
+    val steps = Seq("view", "click", "purchase")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(key(Events.funnel(hybrid, "user_id", "ts", "event_type", steps).orderBy("user_id"))
+      == key(Events.funnel(rows, "user_id", "ts", "event_type", steps).orderBy("user_id")))
+    assert(key(Events.retention(hybrid, "user_id", "ts").orderBy("cohort_day", "day_offset"))
+      == key(Events.retention(rows, "user_id", "ts").orderBy("cohort_day", "day_offset")))
+  }
+
   test("hybrid view unions historical base with fresh realtime parts") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-base").toString
