@@ -45,7 +45,8 @@ object Bench {
     val coldNames = Seq("q34_dedup_ngram_jaccard", "q35_dedup_minhash_lsh",
       "q47_dedup_clusters", "q49_dedup_keep_best", "q54_passage_overlap",
       "q38_ann_ivf", // q38/q67 cold = quantizer fit, hidden warm
-      "q67_semantic_dedup", "q68_minhash_against")
+      "q67_semantic_dedup", "q68_minhash_against",
+      "q66_term_rarity", "q69_bm25_topk") // cold = the memoized corpus-stats pass
       .filter(SparkEntry.queries.contains)
     val cold = coldNames.map { name =>
       graft.operators.Text.invalidateCaches(spark, sfDir)
