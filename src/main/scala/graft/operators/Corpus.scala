@@ -45,9 +45,11 @@ object Corpus {
   private def q66(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d)
-    val total = totCache.getOrElseUpdate((s, d),
-      docs.select(size(split(trim($"text"), "\\s+")).as("n"))
-        .agg(sum($"n")).head().getLong(0))
+    val total = totCache.getOrElseUpdate((s, d), {
+      val r = docs.select(size(split(trim($"text"), "\\s+")).as("n"))
+        .agg(sum($"n")).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0) // empty corpus: sum is NULL
+    })
     TextStats.termRarity(docs, "doc_id", "text", totalHint = Some(total))
       .orderBy($"doc_id")
   }
@@ -113,7 +115,9 @@ object Corpus {
     val stats = statsCache.getOrElseUpdate((s, d), {
       val r = docs.select(size(split(trim($"text"), "\\s+")).cast("long").as("dl"))
         .agg(count(lit(1)), sum($"dl")).head()
-      (r.getLong(0), r.getLong(1))
+      // sum over zero rows is NULL — guard so an empty corpus reaches
+      // bm25TopK's own clear `require` instead of an NPE here
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     })
     TextStats.bm25TopK(docs, "doc_id", "text", bm25Terms, k = 20,
       statsHint = Some(stats))

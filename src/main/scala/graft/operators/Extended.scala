@@ -376,10 +376,15 @@ object Extended {
     import s.implicits._
     val gs = groupCols.map(col)
     // CASTs (not literal suffixes) keep the expression text identical to
-    // the oracle SQL — decimal-literal promotion rules differ per engine
+    // the oracle SQL — decimal-literal promotion rules differ per engine.
+    // Clamp in the DOUBLE domain and only then cast to INT: a raw
+    // floor→INT cast saturates in Spark but errors in DuckDB once
+    // (value-lo)/width exceeds Int.MaxValue, so values astronomically
+    // outside the histogram range would diverge engine-to-engine
     val counts = df
-      .select(gs :+ expr(s"least(greatest(CAST(floor((CAST($valueCol AS DOUBLE) " +
-        s"- CAST($lo AS DOUBLE)) / CAST($width AS DOUBLE)) AS INT), 0), ${bins - 1})")
+      .select(gs :+ expr(s"CAST(least(greatest(floor((CAST($valueCol AS DOUBLE) " +
+        s"- CAST($lo AS DOUBLE)) / CAST($width AS DOUBLE)), CAST(0 AS DOUBLE)), " +
+        s"CAST(${bins - 1} AS DOUBLE)) AS INT)")
         .as("bin"): _*)
       .groupBy(gs :+ $"bin": _*).agg(count(lit(1)).as("n"))
     // cum/total windows key on the GROUP (≤ bins rows per group by
@@ -408,9 +413,9 @@ object Extended {
       .orderBy($"pct")
   }
   private val q73Sql =
-    """WITH b AS (SELECT least(greatest(CAST(floor((CAST(l_extendedprice AS DOUBLE)
-      |             - CAST(900.0 AS DOUBLE)) / CAST(13.0 AS DOUBLE)) AS INTEGER), 0),
-      |             8191) AS bin
+    """WITH b AS (SELECT CAST(least(greatest(floor((CAST(l_extendedprice AS DOUBLE)
+      |             - CAST(900.0 AS DOUBLE)) / CAST(13.0 AS DOUBLE)), CAST(0 AS DOUBLE)),
+      |             CAST(8191 AS DOUBLE)) AS INTEGER) AS bin
       |           FROM lineitem),
       |c AS (SELECT bin, COUNT(*) AS n FROM b GROUP BY 1),
       |cum AS (SELECT bin, SUM(n) OVER (ORDER BY bin
@@ -432,9 +437,9 @@ object Extended {
   }
   private val q76Sql =
     """WITH b AS (SELECT l_returnflag,
-      |             least(greatest(CAST(floor((CAST(l_extendedprice AS DOUBLE)
-      |               - CAST(900.0 AS DOUBLE)) / CAST(13.0 AS DOUBLE)) AS INTEGER), 0),
-      |               8191) AS bin
+      |             CAST(least(greatest(floor((CAST(l_extendedprice AS DOUBLE)
+      |               - CAST(900.0 AS DOUBLE)) / CAST(13.0 AS DOUBLE)), CAST(0 AS DOUBLE)),
+      |               CAST(8191 AS DOUBLE)) AS INTEGER) AS bin
       |           FROM lineitem),
       |c AS (SELECT l_returnflag, bin, COUNT(*) AS n FROM b GROUP BY 1, 2),
       |cum AS (SELECT l_returnflag, bin,

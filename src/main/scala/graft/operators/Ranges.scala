@@ -17,11 +17,16 @@ import graft.Tables
   */
 object Ranges {
 
+  /** Buckets an interval covers at `bucketWidth` granularity. */
+  private def spanBuckets(loCol: String, hiCol: String, bucketWidth: Long) =
+    expr(s"($hiCol - 1) div $bucketWidth - ($loCol div $bucketWidth) + 1")
+
   /** Join `points` to every interval of `intervals` containing them
     * (lo ≤ p < hi) via fixed-width bucket decomposition: each point lands in
     * exactly one bucket of `bucketWidth`, each interval explodes to the
     * buckets it covers, and the pair meets in the point's bucket — exactly
-    * once, so no post-join dedup. Output: point columns + interval columns.
+    * once, so no post-join dedup. Output: point columns + interval columns
+    * (names must be disjoint across the two inputs; alias before calling).
     *
     * Plan: the bucket id is a genuine equi-join key — both sides shuffle
     * (or the small side broadcasts) on it, never a nested-loop pairing, so
@@ -29,19 +34,36 @@ object Ranges {
     * ×(span/bucketWidth): pick `bucketWidth` near the median interval
     * length (≈1 extra row per interval); empty intervals (hi ≤ lo) drop.
     * Point-side bucket skew (a hot time window) is AQE-splittable since the
-    * exact range predicate rides ON the equi-join as a join condition. */
+    * exact range predicate rides ON the equi-join as a join condition.
+    *
+    * Degenerate-interval guard: an interval spanning more than
+    * `maxBucketsPerInterval` buckets (a null-ish sentinel hi, a
+    * domain-spanning outlier) would silently explode to span/bucketWidth
+    * rows; instead such intervals route through a BROADCAST residual join
+    * on the raw range predicate. With `bucketWidth` near the median length
+    * they are outliers by definition — broadcast-small; if a large
+    * fraction of intervals lands in the residual, the bucketWidth is wrong
+    * for the data, so widen it. */
   def pointInInterval(points: DataFrame, pointCol: String,
       intervals: DataFrame, loCol: String, hiCol: String,
-      bucketWidth: Long): DataFrame = {
+      bucketWidth: Long, maxBucketsPerInterval: Int = 256): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    require(maxBucketsPerInterval > 0, "maxBucketsPerInterval must be positive")
+    require(points.columns.toSet.intersect(intervals.columns.toSet).isEmpty,
+      "alias point/interval columns to distinct names before the range join")
+    val live = intervals.filter(col(hiCol) > col(loCol))
+    val span = spanBuckets(loCol, hiCol, bucketWidth)
+    val inRange = col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol)
     val p = points.withColumn("__b", expr(s"$pointCol div $bucketWidth"))
-    val iv = intervals
-      .filter(col(hiCol) > col(loCol))
+    val iv = live.filter(span <= maxBucketsPerInterval)
       .withColumn("__b",
         explode(expr(s"sequence($loCol div $bucketWidth, ($hiCol - 1) div $bucketWidth)")))
-    p.join(iv, p("__b") === iv("__b")
-        && col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
-      .drop("__b")
+    val bucketed = p.join(iv, p("__b") === iv("__b") && inRange).drop("__b")
+    // an interval is wide XOR narrow, so each (point, interval) pair is
+    // emitted by exactly one path — the exactly-once contract holds
+    val residual = points.join(
+      broadcast(live.filter(span > maxBucketsPerInterval)), inRange)
+    bucketed.unionByName(residual)
   }
 
   /** Join two interval relations on overlap (aLo < bHi ∧ bLo < aHi) via the
@@ -57,23 +79,48 @@ object Ranges {
     * Plan: a genuine equi-join on (bucket [, extraKeys…]) — shuffled or
     * broadcast like any other, never a nested loop. Each side is
     * replicated ×(span/bucketWidth); pick the width near the median
-    * interval length. */
+    * interval length.
+    *
+    * Degenerate-interval guard (same contract as [[pointInInterval]]):
+    * intervals spanning more than `maxBucketsPerInterval` buckets on
+    * EITHER side skip the explode and pair through a broadcast residual
+    * join on the raw overlap predicate. The pair space partitions as
+    * (wide-left × all) ∪ (narrow-left × wide-right) ∪ (narrow × narrow via
+    * buckets), so each overlapping pair still emits exactly once. Wide
+    * intervals must be outliers (broadcast-small) — if many are wide,
+    * widen `bucketWidth` instead. */
   def intervalOverlap(left: DataFrame, leftLo: String, leftHi: String,
       right: DataFrame, rightLo: String, rightHi: String,
-      bucketWidth: Long, extraKeys: Seq[(String, String)] = Nil): DataFrame = {
+      bucketWidth: Long, extraKeys: Seq[(String, String)] = Nil,
+      maxBucketsPerInterval: Int = 256): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    require(maxBucketsPerInterval > 0, "maxBucketsPerInterval must be positive")
     require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
       "alias left/right columns to distinct names before the overlap join")
-    val l = left.filter(col(leftHi) > col(leftLo)).withColumn("__bl",
+    val lLive = left.filter(col(leftHi) > col(leftLo))
+    val rLive = right.filter(col(rightHi) > col(rightLo))
+    val lSpan = spanBuckets(leftLo, leftHi, bucketWidth)
+    val rSpan = spanBuckets(rightLo, rightHi, bucketWidth)
+    val overlaps = col(leftLo) < col(rightHi) && col(rightLo) < col(leftHi)
+    val withKeys = extraKeys.foldLeft(overlaps) {
+      case (c, (a, b)) => c && col(a) === col(b) }
+    val l = lLive.filter(lSpan <= maxBucketsPerInterval).withColumn("__bl",
       explode(expr(s"sequence($leftLo div $bucketWidth, ($leftHi - 1) div $bucketWidth)")))
-    val r = right.filter(col(rightHi) > col(rightLo)).withColumn("__br",
+    val r = rLive.filter(rSpan <= maxBucketsPerInterval).withColumn("__br",
       explode(expr(s"sequence($rightLo div $bucketWidth, ($rightHi - 1) div $bucketWidth)")))
-    val base = col("__bl") === col("__br") &&
-      col(leftLo) < col(rightHi) && col(rightLo) < col(leftHi) &&
-      col("__bl") === greatest(
-        expr(s"$leftLo div $bucketWidth"), expr(s"$rightLo div $bucketWidth"))
-    val cond = extraKeys.foldLeft(base) { case (c, (a, b)) => c && col(a) === col(b) }
-    l.join(r, cond).drop("__bl", "__br")
+    // narrow × narrow meet in the FIRST shared bucket — exactly once
+    val bucketed = l.join(r, withKeys && col("__bl") === col("__br") &&
+        col("__bl") === greatest(
+          expr(s"$leftLo div $bucketWidth"), expr(s"$rightLo div $bucketWidth")))
+      .drop("__bl", "__br")
+    // wide-left pairs with EVERYTHING on the right; narrow-left with
+    // wide-right — together with the bucket path this partitions the pair
+    // space, so no pair emits twice and none drops
+    val wideLeftPairs = rLive.join(
+      broadcast(lLive.filter(lSpan > maxBucketsPerInterval)), withKeys)
+    val wideRightPairs = lLive.filter(lSpan <= maxBucketsPerInterval).join(
+      broadcast(rLive.filter(rSpan > maxBucketsPerInterval)), withKeys)
+    bucketed.unionByName(wideLeftPairs).unionByName(wideRightPairs)
   }
 
   // q75 — overlapping order service windows per customer: each order opens

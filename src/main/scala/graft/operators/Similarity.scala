@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -39,6 +40,30 @@ object Similarity {
   private def cosine(dot: Column, na: Column, nb: Column): Column =
     dot.cast(DoubleType) / (sqrt(na.cast(DoubleType)) * sqrt(nb.cast(DoubleType)))
 
+  /** Grouped top-k WITHOUT a data-keyed window: ranks the best `k` rows per
+    * `keyCols` group by (`scoreCol` desc, `idCol` asc) — the exact ordering
+    * of `row_number().over(Window.partitionBy(key).orderBy(desc, asc))` —
+    * via the bounded [[graft.functions.TopKByScore]] aggregate.
+    *
+    * Scale: a window would funnel the whole scored relation into ≤ #keys
+    * tasks (one task sorts ~10⁹ rows when the key is a handful of queries).
+    * This plans as ObjectHashAggregate with map-side partials: each input
+    * partition reduces locally to a k-bounded buffer and only the buffers
+    * shuffle — k × #partitions rows per key. Output: keyCols ++
+    * (idCol, rank, scoreCol), rank 1-based, ties total (id asc). */
+  def topKPerKey(df: DataFrame, keyCols: Seq[String], idCol: String,
+      scoreCol: String, k: Int): DataFrame = {
+    val tk = udaf(new graft.functions.TopKByScore(k),
+      ExpressionEncoder[graft.functions.Scored]())
+    df.groupBy(keyCols.map(col): _*)
+      .agg(tk(col(idCol).cast(LongType), col(scoreCol).cast(DoubleType)).as("__tk"))
+      .select(keyCols.map(col) :+ posexplode(col("__tk")): _*)
+      .select(keyCols.map(col) ++ Seq(
+        col("col.id").as(idCol),
+        (col("pos") + 1).cast(IntegerType).as("rank"),
+        col("col.score").as(scoreCol)): _*)
+  }
+
   // q37 — brute-force cosine top-k: the exact baseline every ANN variant is
   // measured against. Query set = vec_id < 5, k = 10.
   private def q37(s: SparkSession, d: String): DataFrame = {
@@ -52,9 +77,10 @@ object Similarity {
       .filter($"neighbor_id" =!= $"query_id")
       .select($"query_id", $"neighbor_id",
         cosine(dotScaled("qe", "be"), $"qn", $"bn").as("cosine"))
-    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 10)
+    // bounded top-k aggregate, NOT a per-query window: the scored relation
+    // is |base|×|queries| rows and the window key has ≤5 values — a window
+    // here is the straggler shape at 100×. See topKPerKey.
+    topKPerKey(scored, Seq("query_id"), "neighbor_id", "cosine", k = 10)
       .select($"query_id", $"neighbor_id", $"rank", $"cosine")
       .orderBy($"query_id", $"rank")
   }
@@ -185,12 +211,13 @@ object Similarity {
     val b = e.join(assignment, "vec_id")
       .select($"vec_id".as("neighbor_id"), $"embedding".as("be"),
         $"norm".as("bn"), $"cid")
-    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
-    b.join(broadcast(probe), $"cid" === $"c_cid" && $"neighbor_id" =!= $"query_id")
+    // bounded top-k aggregate over the probed candidates (~nprobe/nlist of
+    // the base per query) — same no-straggler contract as q37
+    val scored = b.join(broadcast(probe),
+        $"cid" === $"c_cid" && $"neighbor_id" =!= $"query_id")
       .select($"query_id", $"neighbor_id",
         cosine(dotScaled("qe", "be"), $"qn", $"bn").as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 10)
+    topKPerKey(scored, Seq("query_id"), "neighbor_id", "cosine", k = 10)
       .select($"query_id", $"neighbor_id", $"rank", $"cosine")
       .orderBy($"query_id", $"rank")
   }
@@ -249,13 +276,34 @@ object Similarity {
     semanticDedupFrom(base, assign, tau = 0.9).orderBy($"vec_id")
   }
 
+  /** Hyperplane count for a corpus of `n` vectors targeting a mean bucket
+    * size of `c`: planes ≈ log2(n/c), clamped to [1, 62] (the bucket id is
+    * a long bitmask). Same-bucket pairing is quadratic in bucket size
+    * (n²/2^planes expected pairs on random data), so `planes` MUST grow
+    * with the corpus — this is [[cosineNearDups]]'s sizing rule, the
+    * analogue of SemDeDup's nlist ∝ N. */
+  def planesFor(n: Long, targetBucket: Long = 64L): Int = {
+    require(n > 0 && targetBucket > 0)
+    val p = math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt
+    math.min(62, math.max(1, p))
+  }
+
   /** Embedding-cosine near-duplicate detection via random-hyperplane LSH:
     * `planes` deterministic md5-derived integer hyperplanes bucket every
     * vector by projection signs (SimHash-for-vectors); only same-bucket
     * pairs get an exact (scaled-integer) cosine, kept at ≥ threshold.
     * All arithmetic is integer-exact, so results replicate in any engine.
     * Scale: bucketing is map-only + one groupBy; candidate pairs are an
-    * equi-join on the bucket id — never all-pairs. */
+    * equi-join on the bucket id — never all-pairs, BUT expected candidate
+    * count is n²/2^planes on random data, so `planes` must scale with the
+    * corpus: planes ≈ log2(n / targetBucketSize) ([[planesFor]] — e.g. a
+    * 10⁹-vector corpus at c=64 needs ~24 planes, NOT a fixed 4, which
+    * there would degenerate into an accidental near-all-pairs join).
+    * [[cosineNearDupsAuto]] derives it from the corpus count. Recall note:
+    * more planes lower per-bucket collision probability for true near-dups
+    * too (P[same bucket] = (1 − θ/π)^planes); when recall matters more
+    * than cost, run multiple independent plane families (bands) and union
+    * the candidates, as minhashLsh does for text. */
   def cosineNearDups(emb: DataFrame, planes: Int, threshold: Double): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
@@ -290,6 +338,13 @@ object Similarity {
       .filter($"cosine" >= threshold)
       .orderBy($"vec_a", $"vec_b")
   }
+
+  /** [[cosineNearDups]] with `planes` derived from the corpus size via
+    * [[planesFor]] — the call a user should make when they don't have a
+    * tuned plane count (defaults must not silently go quadratic at 10⁹). */
+  def cosineNearDupsAuto(emb: DataFrame, threshold: Double,
+      targetBucket: Long = 64L): DataFrame =
+    cosineNearDups(emb, planesFor(emb.count(), targetBucket), threshold)
 
   private def q40(s: SparkSession, d: String): DataFrame =
     cosineNearDups(Tables.embeddings(s, d), planes = 4, threshold = 0.4)

@@ -166,9 +166,16 @@ object Realtime {
     * the manifest atomically (readers resolve via `current`). When
     * `indexedCols` is non-empty the generation also gets a segment manifest
     * (graft.storage.Segments), so historical reads of compacted realtime
-    * data prune files like any other segment table. */
+    * data prune files like any other segment table; `bloomCols`/`ngramCols`
+    * additionally build the per-file equality and substring-LIKE blooms a
+    * batch `Segments.write` table gets — the reference's realtime segments
+    * build their full indices on dump (rt/RealtimeSegment.java:215-308), so
+    * a table must not lose pruning power by having arrived via the realtime
+    * path. Cost: one distinct+aggregate per bloom/ngram column per
+    * compaction generation (budget note in SCALE.md). */
   def compact(spark: SparkSession, tableDir: String, r: RollupSpec,
-      indexedCols: Seq[String] = Nil): String = {
+      indexedCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      ngramCols: Seq[String] = Nil): String = {
     import org.apache.hadoop.fs.{FileContext, Options, Path}
     val parts = spark.read.parquet(s"$tableDir/batch=*")
     val gen = s"$tableDir/compacted-${System.currentTimeMillis()}"
@@ -176,8 +183,9 @@ object Realtime {
       .repartition(spark.sessionState.conf.numShufflePartitions, r.dims.map(col): _*)
       .sortWithinPartitions(r.dims.map(col): _*)
       .write.mode("overwrite").parquet(gen)
-    if (indexedCols.nonEmpty)
-      graft.storage.Segments.buildManifest(spark, gen, indexedCols)
+    if (indexedCols.nonEmpty || bloomCols.nonEmpty || ngramCols.nonEmpty)
+      graft.storage.Segments.buildManifest(spark, gen, indexedCols,
+        bloomCols = bloomCols, ngramCols = ngramCols)
     // `current` pointer swap through the Hadoop FS API so it works on
     // HDFS/cloud stores like the reference's segment upload
     // (SegmentUploader.java); FileContext.rename(OVERWRITE) is the

@@ -191,10 +191,50 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     val ivs = Seq((1L, 0L, 10L)).toDF("iid", "lo", "hi")
     val p = Ranges.pointInInterval(pts, "p", ivs, "lo", "hi", 8L)
       .queryExecution.executedPlan.toString()
-    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
-      s"range join must decompose to an equi-join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"range join must never go cartesian:\n$p")
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
       s"expected a hash/merge equi-join on the bucket key:\n$p")
+    // the only nested loop allowed is the BROADCAST residual for wide
+    // outlier intervals — never the main pairing
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"only the wide-interval residual may nested-loop:\n$p")
+  }
+
+  test("a degenerate (domain-spanning) interval takes the broadcast residual, not an explode") {
+    // hi = a MAX_LONG-ish sentinel: the explode path would try to generate
+    // ~10^17 bucket rows (sequence() refuses); the guard routes it through
+    // the broadcast residual and the answer still matches naive exactly-once
+    val pts = Seq.tabulate(50)(i => (i.toLong, i * 37L % 1000)).toDF("pid", "p")
+    val ivs = Seq(
+      (1L, 10L, 60L), (2L, 500L, 800L),            // narrow
+      (3L, 0L, Long.MaxValue / 2),                  // degenerate sentinel
+      (4L, 100L, 100L + 8L * 300)                   // wide outlier (300 buckets)
+    ).toDF("iid", "lo", "hi")
+    val got = Ranges.pointInInterval(pts, "p", ivs, "lo", "hi", bucketWidth = 8L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = pts.crossJoin(ivs).filter($"p" >= $"lo" && $"p" < $"hi")
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.toSet == want)
+    assert(got.length == want.size, "wide + narrow paths must not double-emit")
+  }
+
+  test("intervalOverlap with domain-spanning intervals on both sides stays exact") {
+    val as = Seq(
+      (1L, 0L, 40L), (2L, 100L, 160L),
+      (3L, 0L, Long.MaxValue / 2)                   // wide left
+    ).toDF("aid", "alo", "ahi")
+    val bs = Seq(
+      (10L, 20L, 50L), (11L, 150L, 200L),
+      (12L, 5L, Long.MaxValue / 3)                  // wide right
+    ).toDF("bid", "blo", "bhi")
+    val got = Ranges.intervalOverlap(as, "alo", "ahi", bs, "blo", "bhi",
+        bucketWidth = 16L)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = as.crossJoin(bs)
+      .filter($"alo" < $"bhi" && $"blo" < $"ahi")
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.toSet == want)
+    assert(got.length == want.size, "each overlapping pair must emit exactly once")
   }
 
   // ---------------------------------------------- histogram quantiles

@@ -78,6 +78,34 @@ class DedupApiSpec extends AnyFunSuite {
     assert(capped.count() == 0, "df cap must drop the boilerplate shingle's pairs")
   }
 
+  test("cosineNearDups: planes scale with N (planesFor) and bound candidate pairs") {
+    import graft.operators.Similarity
+    // the documented sizing rule: planes ≈ log2(N / targetBucket)
+    assert(Similarity.planesFor(1024L, 64L) == 4)
+    assert(Similarity.planesFor(1L << 30, 64L) == 24)
+    assert(Similarity.planesFor(10L, 64L) == 1) // clamped low
+    assert(Similarity.planesFor(Long.MaxValue, 1L) == 62) // bitmask bound
+    // planted hot corpus: 512 deterministic pseudo-random vectors. With a
+    // too-small fixed plane count the same-bucket candidate join goes
+    // quadratic; at the derived count the candidate set collapses.
+    // threshold = -1 keeps EVERY same-bucket pair → count == candidates.
+    val s = spark
+    import s.implicits._
+    val n = 512
+    val vecs = (0 until n).map { i =>
+      (i.toLong, Array.tabulate(16) { d =>
+        ((graft.functions.MinHashAgg.md5Long60(s"v$i:$d") % 2001L) - 1000L) / 1000f
+      })
+    }.toDF("vec_id", "embedding")
+    val few = Similarity.cosineNearDups(vecs, planes = 2, threshold = -1.0).count()
+    val derived = Similarity.planesFor(n, targetBucket = 16L) // = 5
+    val auto = Similarity.cosineNearDups(vecs, planes = derived, threshold = -1.0).count()
+    val allPairs = n.toLong * (n - 1) / 2
+    assert(few > allPairs / 8, s"2 planes should be near-quadratic, got $few")
+    assert(auto < few / 4, s"derived planes must collapse candidates: $auto vs $few")
+    assert(auto < allPairs / 16, s"candidates must be far below all-pairs: $auto")
+  }
+
   test("clusters + keepBest: one winner per cluster, best quality kept") {
     val cl = Dedup.clusters(docs, "my_id", "body", threshold = 0.5).persist()
     val byId = cl.collect().map(r =>

@@ -62,6 +62,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q37/q38: per-query top-k is a bounded aggregate, never a full-relation window") {
+    // the scored candidate relation has ≤5 distinct query_ids — a
+    // Window.partitionBy(query_id) would funnel it into ≤5 tasks (one task
+    // sorts ~10⁹ rows at 100×). The plan must show ObjectHashAggregate with
+    // map-side partials (the k-bounded TopKByScore buffers) and no window
+    // over the scored relation.
+    val p37 = planOf("q37_ann_brute")
+    assert(!p37.contains("Window"), s"q37 must not window the scored relation:\n$p37")
+    assert(p37.contains("ObjectHashAggregate"), "q37 top-k must be an object hash aggregate")
+    assert(p37.contains("partial_topkbyscore"), "q37 top-k buffers must combine map-side")
+    // q38's only window is probe selection over queries×centroids (≤50 rows
+    // by construction); the candidate top-k must be the bounded aggregate
+    val p38 = planOf("q38_ann_ivf")
+    val w38 = p38.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(w38.forall(_.contains("crank")),
+      s"q38: only the centroid-probe window may remain:\n${w38.mkString("\n")}")
+    assert(p38.contains("partial_topkbyscore"), "q38 top-k buffers must combine map-side")
+  }
+
   test("q12: top-n plans as TakeOrderedAndProject (no full global sort)") {
     val p = planOf("q12_top_n")
     assert(p.contains("TakeOrderedAndProject"), "LIMIT after ORDER BY must avoid a full sort")

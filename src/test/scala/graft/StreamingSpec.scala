@@ -110,6 +110,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(b.getAs[Double]("first_v") == 5.0 && b.getAs[Double]("last_v") == -2.0)
   }
 
+  test("compaction carries equality + substring-LIKE blooms into the manifest") {
+    // a table that arrived via the realtime path must prune like a batch
+    // Segments.write table: compact() threads bloomCols/ngramCols through
+    // buildManifest (reference: realtime dumps build their full indices,
+    // rt/RealtimeSegment.java:215-308)
+    import spark.implicits._
+    import graft.storage.Segments
+    val dir = Files.createTempDirectory("graft-rt-idx").toString
+    val r = RollupSpec(Seq("dim"), Seq("v" -> Sum), "ev_id")
+    val dims = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "kappa", "sigma").map(_ + "-page")
+    dims.zipWithIndex.foreach { case (d, i) =>
+      Seq((i.toLong, d, i * 1.0), (100L + i, d, 2.0))
+        .toDF("ev_id", "dim", "v").transform(Realtime.rollupBatch(_, r))
+        .write.parquet(s"$dir/batch=$i")
+    }
+
+    // AQE rightly coalesces 8 rows into one file; force multiple files so
+    // the per-file pruning assertions below are non-vacuous
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val gen =
+      try Realtime.compact(spark, dir, r, indexedCols = Seq("dim"),
+        bloomCols = Seq("dim"), ngramCols = Seq("dim"))
+      finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    val manifest = Segments.readManifest(gen)
+    assert(manifest.size >= 2, "8 dims must spread over >1 compacted file")
+    assert(manifest.forall(f => f.blooms.contains("dim") && f.ngrams.contains("dim")),
+      "every compacted file must carry the dim blooms")
+    // equality bloom: a value that was never ingested prunes every file
+    assert(Segments.prunedFileCount(gen,
+      Seq(Segments.Equals("dim", "nope-page", numeric = false)))._1 == 0)
+    // substring bloom: an absent trigram prunes every file; a real substring
+    // prunes the files not holding it and keeps the matching row
+    assert(Segments.prunedFileCount(gen, Seq(Segments.ContainsPred("dim", "zzz")))._1 == 0)
+    val (keptGamma, total) =
+      Segments.prunedFileCount(gen, Seq(Segments.ContainsPred("dim", "gamma")))
+    assert(keptGamma < total, "files without the 'gamma' trigrams must prune")
+    assert(Segments.prunedRead(spark, gen,
+      Seq(Segments.ContainsPred("dim", "gamma")))
+      .where($"dim" === "gamma-page").count() == 1)
+    assert(Segments.prunedRead(spark, gen,
+      Seq(Segments.Equals("dim", "alpha-page", numeric = false)))
+      .where($"dim" === "alpha-page").count() == 1)
+  }
+
   test("merge of per-batch rollups equals one-shot rollup over all rows") {
     import spark.implicits._
     val r = RollupSpec(Seq("dim"), Seq("v" -> Sum, "fv" -> First, "lv" -> Last), "ev_id")
