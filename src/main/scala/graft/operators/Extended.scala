@@ -370,22 +370,47 @@ object Extended {
   def histQuantiles(df: DataFrame, valueCol: String, pcts: Seq[Int],
       lo: Double, width: Double, bins: Int,
       groupCols: Seq[String] = Nil): DataFrame = {
-    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100)
-      && bins > 0 && width > 0)
+    require(width > 0)
+    histQuantilesImpl(df, valueCol, pcts, lit(lo), lit(width), bins, groupCols)
+  }
+
+  /** [[histQuantiles]] with the bin range DERIVED instead of caller-picked:
+    * from `bounds` when given — pass [[graft.storage.Segments.manifestBounds]]
+    * for a segment table and the range comes from metadata alone, ZERO data
+    * files opened (InfoSegment parity for sketches) — else from one min/max
+    * aggregate over the input (which on a manifest-backed scan the
+    * ManifestAggregates rule answers metadata-only anyway). width =
+    * (hi−lo)/bins in IEEE double, so an oracle recomputing the same min/max
+    * replicates every estimate bit-for-bit; a constant column (hi == lo)
+    * degrades to one bin of width 1. */
+  def histQuantilesAuto(df: DataFrame, valueCol: String, pcts: Seq[Int],
+      bins: Int, groupCols: Seq[String] = Nil,
+      bounds: Option[(Double, Double)] = None): DataFrame = {
+    val (lo, hi) = bounds.getOrElse {
+      val r = df.agg(min(col(valueCol).cast(DoubleType)),
+        max(col(valueCol).cast(DoubleType))).head()
+      require(!r.isNullAt(0), "histQuantilesAuto needs a non-empty, non-null input")
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val width = if (hi > lo) (hi - lo) / bins else 1.0
+    histQuantilesImpl(df, valueCol, pcts, lit(lo), lit(width), bins, groupCols)
+  }
+
+  private def histQuantilesImpl(df: DataFrame, valueCol: String, pcts: Seq[Int],
+      loC: Column, widthC: Column, bins: Int,
+      groupCols: Seq[String]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100) && bins > 0)
     val s = df.sparkSession
     import s.implicits._
     val gs = groupCols.map(col)
-    // CASTs (not literal suffixes) keep the expression text identical to
-    // the oracle SQL — decimal-literal promotion rules differ per engine.
     // Clamp in the DOUBLE domain and only then cast to INT: a raw
     // floor→INT cast saturates in Spark but errors in DuckDB once
     // (value-lo)/width exceeds Int.MaxValue, so values astronomically
     // outside the histogram range would diverge engine-to-engine
+    val bin = least(greatest(floor((col(valueCol).cast(DoubleType) - loC) / widthC),
+        lit(0.0)), lit((bins - 1).toDouble)).cast(IntegerType)
     val counts = df
-      .select(gs :+ expr(s"CAST(least(greatest(floor((CAST($valueCol AS DOUBLE) " +
-        s"- CAST($lo AS DOUBLE)) / CAST($width AS DOUBLE)), CAST(0 AS DOUBLE)), " +
-        s"CAST(${bins - 1} AS DOUBLE)) AS INT)")
-        .as("bin"): _*)
+      .select(gs :+ bin.as("bin"): _*)
       .groupBy(gs :+ $"bin": _*).agg(count(lit(1)).as("n"))
     // cum/total windows key on the GROUP (≤ bins rows per group by
     // construction — bounded, unlike a data-keyed window); ungrouped, the
@@ -400,8 +425,7 @@ object Extended {
       .crossJoin(broadcast(cum))
       .filter($"cum" * 100 >= $"pct" * $"total")
       .groupBy(gs :+ $"pct": _*).agg(min($"bin").as("bin"))
-      .withColumn("est",
-        expr(s"CAST($lo AS DOUBLE) + (bin + 1) * CAST($width AS DOUBLE)"))
+      .withColumn("est", loC + ($"bin" + 1) * widthC)
   }
 
   // q73 — histogram-sketch quantiles of l_extendedprice: 8192 bins of
@@ -453,11 +477,43 @@ object Extended {
       |FROM p, cum WHERE cum * 100 >= pct * total
       |GROUP BY 1, 2 ORDER BY l_returnflag, pct""".stripMargin
 
+  // q77 — AUTO-binned histogram quantiles: the bin range is derived (data
+  // min/max — which a manifest-backed segment table answers from metadata
+  // alone, see histQuantilesAuto/manifestBounds), not caller-guessed like
+  // q73's. Width = (max−min)/4096 in IEEE double on both engines, so the
+  // estimates replicate bit-for-bit.
+  private def q77(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    histQuantilesAuto(Tables.lineitem(s, d), "l_extendedprice",
+        Seq(25, 50, 90, 99), bins = 4096)
+      .orderBy($"pct")
+  }
+  private val q77Sql =
+    """WITH s AS (SELECT CAST(min(l_extendedprice) AS DOUBLE) AS lo,
+      |                  CAST(max(l_extendedprice) AS DOUBLE) AS hi
+      |           FROM lineitem),
+      |w AS (SELECT lo, CASE WHEN hi > lo THEN (hi - lo) / 4096 ELSE 1.0 END AS width
+      |      FROM s),
+      |b AS (SELECT CAST(least(greatest(floor((CAST(l_extendedprice AS DOUBLE)
+      |             - (SELECT lo FROM w)) / (SELECT width FROM w)), CAST(0 AS DOUBLE)),
+      |             CAST(4095 AS DOUBLE)) AS INTEGER) AS bin
+      |           FROM lineitem),
+      |c AS (SELECT bin, COUNT(*) AS n FROM b GROUP BY 1),
+      |cum AS (SELECT bin, SUM(n) OVER (ORDER BY bin
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM c),
+      |tot AS (SELECT COUNT(*) AS total FROM lineitem),
+      |p AS (SELECT * FROM (VALUES (25), (50), (90), (99)) v(pct))
+      |SELECT pct, min(bin) AS bin,
+      |  (SELECT lo FROM w) + (min(bin) + 1) * (SELECT width FROM w) AS est
+      |FROM p, cum, tot WHERE cum * 100 >= pct * total
+      |GROUP BY pct ORDER BY pct""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_grouping_sets" -> q42,
     "q46_percentiles" -> q46,
     "q73_quantile_sketch" -> q73,
     "q76_quantile_sketch_grouped" -> q76,
+    "q77_quantile_sketch_auto" -> q77,
     "q13_join_facts" -> q13,
     "q14_join_broadcast_star" -> q14,
     "q15_semi_anti" -> q15,
@@ -477,6 +533,7 @@ object Extended {
     "q46_percentiles" -> q46Sql,
     "q73_quantile_sketch" -> q73Sql,
     "q76_quantile_sketch_grouped" -> q76Sql,
+    "q77_quantile_sketch_auto" -> q77Sql,
     "q13_join_facts" -> q13Sql,
     "q14_join_broadcast_star" -> q14Sql,
     "q15_semi_anti" -> q15Sql,

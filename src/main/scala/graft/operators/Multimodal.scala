@@ -26,10 +26,19 @@ object Multimodal {
   case class MediaFeatures(doc_id: Long, kind: String, byte_len: Int,
       width: Int, height: Int, n_frames: Int, feature: Array[Float])
 
+  /** The decode extension point: a codec-bearing deployment implements this
+    * one method (JPEG/WAV/H.264 via its native libs) and passes it to
+    * [[decodeFeatures]] — no operator, schema, or partitioning code changes.
+    * Implementations must be Serializable (they ship to executors) and
+    * deterministic per payload (reruns/retries must agree). */
+  trait MediaDecoder extends Serializable {
+    def decode(r: MediaRow): MediaFeatures
+  }
+
   /** STUB: deterministic fake decode — derives pseudo width/height/frames
     * and an 8-dim feature vector from the payload bytes. A real deployment
     * swaps this for an image/audio codec; everything around it stays. */
-  object FakeDecoder {
+  object FakeDecoder extends MediaDecoder {
     def decode(r: MediaRow): MediaFeatures = {
       val bytes = r.payload
       val h = java.util.Arrays.hashCode(bytes)
@@ -58,10 +67,12 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** The batch decode stage: partition-parallel, no shuffle. */
-  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  /** The batch decode stage: partition-parallel, no shuffle. The decoder is
+    * pluggable ([[MediaDecoder]]); the default is the documented stub. */
+  def decodeFeatures(media: Dataset[MediaRow],
+      decoder: MediaDecoder = FakeDecoder): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(FakeDecoder.decode))
+    media.mapPartitions(_.map(decoder.decode))
   }
 
   /** Frame-sampling shape: explode a video payload into every k-th "frame"

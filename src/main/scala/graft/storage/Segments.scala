@@ -405,4 +405,18 @@ object Segments {
     val manifest = readManifest(dir)
     (manifest.count(fs => ranges.forall(_.mayMatch(fs))), manifest.size)
   }
+
+  /** Global (min, max) of a NUMERIC indexed column from the manifest alone —
+    * no data file is opened (the reference's InfoSegment metadata answer,
+    * SURVEY.md §4.2). None when the column is unindexed or all-null in every
+    * file. Feeds histQuantilesAuto's bin derivation: metadata supplies the
+    * range, the sketch pass is the only scan. */
+  def manifestBounds(dir: String, colName: String): Option[(Double, Double)] = {
+    val m = readManifest(dir)
+    val los = m.flatMap(_.stats.get(colName).flatMap(_._1))
+      .map(java.lang.Double.parseDouble)
+    val his = m.flatMap(_.stats.get(colName).flatMap(_._2))
+      .map(java.lang.Double.parseDouble)
+    if (los.isEmpty || his.isEmpty) None else Some((los.min, his.max))
+  }
 }

@@ -267,6 +267,24 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("histQuantilesAuto derives bins from data range; constant column degrades to one bin") {
+    val vals = (1 to 5000).map(i => 3.0 + i * 0.37)
+    val df = vals.toDF("v")
+    val width = (vals.max - vals.min) / 512
+    val out = graft.operators.Extended
+      .histQuantilesAuto(df, "v", Seq(50, 95), bins = 512)
+      .collect().map(r => r.getAs[Int]("pct") -> r.getAs[Double]("est")).toMap
+    for ((pct, est) <- out) {
+      val exact = vals(math.ceil(pct / 100.0 * vals.size).toInt - 1)
+      assert(est >= exact && est - exact <= 2 * width, s"p$pct est=$est exact=$exact")
+    }
+    // hi == lo: one bin of width 1, estimate = lo + 1
+    val const = Seq(7.0, 7.0, 7.0).toDF("v")
+    val c = graft.operators.Extended
+      .histQuantilesAuto(const, "v", Seq(50), bins = 64).collect().head
+    assert(c.getAs[Int]("bin") == 0 && c.getAs[Double]("est") == 8.0)
+  }
+
   test("histQuantiles clamps out-of-range values into the edge bins") {
     val df = Seq(-100.0, 1.0, 5.0, 1e9).toDF("v")
     val out = graft.operators.Extended

@@ -334,6 +334,29 @@ class ModelStorageSpec extends AnyFunSuite {
     assert(Segments.prunedRead(spark, dir, Seq(none)).count() == 0)
   }
 
+  test("manifestBounds answers from metadata alone (zero data files opened)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-bounds").toString + "/t"
+    val df = spark.range(1, 1001).select($"id".as("k"), ($"id" * 2.5).as("v"))
+    Segments.write(df, dir, sortCols = Seq("k"), indexedCols = Seq("k", "v"),
+      numSegments = 4)
+    // histQuantilesAuto fed by the manifest equals the data-derived binning
+    val fromData = graft.operators.Extended.histQuantilesAuto(
+      spark.read.parquet(dir), "v", Seq(50, 95), bins = 128).collect().toSet
+    // DELETE every data file: only the manifest remains — the bounds (and
+    // thus the sketch's bin layout) must still derive, proving no data read
+    val d = new java.io.File(dir)
+    d.listFiles().filter(_.getName.endsWith(".parquet")).foreach(f =>
+      assert(f.delete(), s"couldn't delete ${f.getName}"))
+    val b = Segments.manifestBounds(dir, "v")
+    assert(b.contains((2.5, 2500.0)), s"bounds from metadata: $b")
+    assert(Segments.manifestBounds(dir, "nope").isEmpty)
+    // the bounds seed the SAME bin layout the data-derived path used
+    val fromMeta = graft.operators.Extended.histQuantilesAuto(
+      df, "v", Seq(50, 95), bins = 128, bounds = b).collect().toSet
+    assert(fromMeta == fromData)
+  }
+
   test("And/Or/Not rough-check algebra prunes conservatively") {
     import graft.plans.ManifestFileIndex
     import spark.implicits._

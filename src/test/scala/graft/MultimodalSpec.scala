@@ -29,6 +29,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f1.forall(r => r.byte_len > 0 && r.width >= 64))
   }
 
+  test("a custom MediaDecoder plugs in without touching plumbing (identical schema)") {
+    // a codec-bearing deployment implements the one-method trait; schema,
+    // partitioning and downstream handoff are untouched
+    object TestCodec extends Multimodal.MediaDecoder {
+      def decode(r: Multimodal.MediaRow): Multimodal.MediaFeatures =
+        Multimodal.MediaFeatures(r.doc_id, r.kind, r.payload.length,
+          width = 1920, height = 1080,
+          n_frames = if (r.kind == "video") 24 else 1,
+          feature = Array.fill(8)(0.5f))
+    }
+    val m = Multimodal.mediaTable(spark, sf)
+    val stub = Multimodal.decodeFeatures(m)
+    val real = Multimodal.decodeFeatures(m, TestCodec)
+    assert(real.schema == stub.schema, "decoders must not change the plumbing schema")
+    assert(real.count() == stub.count())
+    val r = real.collect()
+    assert(r.forall(_.width == 1920))
+    assert(r.filter(_.kind == "video").forall(_.n_frames == 24))
+  }
+
   test("frame sampling explodes only videos, every k-th window") {
     val m = Multimodal.mediaTable(spark, sf)
     val frames = Multimodal.sampleFrames(m, every = 2, window = 32)
