@@ -522,7 +522,96 @@ object Curation {
       |FROM c, unnest(range(0, n_chunks)) u(k)
       |ORDER BY doc_id, chunk_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Quantile-threshold filtering & deterministic per-group sampling
+
+  /** Keep rows whose `valueCol` is ≤ (or > with `keepBelow = false`) the
+    * corpus-wide `pct`-th percentile — the "drop everything above p99
+    * length" curation pass WITHOUT a global sort: the threshold comes from
+    * the mergeable histogram sketch ([[Extended.histQuantilesAuto]], one
+    * combiner-friendly aggregate; on a manifest-backed segment table the
+    * bin range is metadata-only), then one map-only filter. The threshold
+    * is a bin upper edge, so the kept set is deterministic and replicates
+    * in any engine recomputing the same histogram; selection error is
+    * bounded by one bin width (tighten with `bins`). */
+  def filterByQuantile(df: DataFrame, valueCol: String, pct: Int,
+      bins: Int = 4096, keepBelow: Boolean = true,
+      bounds: Option[(Double, Double)] = None): DataFrame = {
+    val est = Extended.histQuantilesAuto(df, valueCol, Seq(pct), bins,
+        bounds = bounds)
+      .head().getAs[Double]("est")
+    if (keepBelow) df.filter(col(valueCol).cast(DoubleType) <= est)
+    else df.filter(col(valueCol).cast(DoubleType) > est)
+  }
+
+  // q78 — quantile-threshold filter: documents at or below the p90 char
+  // length, threshold from the histogram sketch (no global sort at any
+  // scale). The oracle recomputes the identical IEEE histogram.
+  private def q78(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    filterByQuantile(Tables.documents(s, d), "n_chars", pct = 90, bins = 2048)
+      .select($"doc_id", $"lang", $"n_chars")
+      .orderBy($"doc_id")
+  }
+  private val q78Sql =
+    """WITH s AS (SELECT CAST(min(n_chars) AS DOUBLE) AS lo,
+      |                  CAST(max(n_chars) AS DOUBLE) AS hi FROM documents),
+      |w AS (SELECT lo, CASE WHEN hi > lo THEN (hi - lo) / 2048 ELSE 1.0 END AS width
+      |      FROM s),
+      |b AS (SELECT CAST(least(greatest(floor((CAST(n_chars AS DOUBLE)
+      |             - (SELECT lo FROM w)) / (SELECT width FROM w)), CAST(0 AS DOUBLE)),
+      |             CAST(2047 AS DOUBLE)) AS INTEGER) AS bin
+      |      FROM documents),
+      |c AS (SELECT bin, COUNT(*) AS n FROM b GROUP BY 1),
+      |cum AS (SELECT bin, SUM(n) OVER (ORDER BY bin
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM c),
+      |tot AS (SELECT COUNT(*) AS total FROM documents),
+      |th AS (SELECT (SELECT lo FROM w) + (min(bin) + 1) * (SELECT width FROM w) AS t
+      |       FROM cum, tot WHERE cum * 100 >= 90 * total)
+      |SELECT doc_id, lang, n_chars FROM documents
+      |WHERE CAST(n_chars AS DOUBLE) <= (SELECT t FROM th)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic fixed-size sample per group: the `k` rows with the
+    * highest md5-derived score (salted, reduced mod 2^50 so the long→
+    * double path in the aggregate stays exact) in each `groupCols` group —
+    * eval-set construction ("20 docs per language") that reproduces
+    * bit-for-bit across engines, reruns, and partitionings. Output:
+    * groupCols ++ (idCol, rank, smp_score); join back on `idCol` for the
+    * full rows.
+    *
+    * Scale: one map-only score projection + the bounded [[Similarity
+    * .topKPerKey]] aggregate — never a per-group window/sort, so a group
+    * with 10⁹ members costs the same shuffle as one with 10³. */
+  def samplePerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
+      k: Int, salt: String = "smp"): DataFrame = {
+    val scored = df.withColumn("smp_score",
+      pmod(md5Long(concat_ws(":", lit(salt), col(idCol).cast(StringType))),
+        lit(1L << 50)))
+    Similarity.topKPerKey(scored, groupCols, idCol, "smp_score", k)
+  }
+
+  // q79 — 20 deterministic sample docs per language (rank = sample order).
+  private def q79(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    samplePerGroup(Tables.documents(s, d), Seq("lang"), "doc_id", k = 20)
+      .select($"lang", $"doc_id", $"rank")
+      .orderBy($"lang", $"rank")
+  }
+  private val q79Sql =
+    s"""WITH sc AS (SELECT lang, doc_id,
+       |  (${md5LongSql("'smp:' || CAST(doc_id AS VARCHAR)")} % ${1L << 50}) AS score
+       |  FROM documents),
+       |r AS (SELECT lang, doc_id,
+       |        ROW_NUMBER() OVER (PARTITION BY lang
+       |          ORDER BY score DESC, doc_id ASC) AS rank
+       |      FROM sc)
+       |SELECT lang, doc_id, CAST(rank AS INTEGER) AS rank
+       |FROM r WHERE rank <= 20 ORDER BY lang, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q78_quantile_filter" -> q78,
+    "q79_sample_per_group" -> q79,
     "q57_boilerplate_removal" -> q57,
     "q58_tfidf_topk" -> q58,
     "q59_pack_sequences" -> q59,
@@ -534,6 +623,8 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q78_quantile_filter" -> q78Sql,
+    "q79_sample_per_group" -> q79Sql,
     "q57_boilerplate_removal" -> q57Sql,
     "q58_tfidf_topk" -> q58Sql,
     "q59_pack_sequences" -> q59Sql,

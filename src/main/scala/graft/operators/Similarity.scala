@@ -64,23 +64,44 @@ object Similarity {
         col("col.score").as(scoreCol)): _*)
   }
 
+  /** Public brute-force cosine top-k under caller-named columns: every
+    * `queries` vector against every `base` vector, exact scaled-integer
+    * cosine, best `k` per query. Output: (queryIdCol, idCol, rank,
+    * cosine), rank 1-based with the total (cosine desc, id asc) order.
+    * `pairFilter` drops pairs before scoring (e.g. self-matches when the
+    * query set is a slice of the base).
+    *
+    * Scale: broadcast of the (small) query set over the base scan —
+    * map-only over the big side, the dot product is the codegen'd
+    * ScaledDotProduct kernel, and the per-query top-k is the bounded
+    * [[topKPerKey]] aggregate, never a data-keyed window. */
+  def annTopK(base: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, pairFilter: Column = lit(true)): DataFrame = {
+    require(idCol != queryIdCol,
+      "name the base and query id columns differently (both appear in the output)")
+    val b = base.select(col(idCol), col(vecCol).as("__bv"))
+      .withColumn("__bn", normScaled("__bv"))
+    val q = queries.select(col(queryIdCol), col(queryVecCol).as("__qv"))
+      .withColumn("__qn", normScaled("__qv"))
+    val scored = b.crossJoin(broadcast(q))
+      .filter(pairFilter)
+      .select(col(queryIdCol), col(idCol),
+        cosine(dotScaled("__qv", "__bv"), col("__qn"), col("__bn")).as("cosine"))
+    topKPerKey(scored, Seq(queryIdCol), idCol, "cosine", k)
+  }
+
   // q37 — brute-force cosine top-k: the exact baseline every ANN variant is
-  // measured against. Query set = vec_id < 5, k = 10.
+  // measured against (the public annTopK on the embeddings table).
+  // Query set = vec_id < 5, k = 10, self-matches excluded.
   private def q37(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, d)
-      .withColumn("norm", normScaled("embedding"))
-    val q = e.filter($"vec_id" < 5)
-      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"norm".as("qn"))
-    val b = e.select($"vec_id".as("neighbor_id"), $"embedding".as("be"), $"norm".as("bn"))
-    val scored = b.crossJoin(broadcast(q))
-      .filter($"neighbor_id" =!= $"query_id")
-      .select($"query_id", $"neighbor_id",
-        cosine(dotScaled("qe", "be"), $"qn", $"bn").as("cosine"))
-    // bounded top-k aggregate, NOT a per-query window: the scored relation
-    // is |base|×|queries| rows and the window key has ≤5 values — a window
-    // here is the straggler shape at 100×. See topKPerKey.
-    topKPerKey(scored, Seq("query_id"), "neighbor_id", "cosine", k = 10)
+    annTopK(
+      e.select($"vec_id".as("neighbor_id"), $"embedding"), "neighbor_id", "embedding",
+      e.filter($"vec_id" < 5).select($"vec_id".as("query_id"), $"embedding".as("qemb")),
+      "query_id", "qemb",
+      k = 10, pairFilter = $"neighbor_id" =!= $"query_id")
       .select($"query_id", $"neighbor_id", $"rank", $"cosine")
       .orderBy($"query_id", $"rank")
   }

@@ -177,4 +177,43 @@ class CurationSpec extends AnyFunSuite {
       budget = 10, shards = 2).collect()
     assert(out.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
+
+  test("filterByQuantile keeps ~pct of rows, complement on keepBelow=false") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 10000).map(_.toDouble).toDF("v")
+    val kept = Curation.filterByQuantile(df, "v", pct = 90, bins = 1000)
+    val n = kept.count()
+    // threshold is a bin upper edge: ≥ the exact p90, within one bin (10)
+    assert(n >= 9000 && n <= 9020, s"kept $n of 10000 at p90")
+    assert(kept.agg(max($"v")).head().getDouble(0) <= 9020.0)
+    // the complement partitions the corpus exactly
+    val above = Curation.filterByQuantile(df, "v", pct = 90, bins = 1000,
+      keepBelow = false)
+    assert(n + above.count() == 10000)
+  }
+
+  test("samplePerGroup: deterministic k-per-group, partitioning-invariant, salt-sensitive") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 500).map(i => (s"g${i % 3}", i.toLong)).toDF("grp", "id")
+    val a = Curation.samplePerGroup(df, Seq("grp"), "id", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sortBy(x => (x._1, x._3))
+    // exactly k per group (every group has ≥ k members here), ranks 1..k
+    a.groupBy(_._1).foreach { case (g, rows) =>
+      assert(rows.length == 10, s"$g")
+      assert(rows.map(_._3).toSeq == (1 to 10))
+    }
+    // invariant under input partitioning (partial buffers merge exactly)
+    val b = Curation.samplePerGroup(df.repartition(17), Seq("grp"), "id", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sortBy(x => (x._1, x._3))
+    assert(a.sameElements(b))
+    // a group smaller than k yields the whole group
+    val tiny = Curation.samplePerGroup(df.filter($"id" <= 4), Seq("grp"), "id", k = 10)
+    assert(tiny.count() == 4)
+    // a different salt draws a different sample (new eval split, same corpus)
+    val c = Curation.samplePerGroup(df, Seq("grp"), "id", k = 10, salt = "v2")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(c != a.map(x => (x._1, x._2)).toSet)
+  }
 }

@@ -146,6 +146,29 @@ class PropertySpec extends AnyFunSuite {
       "pack assignment must not depend on physical partitioning")
   }
 
+  test("topKPerKey equals the window row_number formulation (random data, ties, any partitioning)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(11)
+    // coarse scores (40 buckets) force plenty of ties → the id tie-break
+    // must match row_number's exactly
+    val df = Seq.tabulate(3000)(i =>
+        (rnd.nextInt(7).toLong, i.toLong, rnd.nextInt(40) / 8.0))
+      .toDF("g", "id", "score")
+      .repartition(13) // partial buffers must merge across partitions
+    for (k <- Seq(1, 5, 64)) {
+      val got = operators.Similarity.topKPerKey(df, Seq("g"), "id", "score", k)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+      val w = Window.partitionBy($"g").orderBy($"score".desc, $"id".asc)
+      val want = df.withColumn("rank", row_number().over(w)).filter($"rank" <= k)
+        .select($"g", $"id", $"rank", $"score")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+      assert(got == want, s"k=$k")
+    }
+  }
+
   test("termRarity matches an independent integer model on random corpora") {
     val s = spark
     import s.implicits._
