@@ -215,30 +215,59 @@ object Similarity {
       (c, a.persist())
     })
 
+  /** Public IVF ANN under caller-named columns: each query probes its
+    * `nprobe` nearest centroids' clusters and scans ONLY those — the
+    * standard ANN scale path (scan fraction ≈ nprobe/nlist). `fitted` is
+    * the (centroids, assignment) pair from [[kmeansFit]] — fit once (a
+    * materialization boundary), serve many query sets; the assignment's id
+    * column is `vec_id` by kmeansFit's contract. Output and ordering are
+    * identical in shape to [[annTopK]]; with nprobe = nlist the results
+    * are EXACTLY annTopK's (every cluster scanned — spec-locked).
+    *
+    * Scale: the probe-selection window is bounded (≤ queries×nlist rows by
+    * construction); candidates join on the cluster id (broadcast probe,
+    * AQE-splittable); the per-query top-k is the bounded aggregate. */
+  def ivfTopK(base: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      fitted: (DataFrame, DataFrame), nprobe: Int, k: Int,
+      pairFilter: Column = lit(true)): DataFrame = {
+    require(idCol != queryIdCol,
+      "name the base and query id columns differently (both appear in the output)")
+    require(nprobe > 0, "nprobe must be positive")
+    val (cent, assign) = fitted
+    val b = base.select(col(idCol), col(vecCol).as("__bv"))
+      .withColumn("__bn", normScaled("__bv"))
+      .join(assign.select(col("vec_id").as("__aid"), col("cid")),
+        col(idCol) === col("__aid")).drop("__aid")
+    val q = queries.select(col(queryIdCol), col(queryVecCol).as("__qv"))
+      .withColumn("__qn", normScaled("__qv"))
+    // nearest centroids per query (tiny: ≤ queries×nlist rows — this
+    // window is bounded by construction, unlike a data-keyed one)
+    val wq = Window.partitionBy(col(queryIdCol))
+      .orderBy(cosine(dotScaled("__qv", "ce"), col("__qn"), col("cn")).desc,
+        col("cid").asc)
+    val probe = q.crossJoin(cent)
+      .withColumn("__crank", row_number().over(wq))
+      .filter(col("__crank") <= nprobe)
+      .select(col(queryIdCol), col("__qv"), col("__qn"), col("cid").as("__pcid"))
+    // bounded top-k aggregate over the probed candidates (~nprobe/nlist of
+    // the base per query) — same no-straggler contract as annTopK
+    val scored = b.join(broadcast(probe), col("cid") === col("__pcid"))
+      .filter(pairFilter)
+      .select(col(queryIdCol), col(idCol),
+        cosine(dotScaled("__qv", "__bv"), col("__qn"), col("__bn")).as("cosine"))
+    topKPerKey(scored, Seq(queryIdCol), idCol, "cosine", k)
+  }
+
   def q38(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val e = Tables.embeddings(s, d).withColumn("norm", normScaled("embedding"))
-    val (cent, assignment) = fittedIvf(s, d)
-    val q = e.filter($"vec_id" < 5)
-      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"norm".as("qn"))
-    // nearest centroids per query (tiny: nlist rows)
-    val wq = Window.partitionBy($"query_id")
-      .orderBy(cosine(dotScaled("qe", "ce"), col("qn"), col("cn")).desc, $"cid".asc)
-    val probe = q.crossJoin(cent)
-      .withColumn("crank", row_number().over(wq))
-      .filter($"crank" <= nprobe)
-      .select($"query_id", $"qe", $"qn", $"cid".as("c_cid"))
-    // scan only the probed clusters (assignment join is doc-keyed, even)
-    val b = e.join(assignment, "vec_id")
-      .select($"vec_id".as("neighbor_id"), $"embedding".as("be"),
-        $"norm".as("bn"), $"cid")
-    // bounded top-k aggregate over the probed candidates (~nprobe/nlist of
-    // the base per query) — same no-straggler contract as q37
-    val scored = b.join(broadcast(probe),
-        $"cid" === $"c_cid" && $"neighbor_id" =!= $"query_id")
-      .select($"query_id", $"neighbor_id",
-        cosine(dotScaled("qe", "be"), $"qn", $"bn").as("cosine"))
-    topKPerKey(scored, Seq("query_id"), "neighbor_id", "cosine", k = 10)
+    val e = Tables.embeddings(s, d)
+    ivfTopK(
+      e.select($"vec_id".as("neighbor_id"), $"embedding"), "neighbor_id", "embedding",
+      e.filter($"vec_id" < 5).select($"vec_id".as("query_id"), $"embedding".as("qemb")),
+      "query_id", "qemb",
+      fitted = fittedIvf(s, d), nprobe = nprobe, k = 10,
+      pairFilter = $"neighbor_id" =!= $"query_id")
       .select($"query_id", $"neighbor_id", $"rank", $"cosine")
       .orderBy($"query_id", $"rank")
   }

@@ -60,6 +60,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ivf.size <= brute.size)
   }
 
+  test("ivfTopK with nprobe = nlist is EXACTLY annTopK (caller-named columns)") {
+    import spark.implicits._
+    // probing every cluster degenerates IVF to a full scan — the two public
+    // APIs must then return identical rows (same kernel, same tie-break)
+    val rnd = new scala.util.Random(5)
+    val emb = Seq.tabulate(120)(i =>
+        (i.toLong, Array.fill(12)(rnd.nextFloat() * 2 - 1)))
+      .toDF("item", "vec")
+    val fitted = operators.Similarity.kmeansFit(
+      emb.select($"item".as("vec_id"), $"vec"), "vec", nlist = 6, iters = 3)
+    val queries = emb.filter($"item" < 4)
+      .select($"item".as("qid"), $"vec".as("qvec"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("item"),
+        r.getAs[Int]("rank"), r.getAs[Double]("cosine"))).toSet
+    val brute = rows(operators.Similarity.annTopK(
+      emb, "item", "vec", queries, "qid", "qvec", k = 7,
+      pairFilter = $"item" =!= $"qid"))
+    val ivfAll = rows(operators.Similarity.ivfTopK(
+      emb, "item", "vec", queries, "qid", "qvec", fitted,
+      nprobe = 6, k = 7, pairFilter = $"item" =!= $"qid"))
+    assert(ivfAll == brute, "nprobe = nlist must equal brute force")
+    // with fewer probes, results are a subset of scored candidates and
+    // never exceed brute-force cardinality
+    val ivf2 = rows(operators.Similarity.ivfTopK(
+      emb, "item", "vec", queries, "qid", "qvec", fitted,
+      nprobe = 2, k = 7, pairFilter = $"item" =!= $"qid"))
+    assert(ivf2.size <= brute.size)
+  }
+
   test("learned k-means recovers planted clusters without any label column") {
     import spark.implicits._
     // 5 tight direction-clusters of 40 vectors; the quantizer sees only the
