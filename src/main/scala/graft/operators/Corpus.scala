@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 import graft.Tables
 import graft.functions.Ops.md5LongSql
@@ -144,6 +146,104 @@ object Corpus {
       .replace("TERMS", terms)
   }
 
+  /** Reciprocal-rank fusion (RRF, Cormack & Clarke SIGIR'09): merge ranked
+    * candidate lists into one ranking by Σ_lists 1/(c + rank) — the
+    * standard hybrid-retrieval combiner (BM25 ⊕ dense ANN) because it
+    * needs no score calibration between lists. Computed in scaled
+    * integers (10⁹ div (c + rank), summed as exact longs) so fused
+    * scores and tie-breaks replicate bit-for-bit in any engine. Each
+    * input carries (idCol, rankCol) with rank 1-based; output: (idCol,
+    * rrf_scaled, n_lists, rank), rank 1-based by (rrf_scaled desc, id).
+    *
+    * Scale: the inputs are top-k lists — k·#lists rows total, NOT corpus
+    * relations (the expensive candidate generation already bounded them);
+    * the fuse is one tiny groupBy + TakeOrdered, and the final rank
+    * window runs on ≤ `k` rows by construction. */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, rankCol: String,
+      k: Int, c: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(k > 0 && c >= 0)
+    val u = lists
+      .map(_.select(col(idCol), col(rankCol).cast(LongType).as("__r")))
+      .reduce(_ unionAll _)
+    u.withColumn("__pts", expr(s"1000000000L div (${c}L + __r)"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__pts")).as("rrf_scaled"),
+        count(lit(1)).cast(IntegerType).as("n_lists"))
+      .orderBy(col("rrf_scaled").desc, col(idCol).asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf_scaled").desc, col(idCol).asc)).cast(IntegerType))
+  }
+
+  // q80 — hybrid retrieval: BM25 keyword top-50 ⊕ dense cosine top-50
+  // (query = embedding 0, ids aligned doc_id == vec_id in this testdata),
+  // RRF-fused to a final top-20. The two candidate generators are the
+  // engine's own scale paths (q69's TakeOrdered BM25, q37's broadcast +
+  // bounded-aggregate ANN); both rank windows below run on ≤ 50 rows.
+  private def q80(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sparse = TextStats.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+        bm25Terms, k = 50, statsHint = None)
+      .select($"doc_id", row_number().over(
+        Window.orderBy($"score_scaled".desc, $"doc_id".asc)).as("rank"))
+    val e = Tables.embeddings(s, d)
+    val dense = Similarity.annTopK(
+      e.select($"vec_id".as("doc_id"), $"embedding"), "doc_id", "embedding",
+      e.filter($"vec_id" === 0).select($"vec_id".as("query_id"), $"embedding".as("qemb")),
+      "query_id", "qemb", k = 50, pairFilter = $"doc_id" =!= $"query_id")
+      .select($"doc_id", $"rank")
+    rrfFuse(Seq(sparse, dense), "doc_id", "rank", k = 20)
+      .orderBy($"rank")
+  }
+  private val q80Sql = {
+    val terms = bm25Terms.map(t => s"'$t'").mkString(", ")
+    """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |             FROM documents),
+      |lens AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+      |st AS (SELECT (SELECT COUNT(*) FROM documents) AS n, SUM(dl) AS t FROM lens),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+      |       WHERE term IN (TERMS) GROUP BY 1, 2),
+      |dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |sc AS (SELECT tf.doc_id,
+      |         ((2 * ((SELECT n FROM st) - df) + 1) * 1000 // (2 * df + 1)) *
+      |         ((2200000000 * tf) // (1000000 * tf +
+      |           (1200000 * (250000 + (750000 * dl *
+      |             ((SELECT n FROM st) * 1000000 // (SELECT t FROM st))) // 1000000)) // 1000000))
+      |         AS s
+      |       FROM tf JOIN dfc USING (term) JOIN lens USING (doc_id)),
+      |bmtop AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score_scaled
+      |          FROM sc GROUP BY doc_id
+      |          ORDER BY score_scaled DESC, doc_id LIMIT 50),
+      |bm AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_scaled DESC, doc_id)
+      |         AS rank FROM bmtop),
+      |norms AS (
+      |  SELECT vec_id, embedding,
+      |    (SELECT CAST(SUM(CAST(floor(embedding[i]::DOUBLE * embedding[i]::DOUBLE * 1e15) AS BIGINT)) AS BIGINT)
+      |     FROM unnest(range(1, len(embedding)+1)) u(i)) AS norm
+      |  FROM embeddings),
+      |pairs AS (
+      |  SELECT b.vec_id AS doc_id,
+      |    (SELECT CAST(SUM(CAST(floor(q.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE * 1e15) AS BIGINT)) AS BIGINT)
+      |     FROM unnest(range(1, len(q.embedding)+1)) u(i)) AS dot,
+      |    q.norm AS qn, b.norm AS bn
+      |  FROM norms q JOIN norms b ON q.vec_id = 0 AND b.vec_id <> q.vec_id),
+      |dntop AS (SELECT doc_id,
+      |            CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(bn AS DOUBLE))) AS cosine
+      |          FROM pairs ORDER BY cosine DESC, doc_id LIMIT 50),
+      |dn AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id)
+      |         AS rank FROM dntop),
+      |u AS (SELECT doc_id, rank FROM bm UNION ALL SELECT doc_id, rank FROM dn),
+      |f AS (SELECT doc_id, CAST(SUM(1000000000 // (60 + rank)) AS BIGINT) AS rrf_scaled,
+      |        CAST(COUNT(*) AS INTEGER) AS n_lists
+      |      FROM u GROUP BY 1
+      |      ORDER BY rrf_scaled DESC, doc_id LIMIT 20)
+      |SELECT doc_id, rrf_scaled, n_lists,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY rrf_scaled DESC, doc_id) AS INTEGER) AS rank
+      |FROM f ORDER BY rank""".stripMargin
+      .replace("TERMS", terms)
+  }
+
   /** Drop the memoized corpus stats / fuzzy pairs for (session, dir) —
     * chained from Text.invalidateCaches. */
   private[operators] def invalidateCaches(s: SparkSession, d: String): Unit = {
@@ -157,6 +257,7 @@ object Corpus {
     "q66_term_rarity" -> q66,
     "q68_minhash_against" -> q68,
     "q69_bm25_topk" -> q69,
+    "q80_hybrid_rrf" -> q80,
   )
 
   val oracles: Map[String, String] = Map(
@@ -164,5 +265,6 @@ object Corpus {
     "q66_term_rarity" -> q66Sql,
     "q68_minhash_against" -> q68Sql,
     "q69_bm25_topk" -> q69Sql,
+    "q80_hybrid_rrf" -> q80Sql,
   )
 }

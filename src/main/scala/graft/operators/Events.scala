@@ -270,6 +270,65 @@ object Events {
       |FROM act JOIN coh USING (user_id)
       |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin
 
+  /** Time-series densification + LOCF: complete the integer `tickCol` grid
+    * per key (every tick from the key's min to its max) and carry each
+    * `fillCols` value forward over the gaps (last observation carried
+    * forward). Input is an already-aggregated (key, tick, values) frame —
+    * compose after a `groupBy(key, bucket)` like q26/q81. Ticks the input
+    * lacked get `<col>_filled` from the nearest earlier tick and NULL in
+    * the original column (so callers can tell observed from imputed).
+    *
+    * Plan: spans = one min/max aggregate per key; the grid is a map-side
+    * `sequence` explode of the span (rows ∝ span length, not event count);
+    * the LOCF window orders the GRID per key — bounded by the key's tick
+    * span by construction, never by its raw event count (a bot user with
+    * 10⁸ events still costs ≤ span rows here; the heavy reduction happened
+    * in the upstream aggregate). Keys are the parallelism; a key spanning
+    * the whole domain costs span rows, not a straggler's data volume. */
+  def gapFill(df: DataFrame, keyCols: Seq[String], tickCol: String,
+      fillCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "gapFill needs at least one key column")
+    val gs = keyCols.map(col)
+    val spans = df.groupBy(gs: _*)
+      .agg(min(col(tickCol)).as("__lo"), max(col(tickCol)).as("__hi"))
+    val grid = spans.select(
+      gs :+ explode(sequence(col("__lo"), col("__hi"))).as(tickCol): _*)
+    val joined = grid.join(df, keyCols :+ tickCol, "left_outer")
+    val w = Window.partitionBy(gs: _*).orderBy(col(tickCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fillCols.foldLeft(joined) { (acc, c) =>
+      acc.withColumn(s"${c}_filled", last(col(c), ignoreNulls = true).over(w))
+    }
+  }
+
+  // q81 — daily per-user resample with gap-fill + LOCF: the time-series
+  // densification every metrics/feature pipeline needs before joining
+  // series with different activity patterns (missing days become explicit
+  // rows; sum_value carries forward). Day buckets are exact epoch-day
+  // integers; sums go through the exact-decimal dsum.
+  private def q81(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .groupBy($"user_id", expr("ts DIV 1000000000 DIV 86400").as("day"))
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+    gapFill(daily, Seq("user_id"), "day", Seq("sum_value"))
+      .select($"user_id", $"day", coalesce($"n", lit(0L)).as("n"),
+        $"sum_value", $"sum_value_filled")
+      .orderBy($"user_id", $"day")
+  }
+  private val q81Sql =
+    s"""WITH daily AS (
+       |  SELECT user_id, epoch_ns(ts) // 1000000000 // 86400 AS day,
+       |    COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+       |  FROM events GROUP BY 1, 2),
+       |sp AS (SELECT user_id, min(day) AS lo, max(day) AS hi FROM daily GROUP BY 1),
+       |grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS day FROM sp)
+       |SELECT user_id, day, coalesce(n, 0) AS n, sum_value,
+       |  last_value(sum_value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value_filled
+       |FROM grid LEFT JOIN daily USING (user_id, day)
+       |ORDER BY user_id, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_asof_join" -> q48,
     "q25_json_ingest" -> q25,
@@ -279,6 +338,7 @@ object Events {
     "q51_window_sliding" -> q51,
     "q70_funnel" -> q70,
     "q72_retention" -> q72,
+    "q81_gapfill_locf" -> q81,
   )
 
   val oracles: Map[String, String] = Map(
@@ -290,5 +350,6 @@ object Events {
     "q28_rollup_first_last" -> q28Sql,
     "q70_funnel" -> q70Sql,
     "q72_retention" -> q72Sql,
+    "q81_gapfill_locf" -> q81Sql,
   )
 }

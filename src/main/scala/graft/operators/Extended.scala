@@ -508,12 +508,88 @@ object Extended {
       |FROM p, cum, tot WHERE cum * 100 >= pct * total
       |GROUP BY pct ORDER BY pct""".stripMargin
 
+  /** Per-group z-score outlier flagging with EXACT group moments: for an
+    * integral-valued `valueCol` (pre-scale decimals to integers — cents,
+    * ppm — as every exact operator here does), the group's count/sum/
+    * sum-of-squares are exact BIGINTs, the wide products (n·x − S, n·Q − S²)
+    * are evaluated in a 128-bit-capable domain (Spark DECIMAL(38,0); an
+    * oracle uses HUGEINT), and only the final z² assembly is IEEE double —
+    * one identical expression tree in any engine, so flags and scores
+    * replicate bit-for-bit. z² = (n·x − S)²·(n−1) / (n·(n·Q − S²)), the
+    * squared z-score under the group's sample variance; a constant group
+    * (variance 0) scores 0 rather than NaN. Output: input columns +
+    * (z2, is_outlier).
+    *
+    * Plan: one combiner-friendly groupBy for the moments (a hot group
+    * shrinks to #partitions partial rows), broadcast join-back (≤ #groups
+    * rows — never a group-keyed window), then a map-only projection.
+    * Long-exactness bounds: |x| ≤ 10⁶ up to ~10¹² rows/group (S, Q fit
+    * BIGINT; the decimal domain holds the products to ~10³⁸). */
+  def zscoreOutliers(df: DataFrame, valueCol: String, groupCols: Seq[String],
+      zThreshold: Double = 3.0): DataFrame = {
+    require(groupCols.nonEmpty, "zscoreOutliers needs at least one group column")
+    val x = col(valueCol).cast(LongType)
+    val stats = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"), sum(x).as("__s"), sum(x * x).as("__q"))
+    val dec = "DECIMAL(38,0)"
+    val z2 = expr(
+      s"""CASE WHEN CAST(__n AS $dec) * __q - CAST(__s AS $dec) * __s = 0 THEN 0.0
+         |ELSE (CAST(CAST(__n AS $dec) * CAST($valueCol AS BIGINT) - __s AS DOUBLE)
+         |      * CAST(CAST(__n AS $dec) * CAST($valueCol AS BIGINT) - __s AS DOUBLE)
+         |      * CAST(__n - 1 AS DOUBLE))
+         |     / (CAST(__n AS DOUBLE)
+         |        * CAST(CAST(__n AS $dec) * __q - CAST(__s AS $dec) * __s AS DOUBLE))
+         |END""".stripMargin)
+    df.join(broadcast(stats), groupCols)
+      .withColumn("z2", z2)
+      .withColumn("is_outlier",
+        (col("z2") > lit(zThreshold * zThreshold)).cast(IntegerType))
+      .drop("__n", "__s", "__q")
+  }
+
+  // q82 — per-(returnflag, linestatus) z-score outliers on l_quantity
+  // (z > 1.5 — quantity is uniform on [1,50], σ ≈ 14.4, so the classic 3σ
+  // never fires on this distribution; 1.5σ flags the ~13% tails and keeps
+  // the gate non-vacuous). The moments are exact integers; z² is the
+  // documented identical-tree double.
+  private def q82(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    zscoreOutliers(Tables.lineitem(s, d), "l_quantity",
+        Seq("l_returnflag", "l_linestatus"), zThreshold = 1.5)
+      .select($"l_orderkey", $"l_linenumber", $"l_returnflag", $"l_linestatus",
+        $"z2", $"is_outlier")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+  private val q82Sql =
+    """WITH st AS (
+      |  SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |    SUM(CAST(l_quantity AS BIGINT)) AS s,
+      |    SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS q
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+      |  CASE WHEN n::HUGEINT * q - s::HUGEINT * s = 0 THEN 0.0
+      |  ELSE (CAST(n::HUGEINT * CAST(l_quantity AS BIGINT) - s AS DOUBLE)
+      |        * CAST(n::HUGEINT * CAST(l_quantity AS BIGINT) - s AS DOUBLE)
+      |        * CAST(n - 1 AS DOUBLE))
+      |       / (CAST(n AS DOUBLE) * CAST(n::HUGEINT * q - s::HUGEINT * s AS DOUBLE))
+      |  END AS z2,
+      |  CASE WHEN
+      |    CASE WHEN n::HUGEINT * q - s::HUGEINT * s = 0 THEN 0.0
+      |    ELSE (CAST(n::HUGEINT * CAST(l_quantity AS BIGINT) - s AS DOUBLE)
+      |          * CAST(n::HUGEINT * CAST(l_quantity AS BIGINT) - s AS DOUBLE)
+      |          * CAST(n - 1 AS DOUBLE))
+      |         / (CAST(n AS DOUBLE) * CAST(n::HUGEINT * q - s::HUGEINT * s AS DOUBLE))
+      |    END > 2.25 THEN 1 ELSE 0 END AS is_outlier
+      |FROM lineitem JOIN st USING (l_returnflag, l_linestatus)
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_grouping_sets" -> q42,
     "q46_percentiles" -> q46,
     "q73_quantile_sketch" -> q73,
     "q76_quantile_sketch_grouped" -> q76,
     "q77_quantile_sketch_auto" -> q77,
+    "q82_outlier_zscore" -> q82,
     "q13_join_facts" -> q13,
     "q14_join_broadcast_star" -> q14,
     "q15_semi_anti" -> q15,
@@ -534,6 +610,7 @@ object Extended {
     "q73_quantile_sketch" -> q73Sql,
     "q76_quantile_sketch_grouped" -> q76Sql,
     "q77_quantile_sketch_auto" -> q77Sql,
+    "q82_outlier_zscore" -> q82Sql,
     "q13_join_facts" -> q13Sql,
     "q14_join_broadcast_star" -> q14Sql,
     "q15_semi_anti" -> q15Sql,

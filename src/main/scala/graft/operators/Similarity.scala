@@ -206,8 +206,10 @@ object Similarity {
   // many queries) — memoized per (session, dir) like the dedup stages
   private val kmCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (DataFrame, DataFrame)]
-  private[operators] def invalidateCaches(s: SparkSession, d: String): Unit =
+  private[operators] def invalidateCaches(s: SparkSession, d: String): Unit = {
     kmCache.remove((s, d)).foreach(_._2.unpersist(blocking = false))
+    pqCache.remove((s, d)).foreach(_._2.unpersist(blocking = false))
+  }
   private def fittedIvf(s: SparkSession, d: String): (DataFrame, DataFrame) =
     kmCache.getOrElseUpdate((s, d), {
       val (c, a) = kmeansFit(Tables.embeddings(s, d), "embedding",
@@ -324,6 +326,142 @@ object Similarity {
     val (_, assign) = fittedIvf(s, d)
     val base = Tables.embeddings(s, d).select($"vec_id", $"embedding".as("ve"))
     semanticDedupFrom(base, assign, tau = 0.9).orderBy($"vec_id")
+  }
+
+  /** Product-quantization codebook fit (PQ, Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): split the
+    * vector into `m` contiguous subspaces and fit `ksub` centroids per
+    * subspace with the deterministic [[kmeansFit]] (maximin seeding +
+    * Lloyd's — no RNG) on the subspace slice. Returns the codebook frame
+    * (sub, cid, ce, cn): sub ∈ [0, m), cid ∈ [0, ksub), `ce` the sub-dim
+    * centroid, `cn` its scaled-integer self-dot. m·ksub rows — broadcast-
+    * sized at any corpus scale (the whole point: 2⁶⁴ effective cells from
+    * m·ksub stored vectors).
+    *
+    * Scale: fitting is per-subspace independent; `trainPct` fits on a
+    * deterministic hash-sample (at 100 TB fit on 1-5%, encode everything —
+    * the same fit-sample/apply-all split as [[kmeansFit]]). */
+  def pqFit(emb: DataFrame, idCol: String, vecCol: String, m: Int, ksub: Int,
+      iters: Int, trainPct: Int = 100): DataFrame = {
+    val dims = emb.select(size(col(vecCol))).head().getInt(0)
+    require(m > 0 && dims % m == 0, s"m=$m must divide dims=$dims")
+    val sub = dims / m
+    (0 until m).map { j =>
+      val slice = emb.select(col(idCol).cast(LongType).as("vec_id"),
+        expr(s"slice($vecCol, ${j * sub + 1}, $sub)").as("sv"))
+      val (cent, _) = kmeansFit(slice, "sv", ksub, iters, trainPct)
+      cent.withColumn("sub", lit(j)).select(col("sub"), col("cid"), col("ce"), col("cn"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** PQ-encode every vector against a [[pqFit]] codebook: per subspace the
+    * L2-nearest centroid (‖x−c‖² = x·x + c·c − 2x·c in exact scaled
+    * integers; ties → lowest cid). Output: (idCol, codes, rn) — `codes`
+    * the m sub-centroid ids ordered by subspace, `rn` the reconstruction's
+    * scaled self-dot Σ‖c_sub‖² (subspaces are disjoint coordinates, so the
+    * reconstruction norm is exactly this sum). m·⌈log2 ksub⌉ bits replace
+    * dims·32 — the compression that fits 10⁹ vectors in serving RAM.
+    *
+    * Plan: one map-side explode into (id, sub) rows, broadcast codebook
+    * join, then two combiner-friendly aggregates (argmin per (id, sub),
+    * assemble per id) — shuffle volume is m rows per vector, no window,
+    * no skew key (ids are unique). */
+  def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame): DataFrame = {
+    val dims = emb.select(size(col(vecCol))).head().getInt(0)
+    val (m, ksub) = pqShape(codebook)
+    require(dims % m == 0, s"codebook m=$m must divide dims=$dims")
+    val sub = dims / m
+    val sliced = emb.select(col(idCol),
+        explode(expr(s"transform(sequence(0, ${m - 1}), " +
+          s"j -> struct(CAST(j AS INT) AS sub, slice($vecCol, j * $sub + 1, $sub) AS sv))")).as("e"))
+      .select(col(idCol), col("e.sub").as("sub"), col("e.sv").as("sv"))
+      .withColumn("svn", normScaled("sv"))
+    sliced.join(broadcast(codebook), "sub")
+      .select(col(idCol), col("sub"),
+        struct((col("svn") + col("cn") - lit(2L) * dotScaled("sv", "ce")).as("d"),
+          col("cid").as("cid"), col("cn").as("cn")).as("k"))
+      .groupBy(col(idCol), col("sub")).agg(min(col("k")).as("k"))
+      .groupBy(col(idCol))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(sub AS s, k.cid AS c))), x -> x.c)")
+          .as("codes"),
+        sum(col("k.cn")).as("rn"))
+  }
+
+  private def pqShape(codebook: DataFrame): (Int, Int) = {
+    val r = codebook.agg(countDistinct(col("sub")), countDistinct(col("cid"))).head()
+    (r.getLong(0).toInt, r.getLong(1).toInt)
+  }
+
+  /** PQ top-k by asymmetric distance computation (ADC): each query builds
+    * a per-subspace lookup table of scaled dots against the m·ksub
+    * codebook centroids; a base vector's approximate dot is then m table
+    * lookups summed — approx cosine = Σ lut[sub][code] / (‖q‖·√rn). Same
+    * output shape and total (score desc, id asc) ordering as [[annTopK]].
+    * Approximate by construction (quantization error) — recall is
+    * spec-asserted, like IVF's.
+    *
+    * Scale: THE serving-path plan — the base side touches only the
+    * (id, codes, rn) frame (32× smaller than raw vectors), the per-query
+    * LUT is queries×m×ksub rows reduced to a broadcast array, and scoring
+    * is MAP-ONLY (an array-lookup aggregate, no join on the base, no
+    * shuffle before the bounded [[topKPerKey]] partial). Compose with IVF
+    * cluster pruning for the full IVF-PQ stack. */
+  def pqTopK(codes: DataFrame, idCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      codebook: DataFrame, k: Int, pairFilter: Column = lit(true)): DataFrame = {
+    require(idCol != queryIdCol,
+      "name the base and query id columns differently (both appear in the output)")
+    val (m, ksub) = pqShape(codebook)
+    val sub = codebook.select(size(col("ce"))).head().getInt(0)
+    val q = queries.select(col(queryIdCol), col(queryVecCol).as("__qv"))
+      .withColumn("__qn", normScaled("__qv"))
+    val lut = q
+      .select(col(queryIdCol), col("__qn"),
+        explode(expr(s"transform(sequence(0, ${m - 1}), " +
+          s"j -> struct(CAST(j AS INT) AS sub, slice(__qv, j * $sub + 1, $sub) AS qsv))")).as("e"))
+      .select(col(queryIdCol), col("__qn"), col("e.sub").as("sub"), col("e.qsv").as("qsv"))
+      .join(broadcast(codebook), "sub")
+      .select(col(queryIdCol), col("__qn"), col("sub"), col("cid"),
+        dotScaled("qsv", "ce").as("d"))
+      .groupBy(col(queryIdCol), col("__qn"))
+      .agg(expr("transform(array_sort(collect_list(struct(sub AS s, cid AS c, d))), x -> x.d)")
+        .as("__lt"))
+    val scored = codes.crossJoin(broadcast(lut))
+      .filter(pairFilter)
+      .select(col(queryIdCol), col(idCol),
+        (expr(s"aggregate(transform(codes, (c, j) -> element_at(__lt, j * $ksub + c + 1)), " +
+          "0L, (a, v) -> a + v)").cast(DoubleType) /
+          (sqrt(col("__qn").cast(DoubleType)) * sqrt(col("rn").cast(DoubleType))))
+          .as("cosine_pq"))
+    topKPerKey(scored, Seq(queryIdCol), idCol, "cosine_pq", k)
+  }
+
+  // q83 — PQ ANN (m=4 subspaces × ksub=8 centroids → 4096 effective cells
+  // from 32 stored sub-centroids): fit + encode are memoized per (session,
+  // dir) like the IVF quantizer (train once, serve many); the query path is
+  // the map-only ADC scorer. Approximate by design (k-means + quantization
+  // error) → no SQL oracle; recall-vs-brute and planted-cluster exactness
+  // are spec-asserted in PipelineOpsSpec.
+  private val pqCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+  private def fittedPq(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    pqCache.getOrElseUpdate((s, d), {
+      val base = Tables.embeddings(s, d)
+      val cb = pqFit(base, "vec_id", "embedding", m = 4, ksub = 8, iters = 2)
+      (cb, pqEncode(base, "vec_id", "embedding", cb).persist())
+    })
+  def q83(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (cb, codes) = fittedPq(s, d)
+    val e = Tables.embeddings(s, d)
+    pqTopK(codes.select($"vec_id".as("neighbor_id"), $"codes", $"rn"), "neighbor_id",
+      e.filter($"vec_id" < 5).select($"vec_id".as("query_id"), $"embedding".as("qemb")),
+      "query_id", "qemb", cb, k = 10,
+      pairFilter = $"neighbor_id" =!= $"query_id")
+      .select($"query_id", $"neighbor_id", $"rank", $"cosine_pq")
+      .orderBy($"query_id", $"rank")
   }
 
   /** Hyperplane count for a corpus of `n` vectors targeting a mean bucket
@@ -539,6 +677,7 @@ object Similarity {
     "q41_approx_distinct_hll" -> q41,
     "q56_frame_sample" -> q56,
     "q67_semantic_dedup" -> q67,
+    "q83_ann_pq" -> (q83(_, _)),
   )
 
   /** q38/q41/q67 are approximate by design → no SQL oracle (driver

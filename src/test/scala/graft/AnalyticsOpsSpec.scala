@@ -309,4 +309,77 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"top-k must be TakeOrdered, not a window:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n$p")
   }
+
+  // ------------------------------------------------------------ gap-fill
+
+  test("gapFill densifies the per-key tick grid and LOCF-fills values") {
+    val daily = Seq(
+      (1L, 10L, 5.0), (1L, 13L, 7.0), // days 11, 12 missing
+      (2L, 20L, 1.0)                  // single tick: nothing to fill
+    ).toDF("k", "tick", "v")
+    val out = Events.gapFill(daily, Seq("k"), "tick", Seq("v"))
+      .orderBy("k", "tick")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("tick"),
+        Option(r.get(r.fieldIndex("v"))), r.getAs[Double]("v_filled")))
+    assert(out.toSeq == Seq(
+      (1L, 10L, Some(5.0), 5.0),
+      (1L, 11L, None, 5.0),     // imputed: original NULL marks the gap
+      (1L, 12L, None, 5.0),
+      (1L, 13L, Some(7.0), 7.0),
+      (2L, 20L, Some(1.0), 1.0)))
+  }
+
+  test("gapFill grid size is span-bounded, independent of upstream row counts") {
+    // the grid must be Σ(span+1) per key — the operator's cost model
+    val daily = Seq((1L, 100L, 1.0), (1L, 109L, 2.0), (2L, 5L, 3.0))
+      .toDF("k", "tick", "v")
+    assert(Events.gapFill(daily, Seq("k"), "tick", Seq("v")).count() == 11L)
+  }
+
+  // ------------------------------------------------------------ outliers
+
+  test("zscoreOutliers: exact moments flag the planted outlier; constant group scores 0") {
+    val df = Seq(("a", 10L), ("a", 10L), ("a", 10L), ("a", 10L), ("a", 50L),
+      ("b", 7L), ("b", 7L)).toDF("g", "x")
+    val out = graft.operators.Extended
+      .zscoreOutliers(df, "x", Seq("g"), zThreshold = 1.5)
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Long]("x"),
+        r.getAs[Double]("z2"), r.getAs[Int]("is_outlier")))
+    // group a: n=5, S=90, Q=2900 → m = n·Q − S² = 6400
+    //   x=10: dev=−40 → z² = 1600·4/(5·6400) = 0.2;  x=50: dev=160 → z² = 3.2
+    out.filter(_._1 == "a").foreach {
+      case (_, 10L, z2, f) => assert(z2 == 0.2 && f == 0)
+      case (_, 50L, z2, f) => assert(z2 == 3.2 && f == 1)
+      case r => fail(s"unexpected row $r")
+    }
+    // constant group: zero variance → z² defined as 0, never NaN
+    out.filter(_._1 == "b").foreach { case (_, _, z2, f) =>
+      assert(z2 == 0.0 && f == 0)
+    }
+  }
+
+  test("zscoreOutliers plan: moments broadcast back, never a group-keyed window") {
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("g", "x")
+    val p = graft.operators.Extended.zscoreOutliers(df, "x", Seq("g"))
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("BroadcastHashJoin"), s"stats join-back must broadcast:\n$p")
+    assert(!p.contains("Window"), s"moments must not be a group window:\n$p")
+  }
+
+  // ------------------------------------------------------------ RRF fusion
+
+  test("rrfFuse: exact scaled points, per-id list count, id-asc tie-break") {
+    val l1 = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val l2 = Seq((20L, 1), (10L, 2), (40L, 3)).toDF("id", "rank")
+    val out = graft.operators.Corpus.rrfFuse(Seq(l1, l2), "id", "rank", k = 3)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("rrf_scaled"),
+        r.getAs[Int]("n_lists"), r.getAs[Int]("rank")))
+    val p1 = 1000000000L / 61; val p2 = 1000000000L / 62; val p3 = 1000000000L / 63
+    // ids 10 and 20 tie exactly (p1+p2 each) → id asc breaks it; ids 30/40
+    // tie at p3 and only one fits k=3 → 30 wins
+    assert(out.toSeq == Seq(
+      (10L, p1 + p2, 2, 1),
+      (20L, p1 + p2, 2, 2),
+      (30L, p3, 1, 3)))
+  }
 }

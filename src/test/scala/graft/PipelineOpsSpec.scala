@@ -223,4 +223,64 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.forall(r => Set("en", "de", "es", "fr", "unknown")
       .contains(r.getAs[String]("predicted"))))
   }
+
+  test("PQ ADC recovers planted clusters; fit + encode are deterministic") {
+    import spark.implicits._
+    // 5 tight direction-clusters of 24 vectors, 16 dims — PQ with m=4
+    // subspaces × ksub=8 centroids has capacity for 5 cluster directions
+    // per subspace, so cluster-mates share codes and ADC ranks them top
+    val rnd = new scala.util.Random(13)
+    val centers = (0 until 5).map(_ => Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    val rows = for (c <- 0 until 5; i <- 0 until 24) yield
+      ((c * 100 + i).toLong, centers(c).map(v => v + (rnd.nextFloat() - 0.5f) * 0.05f))
+    val emb = rows.toDF("vec_id", "embedding")
+    val cb = operators.Similarity.pqFit(emb, "vec_id", "embedding",
+      m = 4, ksub = 8, iters = 3)
+    val codes = operators.Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+    // codes shape: m entries, each a valid sub-centroid id, positive recon norm
+    codes.collect().foreach { r =>
+      val cs = r.getSeq[Int](r.fieldIndex("codes"))
+      assert(cs.length == 4 && cs.forall(c => c >= 0 && c < 8))
+      assert(r.getAs[Long]("rn") > 0L)
+    }
+    val queries = emb.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("qemb"))
+    val top = operators.Similarity.pqTopK(
+      codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id",
+      queries, "query_id", "qemb", cb, k = 5,
+      pairFilter = col("neighbor_id") =!= col("query_id"))
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    // every ADC top-5 neighbor comes from the query's own planted cluster
+    top.foreach { case (q, n) =>
+      assert(n / 100 == q / 100, s"query $q pulled cross-cluster neighbor $n")
+    }
+    // determinism: refit + re-encode reproduces the identical code table
+    val cb2 = operators.Similarity.pqFit(emb, "vec_id", "embedding",
+      m = 4, ksub = 8, iters = 3)
+    val codes2 = operators.Similarity.pqEncode(emb, "vec_id", "embedding", cb2)
+    assert(codes2.collect().map(r => (r.getLong(0),
+        r.getSeq[Int](1).toList, r.getLong(2))).toSet ==
+      codes.collect().map(r => (r.getLong(0),
+        r.getSeq[Int](1).toList, r.getLong(2))).toSet)
+  }
+
+  test("PQ ADC scoring is map-only over the codes (no join/shuffle on the base)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val emb = Seq.tabulate(60)(i => (i.toLong, Array.fill(16)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val cb = operators.Similarity.pqFit(emb, "vec_id", "embedding",
+      m = 4, ksub = 4, iters = 1)
+    val codes = operators.Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+      .withColumnRenamed("vec_id", "neighbor_id")
+    val q = emb.filter($"vec_id" < 2)
+      .select($"vec_id".as("query_id"), $"embedding".as("qemb"))
+    val plan = operators.Similarity.pqTopK(codes, "neighbor_id", q, "query_id",
+        "qemb", cb, k = 3).queryExecution.executedPlan.toString()
+    // the base side must meet the per-query LUT via broadcast only — a
+    // sort-merge join or base-keyed window would shuffle the whole corpus
+    assert(!plan.contains("SortMergeJoin"), s"ADC must not shuffle the base:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"per-query LUT must broadcast:\n$plan")
+  }
 }
