@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Graph scoring over relational edge lists — the link-analysis pass a
+  * web-scale training corpus runs to weight documents by source quality
+  * (the classic use: domain-graph PageRank over a crawl, feeding the
+  * quality-filter thresholds in `Curation`). The reference has no graph
+  * surface; this is a first-class extension like the dedup clustering
+  * (Text.connectedComponents — the undirected sibling of this operator).
+  *
+  * Determinism: ranks are fixed-point longs (per-node base 10⁹) and every
+  * step is integer DIV arithmetic — no float accumulation order, so ranks
+  * replicate bit-for-bit in any engine, any partitioning, any rerun.
+  */
+object Graphs {
+
+  /** Fixed-iteration PageRank (Brin & Page 1998) in exact fixed-point
+    * arithmetic. `edges` is a directed (srcCol, dstCol) list (dedup it
+    * first if multiplicity must not weight the walk); every node starts
+    * at `base` (10⁹) and each of `iters` rounds applies
+    * r'(v) = (1−d)·base + d·Σ_{u→v} (r(u) div outdeg(u)), with the d
+    * multiply decomposed as (q·c + m)·d/c = q·d + (m·d) div c over
+    * q = cs div 10⁶, m = cs mod 10⁶ — exact floor semantics with NO long
+    * overflow for any cs that fits a long (a naive cs·d overflows at
+    * cs > ~10¹³). Truncation drops sub-unit mass (and dangling-node mass
+    * leaks, as in the standard simplification) — deterministically, the
+    * same in every engine. Output: (id, rank_scaled) for every node that
+    * appears as a source or destination.
+    *
+    * Scale: the textbook 2-shuffle-per-iteration plan — contributions
+    * shuffle on src (an equi-join with the rank frame), sums shuffle on
+    * dst (combiner-friendly: a celebrity node's in-mass reduces to
+    * #partitions partial rows map-side — never a dst-keyed window). At
+    * 100 TB pre-partition edges by src (bucketed table) so the per-round
+    * join co-locates; iters multiplies rounds, not per-round bytes.
+    * Long bounds: total mass ≈ N·base, so N ≤ ~9·10⁹ nodes at base 10⁹;
+    * lower `base` beyond that. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
+      dampingPpm: Long = 850000L, base: Long = 1000000000L): DataFrame = {
+    require(iters >= 0, "iters must be non-negative")
+    require(dampingPpm >= 0 && dampingPpm <= 1000000L, "damping is ppm in [0, 1e6]")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val ew = e.join(outdeg, "src")
+    val teleport = (1000000L - dampingPpm) * base / 1000000L
+    var ranks = nodes.withColumn("r", lit(base))
+    for (_ <- 0 until iters) {
+      val cs = ew.join(ranks, col("src") === col("id"))
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
+      ranks = nodes.join(cs, col("id") === col("dst"), "left_outer")
+        .select(col("id"),
+          expr(s"${teleport}L + (coalesce(cs, 0L) div 1000000L) * ${dampingPpm}L" +
+            s" + ((coalesce(cs, 0L) % 1000000L) * ${dampingPpm}L) div 1000000L")
+            .as("r"))
+    }
+    ranks.select(col("id"), col("r").as("rank_scaled"))
+  }
+
+  // q84 — supplier-influence PageRank on the customer→supplier purchase
+  // graph (distinct (o_custkey, l_suppkey) edges): 3 exact fixed-point
+  // rounds. Suppliers accumulate mass from their buyers; customers (no
+  // in-edges) settle at the teleport floor — both replicated exactly by
+  // the unrolled-CTE oracle.
+  private def q84(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select($"o_custkey".as("src"), $"l_suppkey".as("dst")).distinct()
+    pageRank(edges, "src", "dst", iters = 3)
+      .orderBy($"rank_scaled".desc, $"id".asc)
+      .limit(100)
+  }
+  private val q84Sql = {
+    def round(prev: String, n: Int): String =
+      s"""c$n AS (SELECT dst, SUM(r // outdeg) AS cs
+         |  FROM edges JOIN deg USING (src) JOIN $prev ON $prev.id = edges.src
+         |  GROUP BY dst),
+         |r$n AS (SELECT id, 150000000 + (coalesce(cs, 0) // 1000000) * 850000
+         |    + ((coalesce(cs, 0) % 1000000) * 850000) // 1000000 AS r
+         |  FROM nodes LEFT JOIN c$n ON id = dst)""".stripMargin
+    s"""WITH edges AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+       |r0 AS (SELECT id, 1000000000 AS r FROM nodes),
+       |${round("r0", 1)},
+       |${round("r1", 2)},
+       |${round("r2", 3)}
+       |SELECT id, r AS rank_scaled FROM r3
+       |ORDER BY rank_scaled DESC, id ASC LIMIT 100""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_pagerank" -> q84,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q84_pagerank" -> q84Sql,
+  )
+}

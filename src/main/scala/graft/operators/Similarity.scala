@@ -413,11 +413,23 @@ object Similarity {
       codebook: DataFrame, k: Int, pairFilter: Column = lit(true)): DataFrame = {
     require(idCol != queryIdCol,
       "name the base and query id columns differently (both appear in the output)")
-    val (m, ksub) = pqShape(codebook)
+    val (_, ksub) = pqShape(codebook)
+    val scored = codes.crossJoin(broadcast(pqLut(queries, queryIdCol, queryVecCol, codebook)))
+      .filter(pairFilter)
+      .select(col(queryIdCol), col(idCol), adcCosine(ksub).as("cosine_pq"))
+    topKPerKey(scored, Seq(queryIdCol), idCol, "cosine_pq", k)
+  }
+
+  /** Per-query ADC lookup table: (queryIdCol, __qn, __lt) with `__lt` the
+    * m·ksub scaled dots of the query's subspace slices against every
+    * sub-centroid, flattened in (sub, cid) order — broadcast-sized
+    * (queries × m × ksub longs). */
+  private def pqLut(queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      codebook: DataFrame): DataFrame = {
+    val (m, _) = pqShape(codebook)
     val sub = codebook.select(size(col("ce"))).head().getInt(0)
-    val q = queries.select(col(queryIdCol), col(queryVecCol).as("__qv"))
+    queries.select(col(queryIdCol), col(queryVecCol).as("__qv"))
       .withColumn("__qn", normScaled("__qv"))
-    val lut = q
       .select(col(queryIdCol), col("__qn"),
         explode(expr(s"transform(sequence(0, ${m - 1}), " +
           s"j -> struct(CAST(j AS INT) AS sub, slice(__qv, j * $sub + 1, $sub) AS qsv))")).as("e"))
@@ -428,13 +440,49 @@ object Similarity {
       .groupBy(col(queryIdCol), col("__qn"))
       .agg(expr("transform(array_sort(collect_list(struct(sub AS s, cid AS c, d))), x -> x.d)")
         .as("__lt"))
-    val scored = codes.crossJoin(broadcast(lut))
+  }
+
+  /** Approximate cosine from a codes row joined to a LUT row: m table
+    * lookups summed over `codes`, normalized by √(query norm · recon norm). */
+  private def adcCosine(ksub: Int): Column =
+    expr(s"aggregate(transform(codes, (c, j) -> element_at(__lt, j * $ksub + c + 1)), " +
+      "0L, (a, v) -> a + v)").cast(DoubleType) /
+      (sqrt(col("__qn").cast(DoubleType)) * sqrt(col("rn").cast(DoubleType)))
+
+  /** IVF-PQ: the full billion-vector serving stack — IVF cluster pruning
+    * (scan nprobe/nlist of the corpus) × PQ codes (32× less memory per
+    * scanned vector). `codes` must carry a `cid` column (join [[pqEncode]]
+    * output with [[kmeansFit]]'s assignment once at build time — at scale
+    * the code table is STORED partitioned by cid, so a probe reads only
+    * its clusters' partitions). Each query probes its `nprobe` nearest
+    * coarse centroids, then ADC-scores only same-cluster codes via the
+    * broadcast LUT — an equi-join on cid (AQE-splittable), never a scan
+    * of the full code table. With nprobe = nlist every code is scored and
+    * the result is EXACTLY [[pqTopK]]'s (spec-locked). Output shape and
+    * ordering as [[annTopK]] (score = cosine_pq). */
+  def ivfPqTopK(codes: DataFrame, idCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      centroids: DataFrame, codebook: DataFrame, nprobe: Int, k: Int,
+      pairFilter: Column = lit(true)): DataFrame = {
+    require(idCol != queryIdCol,
+      "name the base and query id columns differently (both appear in the output)")
+    require(nprobe > 0, "nprobe must be positive")
+    val (_, ksub) = pqShape(codebook)
+    val q = queries.select(col(queryIdCol), col(queryVecCol).as("__qv"))
+      .withColumn("__qn2", normScaled("__qv"))
+    // nearest coarse centroids per query — bounded (≤ queries×nlist rows)
+    val wq = Window.partitionBy(col(queryIdCol))
+      .orderBy(cosine(dotScaled("__qv", "ce"), col("__qn2"), col("cn")).desc,
+        col("cid").asc)
+    val probe = q.crossJoin(centroids)
+      .withColumn("__crank", row_number().over(wq))
+      .filter(col("__crank") <= nprobe)
+      .select(col(queryIdCol).as("__pqid"), col("cid").as("__pcid"))
+    val lut = pqLut(queries, queryIdCol, queryVecCol, codebook)
+      .join(probe, col(queryIdCol) === col("__pqid")).drop("__pqid")
+    val scored = codes.join(broadcast(lut), col("cid") === col("__pcid"))
       .filter(pairFilter)
-      .select(col(queryIdCol), col(idCol),
-        (expr(s"aggregate(transform(codes, (c, j) -> element_at(__lt, j * $ksub + c + 1)), " +
-          "0L, (a, v) -> a + v)").cast(DoubleType) /
-          (sqrt(col("__qn").cast(DoubleType)) * sqrt(col("rn").cast(DoubleType))))
-          .as("cosine_pq"))
+      .select(col(queryIdCol), col(idCol), adcCosine(ksub).as("cosine_pq"))
     topKPerKey(scored, Seq(queryIdCol), idCol, "cosine_pq", k)
   }
 
@@ -459,6 +507,27 @@ object Similarity {
     pqTopK(codes.select($"vec_id".as("neighbor_id"), $"codes", $"rn"), "neighbor_id",
       e.filter($"vec_id" < 5).select($"vec_id".as("query_id"), $"embedding".as("qemb")),
       "query_id", "qemb", cb, k = 10,
+      pairFilter = $"neighbor_id" =!= $"query_id")
+      .select($"query_id", $"neighbor_id", $"rank", $"cosine_pq")
+      .orderBy($"query_id", $"rank")
+  }
+
+  // q85 — IVF-PQ ANN: the composed billion-vector serving stack, reusing
+  // BOTH memoized fits (the IVF coarse quantizer from q38/q67 and the PQ
+  // codebook from q83 — exactly how a real deployment shares them). codes
+  // gain their cid by one build-time join with the IVF assignment.
+  // Approximate by design → no SQL oracle; ≡-pqTopK-at-full-probe and
+  // planted-cluster recall are spec-asserted in PipelineOpsSpec.
+  def q85(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (cent, assign) = fittedIvf(s, d)
+    val (cb, codes) = fittedPq(s, d)
+    val withCid = codes.join(assign, "vec_id")
+      .select($"vec_id".as("neighbor_id"), $"codes", $"rn", $"cid")
+    val e = Tables.embeddings(s, d)
+    ivfPqTopK(withCid, "neighbor_id",
+      e.filter($"vec_id" < 5).select($"vec_id".as("query_id"), $"embedding".as("qemb")),
+      "query_id", "qemb", cent, cb, nprobe = nprobe, k = 10,
       pairFilter = $"neighbor_id" =!= $"query_id")
       .select($"query_id", $"neighbor_id", $"rank", $"cosine_pq")
       .orderBy($"query_id", $"rank")
@@ -678,6 +747,7 @@ object Similarity {
     "q56_frame_sample" -> q56,
     "q67_semantic_dedup" -> q67,
     "q83_ann_pq" -> (q83(_, _)),
+    "q85_ann_ivfpq" -> (q85(_, _)),
   )
 
   /** q38/q41/q67 are approximate by design → no SQL oracle (driver

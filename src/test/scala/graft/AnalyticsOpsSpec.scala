@@ -366,6 +366,34 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"moments must not be a group window:\n$p")
   }
 
+  // ------------------------------------------------------------ pagerank
+
+  test("pageRank: exact fixed-point ranks on a hand-computed graph") {
+    // A→B, A→C, B→C, C→A; base 10⁹, damping 0.85, teleport 1.5e8
+    val edges = Seq(("A", "B"), ("A", "C"), ("B", "C"), ("C", "A"))
+      .toDF("s", "t")
+    def ranks(iters: Int) =
+      graft.operators.Graphs.pageRank(edges, "s", "t", iters)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // iter 1: cs(A)=1e9 (from C), cs(B)=5e8 (A/2), cs(C)=1.5e9 (A/2 + B)
+    assert(ranks(1) == Map(
+      "A" -> 1000000000L, "B" -> 575000000L, "C" -> 1425000000L))
+    // iter 2: cs(A)=1425e6, cs(B)=5e8, cs(C)=5e8+575e6=1075e6
+    assert(ranks(2) == Map(
+      "A" -> 1361250000L, "B" -> 575000000L, "C" -> 1063750000L))
+  }
+
+  test("pageRank: in-mass sums combine map-side; 0 iters is the uniform base") {
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("s", "t")
+    val p = graft.operators.Graphs.pageRank(edges, "s", "t", iters = 2)
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("partial_sum") || p.contains("partial sum"),
+      s"celebrity-node in-mass must reduce map-side:\n$p")
+    assert(!p.contains("Window"), s"no per-node window anywhere:\n$p")
+    assert(graft.operators.Graphs.pageRank(edges, "s", "t", iters = 0)
+      .collect().forall(_.getLong(1) == 1000000000L))
+  }
+
   // ------------------------------------------------------------ RRF fusion
 
   test("rrfFuse: exact scaled points, per-id list count, id-asc tie-break") {

@@ -264,6 +264,44 @@ class PipelineOpsSpec extends AnyFunSuite {
         r.getSeq[Int](1).toList, r.getLong(2))).toSet)
   }
 
+  test("ivfPqTopK with nprobe = nlist is EXACTLY pqTopK; fewer probes prune") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val centers = (0 until 5).map(_ => Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    val rows = for (c <- 0 until 5; i <- 0 until 20) yield
+      ((c * 100 + i).toLong, centers(c).map(v => v + (rnd.nextFloat() - 0.5f) * 0.05f))
+    val emb = rows.toDF("vec_id", "embedding")
+    val (cent, assign) = operators.Similarity.kmeansFit(emb, "embedding",
+      nlist = 5, iters = 3)
+    val cb = operators.Similarity.pqFit(emb, "vec_id", "embedding",
+      m = 4, ksub = 8, iters = 2)
+    val codes = operators.Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+    val withCid = codes.join(assign, "vec_id")
+      .select($"vec_id".as("nid"), $"codes", $"rn", $"cid")
+    val queries = emb.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qemb"))
+    def rows2(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"),
+        r.getAs[Int]("rank"), r.getAs[Double]("cosine_pq"))).toSet
+    val pqAll = rows2(operators.Similarity.pqTopK(
+      codes.withColumnRenamed("vec_id", "nid"), "nid",
+      queries, "qid", "qemb", cb, k = 6,
+      pairFilter = col("nid") =!= col("qid")))
+    val ivfPqAll = rows2(operators.Similarity.ivfPqTopK(
+      withCid, "nid", queries, "qid", "qemb", cent, cb, nprobe = 5, k = 6,
+      pairFilter = col("nid") =!= col("qid")))
+    assert(ivfPqAll == pqAll, "full probe must equal plain PQ ADC")
+    // one probe on well-separated clusters: every hit from the query's own
+    // planted cluster (the coarse quantizer routes to the right cell)
+    val one = rows2(operators.Similarity.ivfPqTopK(
+      withCid, "nid", queries, "qid", "qemb", cent, cb, nprobe = 1, k = 6,
+      pairFilter = col("nid") =!= col("qid")))
+    assert(one.nonEmpty)
+    one.foreach { case (q, n, _, _) =>
+      assert(n / 100 == q / 100, s"query $q pulled cross-cluster neighbor $n")
+    }
+  }
+
   test("PQ ADC scoring is map-only over the codes (no join/shuffle on the base)") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
