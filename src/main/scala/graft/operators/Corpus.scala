@@ -244,6 +244,29 @@ object Corpus {
       .replace("TERMS", terms)
   }
 
+  // q86 — inverted-index posting lists (TextStats.postings): the
+  // index-build pass behind q69's retrieval, as a queryable relation.
+  // df band [5, 400] keeps every posting list bounded (the df-cap
+  // discipline; the synthetic corpus has a ~31-term vocabulary with
+  // df ≈ 0.5·N, so the band is non-vacuous at sf0.01). Postings are
+  // ascending doc ids, identical in DuckDB.
+  private def q86(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    TextStats.postings(Tables.documents(s, d), "doc_id", "text",
+        minDf = 5L, maxDf = 400L)
+      .orderBy($"term")
+  }
+  private val q86Sql =
+    """WITH tok0 AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |              FROM documents),
+      |tok AS (SELECT DISTINCT doc_id, term FROM tok0),
+      |dfc AS (SELECT term, COUNT(*) AS df FROM tok GROUP BY 1
+      |        HAVING COUNT(*) BETWEEN 5 AND 400)
+      |SELECT term, df,
+      |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+      |FROM tok JOIN dfc USING (term)
+      |GROUP BY term, df ORDER BY term""".stripMargin
+
   /** Drop the memoized corpus stats / fuzzy pairs for (session, dir) —
     * chained from Text.invalidateCaches. */
   private[operators] def invalidateCaches(s: SparkSession, d: String): Unit = {
@@ -258,6 +281,7 @@ object Corpus {
     "q68_minhash_against" -> q68,
     "q69_bm25_topk" -> q69,
     "q80_hybrid_rrf" -> q80,
+    "q86_postings" -> q86,
   )
 
   val oracles: Map[String, String] = Map(
@@ -266,5 +290,6 @@ object Corpus {
     "q68_minhash_against" -> q68Sql,
     "q69_bm25_topk" -> q69Sql,
     "q80_hybrid_rrf" -> q80Sql,
+    "q86_postings" -> q86Sql,
   )
 }

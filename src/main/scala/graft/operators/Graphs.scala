@@ -44,10 +44,17 @@ object Graphs {
     require(iters >= 0, "iters must be non-negative")
     require(dampingPpm >= 0 && dampingPpm <= 1000000L, "damping is ppm in [0, 1e6]")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // the loop-invariant frames are persisted: without this every
+    // iteration's lineage re-derives the edge list from source (the q84
+    // plan re-read the lineitem⋈orders join 2×iters+1 times) — the
+    // standard iterative-algorithm discipline. Deep iteration counts
+    // (≳10) should additionally localCheckpoint `ranks` every few rounds
+    // to keep the rank lineage chain shallow.
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
+      .persist()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val ew = e.join(outdeg, "src")
+    val ew = e.join(outdeg, "src").persist()
     val teleport = (1000000L - dampingPpm) * base / 1000000L
     var ranks = nodes.withColumn("r", lit(base))
     for (_ <- 0 until iters) {

@@ -153,6 +153,34 @@ object TextStats {
       .limit(k)
   }
 
+  /** Inverted-index posting lists — the index-build pass behind keyword
+    * retrieval (the batch analogue of the reference's per-segment string
+    * indices, ExtIndex_Str_Hash: ours is a queryable corpus-level index
+    * relation). One row per term with document frequency in
+    * [minDf, maxDf]: (term, df, postings) — postings the comma-joined
+    * doc ids in ascending numeric order (deterministic in any engine).
+    *
+    * Scale: the df pass is a combiner-friendly groupBy over distinct
+    * (term, doc) pairs; ELIGIBILITY FILTERS BEFORE THE LIST BUILD — the
+    * eligible-vocab frame broadcasts back, so a stop word (df ≈ corpus
+    * size) never reaches collect_list: every built list is ≤ maxDf ids by
+    * construction (the same df-cap discipline as the shingle joins).
+    * maxDf is required, not defaulted — an unbounded posting list is the
+    * hot-key hazard. */
+  def postings(df: DataFrame, idCol: String, textCol: String,
+      minDf: Long, maxDf: Long): DataFrame = {
+    require(minDf >= 1 && maxDf >= minDf, "need 1 <= minDf <= maxDf")
+    val td = normalized(df, idCol, textCol)
+      .withColumn("toks", toks)
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .distinct()
+    val dfc = td.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf && col("df") <= maxDf)
+    td.join(broadcast(dfc), "term")
+      .groupBy(col("term"), col("df"))
+      .agg(concat_ws(",", expr("array_sort(collect_list(doc_id))")).as("postings"))
+  }
+
   /** md5 content fingerprint + positional polynomial bag hash (exact
     * integers — reproducible in any engine). */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -366,6 +366,33 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"moments must not be a group window:\n$p")
   }
 
+  // ------------------------------------------------------------ postings
+
+  test("postings: banded inverted index, sorted ids, stop words never collected") {
+    val docs = Seq(
+      (3L, "the apple pie"), (1L, "the apple"), (2L, "the pear pear"),
+      (4L, "the"), (5L, "the fig")
+    ).toDF("id", "txt")
+    val out = TextStats.postings(docs, "id", "txt", minDf = 2L, maxDf = 4L)
+      .collect().map(r => (r.getAs[String]("term"), r.getAs[Long]("df"),
+        r.getAs[String]("postings"))).toSet
+    // "the" (df=5 > maxDf) excluded; within-doc repeats count once;
+    // singletons (pie/pear/fig, df=1 < minDf) excluded; ids ascend
+    assert(out == Set(("apple", 2L, "1,3")))
+    val wide = TextStats.postings(docs, "id", "txt", minDf = 1L, maxDf = 5L)
+      .collect().map(r => r.getAs[String]("term") -> r.getAs[String]("postings")).toMap
+    assert(wide("the") == "1,2,3,4,5" && wide("pear") == "2")
+  }
+
+  test("postings plan: eligibility broadcasts back before the list aggregate") {
+    val docs = Seq((1L, "a b"), (2L, "b c")).toDF("id", "txt")
+    val p = TextStats.postings(docs, "id", "txt", minDf = 1L, maxDf = 2L)
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab filter must broadcast back (lists stay <= maxDf):\n$p")
+    assert(!p.contains("Window"), s"no term-keyed window:\n$p")
+  }
+
   // ------------------------------------------------------------ pagerank
 
   test("pageRank: exact fixed-point ranks on a hand-computed graph") {
