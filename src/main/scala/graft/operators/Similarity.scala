@@ -209,6 +209,7 @@ object Similarity {
   private[operators] def invalidateCaches(s: SparkSession, d: String): Unit = {
     kmCache.remove((s, d)).foreach(_._2.unpersist(blocking = false))
     pqCache.remove((s, d)).foreach(_._2.unpersist(blocking = false))
+    ivfPqCache.remove((s, d)).foreach(_.unpersist(blocking = false))
   }
   private def fittedIvf(s: SparkSession, d: String): (DataFrame, DataFrame) =
     kmCache.getOrElseUpdate((s, d), {
@@ -372,21 +373,35 @@ object Similarity {
     val (m, ksub) = pqShape(codebook)
     require(dims % m == 0, s"codebook m=$m must divide dims=$dims")
     val sub = dims / m
-    val sliced = emb.select(col(idCol),
-        explode(expr(s"transform(sequence(0, ${m - 1}), " +
-          s"j -> struct(CAST(j AS INT) AS sub, slice($vecCol, j * $sub + 1, $sub) AS sv))")).as("e"))
-      .select(col(idCol), col("e.sub").as("sub"), col("e.sv").as("sv"))
-      .withColumn("svn", normScaled("sv"))
-    sliced.join(broadcast(codebook), "sub")
-      .select(col(idCol), col("sub"),
-        struct((col("svn") + col("cn") - lit(2L) * dotScaled("sv", "ce")).as("d"),
-          col("cid").as("cid"), col("cn").as("cn")).as("k"))
-      .groupBy(col(idCol), col("sub")).agg(min(col("k")).as("k"))
-      .groupBy(col(idCol))
-      .agg(
-        expr("transform(array_sort(collect_list(struct(sub AS s, k.cid AS c))), x -> x.c)")
-          .as("codes"),
-        sum(col("k.cn")).as("rn"))
+    // the codebook is m·ksub rows by construction — collect it (the same
+    // bounded driver materialization as kmeansFit's means) and encode as
+    // ONE map-only projection: per subspace, ksub codegen'd dot products
+    // against literal centroids and an array argmin. Zero shuffles — the
+    // earlier join+argmin-aggregate formulation forced partial/final
+    // SortAggregates (min over a struct isn't hash-aggregable) sorting
+    // the N·m·ksub relation.
+    val cb = codebook.select(col("sub"), col("cid"), col("ce"), col("cn"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray, r.getLong(3)))
+      .groupBy(_._1)
+      .map { case (j, rows) => j -> rows.sortBy(_._2).map(r => (r._3, r._4)) }
+    require(cb.keySet == (0 until m).toSet &&
+      cb.values.forall(_.length == ksub), "codebook must be complete")
+    // argmin_c ‖x_sub − c‖² = argmin_c (c·c − 2·x_sub·c): the x_sub·x_sub
+    // term is constant per slice, so it drops out of the comparison
+    val codeCols = (0 until m).map { j =>
+      val sv = expr(s"slice($vecCol, ${j * sub + 1}, $sub)")
+      val dists = array(cb(j).toIndexedSeq.map { case (ce, cn) =>
+        lit(cn) - lit(2L) * graft.plans.ScaledDotProduct(sv, typedlit(ce.toSeq))
+      }: _*)
+      // first index of the min = lowest cid on ties (the total order)
+      (array_position(dists, array_min(dists)) - 1).cast(IntegerType)
+    }
+    val cnFlat = typedlit((0 until m).flatMap(j => cb(j).map(_._2)))
+    emb.select(col(idCol), array(codeCols: _*).as("codes"))
+      .withColumn("rn", aggregate(
+        transform(col("codes"), (c, j) => element_at(cnFlat, (j * ksub + c + 1).cast(IntegerType))),
+        lit(0L), (acc, v) => acc + v))
   }
 
   private def pqShape(codebook: DataFrame): (Int, Int) = {
@@ -518,12 +533,22 @@ object Similarity {
   // gain their cid by one build-time join with the IVF assignment.
   // Approximate by design → no SQL oracle; ≡-pqTopK-at-full-probe and
   // planted-cluster recall are spec-asserted in PipelineOpsSpec.
+  // the cid-attached code table is BUILD-time state (a deployment stores
+  // codes partitioned by cid) — memoized so the query path is scan +
+  // broadcast only, not a per-query codes⋈assignment join
+  private val ivfPqCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
   def q85(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val (cent, assign) = fittedIvf(s, d)
-    val (cb, codes) = fittedPq(s, d)
-    val withCid = codes.join(assign, "vec_id")
-      .select($"vec_id".as("neighbor_id"), $"codes", $"rn", $"cid")
+    val (cent, _) = fittedIvf(s, d)
+    val (cb, _) = fittedPq(s, d)
+    val withCid = ivfPqCache.getOrElseUpdate((s, d), {
+      val (_, assign) = fittedIvf(s, d)
+      val (_, codes) = fittedPq(s, d)
+      codes.join(assign, "vec_id")
+        .select($"vec_id".as("neighbor_id"), $"codes", $"rn", $"cid")
+        .persist()
+    })
     val e = Tables.embeddings(s, d)
     ivfPqTopK(withCid, "neighbor_id",
       e.filter($"vec_id" < 5).select($"vec_id".as("query_id"), $"embedding".as("qemb")),
