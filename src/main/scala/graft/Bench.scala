@@ -47,6 +47,7 @@ object Bench {
       "q38_ann_ivf", // q38/q67 cold = quantizer fit, hidden warm
       "q67_semantic_dedup", "q68_minhash_against",
       "q83_ann_pq", // cold = the PQ codebook fit + encode, hidden warm
+      "q84_pagerank", // cold = the iterative rank build, hidden warm
       "q66_term_rarity", "q69_bm25_topk") // cold = the memoized corpus-stats pass
       .filter(SparkEntry.queries.contains)
     val cold = coldNames.map { name =>

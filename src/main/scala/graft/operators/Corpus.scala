@@ -111,19 +111,19 @@ object Corpus {
   private val bm25Terms = Seq("vector", "hash", "scan")
   private val statsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (Long, Long)]
-  private def q69(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables.documents(s, d)
-    val stats = statsCache.getOrElseUpdate((s, d), {
-      val r = docs.select(size(split(trim($"text"), "\\s+")).cast("long").as("dl"))
+  private def corpusStats(s: SparkSession, d: String): (Long, Long) =
+    statsCache.getOrElseUpdate((s, d), {
+      import s.implicits._
+      val r = Tables.documents(s, d)
+        .select(size(split(trim($"text"), "\\s+")).cast("long").as("dl"))
         .agg(count(lit(1)), sum($"dl")).head()
       // sum over zero rows is NULL — guard so an empty corpus reaches
       // bm25TopK's own clear `require` instead of an NPE here
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     })
-    TextStats.bm25TopK(docs, "doc_id", "text", bm25Terms, k = 20,
-      statsHint = Some(stats))
-  }
+  private def q69(s: SparkSession, d: String): DataFrame =
+    TextStats.bm25TopK(Tables.documents(s, d), "doc_id", "text", bm25Terms,
+      k = 20, statsHint = Some(corpusStats(s, d)))
   private val q69Sql = {
     val terms = bm25Terms.map(t => s"'$t'").mkString(", ")
     """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
@@ -184,7 +184,7 @@ object Corpus {
   private def q80(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sparse = TextStats.bm25TopK(Tables.documents(s, d), "doc_id", "text",
-        bm25Terms, k = 50, statsHint = None)
+        bm25Terms, k = 50, statsHint = Some(corpusStats(s, d)))
       .select($"doc_id", row_number().over(
         Window.orderBy($"score_scaled".desc, $"doc_id".asc)).as("rank"))
     val e = Tables.embeddings(s, d)

@@ -347,12 +347,20 @@ object Similarity {
     val dims = emb.select(size(col(vecCol))).head().getInt(0)
     require(m > 0 && dims % m == 0, s"m=$m must divide dims=$dims")
     val sub = dims / m
-    (0 until m).map { j =>
+    // the m sub-fits are independent (disjoint coordinate slices) — run
+    // them as concurrent driver threads so their many small seeding/Lloyd
+    // jobs interleave in the scheduler instead of serializing (a
+    // sequential fit is m × ksub mostly-idle job barriers)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fits = (0 until m).map { j => Future {
       val slice = emb.select(col(idCol).cast(LongType).as("vec_id"),
         expr(s"slice($vecCol, ${j * sub + 1}, $sub)").as("sv"))
       val (cent, _) = kmeansFit(slice, "sv", ksub, iters, trainPct)
       cent.withColumn("sub", lit(j)).select(col("sub"), col("cid"), col("ce"), col("cn"))
-    }.reduce(_ unionAll _)
+    }}
+    Await.result(Future.sequence(fits), Duration.Inf).reduce(_ unionAll _)
   }
 
   /** PQ-encode every vector against a [[pqFit]] codebook: per subspace the

@@ -94,6 +94,7 @@ object Text {
     Curation.invalidateCaches(s, d)
     Similarity.invalidateCaches(s, d)
     Corpus.invalidateCaches(s, d)
+    Graphs.invalidateCaches(s, d)
   }
   private[operators] val shingleRowsSql =
     """toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),

@@ -412,7 +412,10 @@ class AnalyticsOpsSpec extends AnyFunSuite {
 
   test("pageRank: in-mass sums combine map-side; 0 iters is the uniform base") {
     val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("s", "t")
-    val p = graft.operators.Graphs.pageRank(edges, "s", "t", iters = 2)
+    // materialize = false keeps the lazy plan inspectable (the default
+    // localCheckpoint cuts lineage to a Scan ExistingRDD)
+    val p = graft.operators.Graphs
+      .pageRank(edges, "s", "t", iters = 2, materialize = false)
       .queryExecution.executedPlan.toString()
     assert(p.contains("partial_sum") || p.contains("partial sum"),
       s"celebrity-node in-mass must reduce map-side:\n$p")
