@@ -198,6 +198,99 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("gapFill equals a naive per-key LOCF model on random sparse series") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    // random keys with random sparse tick sets and values
+    val rows = for {
+      k <- 0 until 12
+      ticks = rnd.shuffle((0 until 40).toList).take(1 + rnd.nextInt(8)).distinct
+      t <- ticks
+    } yield (k.toLong, t.toLong, rnd.nextInt(1000).toDouble)
+    val df = rows.toDF("k", "tick", "v")
+    val got = operators.Events.gapFill(df, Seq("k"), "tick", Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]), r.getDouble(3))).toSet
+    // independent model: dense range per key, carry the last seen value
+    val want = rows.groupBy(_._1).flatMap { case (k, rs) =>
+      val byTick = rs.map(r => r._2 -> r._3).toMap
+      val (lo, hi) = (byTick.keys.min, byTick.keys.max)
+      var last = 0.0
+      (lo to hi).map { t =>
+        val v = byTick.get(t)
+        last = v.getOrElse(last)
+        (k, t, v, last)
+      }
+    }.toSet
+    assert(got == want)
+  }
+
+  test("rrfFuse equals a brute-force fusion model (random lists, random c/k)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    for (trial <- 0 until 5) {
+      val nLists = 1 + rnd.nextInt(3)
+      val c = rnd.nextInt(80)
+      val k = 1 + rnd.nextInt(10)
+      val lists = Seq.fill(nLists) {
+        rnd.shuffle((0 until 30).toList).take(5 + rnd.nextInt(10))
+          .zipWithIndex.map { case (id, i) => (id.toLong, i + 1) }
+      }
+      val got = operators.Corpus.rrfFuse(
+        lists.map(_.toDF("id", "rank")), "id", "rank", k = k, c = c)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      val pts = lists.flatten.groupBy(_._1).map { case (id, rs) =>
+        (id, rs.map(r => 1000000000L / (c + r._2)).sum, rs.size)
+      }
+      val want = pts.toSeq.sortBy { case (id, p, _) => (-p, id) }.take(k)
+        .zipWithIndex.map { case ((id, p, n), i) => (id, p, n, i + 1) }
+      assert(got.toSeq.sortBy(_._4) == want, s"trial $trial (c=$c, k=$k)")
+    }
+  }
+
+  test("zscoreOutliers equals a naive two-pass model on random integral groups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val rows = for (g <- 'a' to 'e'; _ <- 0 until (2 + rnd.nextInt(30)))
+      yield (g.toString, rnd.nextInt(200).toLong)
+    val df = rows.toDF("g", "x")
+    val got = operators.Extended.zscoreOutliers(df, "x", Seq("g"), zThreshold = 1.0)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3)))
+    val stats = rows.groupBy(_._1).map { case (g, rs) =>
+      val n = rs.size.toLong
+      val s = rs.map(_._2).sum
+      val q = rs.map(x => x._2 * x._2).sum
+      (g, n, s, q)
+    }
+    got.foreach { case (g, x, z2, flag) =>
+      val (_, n, s, q) = stats.find(_._1 == g).get
+      val m = n * q - s * s
+      val want = if (m == 0) 0.0
+        else ((n * x - s).toDouble * (n * x - s).toDouble * (n - 1).toDouble) /
+          (n.toDouble * m.toDouble)
+      assert(z2 == want, s"group $g x=$x")
+      assert(flag == (if (z2 > 1.0) 1 else 0))
+    }
+  }
+
+  test("pageRank is partitioning-invariant and conserves bounded mass") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val edges = Seq.fill(60)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val df = edges.toDF("s", "t")
+    def run(parts: Int) = operators.Graphs
+      .pageRank(df.repartition(parts), "s", "t", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val a = run(1)
+    assert(a == run(7), "ranks must not depend on partitioning")
+    // truncation + dangling leak only ever LOSE mass vs N·base
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.size
+    assert(a.toSeq.map(_._2).sum <= nodes * 1000000000L)
+    assert(a.forall(_._2 >= 150000000L), "teleport is the floor")
+  }
+
   test("manifest utf8Cmp agrees with Spark's UTF8String binary order") {
     import org.apache.spark.unsafe.types.UTF8String
     // random strings biased toward the divergence zone: BMP private-use /
