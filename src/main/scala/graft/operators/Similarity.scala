@@ -377,10 +377,12 @@ object Similarity {
     * no skew key (ids are unique). */
   def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
       codebook: DataFrame): DataFrame = {
-    val dims = emb.select(size(col(vecCol))).head().getInt(0)
     val (m, ksub) = pqShape(codebook)
-    require(dims % m == 0, s"codebook m=$m must divide dims=$dims")
-    val sub = dims / m
+    // dims come from the CODEBOOK (m × sub-centroid length), not from
+    // probing the input — so encoding works on an empty micro-batch (the
+    // streaming ingest path) and adds no driver action per call. Vectors
+    // must have exactly m·sub dims (the codebook's contract).
+    val sub = codebook.select(size(col("ce"))).head().getInt(0)
     // the codebook is m·ksub rows by construction — collect it (the same
     // bounded driver materialization as kmeansFit's means) and encode as
     // ONE map-only projection: per subspace, ksub codegen'd dot products

@@ -459,6 +459,55 @@ class StreamingSpec extends AnyFunSuite {
       == key(Events.retention(rows, "user_id", "ts").orderBy("cohort_day", "day_offset")))
   }
 
+  test("realtime vector ingestion: streamed embeddings PQ-encode per batch, " +
+      "searchable hybrid equals all-batch encoding") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-vec").toString
+    val ckpt = Files.createTempDirectory("graft-vec-ckpt").toString
+    val rnd = new scala.util.Random(47)
+    val all = Seq.tabulate(40)(i => (i.toLong, Array.fill(16)(rnd.nextFloat() - 0.5f)))
+    // fit once on the historical half (fit-sample/apply-all, as at scale)
+    val hist = all.take(20).toDF("vec_id", "embedding")
+    val cb = graft.operators.Similarity.pqFit(hist, "vec_id", "embedding",
+      m = 4, ksub = 4, iters = 2)
+    graft.operators.Similarity.pqEncode(hist, "vec_id", "embedding", cb)
+      .write.parquet(s"$dir/base")
+    // stream the live half: encode is MAP-ONLY per micro-batch (empty
+    // batches fine — dims come from the codebook, no input probe)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        graft.operators.Similarity.pqEncode(batch, "vec_id", "embedding", cb)
+          .write.mode("overwrite").parquet(s"$dir/rt/batch=$batchId")
+        ()
+      }.start()
+    mem.addData(all.slice(20, 30): _*)
+    q.processAllAvailable()
+    mem.addData(all.slice(30, 40): _*)
+    q.processAllAvailable()
+    q.stop()
+    // hybrid = historical codes ∪ streamed codes; ADC search over it must
+    // equal searching an all-batch encoding of the full corpus
+    val hybrid = spark.read.parquet(s"$dir/base")
+      .unionByName(spark.read.parquet(s"$dir/rt").drop("batch"))
+    val queries = all.take(3).toDF("vec_id", "embedding")
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    def top(codes: org.apache.spark.sql.DataFrame) =
+      graft.operators.Similarity.pqTopK(
+        codes.withColumnRenamed("vec_id", "nid"), "nid",
+        queries, "qid", "qv", cb, k = 5,
+        pairFilter = col("nid") =!= col("qid"))
+        .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"),
+          r.getAs[Int]("rank"))).toSet
+    val allCodes = graft.operators.Similarity.pqEncode(
+      all.toDF("vec_id", "embedding"), "vec_id", "embedding", cb)
+    assert(hybrid.count() == 40)
+    assert(top(hybrid) == top(allCodes),
+      "streamed-in vectors must be indistinguishable from batch-encoded ones")
+  }
+
   test("hybrid view unions historical base with fresh realtime parts") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-base").toString
