@@ -396,12 +396,19 @@ object Extended {
     histQuantilesImpl(df, valueCol, pcts, lit(lo), lit(width), bins, groupCols)
   }
 
-  private def histQuantilesImpl(df: DataFrame, valueCol: String, pcts: Seq[Int],
-      loC: Column, widthC: Column, bins: Int,
-      groupCols: Seq[String]): DataFrame = {
-    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100) && bins > 0)
-    val s = df.sparkSession
-    import s.implicits._
+  /** Histogram-bin partials for [[histQuantiles]]: one combiner-friendly
+    * aggregate to (groupCols…, bin, n). The partials are the MERGEABLE
+    * sketch state — they sum associatively, so a streaming job can append
+    * per-micro-batch partial tables and [[histQuantilesFromCounts]]
+    * answers quantiles over any union of them (segment → executor →
+    * generation, the manifest-stats merge contract). */
+  def histBinCounts(df: DataFrame, valueCol: String, lo: Double, width: Double,
+      bins: Int, groupCols: Seq[String] = Nil): DataFrame =
+    histBinCountsImpl(df, valueCol, lit(lo), lit(width), bins, groupCols)
+
+  private def histBinCountsImpl(df: DataFrame, valueCol: String,
+      loC: Column, widthC: Column, bins: Int, groupCols: Seq[String]): DataFrame = {
+    require(bins > 0)
     val gs = groupCols.map(col)
     // Clamp in the DOUBLE domain and only then cast to INT: a raw
     // floor→INT cast saturates in Spark but errors in DuckDB once
@@ -409,9 +416,26 @@ object Extended {
     // outside the histogram range would diverge engine-to-engine
     val bin = least(greatest(floor((col(valueCol).cast(DoubleType) - loC) / widthC),
         lit(0.0)), lit((bins - 1).toDouble)).cast(IntegerType)
-    val counts = df
-      .select(gs :+ bin.as("bin"): _*)
-      .groupBy(gs :+ $"bin": _*).agg(count(lit(1)).as("n"))
+    df.select(gs :+ bin.as("bin"): _*)
+      .groupBy(gs :+ col("bin"): _*).agg(count(lit(1)).as("n"))
+  }
+
+  /** Quantile estimates from (possibly appended/partial) bin counts —
+    * (groupCols…, bin, n) rows as produced by [[histBinCounts]]. Merging
+    * is just the re-aggregation here: duplicate bins from different
+    * partial tables sum. Same estimates as [[histQuantiles]] on the
+    * concatenated raw data, by construction. */
+  def histQuantilesFromCounts(counts: DataFrame, pcts: Seq[Int],
+      lo: Double, width: Double, groupCols: Seq[String] = Nil): DataFrame =
+    histQuantilesFromCountsImpl(counts, pcts, lit(lo), lit(width), groupCols)
+
+  private def histQuantilesFromCountsImpl(counts0: DataFrame, pcts: Seq[Int],
+      loC: Column, widthC: Column, groupCols: Seq[String]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100))
+    val s = counts0.sparkSession
+    import s.implicits._
+    val gs = groupCols.map(col)
+    val counts = counts0.groupBy(gs :+ $"bin": _*).agg(sum($"n").as("n"))
     // cum/total windows key on the GROUP (≤ bins rows per group by
     // construction — bounded, unlike a data-keyed window); ungrouped, the
     // single partition holds ≤ bins rows total
@@ -427,6 +451,13 @@ object Extended {
       .groupBy(gs :+ $"pct": _*).agg(min($"bin").as("bin"))
       .withColumn("est", loC + ($"bin" + 1) * widthC)
   }
+
+  private def histQuantilesImpl(df: DataFrame, valueCol: String, pcts: Seq[Int],
+      loC: Column, widthC: Column, bins: Int,
+      groupCols: Seq[String]): DataFrame =
+    histQuantilesFromCountsImpl(
+      histBinCountsImpl(df, valueCol, loC, widthC, bins, groupCols),
+      pcts, loC, widthC, groupCols)
 
   // q73 — histogram-sketch quantiles of l_extendedprice: 8192 bins of
   // width 13 from 900 (up to 107396, above every SF's max) → error ≤ 13.

@@ -129,4 +129,60 @@ class PipelineE2ESpec extends AnyFunSuite {
     assert(scores.sameElements(scores.sorted(Ordering[Long].reverse)),
       "results must be in descending score order")
   }
+
+  test("histogram sketch partials merge across streamed micro-batches (≡ batch)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.operators.Extended
+    val stage = Files.createTempDirectory("graft-hist").toString
+    val (lo, width, bins) = (0.0, 5.0, 64)
+    val rnd = new scala.util.Random(53)
+    val all = Seq.fill(400)(rnd.nextInt(300).toDouble)
+    // stream in three uneven batches; each appends only its (bin, n)
+    // partials — the mergeable sketch state, not raw rows
+    val mem = MemoryStream[Double]
+    val q = mem.toDF().toDF("v").writeStream
+      .option("checkpointLocation", s"$stage/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        Extended.histBinCounts(batch, "v", lo, width, bins)
+          .write.mode("append").parquet(s"$stage/partials")
+        ()
+      }.start()
+    Seq(all.take(50), all.slice(50, 300), all.drop(300)).foreach { b =>
+      mem.addData(b: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val merged = Extended.histQuantilesFromCounts(
+        spark.read.parquet(s"$stage/partials"), Seq(25, 50, 95), lo, width)
+      .collect().map(r => r.getAs[Int]("pct") -> r.getAs[Double]("est")).toMap
+    val batch = Extended.histQuantiles(all.toDF("v"), "v", Seq(25, 50, 95),
+        lo, width, bins)
+      .collect().map(r => r.getAs[Int]("pct") -> r.getAs[Double]("est")).toMap
+    assert(merged == batch,
+      s"merged partials must equal the all-at-once sketch: $merged vs $batch")
+  }
+
+  test("ops-analytics chain: daily resample -> LOCF -> per-user outlier days") {
+    import spark.implicits._
+    import graft.operators.{Events, Extended}
+    val daily = Tables.events(spark, sf)
+      .groupBy($"user_id", expr("ts DIV 1000000000 DIV 86400").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val filled = Events.gapFill(daily, Seq("user_id"), "day", Seq("n"))
+      .select($"user_id", $"day", coalesce($"n", lit(0L)).as("n"))
+    // the filled series is dense: per user exactly span+1 days
+    val spans = daily.groupBy($"user_id")
+      .agg((max($"day") - min($"day") + 1).as("len"))
+    assert(filled.groupBy($"user_id").count()
+      .join(spans, "user_id").filter($"count" =!= $"len").count() == 0)
+    // outlier days: z > 1.5 on the DENSE series (gap days pull the mean
+    // down — resample-then-score is the point of the chain)
+    val flagged = Extended.zscoreOutliers(filled, "n", Seq("user_id"), 1.5)
+    assert(flagged.count() == filled.count())
+    val hits = flagged.filter($"is_outlier" === 1)
+    assert(hits.count() > 0, "bursty days must trip the 1.5-sigma gate")
+    // determinism across reruns (exact moments + identical double tree)
+    assert(Extended.zscoreOutliers(filled, "n", Seq("user_id"), 1.5)
+      .collect().toSet == flagged.collect().toSet)
+  }
 }
