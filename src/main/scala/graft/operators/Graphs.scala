@@ -41,6 +41,7 @@ object Graphs {
     * lower `base` beyond that. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
       dampingPpm: Long = 850000L, base: Long = 1000000000L,
+      seeds: Option[DataFrame] = None,
       materialize: Boolean = true): DataFrame = {
     require(iters >= 0, "iters must be non-negative")
     require(dampingPpm >= 0 && dampingPpm <= 1000000L, "damping is ppm in [0, 1e6]")
@@ -51,20 +52,33 @@ object Graphs {
     // standard iterative-algorithm discipline. Deep iteration counts
     // (≳10) should additionally localCheckpoint `ranks` every few rounds
     // to keep the rank lineage chain shallow.
-    val nodes = e.select(col("src").as("id"))
+    val ids = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
-      .persist()
+    val teleport = (1000000L - dampingPpm) * base / 1000000L
+    // PERSONALIZED variant: teleport mass lands only on the seed set (a
+    // trusted-domain list — small by nature, broadcast) and the walk
+    // starts from it; rank = proximity to seeds. Without seeds the
+    // teleport is uniform and the walk starts at `base` everywhere.
+    val nodes = (seeds match {
+      case None => ids.withColumn("__t", lit(teleport))
+      case Some(sd) =>
+        val sdf = sd.select(col(sd.columns.head).as("__sid")).distinct()
+        ids.join(broadcast(sdf), col("id") === col("__sid"), "left_outer")
+          .select(col("id"),
+            when(col("__sid").isNotNull, lit(teleport)).otherwise(lit(0L)).as("__t"))
+    }).persist()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val ew = e.join(outdeg, "src").persist()
-    val teleport = (1000000L - dampingPpm) * base / 1000000L
-    var ranks = nodes.withColumn("r", lit(base))
+    var ranks =
+      if (seeds.isEmpty) nodes.select(col("id"), lit(base).as("r"))
+      else nodes.select(col("id"), col("__t").as("r"))
     for (_ <- 0 until iters) {
       val cs = ew.join(ranks, col("src") === col("id"))
         .select(col("dst"), expr("r div outdeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
       ranks = nodes.join(cs, col("id") === col("dst"), "left_outer")
         .select(col("id"),
-          expr(s"${teleport}L + (coalesce(cs, 0L) div 1000000L) * ${dampingPpm}L" +
+          expr(s"__t + (coalesce(cs, 0L) div 1000000L) * ${dampingPpm}L" +
             s" + ((coalesce(cs, 0L) % 1000000L) * ${dampingPpm}L) div 1000000L")
             .as("r"))
     }
@@ -97,42 +111,80 @@ object Graphs {
     .empty[(SparkSession, String), DataFrame]
   private[operators] def invalidateCaches(s: SparkSession, d: String): Unit =
     prCache.remove((s, d)).foreach(_.unpersist(blocking = false))
+  // customer and supplier keys share the integer space, so node ids are
+  // NAMESPACED (customer c → 10⁷ + c) — without this node 7 would be
+  // customer 7 and supplier 7 accidentally merged into one walk state
+  private val custBase = 10000000L
   private def q84(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ranks = prCache.getOrElseUpdate((s, d), {
-      val li = Tables.lineitem(s, d)
-      val o = Tables.orders(s, d)
-      val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .select($"o_custkey".as("src"), $"l_suppkey".as("dst")).distinct()
-      pageRank(edges, "src", "dst", iters = 3)
+      pageRank(purchaseEdges(s, d), "src", "dst", iters = 3)
     })
     ranks.orderBy($"rank_scaled".desc, $"id".asc).limit(100)
   }
-  private val q84Sql = {
-    def round(prev: String, n: Int): String =
-      s"""c$n AS (SELECT dst, SUM(r // outdeg) AS cs
-         |  FROM edges JOIN deg USING (src) JOIN $prev ON $prev.id = edges.src
-         |  GROUP BY dst),
-         |r$n AS (SELECT id, 150000000 + (coalesce(cs, 0) // 1000000) * 850000
-         |    + ((coalesce(cs, 0) % 1000000) * 850000) // 1000000 AS r
-         |  FROM nodes LEFT JOIN c$n ON id = dst)""".stripMargin
-    s"""WITH edges AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+  private def purchaseEdges(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(($"o_custkey" + custBase).as("src"), $"l_suppkey".as("dst"))
+      .distinct()
+  }
+  private val edgesSql =
+    s"""edges AS (SELECT DISTINCT o_custkey + $custBase AS src, l_suppkey AS dst
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
        |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
-       |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1)""".stripMargin
+  private def roundSql(prev: String, n: Int, teleport: String): String =
+    s"""c$n AS (SELECT dst, SUM(r // outdeg) AS cs
+       |  FROM edges JOIN deg USING (src) JOIN $prev ON $prev.id = edges.src
+       |  GROUP BY dst),
+       |r$n AS (SELECT id, $teleport + (coalesce(cs, 0) // 1000000) * 850000
+       |    + ((coalesce(cs, 0) % 1000000) * 850000) // 1000000 AS r
+       |  FROM nodes LEFT JOIN c$n ON id = dst)""".stripMargin
+  private val q84Sql =
+    s"""WITH $edgesSql,
        |r0 AS (SELECT id, 1000000000 AS r FROM nodes),
-       |${round("r0", 1)},
-       |${round("r1", 2)},
-       |${round("r2", 3)}
+       |${roundSql("r0", 1, "150000000")},
+       |${roundSql("r1", 2, "150000000")},
+       |${roundSql("r2", 3, "150000000")}
+       |SELECT id, r AS rank_scaled FROM r3
+       |ORDER BY rank_scaled DESC, id ASC LIMIT 100""".stripMargin
+
+  // q87 — PERSONALIZED PageRank: teleport mass lands only on a trusted
+  // seed set (here every 10th customer node — the "known-good domains"
+  // of a crawl-quality pipeline); suppliers rank by their proximity to
+  // seed customers, non-seed customers rank 0 + in-mass. Same arithmetic
+  // as q84 with a seed-indicator teleport; memoized like q84.
+  private def q87(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ranks = prCache.getOrElseUpdate((s, d + "#ppr"), {
+      val edges = purchaseEdges(s, d)
+      val seeds = edges.select($"src".as("seed_id")).distinct()
+        .filter(($"seed_id" - custBase) % 10 === 0)
+      pageRank(edges, "src", "dst", iters = 3, seeds = Some(seeds))
+    })
+    ranks.orderBy($"rank_scaled".desc, $"id".asc).limit(100)
+  }
+  private val q87Sql = {
+    val tele = s"(CASE WHEN id >= $custBase AND (id - $custBase) % 10 = 0" +
+      " THEN 150000000 ELSE 0 END)"
+    s"""WITH $edgesSql,
+       |r0 AS (SELECT id, $tele AS r FROM nodes),
+       |${roundSql("r0", 1, tele)},
+       |${roundSql("r1", 2, tele)},
+       |${roundSql("r2", 3, tele)}
        |SELECT id, r AS rank_scaled FROM r3
        |ORDER BY rank_scaled DESC, id ASC LIMIT 100""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q84_pagerank" -> q84,
+    "q87_pagerank_personalized" -> q87,
   )
 
   val oracles: Map[String, String] = Map(
     "q84_pagerank" -> q84Sql,
+    "q87_pagerank_personalized" -> q87Sql,
   )
 }

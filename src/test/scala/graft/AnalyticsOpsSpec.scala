@@ -410,6 +410,23 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       "A" -> 1361250000L, "B" -> 575000000L, "C" -> 1063750000L))
   }
 
+  test("personalized pageRank: teleport and start mass land only on seeds") {
+    // A→B, B→C, C→A with seed {A}: mass flows A→B→C, never teleports to B/C
+    val edges = Seq(("A", "B"), ("B", "C"), ("C", "A")).toDF("s", "t")
+    val seeds = Seq("A").toDF("id")
+    def ranks(iters: Int) =
+      graft.operators.Graphs.pageRank(edges, "s", "t", iters, seeds = Some(seeds))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // r0 = (A: 1.5e8, B: 0, C: 0)
+    // iter1: cs(B) = r(A) = 1.5e8, cs(C) = 0, cs(A) = 0
+    //   A = 1.5e8 + 0; B = 0 + 0.85·1.5e8 = 127500000; C = 0
+    assert(ranks(1) == Map("A" -> 150000000L, "B" -> 127500000L, "C" -> 0L))
+    // iter2: cs(B) = 1.5e8, cs(C) = 127500000, cs(A) = 0
+    //   C = 0 + 0.85·127500000 = 108375000
+    assert(ranks(2) == Map(
+      "A" -> 150000000L, "B" -> 127500000L, "C" -> 108375000L))
+  }
+
   test("pageRank: in-mass sums combine map-side; 0 iters is the uniform base") {
     val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("s", "t")
     // materialize = false keeps the lazy plan inspectable (the default
