@@ -329,7 +329,67 @@ object Events {
        |FROM grid LEFT JOIN daily USING (user_id, day)
        |ORDER BY user_id, day""".stripMargin
 
+  /** Rolling time-range aggregates per key: for every row, the count and
+    * exact-decimal sums of `valueCols` over the trailing `span` ticks of
+    * `ordCol` (inclusive range frame [ord−span+1, ord]) — the trailing-
+    * window feature builder (7-day activity, 30-day spend, …).
+    *
+    * Determinism: range-frame sums are engine-internal reassociations
+    * (Spark re-aggregates the frame, DuckDB uses segment trees — a
+    * DIFFERENT addition order), so double sums would drift; every sum
+    * here rides DECIMAL(30,6) — exact, associative, identical in any
+    * evaluation order — and casts to double only at the edge.
+    *
+    * Scale: one window per key, ordered by the tick — per-key cost is
+    * that key's rows (keys are the parallelism; Spark external-sorts
+    * oversized key partitions). Run it on a pre-aggregated grain (e.g.
+    * daily rollups, as q91 does) so per-key rows are bounded by the
+    * calendar, not the event volume. */
+  def rollingRange(df: DataFrame, keyCols: Seq[String], ordCol: String,
+      valueCols: Seq[String], span: Long): DataFrame = {
+    require(keyCols.nonEmpty, "rollingRange needs at least one key column")
+    require(span >= 1, "span is a positive tick count")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(ordCol))
+      .rangeBetween(-(span - 1), 0)
+    val withN = df.withColumn("n_roll", count(lit(1)).over(w))
+    valueCols.foldLeft(withN) { (acc, c) =>
+      acc.withColumn(s"${c}_roll",
+        sum(col(c).cast(DecimalType(30, 6))).over(w).cast(DoubleType))
+    }
+  }
+
+  // q91 — trailing 7-day activity features per user on the daily grain:
+  // the classic feature-store query (how active was this user this past
+  // week, as of each active day). Day buckets are exact epoch-day
+  // integers; the daily sum stays DECIMAL into the window so the rolling
+  // sum is exact on both engines.
+  private def q91(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .groupBy($"user_id", expr("ts DIV 1000000000 DIV 86400").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast(DecimalType(30, 6))).as("sum_value"))
+    rollingRange(daily, Seq("user_id"), "day", Seq("sum_value"), span = 7)
+      .select($"user_id", $"day", $"n", $"n_roll",
+        $"sum_value".cast(DoubleType).as("sum_value"), $"sum_value_roll")
+      .orderBy($"user_id", $"day")
+  }
+  private val q91Sql =
+    """WITH daily AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000000000 // 86400 AS day,
+      |    COUNT(*) AS n, SUM(CAST(value AS DECIMAL(30,6))) AS sum_value
+      |  FROM events GROUP BY 1, 2)
+      |SELECT user_id, day, n,
+      |  COUNT(*) OVER w AS n_roll,
+      |  CAST(sum_value AS DOUBLE) AS sum_value,
+      |  CAST(SUM(sum_value) OVER w AS DOUBLE) AS sum_value_roll
+      |FROM daily
+      |WINDOW w AS (PARTITION BY user_id ORDER BY day
+      |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_rolling_range" -> q91,
     "q48_asof_join" -> q48,
     "q25_json_ingest" -> q25,
     "q26_window_tumbling" -> q26,
@@ -342,6 +402,7 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q91_rolling_range" -> q91Sql,
     "q51_window_sliding" -> q51Sql,
     "q48_asof_join" -> q48Sql,
     "q25_json_ingest" -> q25Sql,

@@ -614,7 +614,56 @@ object Extended {
       |FROM lineitem JOIN st USING (l_returnflag, l_linestatus)
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  // q89 — PIVOT: long→wide reshape (the reporting cross-tab). The pivot
+  // value list is EXPLICIT — Spark's values-less overload first runs a
+  // driver-side collect-distinct over the pivot column, which at 100 TB
+  // is an unbounded extra scan + driver list; a declared list keeps the
+  // plan one combiner-friendly aggregate wide. Sums ride the exact
+  // DECIMAL(30,6) dsum tree so both engines hash identically.
+  private def q89(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(dsum($"l_quantity").as("qty"), count(lit(1)).as("cnt"))
+      .select($"l_returnflag",
+        $"F_qty".as("qty_f"), $"F_cnt".as("cnt_f"),
+        $"O_qty".as("qty_o"), $"O_cnt".as("cnt_o"))
+      .orderBy($"l_returnflag")
+  }
+  private val q89Sql =
+    s"""SELECT l_returnflag,
+       |  ${dsumSql("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_f,
+       |  COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS cnt_f,
+       |  ${dsumSql("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_o,
+       |  COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS cnt_o
+       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // q90 — UNPIVOT (melt): wide→long reshape, the inverse prep step every
+  // per-metric pipeline runs before a generic (metric, value) aggregate.
+  // Map-only: each input row emits #valueCols output rows with zero
+  // shuffle — the orderBy here is only the gate's determinism sort.
+  private def q90(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .unpivot(
+        Array($"l_orderkey", $"l_linenumber"),
+        Array($"l_quantity", $"l_discount", $"l_tax"),
+        "metric", "value")
+      .orderBy($"l_orderkey", $"l_linenumber", $"metric")
+  }
+  private val q90Sql =
+    """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value
+      |FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_pivot" -> q89,
+    "q90_unpivot" -> q90,
     "q42_grouping_sets" -> q42,
     "q46_percentiles" -> q46,
     "q73_quantile_sketch" -> q73,
@@ -636,6 +685,8 @@ object Extended {
   )
 
   val oracles: Map[String, String] = Map(
+    "q89_pivot" -> q89Sql,
+    "q90_unpivot" -> q90Sql,
     "q42_grouping_sets" -> q42Sql,
     "q46_percentiles" -> q46Sql,
     "q73_quantile_sketch" -> q73Sql,

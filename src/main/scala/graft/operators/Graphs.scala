@@ -99,6 +99,67 @@ object Graphs {
     }
   }
 
+  /** Per-node triangle counts via degree orientation (Suri &
+    * Vassilvitskii, "Counting Triangles and the Curse of the Last
+    * Reducer", WWW 2011). Input is an undirected edge list in either
+    * or both directions; self-loops and duplicate edges are dropped.
+    * Every edge is oriented from its lower (degree, id) endpoint to the
+    * higher; a triangle {u,v,w} then materializes exactly once, as the
+    * wedge u→v, u→w (v before w in the same order) closed by v→w.
+    * Output: (id, triangles) for every node of the graph, zeros
+    * included. The local clustering coefficient is a map-only
+    * projection away: 2·triangles / (deg·(deg−1)).
+    *
+    * Scale: orientation is THE fix for the quadratic hot-node wedge
+    * explosion — after orienting, every out-neighborhood is O(√E)
+    * (a celebrity with degree 10⁶ has tiny out-degree because almost
+    * all its neighbors order above it), so the wedge self-join fans
+    * out ≤ √E per node instead of deg². Both the wedge build and the
+    * closure are equi-joins on node keys (shuffle-partitioned, AQE
+    * skew-splittable); per-node counting is a combiner-friendly
+    * aggregate. No windows, no cartesians. */
+  def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e0 = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+      .filter(col("a") =!= col("b"))
+    val und = e0.select(least(col("a"), col("b")).as("x"),
+      greatest(col("a"), col("b")).as("y")).distinct()
+    val deg = und.select(col("x").as("id")).union(und.select(col("y").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // orient x→y when (deg(x), x) < (deg(y), y); struct comparison gives
+    // the lexicographic order directly (field names unified so both
+    // when-branches carry the same struct type)
+    val dx = deg.select(col("id").as("x"), col("deg").as("degx"))
+    val dy = deg.select(col("id").as("y"), col("deg").as("degy"))
+    val ordx = struct(col("degx").as("d"), col("x").as("i"))
+    val ordy = struct(col("degy").as("d"), col("y").as("i"))
+    val oriented = und.join(dx, "x").join(dy, "y")
+      .select(
+        when(ordx < ordy, col("x")).otherwise(col("y")).as("src"),
+        when(ordx < ordy, ordy).otherwise(ordx).as("dord"))
+      .select(col("src"), col("dord").getField("i").as("dst"), col("dord"))
+      .persist()
+    // wedges u→v, u→w with v strictly before w in the orientation order
+    val e1 = oriented.select(col("src"), col("dst").as("v"), col("dord").as("vord"))
+    val e2 = oriented.select(col("src"), col("dst").as("w"), col("dord").as("word"))
+    val wedges = e1.join(e2, Seq("src")).filter(col("vord") < col("word"))
+      .select(col("src").as("u"), col("v"), col("w"))
+    // closure: the v→w edge exists in the SAME orientation (v before w
+    // in the total order implies the undirected edge {v,w} oriented v→w)
+    val closing = oriented.select(col("src").as("v"), col("dst").as("w"))
+    val tris = wedges.join(closing, Seq("v", "w"))
+    val perNode = tris.select(col("u").as("id"))
+      .union(tris.select(col("v").as("id")))
+      .union(tris.select(col("w").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    val out = deg.join(perNode, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+    // one-job materialization boundary, like pageRank: snap eagerly so the
+    // persisted orientation (reused 3× inside the plan) can be released
+    val snapped = out.localCheckpoint()
+    oriented.unpersist(blocking = false)
+    snapped
+  }
+
   // q84 — supplier-influence PageRank on the customer→supplier purchase
   // graph (distinct (o_custkey, l_suppkey) edges): 3 exact fixed-point
   // rounds. Suppliers accumulate mass from their buyers; customers (no
@@ -178,13 +239,57 @@ object Graphs {
        |ORDER BY rank_scaled DESC, id ASC LIMIT 100""".stripMargin
   }
 
+  // q88 — triangle counts on the part co-purchase graph (two parts are
+  // linked when a high-quantity lineitem pair shares an order; the
+  // l_quantity > 25 cut keeps the projection sparse — the bipartite
+  // order→part projection is dense by construction, the classic reason
+  // co-occurrence graphs are thresholded before triangle analysis).
+  private def q88(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d).filter($"l_quantity" > 25)
+      .select($"l_orderkey", $"l_partkey")
+    val a = li.select($"l_orderkey", $"l_partkey".as("pa"))
+    val b = li.select($"l_orderkey", $"l_partkey".as("pb"))
+    val edges = a.join(b, Seq("l_orderkey")).filter($"pa" =!= $"pb")
+      .select($"pa", $"pb")
+    triangleCounts(edges, "pa", "pb")
+      .orderBy($"triangles".desc, $"id".asc).limit(100)
+  }
+  private val q88Sql =
+    """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity > 25),
+      |raw AS (
+      |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS x,
+      |                  greatest(a.l_partkey, b.l_partkey) AS y
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+      |deg AS (SELECT id, COUNT(*) AS deg
+      |  FROM (SELECT x AS id FROM raw UNION ALL SELECT y FROM raw) GROUP BY 1),
+      |ori AS (
+      |  SELECT CASE WHEN (dx.deg, r.x) < (dy.deg, r.y) THEN r.x ELSE r.y END AS src,
+      |         CASE WHEN (dx.deg, r.x) < (dy.deg, r.y) THEN r.y ELSE r.x END AS dst,
+      |         CASE WHEN (dx.deg, r.x) < (dy.deg, r.y) THEN dy.deg ELSE dx.deg END AS ddeg
+      |  FROM raw r JOIN deg dx ON r.x = dx.id JOIN deg dy ON r.y = dy.id),
+      |tri AS (
+      |  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+      |  FROM ori e1 JOIN ori e2 ON e1.src = e2.src
+      |    AND (e1.ddeg, e1.dst) < (e2.ddeg, e2.dst)
+      |  JOIN ori c ON c.src = e1.dst AND c.dst = e2.dst),
+      |pn AS (SELECT id, COUNT(*) AS triangles
+      |  FROM (SELECT u AS id FROM tri UNION ALL SELECT v FROM tri
+      |        UNION ALL SELECT w FROM tri) GROUP BY 1)
+      |SELECT CAST(d.id AS BIGINT) AS id, coalesce(pn.triangles, 0) AS triangles
+      |FROM deg d LEFT JOIN pn ON d.id = pn.id
+      |ORDER BY triangles DESC, id ASC LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q84_pagerank" -> q84,
     "q87_pagerank_personalized" -> q87,
+    "q88_triangles" -> q88,
   )
 
   val oracles: Map[String, String] = Map(
     "q84_pagerank" -> q84Sql,
     "q87_pagerank_personalized" -> q87Sql,
+    "q88_triangles" -> q88Sql,
   )
 }

@@ -772,7 +772,164 @@ object Similarity {
       |    AS max_err
       |FROM qq ORDER BY vec_id""".stripMargin
 
+  /** One (query, candidate) row for the MMR group walk. Public only
+    * because encoder-generated code must reach the constructor. */
+  case class MmrCand(qid: Long, id: Long, rel: Long, vec: Array[Float])
+  case class MmrPick(qid: Long, id: Long, mmr_rank: Int, mmr_scaled: Long)
+
+  /** MMR (Maximal Marginal Relevance — Carbonell & Goldstein, SIGIR '98)
+    * diversified re-rank of a bounded candidate list per query: greedily
+    * picks `k` candidates maximizing
+    * `rel·λ − maxSimToSelected·(1−λ)` (λ in ppm), the standard redundancy
+    * cut between retrieval and the final context window. All arithmetic
+    * is exact fixed-point: relevance and pairwise cosines scale to
+    * floor(x·1e12) longs (the engine's scaled-int cosine), the λ blend is
+    * a pure long multiply (≤ 1e18, no overflow, no division) — so picks
+    * and scores replicate bit-for-bit in any engine. Ties: id asc; the
+    * first pick's redundancy term is 0. Output: (queryIdCol, idCol,
+    * mmr_rank, mmr_scaled).
+    *
+    * Scale: MMR is inherently sequential in k, so it belongs AFTER the
+    * distributed top-C retrieval cut (annTopK/ivfTopK/bm25): the input
+    * is ≤ C rows per query. Each query's walk is one group —
+    * O(k·C·dim) local work, queries are the parallelism, nothing but
+    * the C-bounded groups ever shuffles. */
+  def mmrRerank(candidates: DataFrame, queryIdCol: String, idCol: String,
+      vecCol: String, relCol: String, k: Int,
+      lambdaPpm: Long = 700000L): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(lambdaPpm >= 0 && lambdaPpm <= 1000000L, "lambda is ppm in [0, 1e6]")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val lam = lambdaPpm
+    val com = 1000000L - lambdaPpm
+    val ds = candidates.select(
+      col(queryIdCol).cast(LongType).as("qid"),
+      col(idCol).cast(LongType).as("id"),
+      expr(s"CAST(floor(CAST($relCol AS DOUBLE) * 1e12) AS BIGINT)").as("rel"),
+      col(vecCol).as("vec")).as[MmrCand]
+    val picked = ds.groupByKey(_.qid).flatMapGroups { (qid, it) =>
+      val cands = it.toArray.sortBy(_.id)
+      def dotS(a: Array[Float], b: Array[Float]): Long = {
+        var s = 0L; var i = 0
+        while (i < a.length) {
+          s += math.floor(a(i).toDouble * b(i).toDouble * 1e15).toLong; i += 1
+        }
+        s
+      }
+      val norm = cands.map(c => math.sqrt(dotS(c.vec, c.vec).toDouble))
+      def simScaled(i: Int, j: Int): Long =
+        math.floor(dotS(cands(i).vec, cands(j).vec).toDouble /
+          (norm(i) * norm(j)) * 1e12).toLong
+      val n = cands.length
+      // genuine max over selected — NOT clamped at 0: with all-negative
+      // sims (common on random embeddings) the redundancy term must stay
+      // negative, exactly like the oracle's GREATEST over sims
+      val maxSim = Array.fill(n)(Long.MinValue)
+      val taken = Array.fill(n)(false)
+      val out = Array.newBuilder[MmrPick]
+      var r = 1
+      while (r <= math.min(k, n)) {
+        var best = -1; var bestScore = Long.MinValue
+        var i = 0
+        while (i < n) {
+          if (!taken(i)) {
+            val sc = cands(i).rel * lam -
+              (if (r == 1) 0L else maxSim(i)) * com
+            // strict >: earlier (smaller) id wins ties by the id-asc presort
+            if (sc > bestScore) { best = i; bestScore = sc }
+          }
+          i += 1
+        }
+        taken(best) = true
+        out += MmrPick(qid, cands(best).id, r, bestScore)
+        i = 0
+        while (i < n) {
+          if (!taken(i)) {
+            val sim = simScaled(i, best)
+            if (sim > maxSim(i)) maxSim(i) = sim
+          }
+          i += 1
+        }
+        r += 1
+      }
+      out.result().iterator
+    }
+    picked.toDF()
+      .select(col("qid").as(queryIdCol), col("id").as(idCol),
+        col("mmr_rank"), col("mmr_scaled"))
+  }
+
+  // q92 — retrieve-then-diversify: brute-force top-12 per query (the
+  // distributed cut), then a 3-pick MMR walk at λ = 0.7 — oracled by
+  // literally unrolling the greedy steps as CTEs (pick = QUALIFY
+  // row_number over the exact fixed-point score).
+  private def q92(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val cands = annTopK(
+      e.select($"vec_id".as("nid"), $"embedding"), "nid", "embedding",
+      e.filter($"vec_id" < 3).select($"vec_id".as("query_id"), $"embedding".as("qemb")),
+      "query_id", "qemb", k = 12, pairFilter = $"nid" =!= $"query_id")
+    val withVec = cands.join(
+      broadcast(e.select($"vec_id".as("nid"), $"embedding")), "nid")
+    mmrRerank(withVec, "query_id", "nid", "embedding", "cosine", k = 3)
+      .orderBy($"query_id", $"mmr_rank")
+  }
+  private val q92Sql = {
+    val pairDot = (a: String, b: String) =>
+      s"""(SELECT CAST(SUM(CAST(floor($a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE * 1e15) AS BIGINT)) AS BIGINT)
+         |     FROM unnest(range(1, len($a.embedding)+1)) u(i))""".stripMargin
+    s"""WITH norms AS (
+       |  SELECT vec_id, embedding,
+       |    (SELECT CAST(SUM(CAST(floor(embedding[i]::DOUBLE * embedding[i]::DOUBLE * 1e15) AS BIGINT)) AS BIGINT)
+       |     FROM unnest(range(1, len(embedding)+1)) u(i)) AS norm
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, b.vec_id AS id,
+       |    CAST(${pairDot("q", "b")} AS DOUBLE)
+       |      / (sqrt(CAST(q.norm AS DOUBLE)) * sqrt(CAST(b.norm AS DOUBLE))) AS cosine
+       |  FROM norms q JOIN norms b ON q.vec_id < 3 AND b.vec_id <> q.vec_id),
+       |cand AS (
+       |  SELECT query_id, id, CAST(floor(cosine * 1e12) AS BIGINT) AS rel
+       |  FROM scored
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, id ASC) <= 12),
+       |sims AS (
+       |  SELECT a.query_id, a.id AS ia, b.id AS ib,
+       |    CAST(floor(CAST(${pairDot("ea", "eb")} AS DOUBLE)
+       |      / (sqrt(CAST(ea.norm AS DOUBLE)) * sqrt(CAST(eb.norm AS DOUBLE))) * 1e12) AS BIGINT) AS sim
+       |  FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.id <> b.id
+       |  JOIN norms ea ON ea.vec_id = a.id JOIN norms eb ON eb.vec_id = b.id),
+       |s1 AS (
+       |  SELECT query_id, id, rel * 700000 AS score FROM cand
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel * 700000 DESC, id ASC) = 1),
+       |c2 AS (
+       |  SELECT c.query_id, c.id, c.rel * 700000 - sm.sim * 300000 AS score
+       |  FROM cand c JOIN s1 ON c.query_id = s1.query_id AND c.id <> s1.id
+       |  JOIN sims sm ON sm.query_id = c.query_id AND sm.ia = c.id AND sm.ib = s1.id),
+       |s2 AS (
+       |  SELECT query_id, id, score FROM c2
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, id ASC) = 1),
+       |c3 AS (
+       |  SELECT c.query_id, c.id,
+       |    c.rel * 700000 - GREATEST(sm1.sim, sm2.sim) * 300000 AS score
+       |  FROM cand c
+       |  JOIN s1 ON c.query_id = s1.query_id
+       |  JOIN s2 ON c.query_id = s2.query_id
+       |  JOIN sims sm1 ON sm1.query_id = c.query_id AND sm1.ia = c.id AND sm1.ib = s1.id
+       |  JOIN sims sm2 ON sm2.query_id = c.query_id AND sm2.ia = c.id AND sm2.ib = s2.id
+       |  WHERE c.id <> s1.id AND c.id <> s2.id),
+       |s3 AS (
+       |  SELECT query_id, id, score FROM c3
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, id ASC) = 1)
+       |SELECT query_id, CAST(id AS BIGINT) AS nid, CAST(1 AS INT) AS mmr_rank, score AS mmr_scaled FROM s1
+       |UNION ALL SELECT query_id, id, 2, score FROM s2
+       |UNION ALL SELECT query_id, id, 3, score FROM s3
+       |ORDER BY query_id, mmr_rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_mmr_rerank" -> q92,
     "q37_ann_brute" -> q37,
     "q61_embed_quantize_int8" -> q61,
     "q38_ann_ivf" -> (q38(_, _)),
@@ -788,6 +945,7 @@ object Similarity {
   /** q38/q41/q67 are approximate by design → no SQL oracle (driver
     * rows-only check); their accuracy is asserted in PipelineOpsSpec. */
   val oracles: Map[String, String] = Map(
+    "q92_mmr_rerank" -> q92Sql,
     "q37_ann_brute" -> q37Sql,
     "q61_embed_quantize_int8" -> q61Sql,
     "q39_multimodal_binary" -> q39Sql,

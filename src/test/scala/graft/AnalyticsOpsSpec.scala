@@ -427,6 +427,23 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       "A" -> 150000000L, "B" -> 127500000L, "C" -> 108375000L))
   }
 
+  test("triangleCounts: hand-computed graph, dup/reversed edges and self-loops") {
+    // K4 on {1,2,3,4} (every node in 3 triangles) plus a pendant edge
+    // 4–5 (node 5 in 0) — fed as a mix of directions, duplicates, and a
+    // self-loop, all of which must not change the answer
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L), (3L, 2L),
+      (2L, 4L), (3L, 4L), (4L, 5L), (5L, 4L), (3L, 3L)).toDF("a", "b")
+    val got = graft.operators.Graphs.triangleCounts(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 0L))
+    // string ids work too (orientation is by (degree, id) for any ordered type)
+    val sedges = Seq(("x", "y"), ("y", "z"), ("z", "x"), ("w", "x")).toDF("a", "b")
+    val sgot = graft.operators.Graphs.triangleCounts(sedges, "a", "b")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sgot == Map("x" -> 1L, "y" -> 1L, "z" -> 1L, "w" -> 0L))
+  }
+
   test("pageRank: in-mass sums combine map-side; 0 iters is the uniform base") {
     val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("s", "t")
     // materialize = false keeps the lazy plan inspectable (the default

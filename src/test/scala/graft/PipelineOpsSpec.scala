@@ -90,6 +90,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ivf2.size <= brute.size)
   }
 
+  test("mmrRerank diversifies: a duplicate of the top pick drops behind an orthogonal one") {
+    import spark.implicits._
+    // one query; c1 (rel .9) and c2 (rel .8) are the SAME direction
+    // (cosine 1), c3 (rel .5) is orthogonal. Pure relevance: c1,c2,c3.
+    // MMR λ=0.5: after c1, c2 scores .4−.5 < c3's .25−0 → c1,c3,c2.
+    val cands = Seq(
+      (7L, 1L, 0.9, Array(1f, 0f)),
+      (7L, 2L, 0.8, Array(1f, 0f)),
+      (7L, 3L, 0.5, Array(0f, 1f))).toDF("q", "id", "rel", "vec")
+    def order(lamPpm: Long) = operators.Similarity
+      .mmrRerank(cands, "q", "id", "vec", "rel", k = 3, lambdaPpm = lamPpm)
+      .orderBy($"mmr_rank").collect().map(_.getAs[Long]("id")).toSeq
+    assert(order(1000000L) == Seq(1L, 2L, 3L), "λ=1 is pure relevance order")
+    assert(order(500000L) == Seq(1L, 3L, 2L), "λ=.5 must demote the duplicate")
+    // k beyond the candidate count emits every candidate exactly once
+    val all = operators.Similarity
+      .mmrRerank(cands, "q", "id", "vec", "rel", k = 10)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(all == Set(1L, 2L, 3L))
+  }
+
   test("learned k-means recovers planted clusters without any label column") {
     import spark.implicits._
     // 5 tight direction-clusters of 40 vectors; the quantizer sees only the
