@@ -48,6 +48,8 @@ object Bench {
       "q67_semantic_dedup", "q68_minhash_against",
       "q83_ann_pq", // cold = the PQ codebook fit + encode, hidden warm
       "q84_pagerank", // cold = the iterative rank build, hidden warm
+      "q87_pagerank_personalized", // cold = the seeded rank build
+      "q88_triangles", // cold = the oriented triangle census build
       "q66_term_rarity", "q69_bm25_topk") // cold = the memoized corpus-stats pass
       .filter(SparkEntry.queries.contains)
     val cold = coldNames.map { name =>

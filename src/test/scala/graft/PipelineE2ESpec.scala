@@ -130,6 +130,47 @@ class PipelineE2ESpec extends AnyFunSuite {
       "results must be in descending score order")
   }
 
+  test("serving chain: BM25 + dense ANN -> RRF fuse -> MMR diversify") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.{Corpus, Similarity, TextStats}
+    val docs = Tables.documents(spark, sf)
+    val e = Tables.embeddings(spark, sf)
+
+    // 1. two independent candidate generators (ids aligned doc_id == vec_id)
+    val sparse = TextStats.bm25TopK(docs, "doc_id", "text",
+        Seq("vector", "merge"), k = 30)
+      .select($"doc_id", row_number().over(
+        Window.orderBy($"score_scaled".desc, $"doc_id".asc)).as("rank"))
+    val dense = Similarity.annTopK(
+      e.select($"vec_id".as("doc_id"), $"embedding"), "doc_id", "embedding",
+      e.filter($"vec_id" === 0)
+        .select($"vec_id".as("query_id"), $"embedding".as("qemb")),
+      "query_id", "qemb", k = 30, pairFilter = $"doc_id" =!= $"query_id")
+      .select($"doc_id", $"rank")
+
+    // 2. fuse to a 12-candidate shortlist, then diversify to a final 5
+    // (relevance proxy = the fused RRF points, descaled to a double)
+    val fused = Corpus.rrfFuse(Seq(sparse, dense), "doc_id", "rank", k = 12)
+    val cands = fused
+      .join(e.select($"vec_id".as("doc_id"), $"embedding"), "doc_id")
+      .withColumn("qid", lit(0L))
+      .withColumn("rel", $"rrf_scaled".cast("double") / 1e9)
+    val outDf = Similarity.mmrRerank(cands, "qid", "doc_id", "embedding",
+      "rel", k = 5, lambdaPpm = 600000L)
+    val out = outDf.orderBy($"mmr_rank").collect()
+
+    // 3. structure: 5 distinct picks, all from the fused shortlist, ranks 1..5,
+    // and the first pick is the fusion's own top candidate
+    assert(out.length == 5)
+    val shortlist = fused.collect().map(r => r.getAs[Long]("doc_id")).toSet
+    val picks = out.map(_.getAs[Long]("doc_id"))
+    assert(picks.distinct.length == 5 && picks.forall(shortlist.contains))
+    assert(out.map(_.getAs[Int]("mmr_rank")).toSeq == Seq(1, 2, 3, 4, 5))
+    val top = fused.orderBy($"rank").collect().head.getAs[Long]("doc_id")
+    assert(picks.head == top, "MMR's first pick is the fused relevance leader")
+  }
+
   test("histogram sketch partials merge across streamed micro-batches (≡ batch)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

@@ -163,6 +163,28 @@ class PlanSpec extends AnyFunSuite {
     assert(n == 0, s"quality filter must not shuffle, got $n:\n$p")
   }
 
+  test("q88/q90/q91: graph joins stay equi, unpivot stays map-only, windows are keyed") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // triangleCounts (lazy form): wedge build + closure must be equi-joins —
+    // never cartesian/BNLJ — and counting must combine map-side
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L)).toDF("a", "b")
+    val pt = operators.Graphs.triangleCounts(edges, "a", "b", materialize = false)
+      .queryExecution.executedPlan.toString()
+    assert(!pt.contains("Cartesian") && !pt.contains("BroadcastNestedLoop"),
+      s"triangle joins must be equi-joins:\n$pt")
+    assert(pt.contains("partial_count"), "per-node counts must combine map-side")
+    // q90 unpivot: zero shuffles besides the gate's determinism sort
+    val p90 = planOf("q90_unpivot")
+    val exchanges = p90.linesIterator.count(_.trim.startsWith("+- Exchange"))
+    assert(exchanges <= 1, s"unpivot must be map-only (1 sort exchange max):\n$p90")
+    // q91: every window is keyed by user_id (calendar-bounded partitions)
+    val p91 = planOf("q91_rolling_range")
+    val w91 = p91.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(w91.nonEmpty && w91.forall(_.contains("user_id")),
+      s"rolling windows must partition by the key:\n${w91.mkString("\n")}")
+  }
+
   test("bucketed tables join without any shuffle (co-located fact-fact join)") {
     // the 100 TB fact⋈fact answer: both sides bucketed+sorted on the join
     // key at write time → SortMergeJoin with zero Exchange in the plan

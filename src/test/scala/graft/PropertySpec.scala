@@ -291,6 +291,69 @@ class PropertySpec extends AnyFunSuite {
     assert(a.forall(_._2 >= 150000000L), "teleport is the floor")
   }
 
+  test("triangleCounts equals the naive all-triples model on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    for (trial <- 0 until 3) {
+      val n = 8 + trial * 4
+      val edges = Seq.fill(n * 3)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val und = edges.map(e => (e._1 min e._2, e._1 max e._2)).distinct.toSet
+      val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      // independent model: test every unordered triple
+      val naive = nodes.map { v =>
+        v -> nodes.combinations(3).count(t =>
+          t.contains(v) &&
+          und.contains((t(0), t(1))) && und.contains((t(0), t(2))) &&
+          und.contains((t(1), t(2)))).toLong
+      }.toMap
+      val got = operators.Graphs
+        .triangleCounts(edges.toDF("a", "b").repartition(5), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == naive, s"trial $trial: $got vs $naive")
+    }
+  }
+
+  test("rollingRange equals a naive per-key trailing-window model") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(48)
+    val rows = Seq.fill(120)((rnd.nextInt(5).toLong, rnd.nextInt(30).toLong,
+      BigDecimal(rnd.nextInt(2000) - 1000, 2)))
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // one row per (key, tick)
+    val df = rows.map(r => (r._1, r._2, r._3.toDouble)).toDF("k", "t", "v")
+      .select($"k", $"t", $"v".cast("decimal(30,6)").as("v"))
+    val span = 7L
+    val got = operators.Events.rollingRange(df, Seq("k"), "t", Seq("v"), span)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(3), r.getDouble(4))))
+      .toMap
+    rows.foreach { case (k, t, _) =>
+      val frame = rows.filter(r => r._1 == k && r._2 <= t && r._2 > t - span)
+      // the model sums EXACT decimals then rounds once to double — the
+      // same single rounding the operator's edge cast performs
+      val (n, s) = (frame.size.toLong, frame.map(_._3).sum.toDouble)
+      assert(got((k, t)) == ((n, s)), s"key $k tick $t")
+    }
+  }
+
+  test("mmrRerank at lambda=1 equals pure relevance ranking on random vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(49)
+    val cands = Seq.tabulate(40) { i =>
+      (i / 20L, i.toLong, rnd.nextDouble() * 2 - 1,
+        Array.fill(6)(rnd.nextFloat() * 2 - 1))
+    }
+    val df = cands.toDF("q", "id", "rel", "vec")
+    val got = operators.Similarity
+      .mmrRerank(df, "q", "id", "vec", "rel", k = 20, lambdaPpm = 1000000L)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(1)))
+    val want = cands.groupBy(_._1).toSeq.flatMap { case (q, cs) =>
+      cs.sortBy(c => (-c._3, c._2)).zipWithIndex
+        .map { case (c, i) => (q, i + 1, c._2) }
+    }
+    assert(got.toSet == want.toSet)
+  }
+
   test("manifest utf8Cmp agrees with Spark's UTF8String binary order") {
     import org.apache.spark.unsafe.types.UTF8String
     // random strings biased toward the divergence zone: BMP private-use /
