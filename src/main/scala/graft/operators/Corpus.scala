@@ -275,7 +275,28 @@ object Corpus {
     fuzzyCache.remove((s, d)).foreach(_.unpersist(blocking = false))
   }
 
+  // q93 — exact heavy hitters through the two-pass Misra–Gries path:
+  // the sketch proposes ≤ k candidates, the recount pass makes the
+  // answer exact, so the oracle is a plain GROUP BY … HAVING despite
+  // the bounded-memory sketch inside. Terms at ≥ 0.5% of the corpus
+  // token stream; k = 400 ⇒ guarantee bar n/401 < 0.5%·n holds.
+  private def q93(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables.documents(s, d)
+      .select(explode(split(trim($"text"), "\\s+")).as("term"))
+    TextStats.heavyHitters(tok, "term", minFreqPpm = 5000L, k = 400)
+      .orderBy($"cnt".desc, $"term".asc)
+  }
+  private val q93Sql =
+    """WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+      |             FROM documents),
+      |n AS (SELECT COUNT(*) AS c FROM tok)
+      |SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term
+      |HAVING COUNT(*) * 1000000 >= (SELECT c FROM n) * 5000
+      |ORDER BY cnt DESC, term ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_heavy_hitters" -> q93,
     "q65_exact_against" -> q65,
     "q66_term_rarity" -> q66,
     "q68_minhash_against" -> q68,
@@ -285,6 +306,7 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q93_heavy_hitters" -> q93Sql,
     "q65_exact_against" -> q65Sql,
     "q66_term_rarity" -> q66Sql,
     "q68_minhash_against" -> q68Sql,

@@ -181,6 +181,49 @@ object TextStats {
       .agg(concat_ws(",", expr("array_sort(collect_list(doc_id))")).as("postings"))
   }
 
+  /** Exact heavy hitters in two bounded passes: a Misra–Gries sketch pass
+    * (≤ `k` counters per partition, k×#partitions rows shuffled — never
+    * the full #distinct keyspace) proposes candidates, then a recount
+    * pass computes EXACT counts for just those ≤ k items and keeps the
+    * ones at/above `minFreqPpm` of the stream. Because MG admits no
+    * false negatives above n/(k+1), requiring
+    * `minFreqPpm·(k+1) > 10⁶` makes the final answer exactly the set
+    * `{x : count(x)·10⁶ ≥ n·minFreqPpm}` — deterministic and
+    * SQL-oracle-able despite the sketch inside. Output: (itemCol, cnt).
+    *
+    * Scale: pass 1 is one combiner-friendly aggregate to a single
+    * k-bounded summary; the ≤ k candidate strings touch the driver (a
+    * bounded list by construction — never the keyspace) and return as a
+    * broadcast IN filter; pass 2 aggregates ≤ k keys. Nulls are
+    * dropped. */
+  def heavyHitters(df: DataFrame, itemCol: String, minFreqPpm: Long,
+      k: Int = 1024): DataFrame = {
+    require(minFreqPpm >= 1 && minFreqPpm <= 1000000L, "minFreqPpm in [1, 1e6]")
+    require(minFreqPpm * (k + 1L) > 1000000L,
+      s"k = $k cannot guarantee the ${minFreqPpm}ppm threshold: " +
+        "need minFreqPpm * (k+1) > 1e6 for the no-false-negative bound")
+    val items = df.select(col(itemCol).cast(StringType).as("__it"))
+      .filter(col("__it").isNotNull)
+    val mg = udaf(new graft.functions.MisraGriesAgg(k),
+      org.apache.spark.sql.Encoders.STRING)
+    val summary = items.agg(mg(col("__it")).as("s"))
+      .select(col("s.n"), map_keys(col("s.items")).as("cands"))
+      .head()
+    val n = summary.getLong(0)
+    val cands = summary.getSeq[String](1)
+    if (cands.isEmpty) {
+      items.sparkSession.emptyDataFrame
+        .withColumn(itemCol, lit(null).cast(StringType))
+        .withColumn("cnt", lit(null).cast(LongType))
+        .limit(0)
+    } else {
+      items.filter(col("__it").isin(cands: _*))
+        .groupBy(col("__it").as(itemCol))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * lit(1000000L) >= lit(n) * lit(minFreqPpm))
+    }
+  }
+
   /** md5 content fingerprint + positional polynomial bag hash (exact
     * integers — reproducible in any engine). */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {

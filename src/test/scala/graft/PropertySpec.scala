@@ -354,6 +354,53 @@ class PropertySpec extends AnyFunSuite {
     assert(got.toSet == want.toSet)
   }
 
+  test("Misra-Gries sketch: bounded counters, no false negative above n/(k+1)") {
+    // zipf-ish stream: item i appears ~N/i times over a vocab (3000)
+    // far larger than k (50) — decrements and merges both engage
+    val stream = (1 to 3000).flatMap(i => Seq.fill(3000 / i)(s"w$i"))
+    val rnd = new scala.util.Random(51)
+    val shuffled = rnd.shuffle(stream)
+    val truth = shuffled.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = shuffled.size.toLong
+    val k = 50
+    val agg = new graft.functions.MisraGriesAgg(k)
+    // simulate arbitrary partitioning: 7 partial buffers, merged pairwise
+    val parts = shuffled.grouped(math.max(1, shuffled.size / 7)).toSeq
+    val partials = parts.map(_.foldLeft(agg.zero)(agg.reduce))
+    partials.foreach(p => assert(p.items.size <= k, "buffer must stay k-bounded"))
+    val merged = partials.reduce(agg.merge)
+    assert(merged.n == n)
+    assert(merged.items.size <= k)
+    val bar = n / (k + 1)
+    truth.foreach { case (w, c) =>
+      if (c > bar)
+        assert(merged.items.contains(w), s"$w (count $c > bar $bar) must survive")
+      merged.items.get(w).foreach { est =>
+        assert(est <= c && est >= c - bar, s"$w est $est vs true $c (bar $bar)")
+      }
+    }
+  }
+
+  test("heavyHitters (two-pass) is exact under any partitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(52)
+    // 40 hot items (~2% each), 5000 cold singles; threshold 1% ⇒ the
+    // answer is exactly the hot set with exact counts
+    val hot = (1 to 40).flatMap(i => Seq.fill(100)(s"hot$i"))
+    val cold = (1 to 5000).map(i => s"cold$i")
+    val data = rnd.shuffle(hot ++ cold)
+    val truth = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nn = data.size.toLong
+    for (parts <- Seq(1, 13)) {
+      val got = operators.TextStats.heavyHitters(
+          data.toDF("item").repartition(parts), "item",
+          minFreqPpm = 10000L, k = 200)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = truth.filter { case (_, c) => c * 1000000L >= nn * 10000L }
+      assert(got == want, s"parts=$parts")
+    }
+  }
+
   test("manifest utf8Cmp agrees with Spark's UTF8String binary order") {
     import org.apache.spark.unsafe.types.UTF8String
     // random strings biased toward the divergence zone: BMP private-use /
