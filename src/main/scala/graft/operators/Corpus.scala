@@ -295,7 +295,28 @@ object Corpus {
       |HAVING COUNT(*) * 1000000 >= (SELECT c FROM n) * 5000
       |ORDER BY cnt DESC, term ASC""".stripMargin
 
+  // q94 — per-language heavy hitters: terms at ≥ 2% of EACH language's
+  // own token stream, through the grouped sketch-then-recount path
+  // (k = 60 ⇒ 20000·61 ppm > 1e6, so the per-group bar holds).
+  private def q94(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables.documents(s, d)
+      .select($"lang", explode(split(trim($"text"), "\\s+")).as("term"))
+    TextStats.heavyHittersByGroup(tok, Seq("lang"), "term",
+        minFreqPpm = 20000L, k = 60)
+      .orderBy($"lang".asc, $"cnt".desc, $"term".asc)
+  }
+  private val q94Sql =
+    """WITH tok AS (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |             FROM documents),
+      |n AS (SELECT lang, COUNT(*) AS c FROM tok GROUP BY 1),
+      |cnt AS (SELECT lang, term, COUNT(*) AS cnt FROM tok GROUP BY 1, 2)
+      |SELECT cnt.lang, cnt.term, cnt.cnt FROM cnt JOIN n ON cnt.lang = n.lang
+      |WHERE cnt.cnt * 1000000 >= n.c * 20000
+      |ORDER BY cnt.lang ASC, cnt.cnt DESC, cnt.term ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q94_heavy_hitters_grouped" -> q94,
     "q93_heavy_hitters" -> q93,
     "q65_exact_against" -> q65,
     "q66_term_rarity" -> q66,
@@ -306,6 +327,7 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q94_heavy_hitters_grouped" -> q94Sql,
     "q93_heavy_hitters" -> q93Sql,
     "q65_exact_against" -> q65Sql,
     "q66_term_rarity" -> q66Sql,

@@ -224,6 +224,41 @@ object TextStats {
     }
   }
 
+  /** Per-group [[heavyHitters]]: items at ≥ `minFreqPpm` of EACH group's
+    * own stream (e.g. top terms per language, hot keys per tenant), exact
+    * by the same sketch-then-recount argument applied group-wise. Output:
+    * (groupCols…, itemCol, cnt).
+    *
+    * Scale: pass 1 is one combiner-friendly aggregate to a k-bounded
+    * summary PER GROUP (the sketch state shuffled is k counters per
+    * group per partition — independent of each group's keyspace); the
+    * candidate relation stays distributed (≤ #groups·k rows — explicitly
+    * broadcast, nothing touches the driver, so #groups can be large);
+    * pass 2 is a map-only broadcast join + an aggregate over ≤ #groups·k
+    * keys. A group's `n` rides the candidate rows — no third pass. */
+  def heavyHittersByGroup(df: DataFrame, groupCols: Seq[String],
+      itemCol: String, minFreqPpm: Long, k: Int = 1024): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(!groupCols.contains(itemCol), "itemCol cannot be a group column")
+    require(minFreqPpm >= 1 && minFreqPpm <= 1000000L, "minFreqPpm in [1, 1e6]")
+    require(minFreqPpm * (k + 1L) > 1000000L,
+      s"k = $k cannot guarantee the ${minFreqPpm}ppm threshold: " +
+        "need minFreqPpm * (k+1) > 1e6 for the no-false-negative bound")
+    val g = groupCols.map(col)
+    val items = df.select(g :+ col(itemCol).cast(StringType).as("__it"): _*)
+      .filter(col("__it").isNotNull)
+    val mg = udaf(new graft.functions.MisraGriesAgg(k),
+      org.apache.spark.sql.Encoders.STRING)
+    val cands = items.groupBy(g: _*).agg(mg(col("__it")).as("__s"))
+      .select(g ++ Seq(col("__s.n").as("__n"),
+        explode(map_keys(col("__s.items"))).as("__it")): _*)
+    items.join(broadcast(cands), groupCols :+ "__it")
+      .groupBy(g :+ col("__it"): _*)
+      .agg(count(lit(1)).as("cnt"), max(col("__n")).as("__n"))
+      .filter(col("cnt") * lit(1000000L) >= col("__n") * lit(minFreqPpm))
+      .select(g ++ Seq(col("__it").as(itemCol), col("cnt")): _*)
+  }
+
   /** md5 content fingerprint + positional polynomial bag hash (exact
     * integers — reproducible in any engine). */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {

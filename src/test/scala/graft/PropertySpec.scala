@@ -401,6 +401,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("heavyHittersByGroup is exact per group under any partitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    // three groups with DIFFERENT stream lengths and vocab sizes, so the
+    // per-group bar n_g/(k+1) differs; cold tails far exceed k (=150)
+    val data = Seq("a", "b", "c").flatMap { grp =>
+      val hots = (1 to 10).flatMap(i => Seq.fill(60 + 10 * i)(grp -> s"${grp}_hot$i"))
+      val cold = (1 to 2000).map(i => grp -> s"${grp}_cold${rnd.nextInt(100000)}")
+      hots ++ cold
+    }
+    val shuffled = rnd.shuffle(data)
+    val nByG = shuffled.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val truth = shuffled.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = truth.filter { case ((grp, _), c) =>
+      c * 1000000L >= nByG(grp) * 10000L }
+      .map { case ((grp, it), c) => (grp, it) -> c }
+    for (parts <- Seq(1, 13)) {
+      val got = operators.TextStats.heavyHittersByGroup(
+          shuffled.toDF("grp", "item").repartition(parts),
+          Seq("grp"), "item", minFreqPpm = 10000L, k = 150)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got == want, s"parts=$parts")
+    }
+  }
+
   test("manifest utf8Cmp agrees with Spark's UTF8String binary order") {
     import org.apache.spark.unsafe.types.UTF8String
     // random strings biased toward the divergence zone: BMP private-use /
