@@ -295,6 +295,20 @@ object Corpus {
       |HAVING COUNT(*) * 1000000 >= (SELECT c FROM n) * 5000
       |ORDER BY cnt DESC, term ASC""".stripMargin
 
+  // q95 — decontamination through the bloom-prefiltered path: same
+  // semantics (and oracle SQL) as q65, but the ref set reaches the corpus
+  // as a scalar-subquery bloom probe + survivors-only exact join instead
+  // of a broadcast hash relation — the shape for a ref too big to
+  // broadcast. Hash-matching q65's oracle proves the sketch changes
+  // nothing.
+  private def q95(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.exactAgainstBloom(Tables.documents(s, d), "doc_id", "text",
+        ref(s, d), "text", expectedRefItems = 4000L, fpp = 0.01)
+      .withColumn("keep", lit(1) - $"in_ref")
+      .orderBy($"doc_id")
+  }
+
   // q94 — per-language heavy hitters: terms at ≥ 2% of EACH language's
   // own token stream, through the grouped sketch-then-recount path
   // (k = 60 ⇒ 20000·61 ppm > 1e6, so the per-group bar holds).
@@ -316,6 +330,7 @@ object Corpus {
       |ORDER BY cnt.lang ASC, cnt.cnt DESC, cnt.term ASC""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_decontaminate_bloom" -> q95,
     "q94_heavy_hitters_grouped" -> q94,
     "q93_heavy_hitters" -> q93,
     "q65_exact_against" -> q65,
@@ -327,6 +342,7 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q95_decontaminate_bloom" -> q65Sql, // identical semantics by design
     "q94_heavy_hitters_grouped" -> q94Sql,
     "q93_heavy_hitters" -> q93Sql,
     "q65_exact_against" -> q65Sql,

@@ -91,6 +91,55 @@ object Dedup {
       .select($"doc_id", when($"__m".isNotNull, 1).otherwise(0).as("in_ref"))
   }
 
+  /** [[exactAgainst]] for a reference corpus too big to broadcast, without
+    * shuffling the whole corpus either: a bloom filter over the ref hashes
+    * — one mergeable aggregate into a bounded bitmap, executed as a scalar
+    * subquery and probed by Spark's codegen'd `might_contain` (the
+    * engine's own runtime-filter machinery, exposed as a library
+    * operator) — routes the corpus map-only. Bloom-negative rows are
+    * DEFINITELY not in the ref (no false negatives) and short-circuit to
+    * in_ref = 0; only survivors (true hits + ~fpp of the corpus) enter
+    * the exact hash join, so the verdict is EXACT despite the sketch.
+    * Output: (doc_id, in_ref) — identical to [[exactAgainst]].
+    *
+    * Scale: the corpus is scanned twice (both passes map-only, columnar-
+    * pruned to id+hash) but the shuffle shrinks from |corpus| rows to
+    * |hits| + fpp·|corpus| — the right trade at 100 TB, where a corpus-
+    * wide shuffle is the bottleneck and rescanning two columns is not.
+    * The bitmap is sized m = −n·ln(fpp)/ln²2 from `expectedRefItems`,
+    * clamped to Spark's 64 Mbit aggregate cap (≈ 27M ref docs at 3% fpp;
+    * shard the ref and OR more blooms past that). */
+  def exactAgainstBloom(df: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refTextCol: String,
+      expectedRefItems: Long, fpp: Double = 0.03): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.Bridge
+    val s = df.sparkSession
+    import s.implicits._
+    require(expectedRefItems > 0, "expectedRefItems must be positive")
+    require(fpp > 0 && fpp < 1, "fpp in (0, 1)")
+    val ln2 = math.log(2.0)
+    val numBits = math.min(67108864L, // BloomFilterAggregate's default cap
+      math.max(64L, math.ceil(-expectedRefItems * math.log(fpp) / (ln2 * ln2)).toLong))
+    val refH = ref.select(md5(col(refTextCol)).as("__h")).distinct()
+    val bloomDf = refH.agg(Bridge.column(
+      new BloomFilterAggregate(Bridge.expression(xxhash64($"__h")),
+        Literal(expectedRefItems), Literal(numBits))
+        .toAggregateExpression()).as("__bf"))
+    def might = coalesce(Bridge.column(BloomFilterMightContain(
+      ScalarSubquery(Bridge.analyzedPlan(bloomDf)),
+      Bridge.expression(xxhash64($"__h")))), lit(false))
+    val hashed = normalized(df, idCol, textCol)
+      .select($"doc_id", md5($"text").as("__h"))
+    val survivors = hashed.filter(might)
+      .join(refH.withColumn("__m", lit(1)), Seq("__h"), "left_outer")
+      .select($"doc_id", when($"__m".isNotNull, 1).otherwise(0).as("in_ref"))
+    val negatives = hashed.filter(!might)
+      .select($"doc_id", lit(0).as("in_ref"))
+    survivors.unionAll(negatives)
+  }
+
   /** Cross-corpus fuzzy contamination: corpus documents whose estimated
     * n-gram Jaccard against some reference document reaches `minSim`, via
     * MinHash signatures + an LSH band equi-join between the two corpora —

@@ -20,6 +20,13 @@ object Bridge {
       : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
     ext.registerFunctions(reg)
 
+  /** The analyzed LogicalPlan of a DataFrame (for embedding as a scalar
+    * subquery — e.g. a bloom filter built by one plan and probed by
+    * another, Spark's own runtime-filter shape). */
+  def analyzedPlan(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed
+
   /** Build a DataFrame from a catalyst LogicalPlan (classic Dataset.ofRows). */
   def ofRows(spark: org.apache.spark.sql.SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =

@@ -37,6 +37,32 @@ class CorpusSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus side must not shuffle:\n$p")
   }
 
+  test("exactAgainstBloom matches exactAgainst exactly (sketch changes nothing)") {
+    val want = Dedup.exactAgainst(corpus, "cid", "ctext", bench, "btext")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("in_ref")).toMap
+    // tiny bitmap (high fpp) AND a roomy one: false positives only ever
+    // send extra rows into the exact join — the verdict must not move
+    for (fpp <- Seq(0.5, 0.001)) {
+      val got = Dedup.exactAgainstBloom(corpus, "cid", "ctext", bench, "btext",
+          expectedRefItems = 2L, fpp = fpp)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("in_ref")).toMap
+      assert(got == want, s"fpp=$fpp")
+    }
+    // empty reference: nothing is contaminated, nothing is lost
+    val none = Dedup.exactAgainstBloom(corpus, "cid", "ctext",
+        bench.filter(col("bid") < 0), "btext", expectedRefItems = 1L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("in_ref")).toMap
+    assert(none == Map(10L -> 0, 11L -> 0, 12L -> 0, 13L -> 0))
+  }
+
+  test("exactAgainstBloom plans a bloom scalar-subquery probe before the join") {
+    val p = Dedup.exactAgainstBloom(corpus, "cid", "ctext", bench, "btext",
+        expectedRefItems = 2L)
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("might_contain"), s"bloom probe must gate the corpus:\n$p")
+    assert(p.contains("Subquery"), s"bloom must arrive as a scalar subquery:\n$p")
+  }
+
   test("minhashAgainst: exact copy collides at est_sim 1.0; unrelated doc does not") {
     val out = Dedup.minhashAgainst(corpus, "cid", "ctext", bench, "bid", "btext",
       minSim = 0.5)
