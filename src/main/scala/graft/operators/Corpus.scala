@@ -309,6 +309,26 @@ object Corpus {
       .orderBy($"doc_id")
   }
 
+  // q96 — character-level near-dup pairs: blocked (12-char prefix) +
+  // length-filtered candidates, exact banded Levenshtein ≤ 30. The planted
+  // one-word-changed near-dups sit at dist 4; block-mates further than 30
+  // edits apart are rejected, so the distance gate is non-vacuous.
+  private def q96(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.editDistancePairs(Tables.documents(s, d), "doc_id", "text",
+        maxDist = 30, blockPrefix = 12)
+      .orderBy($"doc_a", $"doc_b")
+  }
+  private val q96Sql =
+    """WITH b AS (SELECT doc_id, text, substring(lower(trim(text)), 1, 12) AS blk,
+      |                  length(text) AS len FROM documents)
+      |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+      |  CAST(levenshtein(a.text, c.text) AS INTEGER) AS dist
+      |FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+      |  AND abs(a.len - c.len) <= 30
+      |WHERE levenshtein(a.text, c.text) <= 30
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   // q94 — per-language heavy hitters: terms at ≥ 2% of EACH language's
   // own token stream, through the grouped sketch-then-recount path
   // (k = 60 ⇒ 20000·61 ppm > 1e6, so the per-group bar holds).
@@ -331,6 +351,7 @@ object Corpus {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q95_decontaminate_bloom" -> q95,
+    "q96_dedup_edit_distance" -> q96,
     "q94_heavy_hitters_grouped" -> q94,
     "q93_heavy_hitters" -> q93,
     "q65_exact_against" -> q65,
@@ -343,6 +364,7 @@ object Corpus {
 
   val oracles: Map[String, String] = Map(
     "q95_decontaminate_bloom" -> q65Sql, // identical semantics by design
+    "q96_dedup_edit_distance" -> q96Sql,
     "q94_heavy_hitters_grouped" -> q94Sql,
     "q93_heavy_hitters" -> q93Sql,
     "q65_exact_against" -> q65Sql,

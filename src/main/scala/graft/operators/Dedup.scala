@@ -184,6 +184,47 @@ object Dedup {
         when(coalesce($"lbl", $"doc_id") =!= $"doc_id", 1).otherwise(0).as("is_dup"))
   }
 
+  /** Blocked edit-distance near-duplicate pairs (the character-level
+    * complement of the token-level [[jaccardPairs]]): candidates share a
+    * deterministic block key — the lowercased `blockPrefix`-char prefix
+    * (Hernández-Stolfo-style blocking) — and pass a length pre-filter
+    * (|len_a − len_b| ≤ maxDist is necessary for ed ≤ maxDist), then the
+    * exact Levenshtein distance is computed with the banded threshold
+    * kernel (O(len·maxDist), not O(len²)). Output: (doc_a, doc_b, dist),
+    * doc_a < doc_b, dist ≤ maxDist exactly.
+    *
+    * Recall is bounded by the blocking — a pair edited inside its first
+    * `blockPrefix` characters lands in different blocks; union passes
+    * over independent deterministic keys (suffix, sorted-token prefix) to
+    * raise it, exactly as LSH runs multiple bands.
+    *
+    * Scale: candidates are an equi-join on the block key, never
+    * all-pairs; the cheap length filter runs before the distance kernel;
+    * a hot block (shared boilerplate prefix) is the same skew shape as a
+    * hot shingle — cap or salt it like [[shingles]]' maxDocFreq if the
+    * corpus has mega-blocks. */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int, blockPrefix: Int = 12): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    require(maxDist >= 0, "maxDist must be non-negative")
+    require(blockPrefix >= 1, "blockPrefix must be positive")
+    val b = normalized(df, idCol, textCol)
+      .select($"doc_id", $"text",
+        substring(lower(trim($"text")), 1, blockPrefix).as("__blk"),
+        length($"text").as("__len"))
+    val a = b.select($"doc_id".as("doc_a"), $"text".as("__ta"),
+      $"__blk", $"__len".as("__la"))
+    val c = b.select($"doc_id".as("doc_b"), $"text".as("__tb"),
+      $"__blk", $"__len".as("__lb"))
+    a.join(c, Seq("__blk"))
+      .filter($"doc_a" < $"doc_b" && abs($"__la" - $"__lb") <= maxDist)
+      .select($"doc_a", $"doc_b",
+        levenshtein($"__ta", $"__tb", maxDist).as("dist"))
+      // the banded kernel reports "above threshold" as -1: keep [0, maxDist]
+      .filter($"dist" >= 0 && $"dist" <= maxDist)
+  }
+
   /** Keep-best selection: within each cluster keep the row with the highest
     * `quality` (ties → lowest id). Output: input ids + (canonical_id, keep).
     * `clustersDf` is the output of [[clusters]] (or any (doc_id,

@@ -22,6 +22,27 @@ class DedupApiSpec extends AnyFunSuite {
     (104L, s"$boiler completely different words in this document entirely")
   ).toDF("my_id", "body")
 
+  test("editDistancePairs: exact distances inside blocks, banded cutoff holds") {
+    val rows = Seq(
+      (1L, "prefix match aaaa bbbb cccc"),
+      (2L, "prefix match aaaa bbbb cccX"),   // dist 1 from doc 1
+      (3L, "prefix match totally different tail words here"), // same block, far
+      (4L, "XXefix match aaaa bbbb cccc")    // dist 2 from doc 1 but block differs
+    ).toDF("id", "txt")
+    val got = Dedup.editDistancePairs(rows, "id", "txt", maxDist = 5,
+        blockPrefix = 12)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("dist"))).toSet
+    // only the in-block close pair survives: doc 3 exceeds the banded
+    // threshold (must not leak through as -1), doc 4 is blocked away
+    assert(got == Set((1L, 2L, 1)), s"got $got")
+    // widening the threshold admits doc 3 with its exact distance
+    val wide = Dedup.editDistancePairs(rows, "id", "txt", maxDist = 40,
+        blockPrefix = 12)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(wide == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"got $wide")
+  }
+
   test("exact: catches literal duplicates under caller-named columns") {
     val out = Dedup.exact(docs, "my_id", "body").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("is_dup")).toMap
