@@ -661,7 +661,33 @@ object Extended {
       |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
       |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
 
+  // q97 — grouped top-k as a RELATIONAL operator: the bounded TopKByScore
+  // aggregate (the ANN serving path's no-straggler top-k) on a plain
+  // fact-table ranking — top 3 line items per return flag by price. The
+  // very-few-groups shape is exactly where a row_number window would
+  // funnel 6B rows into 3 tasks at 100 TB; the aggregate's map-side
+  // partials keep every partition local until k×#partitions rows remain.
+  // item_id = orderkey·8 + linenumber (unique; linenumber ≤ 7) makes the
+  // (price desc, id asc) tie-break total on both engines.
+  private def q97(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val it = Tables.lineitem(s, d).select($"l_returnflag",
+      ($"l_orderkey" * 8 + $"l_linenumber").cast(LongType).as("item_id"),
+      $"l_extendedprice".cast("double").as("price"))
+    Similarity.topKPerKey(it, Seq("l_returnflag"), "item_id", "price", k = 3)
+      .orderBy($"l_returnflag", $"rank")
+  }
+  private val q97Sql =
+    """WITH it AS (SELECT l_returnflag, l_orderkey * 8 + l_linenumber AS item_id,
+      |  CAST(l_extendedprice AS DOUBLE) AS price FROM lineitem),
+      |r AS (SELECT l_returnflag, item_id, price,
+      |  ROW_NUMBER() OVER (PARTITION BY l_returnflag
+      |                     ORDER BY price DESC, item_id ASC) AS rank FROM it)
+      |SELECT l_returnflag, item_id, CAST(rank AS INTEGER) AS rank, price
+      |FROM r WHERE rank <= 3 ORDER BY l_returnflag, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_topk_per_group" -> q97,
     "q89_pivot" -> q89,
     "q90_unpivot" -> q90,
     "q42_grouping_sets" -> q42,
@@ -685,6 +711,7 @@ object Extended {
   )
 
   val oracles: Map[String, String] = Map(
+    "q97_topk_per_group" -> q97Sql,
     "q89_pivot" -> q89Sql,
     "q90_unpivot" -> q90Sql,
     "q42_grouping_sets" -> q42Sql,

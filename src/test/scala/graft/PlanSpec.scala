@@ -81,6 +81,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p38.contains("partial_topkbyscore"), "q38 top-k buffers must combine map-side")
   }
 
+  test("q97: relational grouped top-k is the bounded aggregate, never a window") {
+    // 3 groups over the whole fact table — the worst case for a
+    // row_number window (3 tasks would sort everything); the plan must be
+    // the same no-straggler shape as the ANN serving path
+    val p = planOf("q97_topk_per_group")
+    assert(!p.contains("Window"), s"q97 must not window the fact relation:\n$p")
+    assert(p.contains("ObjectHashAggregate"), "q97 must be an object hash aggregate")
+    assert(p.contains("partial_topkbyscore"), "q97 buffers must combine map-side")
+  }
+
   test("q12: top-n plans as TakeOrderedAndProject (no full global sort)") {
     val p = planOf("q12_top_n")
     assert(p.contains("TakeOrderedAndProject"), "LIMIT after ORDER BY must avoid a full sort")
