@@ -144,6 +144,65 @@ object Segments {
     buildManifest(df.sparkSession, dir, indexedCols, format, bloomCols, ngramCols)
   }
 
+  /** Z-order (Morton) interleave of `quantized` — each a `bits`-bit long —
+    * into one locality key: bit i of column j lands at position i·n + j, so
+    * a range predicate on ANY of the columns maps to runs of the z space.
+    * Pure bit arithmetic, fully codegen'd. */
+  private def interleave(quantized: Seq[Column], bits: Int): Column =
+    (0 until bits).flatMap { i =>
+      quantized.zipWithIndex.map { case (q, j) =>
+        shiftleft(shiftrightunsigned(q, i).bitwiseAND(lit(1L)),
+          i * quantized.size + j)
+      }
+    }.reduce(_ + _)
+
+  /** [[write]] with a multi-column Z-ORDER layout instead of a lexicographic
+    * dim sort: rows are clustered by the Morton interleave of the (affinely
+    * `bits`-bit-quantized) `zCols`, so per-file min/max manifests stay
+    * selective on EVERY z column at once — a box predicate
+    * (`a BETWEEN … AND b BETWEEN …`) prunes files on both dimensions, where
+    * a lexicographic sort is selective only on its leading column (the
+    * reference rough-indexes every column per pack for the same reason,
+    * SURVEY.md §4.2; Z-ordering is the layout that makes plain min/max act
+    * like that multi-column index).
+    *
+    * The quantization ranges come from one min/max pass (2·|zCols| driver
+    * values — bounded like AQE stats). Quantization only shapes the LAYOUT:
+    * reads stay exact whatever `bits` is. `zCols` must be numeric (or
+    * castable to double); |zCols|·bits ≤ 62. */
+  def writeZOrdered(df: DataFrame, dir: String, zCols: Seq[String],
+      numSegments: Int = 8, bits: Int = 16,
+      rowGroupBytes: Long = 8L << 20, format: String = "parquet",
+      bloomCols: Seq[String] = Nil, ngramCols: Seq[String] = Nil): Unit = {
+    require(zCols.size >= 2, "z-ordering needs at least two columns")
+    require(zCols.size * bits <= 62, s"${zCols.size} cols × $bits bits exceeds a long")
+    val mmCols = zCols.flatMap(c => Seq(min(col(c).cast("double")),
+      max(col(c).cast("double"))))
+    val mm = df.agg(mmCols.head, mmCols.tail: _*).head()
+    val top = (1L << bits) - 1
+    val quantized = zCols.zipWithIndex.map { case (c, j) =>
+      val (lo, hi) = (mm.getDouble(2 * j), mm.getDouble(2 * j + 1))
+      if (hi > lo)
+        floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * lit(top.toDouble))
+          .cast("long")
+      else lit(0L)
+    }
+    val sorted = df.withColumn("__z", interleave(quantized, bits))
+      .repartitionByRange(numSegments, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+    val base = sorted.write.mode("overwrite")
+      .option("parquet.block.size", rowGroupBytes.toString)
+      .option("orc.stripe.size", rowGroupBytes.toString)
+    val withBlooms = bloomCols.foldLeft(base)((w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true"))
+      .option("orc.bloom.filter.columns", bloomCols.mkString(","))
+    withBlooms.format(format).save(dir)
+    // index every z column: the layout makes each one's per-file min/max
+    // tight, which is the whole point
+    buildManifest(df.sparkSession, dir, zCols, format, bloomCols, ngramCols)
+  }
+
   /** Build/refresh the manifest: per-file row count + min/max per column,
     * plus a 1024-bit equality bloom for each column in `bloomCols` and an
     * 8192-bit character-trigram bloom (substring-LIKE pruning) for each

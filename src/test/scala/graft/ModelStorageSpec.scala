@@ -177,6 +177,46 @@ class ModelStorageSpec extends AnyFunSuite {
     assert(index.lastKept == 0)
   }
 
+  test("z-ordered layout prunes box predicates on BOTH dimensions") {
+    import graft.plans.ManifestFileIndex
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-zorder").toString
+    // two independent uniform dims: a lexicographic sort on x leaves every
+    // file's y-range spanning the whole domain, so a y-constraint prunes
+    // nothing there — the z-order layout must prune on both
+    val rnd = new scala.util.Random(54)
+    val df = (0 until 4096).map { i =>
+      (i.toLong, rnd.nextInt(10000).toLong, rnd.nextInt(10000).toLong)
+    }.toDF("id", "x", "y")
+    Segments.write(df, s"$base/lex", sortCols = Seq("x"),
+      indexedCols = Seq("x", "y"), numSegments = 16)
+    Segments.writeZOrdered(df, s"$base/z", zCols = Seq("x", "y"),
+      numSegments = 16)
+
+    // weakly selective on the lex leading dim (x: half the domain), highly
+    // selective on the trailing one (y: 10%) — the shape where a leading-
+    // column sort is useless and only a multi-dim layout prunes
+    val box = col("x").between(0L, 4999L) && col("y").between(7000L, 7999L)
+    val want = df.filter(box).select($"id").as[Long].collect().sorted.toSeq
+
+    val (zRead, zIdx) = ManifestFileIndex.readWithIndex(spark, s"$base/z")
+    val got = zRead.filter(box).select($"id").as[Long].collect().sorted.toSeq
+    assert(got == want, "z-ordered read must return exactly the box rows")
+    val zKept = zIdx.lastKept
+
+    val (lexRead, lexIdx) = ManifestFileIndex.readWithIndex(spark, s"$base/lex")
+    assert(lexRead.filter(box).count() == want.size)
+    val lexKept = lexIdx.lastKept
+
+    // the lex sort prunes on x only (half the files survive x, all survive
+    // y); z-order must beat it by pruning on y too, and must prune at all
+    assert(zKept < 16, s"z layout pruned nothing ($zKept of 16)")
+    assert(zKept < lexKept,
+      s"z layout kept $zKept files, lexicographic kept $lexKept — no 2-D gain")
+    // unfiltered read stays complete
+    assert(zRead.count() == 4096)
+  }
+
   test("bloom manifest prunes string-equality probes min/max cannot") {
     import graft.plans.ManifestFileIndex
     import spark.implicits._
