@@ -99,6 +99,67 @@ object Graphs {
     }
   }
 
+  /** Fixed-iteration HITS (Kleinberg, "Authoritative Sources in a
+    * Hyperlinked Environment", JACM 1999) in exact fixed-point integers:
+    * each round updates authorities from hubs (a(v) = Σ_{u→v} h(u)), MAX-
+    * normalizes to `base`, then hubs from the new authorities
+    * (h(u) = Σ_{u→v} a(v)), normalized again. Max-normalization replaces
+    * the float L2 norm so every step is integer div/mod — the top score
+    * is exactly `base` each round and results replicate bit-for-bit in
+    * any engine (the r·base/M multiply is decomposed as
+    * (r div M)·base + ((r mod M)·base) div M, exact with no overflow
+    * while maxInMass·base² < 2⁶³ — at the default base 10⁶ that allows
+    * ~9·10⁶·base of in-mass on the hottest node; lower `base` for
+    * hotter graphs). Output: (id, hub_scaled, auth_scaled) for every
+    * node.
+    *
+    * Scale: identical shuffle shape to [[pageRank]] — per round, one
+    * equi-join + combiner-friendly aggregate in each direction; the
+    * normalizer is a 1-row broadcast, never a driver action, so the
+    * whole build is one lazy plan. Per-round frames are persisted (each
+    * feeds the normalizer AND the next update) and released on
+    * materialize. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
+      base: Long = 1000000L, materialize: Boolean = true): DataFrame = {
+    require(iters >= 1, "iters must be positive")
+    require(base >= 1, "base must be positive")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).persist()
+    val ids = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().persist()
+    def normalized(raw: DataFrame, key: String, valCol: String,
+        outCol: String): DataFrame = {
+      val m = raw.agg(greatest(max(col(valCol)), lit(1L)).as("__m"))
+      ids.join(raw, col("id") === col(key), "left_outer")
+        .crossJoin(broadcast(m))
+        .select(col("id"),
+          expr(s"(coalesce($valCol, 0L) div __m) * ${base}L" +
+            s" + ((coalesce($valCol, 0L) % __m) * ${base}L) div __m").as(outCol))
+    }
+    var h = ids.select(col("id"), lit(base).as("h"))
+    var a: DataFrame = null
+    val roundFrames = scala.collection.mutable.Buffer.empty[DataFrame]
+    for (_ <- 0 until iters) {
+      val araw = e.join(h.select(col("id").as("__hid"), col("h")),
+          col("src") === col("__hid"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("__ar")).persist()
+      roundFrames += araw
+      a = normalized(araw, "dst", "__ar", "a")
+      val hraw = e.join(a.select(col("id").as("__aid"), col("a")),
+          col("dst") === col("__aid"))
+        .groupBy(col("src")).agg(sum(col("a")).as("__hr")).persist()
+      roundFrames += hraw
+      h = normalized(hraw, "src", "__hr", "h")
+    }
+    val out = h.join(a.select(col("id").as("__i2"), col("a")), col("id") === col("__i2"))
+      .select(col("id"), col("h").as("hub_scaled"), col("a").as("auth_scaled"))
+    if (!materialize) out
+    else {
+      val snapped = out.localCheckpoint()
+      (Seq(e, ids) ++ roundFrames).foreach(_.unpersist(blocking = false))
+      snapped
+    }
+  }
+
   /** Per-node triangle counts via degree orientation (Suri &
     * Vassilvitskii, "Counting Triangles and the Curse of the Last
     * Reducer", WWW 2011). Input is an undirected edge list in either
@@ -182,7 +243,7 @@ object Graphs {
   private val prCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
   private[operators] def invalidateCaches(s: SparkSession, d: String): Unit =
-    Seq(d, d + "#ppr", d + "#tri").foreach(k =>
+    Seq(d, d + "#ppr", d + "#tri", d + "#hits").foreach(k =>
       prCache.remove((s, k)).foreach(_.unpersist(blocking = false)))
   // customer and supplier keys share the integer space, so node ids are
   // NAMESPACED (customer c → 10⁷ + c) — without this node 7 would be
@@ -297,13 +358,48 @@ object Graphs {
       |FROM deg d LEFT JOIN pn ON d.id = pn.id
       |ORDER BY triangles DESC, id ASC LIMIT 100""".stripMargin
 
+  // q98 — HITS on the customer→supplier purchase graph: customers are
+  // pure hubs (no in-edges), suppliers pure authorities — the bipartite
+  // shape where authority = weighted buyer attention. 2 exact fixed-point
+  // rounds, max-normalized to 10⁶; memoized like the q84 ranks.
+  private def q98(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val scores = prCache.getOrElseUpdate((s, d + "#hits"), {
+      hits(purchaseEdges(s, d), "src", "dst", iters = 2)
+    })
+    scores.orderBy($"auth_scaled".desc, $"hub_scaled".desc, $"id".asc).limit(100)
+  }
+  private def hitsRoundSql(hPrev: String, n: Int): String =
+    s"""a${n}r AS (SELECT dst, SUM(h) AS ar
+       |  FROM edges JOIN $hPrev ON $hPrev.id = edges.src GROUP BY dst),
+       |a${n}m AS (SELECT greatest(MAX(ar), 1) AS m FROM a${n}r),
+       |a$n AS (SELECT id, (coalesce(ar, 0) // m) * 1000000
+       |    + ((coalesce(ar, 0) % m) * 1000000) // m AS a
+       |  FROM nodes LEFT JOIN a${n}r ON id = dst CROSS JOIN a${n}m),
+       |h${n}r AS (SELECT src, SUM(a) AS hr
+       |  FROM edges JOIN a$n ON a$n.id = edges.dst GROUP BY src),
+       |h${n}m AS (SELECT greatest(MAX(hr), 1) AS m FROM h${n}r),
+       |h$n AS (SELECT id, (coalesce(hr, 0) // m) * 1000000
+       |    + ((coalesce(hr, 0) % m) * 1000000) // m AS h
+       |  FROM nodes LEFT JOIN h${n}r ON id = src CROSS JOIN h${n}m)""".stripMargin
+  private val q98Sql =
+    s"""WITH $edgesSql,
+       |h0 AS (SELECT id, 1000000 AS h FROM nodes),
+       |${hitsRoundSql("h0", 1)},
+       |${hitsRoundSql("h1", 2)}
+       |SELECT h2.id, h2.h AS hub_scaled, a2.a AS auth_scaled
+       |FROM h2 JOIN a2 ON h2.id = a2.id
+       |ORDER BY auth_scaled DESC, hub_scaled DESC, h2.id ASC LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_hits" -> q98,
     "q84_pagerank" -> q84,
     "q87_pagerank_personalized" -> q87,
     "q88_triangles" -> q88,
   )
 
   val oracles: Map[String, String] = Map(
+    "q98_hits" -> q98Sql,
     "q84_pagerank" -> q84Sql,
     "q87_pagerank_personalized" -> q87Sql,
     "q88_triangles" -> q88Sql,

@@ -427,6 +427,29 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       "A" -> 150000000L, "B" -> 127500000L, "C" -> 108375000L))
   }
 
+  test("hits: exact max-normalized hub/authority scores on a hand-computed graph") {
+    // A→C, B→C, B→D (bipartite: A,B hubs; C,D authorities), base 10⁶
+    val edges = Seq(("A", "C"), ("B", "C"), ("B", "D")).toDF("s", "t")
+    val got = graft.operators.Graphs.hits(edges, "s", "t", iters = 1)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // a_raw: C = h(A)+h(B) = 2e6, D = h(B) = 1e6; M = 2e6
+    //   → a(C) = 1e6, a(D) = 5e5, a(A) = a(B) = 0
+    // h_raw: A = a(C) = 1e6, B = a(C)+a(D) = 1.5e6; M = 1.5e6
+    //   → h(B) = 1e6, h(A) = (1e6·1e6) div 1.5e6 = 666666
+    assert(got == Map(
+      "A" -> ((666666L, 0L)), "B" -> ((1000000L, 0L)),
+      "C" -> ((0L, 1000000L)), "D" -> ((0L, 500000L))), s"got $got")
+    // 2nd iteration keeps the max pinned at base and stays exact:
+    // a_raw: C = 666666+1e6, D = 1e6; M = 1666666 → a(C) = 1e6,
+    //   a(D) = (1e6·1e6) div 1666666 = 600000
+    // h_raw: A = 1e6, B = 1.6e6; M = 1.6e6 → h(A) = 625000, h(B) = 1e6
+    val got2 = graft.operators.Graphs.hits(edges, "s", "t", iters = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got2 == Map(
+      "A" -> ((625000L, 0L)), "B" -> ((1000000L, 0L)),
+      "C" -> ((0L, 1000000L)), "D" -> ((0L, 600000L))), s"got $got2")
+  }
+
   test("triangleCounts: hand-computed graph, dup/reversed edges and self-loops") {
     // K4 on {1,2,3,4} (every node in 3 triangles) plus a pendant edge
     // 4–5 (node 5 in 0) — fed as a mix of directions, duplicates, and a
