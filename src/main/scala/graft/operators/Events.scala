@@ -388,7 +388,64 @@ object Events {
       |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, day""".stripMargin
 
+  /** Change-history (SCD2) build: collapse each key's ordered event stream
+    * into state VERSIONS — one row per run of consecutive equal states,
+    * with [valid_from, valid_to) validity (valid_to null while current)
+    * and a 1-based version number. The dimension-table maintenance op of
+    * every warehouse (type-2 slowly-changing dimension), driven here from
+    * an event log. `tieCols` break ordering ties deterministically when
+    * the timestamp alone is not unique per key.
+    *
+    * Scale: both windows partition by the ENTITY key — high cardinality,
+    * bounded rows per key — the window class that scales (each task gets
+    * many small groups), unlike the few-key windows this engine replaces
+    * with bounded aggregates (q97). Run-collapse happens before the
+    * second window, so versions see only change points. */
+  def changeHistory(df: DataFrame, keyCol: String, tsCol: String,
+      stateCol: String, tieCols: Seq[String] = Nil): DataFrame = {
+    val ord = (col(tsCol) +: tieCols.map(col)).map(_.asc)
+    val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+    val marked = df
+      .select((Seq(keyCol, tsCol, stateCol) ++ tieCols).map(col): _*)
+      .withColumn("__prev", lag(col(stateCol), 1).over(w))
+      .withColumn("__rn", row_number().over(w))
+      // null-safe change test: a run of nulls is one version too
+      .filter(col("__rn") === 1 || !(col(stateCol) <=> col("__prev")))
+    val w2 = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+    marked
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w2))
+      .withColumn("version", row_number().over(w2).cast(IntegerType))
+      .select(col(keyCol), col(stateCol), col(tsCol).as("valid_from"),
+        col("valid_to"), col("version"))
+  }
+
+  // q99 — per-user state version history from the event log: each user's
+  // event-type runs become [valid_from, valid_to) versions; event_id
+  // breaks ties identically in both engines. Times are µs (DuckDB
+  // timestamps truncate to micros, like q70).
+  private def q99(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    changeHistory(Tables.events(s, d).withColumn("ts_us", expr("ts DIV 1000")),
+        "user_id", "ts_us", "event_type", tieCols = Seq("event_id"))
+      .orderBy($"user_id", $"version")
+  }
+  private val q99Sql =
+    """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id, event_type
+      |           FROM events),
+      |m AS (SELECT user_id, ts_us, event_id, event_type,
+      |        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev,
+      |        row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS rn
+      |      FROM e),
+      |runs AS (SELECT user_id, ts_us, event_id, event_type FROM m
+      |         WHERE rn = 1 OR prev <> event_type)
+      |SELECT user_id, event_type, ts_us AS valid_from,
+      |  lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to,
+      |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS INTEGER)
+      |    AS version
+      |FROM runs ORDER BY user_id, version""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q99_change_history" -> q99,
     "q91_rolling_range" -> q91,
     "q48_asof_join" -> q48,
     "q25_json_ingest" -> q25,
@@ -402,6 +459,7 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q99_change_history" -> q99Sql,
     "q91_rolling_range" -> q91Sql,
     "q51_window_sliding" -> q51Sql,
     "q48_asof_join" -> q48Sql,

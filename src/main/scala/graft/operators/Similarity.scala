@@ -928,7 +928,62 @@ object Similarity {
        |ORDER BY query_id, mmr_rank""".stripMargin
   }
 
+  /** Deterministic negative sampling for contrastive training: for each
+    * anchor row, `k` pseudo-random partners drawn by hashing
+    * (anchor id, draw index) into the pool's id range and joining back on
+    * the pool id. Membership is a pure function of ids — the same
+    * (anchor, negative) pairs on any engine, partitioning or rerun, the
+    * property that makes a training set reproducible. Draws that hash to
+    * a hole in the id space or to the anchor itself are dropped (dense
+    * ids → only self-collisions; expect ≈ k·density negatives per
+    * anchor). Output: (idCol, neg_rank, negIdCol).
+    *
+    * Scale: map-only explode of k draws per anchor, then one equi-join
+    * on the pool id — no sampling state, no sequential RNG, no driver
+    * data path (the id-range probe is 2 scalars, AQE-stats-sized). */
+  def negativeSample(df: DataFrame, idCol: String,
+      pool: DataFrame, poolIdCol: String, negIdCol: String,
+      k: Int, tag: String = "neg"): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(negIdCol != idCol, "name the anchor and negative id columns differently")
+    val mx = pool.agg(max(col(poolIdCol).cast(LongType))).head()
+    require(!mx.isNullAt(0), "pool must be non-empty")
+    val m = mx.getLong(0) + 1
+    val draws = df.select(col(idCol).cast(LongType).as(idCol))
+      .select(col(idCol), explode(sequence(lit(0), lit(k - 1))).as("neg_rank"))
+      .withColumn("__cand",
+        graft.functions.Ops.md5Long(concat(lit(s"$tag:"), col(idCol),
+          lit(":"), col("neg_rank"))) % m)
+    draws.join(pool.select(col(poolIdCol).cast(LongType).as(negIdCol)),
+        col("__cand") === col(negIdCol))
+      .filter(col(negIdCol) =!= col(idCol))
+      .select(col(idCol), col("neg_rank"), col(negIdCol))
+  }
+
+  // q100 — reproducible contrastive negatives over the embedding corpus:
+  // 4 hash-drawn negatives for each anchor vec_id < 50, joined back on the
+  // (dense) vec_id space; self-collisions drop.
+  private def q100(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    negativeSample(e.filter($"vec_id" < 50).select($"vec_id"), "vec_id",
+        e, "vec_id", "neg_id", k = 4)
+      .orderBy($"vec_id", $"neg_rank")
+  }
+  private val q100Sql = {
+    val h = graft.functions.Ops.md5LongSql("'neg:' || a.vec_id || ':' || j")
+    s"""WITH mx AS (SELECT MAX(vec_id) + 1 AS m FROM embeddings),
+       |c AS (SELECT a.vec_id, CAST(j AS INTEGER) AS neg_rank, $h % m AS cand
+       |      FROM embeddings a, unnest(range(0, 4)) u(j), mx
+       |      WHERE a.vec_id < 50)
+       |SELECT c.vec_id, neg_rank, p.vec_id AS neg_id
+       |FROM c JOIN embeddings p ON cand = p.vec_id
+       |WHERE p.vec_id <> c.vec_id
+       |ORDER BY c.vec_id, neg_rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_negative_sample" -> q100,
     "q92_mmr_rerank" -> q92,
     "q37_ann_brute" -> q37,
     "q61_embed_quantize_int8" -> q61,
@@ -945,6 +1000,7 @@ object Similarity {
   /** q38/q41/q67 are approximate by design → no SQL oracle (driver
     * rows-only check); their accuracy is asserted in PipelineOpsSpec. */
   val oracles: Map[String, String] = Map(
+    "q100_negative_sample" -> q100Sql,
     "q92_mmr_rerank" -> q92Sql,
     "q37_ann_brute" -> q37Sql,
     "q61_embed_quantize_int8" -> q61Sql,

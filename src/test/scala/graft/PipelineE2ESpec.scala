@@ -130,6 +130,39 @@ class PipelineE2ESpec extends AnyFunSuite {
       "results must be in descending score order")
   }
 
+  test("index chain: heavy hitters derive the stopword list -> postings skip them") {
+    import spark.implicits._
+    import graft.operators.TextStats
+    val docs = Tables.documents(spark, sf)
+    val tok = docs.select(explode(split(trim($"text"), "\\s+")).as("term"))
+
+    // 1. data-derived stopwords: terms carrying ≥ 2% of the token stream
+    // (the sketch-then-recount pass — no hand-maintained list)
+    val stops = TextStats.heavyHitters(tok, "term", minFreqPpm = 20000L, k = 60)
+      .collect().map(_.getString(0)).toSet
+    assert(stops.nonEmpty, "corpus must yield some high-frequency terms")
+
+    // 2. posting lists capped at the corpus's median doc-frequency (a
+    // data-derived band, like the stopword list): every over-cap stopword
+    // must be absent, some below-cap vocabulary must be indexed
+    val dfs = docs.select(explode(array_distinct(split(trim($"text"), "\\s+"))).as("t"))
+      .groupBy($"t").count().select($"count").as[Long].collect().sorted
+    val maxDf = dfs(dfs.length / 2) // median df: half the vocab stays indexable
+    val posts = TextStats.postings(docs, "doc_id", "text", minDf = 1L, maxDf = maxDf)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap // (term, df, postings)
+    stops.foreach { s =>
+      // a term can be frequent by tokens yet rare by docs; only assert for
+      // stopwords that really exceed the doc-frequency cap
+      val df = docs.filter(array_contains(split(trim($"text"), "\\s+"), s)).count()
+      if (df > maxDf)
+        assert(!posts.contains(s), s"stopword '$s' (df=$df) must not be indexed")
+    }
+    assert(posts.nonEmpty, "non-stopword vocabulary must be indexed")
+    posts.take(5).foreach { case (t, lst) =>
+      assert(lst.split(",").nonEmpty, s"term '$t' has an empty posting list")
+    }
+  }
+
   test("serving chain: BM25 + dense ANN -> RRF fuse -> MMR diversify") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

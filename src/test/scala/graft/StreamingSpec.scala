@@ -170,6 +170,32 @@ class StreamingSpec extends AnyFunSuite {
       batched.select(cols.map(col): _*).collect().toSet)
   }
 
+  test("Misra-Gries sketch aggregates a stream incrementally (complete mode)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // the k-bounded sketch is a standard streaming aggregate: partial
+    // buffers merge across micro-batches exactly as across partitions, so
+    // the no-false-negative bar holds over everything ingested so far
+    val mem = MemoryStream[String]
+    val mg = udaf(new graft.functions.MisraGriesAgg(8),
+      org.apache.spark.sql.Encoders.STRING)
+    val agg = mem.toDF().toDF("item").agg(mg($"item").as("s"))
+      .select($"s.n".as("n"), map_keys($"s.items").as("cands"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("mg_out").start()
+    mem.addData(Seq.fill(30)("hot") ++ (1 to 20).map(i => s"cold$i"): _*)
+    q.processAllAvailable()
+    mem.addData(Seq.fill(25)("hot2") ++ (21 to 40).map(i => s"cold$i"): _*)
+    q.processAllAvailable()
+    q.stop()
+    val row = spark.table("mg_out").head()
+    assert(row.getAs[Long]("n") == 95L)
+    val cands = row.getSeq[String](1)
+    assert(cands.size <= 8)
+    // both hot items exceed n/(k+1) = 95/9 ≈ 10 — the sketch must hold them
+    assert(cands.contains("hot") && cands.contains("hot2"), s"got $cands")
+  }
+
   test("streaming exact dedup drops duplicate keys within the watermark") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
