@@ -91,6 +91,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_topkbyscore"), "q97 buffers must combine map-side")
   }
 
+  test("q94: grouped heavy hitters = bounded sketch agg + broadcast recount") {
+    val p = planOf("q94_heavy_hitters_grouped")
+    assert(p.contains("ObjectHashAggregate"), "sketch pass must be an object hash agg")
+    assert(p.contains("partial_misragriesagg"),
+      s"sketch buffers must combine map-side:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      "candidate recount must be a broadcast join, never a corpus shuffle")
+    assert(!p.contains("Window"), s"no window anywhere in heavy hitters:\n$p")
+  }
+
+  test("q96: edit-distance candidates are an equi-join, never all-pairs") {
+    val p = planOf("q96_dedup_edit_distance")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"blocked candidates must equi-join on the block key:\n$p")
+  }
+
   test("q12: top-n plans as TakeOrderedAndProject (no full global sort)") {
     val p = planOf("q12_top_n")
     assert(p.contains("TakeOrderedAndProject"), "LIMIT after ORDER BY must avoid a full sort")
