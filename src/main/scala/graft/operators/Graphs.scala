@@ -232,6 +232,48 @@ object Graphs {
     }
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) for community
+    * detection, made deterministic: labels start as node ids; each round
+    * every node adopts the most frequent label among its neighbors, ties
+    * broken toward the SMALLEST label (the (−count, label) lexicographic
+    * min — a total order, so rounds replicate exactly in any engine;
+    * classic async LP is run-order-dependent, which an oracle-gated
+    * engine cannot ship). Input edges are undirected (either/both
+    * directions; self-loops dropped). Output: (id, community) after
+    * `iters` rounds.
+    *
+    * Scale: per round one equi-join (neighbor labels) + two combiner-
+    * friendly aggregates (label counts, then the min_by argmax — never a
+    * node-keyed window); a celebrity node's neighbor multiset reduces
+    * map-side. Bipartite-ish graphs can oscillate under synchronous LP —
+    * standard; pick iters (or compare consecutive rounds) accordingly. */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+      iters: Int, materialize: Boolean = true): DataFrame = {
+    require(iters >= 1, "iters must be positive")
+    val e0 = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+      .filter(col("a") =!= col("b"))
+    val und = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct().persist()
+    val ids = und.select(col("a").as("id")).distinct().persist()
+    var labels = ids.select(col("id"), col("id").as("lbl"))
+    for (_ <- 0 until iters) {
+      val counts = und.join(labels.select(col("id").as("__nid"), col("lbl")),
+          col("b") === col("__nid"))
+        .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("__c"))
+      labels = counts.groupBy(col("a").as("id"))
+        .agg(min_by(col("lbl"),
+          struct(negate(col("__c")).as("c"), col("lbl").as("l"))).as("lbl"))
+    }
+    val out = labels.select(col("id"), col("lbl").as("community"))
+    if (!materialize) out
+    else {
+      val snapped = out.localCheckpoint()
+      und.unpersist(blocking = false)
+      ids.unpersist(blocking = false)
+      snapped
+    }
+  }
+
   // q84 — supplier-influence PageRank on the customer→supplier purchase
   // graph (distinct (o_custkey, l_suppkey) edges): 3 exact fixed-point
   // rounds. Suppliers accumulate mass from their buyers; customers (no
@@ -243,7 +285,7 @@ object Graphs {
   private val prCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
   private[operators] def invalidateCaches(s: SparkSession, d: String): Unit =
-    Seq(d, d + "#ppr", d + "#tri", d + "#hits").foreach(k =>
+    Seq(d, d + "#ppr", d + "#tri", d + "#hits", d + "#lp").foreach(k =>
       prCache.remove((s, k)).foreach(_.unpersist(blocking = false)))
   // customer and supplier keys share the integer space, so node ids are
   // NAMESPACED (customer c → 10⁷ + c) — without this node 7 would be
@@ -391,7 +433,45 @@ object Graphs {
        |FROM h2 JOIN a2 ON h2.id = a2.id
        |ORDER BY auth_scaled DESC, hub_scaled DESC, h2.id ASC LIMIT 100""".stripMargin
 
+  // q101 — communities on the part co-purchase graph (q88's edges): 2
+  // deterministic LP rounds; every part gets its community label.
+  private def q101(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val comm = prCache.getOrElseUpdate((s, d + "#lp"), {
+      val li = Tables.lineitem(s, d).filter($"l_quantity" > 25)
+        .select($"l_orderkey", $"l_partkey")
+      val a = li.select($"l_orderkey", $"l_partkey".as("pa"))
+      val b = li.select($"l_orderkey", $"l_partkey".as("pb"))
+      val edges = a.join(b, Seq("l_orderkey")).filter($"pa" =!= $"pb")
+        .select($"pa", $"pb")
+      labelPropagation(edges, "pa", "pb", iters = 2)
+    })
+    comm.orderBy($"id")
+  }
+  private def lpRoundSql(prev: String, n: Int): String =
+    s"""c$n AS (SELECT und.a AS node, $prev.lbl, COUNT(*) AS c
+       |  FROM und JOIN $prev ON $prev.id = und.b GROUP BY 1, 2),
+       |m$n AS (SELECT node, MAX(c) AS mc FROM c$n GROUP BY 1),
+       |l$n AS (SELECT c$n.node AS id, MIN(c$n.lbl) AS lbl
+       |  FROM c$n JOIN m$n ON c$n.node = m$n.node AND c$n.c = m$n.mc
+       |  GROUP BY 1)""".stripMargin
+  private val q101Sql =
+    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity > 25),
+       |raw AS (
+       |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS x,
+       |                  greatest(a.l_partkey, b.l_partkey) AS y
+       |  FROM li a JOIN li b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+       |und AS (SELECT x AS a, y AS b FROM raw UNION ALL SELECT y, x FROM raw),
+       |nodes AS (SELECT DISTINCT a AS id FROM und),
+       |l0 AS (SELECT id, id AS lbl FROM nodes),
+       |${lpRoundSql("l0", 1)},
+       |${lpRoundSql("l1", 2)}
+       |SELECT CAST(id AS BIGINT) AS id, CAST(lbl AS BIGINT) AS community
+       |FROM l2 ORDER BY id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_label_propagation" -> q101,
     "q98_hits" -> q98,
     "q84_pagerank" -> q84,
     "q87_pagerank_personalized" -> q87,
@@ -399,6 +479,7 @@ object Graphs {
   )
 
   val oracles: Map[String, String] = Map(
+    "q101_label_propagation" -> q101Sql,
     "q98_hits" -> q98Sql,
     "q84_pagerank" -> q84Sql,
     "q87_pagerank_personalized" -> q87Sql,

@@ -450,6 +450,24 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       "C" -> ((0L, 1000000L)), "D" -> ((0L, 600000L))), s"got $got2")
   }
 
+  test("labelPropagation: two cliques bridged by one edge settle into two communities") {
+    // cliques {1,2,3} and {10,11,12}, bridge 3-10; labels start as ids
+    val cl = Seq((1L,2L),(1L,3L),(2L,3L),(10L,11L),(10L,12L),(11L,12L),(3L,10L))
+      .toDF("a", "b")
+    val got = graft.operators.Graphs.labelPropagation(cl, "a", "b", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1 (min-label ties): 1←{2,3}→2; 2←{1,3}→1; 3←{1,2,10}→1;
+    //   10←{3,11,12}→3; 11←{10,12}→10; 12←{10,11}→10
+    // round 2: 1←lbl{1,1}→1; 2←{2,1}→1; 3←{2,1,3}→1; 10←{1,10,10}→10;
+    //   11←{3,10}→3... recompute: labels after r1: 1→2,2→1,3→1,10→3,11→10,12→10
+    //   r2: node 1 nbrs {2,3} lbls {1,1} → 1; node 2 nbrs {1,3} lbls {2,1} → 1
+    //   (tie count 1 each → min); node 3 nbrs {1,2,10} lbls {2,1,3} → 1;
+    //   node 10 nbrs {3,11,12} lbls {1,10,10} → 10; node 11 nbrs {10,12}
+    //   lbls {3,10} → 3; node 12 nbrs {10,11} lbls {3,10} → 3
+    assert(got == Map(1L->1L, 2L->1L, 3L->1L, 10L->10L, 11L->3L, 12L->3L),
+      s"got $got")
+  }
+
   test("triangleCounts: hand-computed graph, dup/reversed edges and self-loops") {
     // K4 on {1,2,3,4} (every node in 3 triangles) plus a pendant edge
     // 4–5 (node 5 in 0) — fed as a mix of directions, duplicates, and a
