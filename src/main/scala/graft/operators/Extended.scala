@@ -661,6 +661,65 @@ object Extended {
       |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
       |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
 
+  /** Association-rule mining over (basket, item) pairs — the market-
+    * basket pass (Agrawal & Srikant, VLDB 1994) at the pair level: for
+    * every directed item pair with co-occurrence support ≥ `minSupport`,
+    * emit support, confidence (ppm, exact integer div) and lift (one
+    * double multiply + divide over exact integer inputs — the identical
+    * expression tree in any engine). Output: (antecedent, consequent,
+    * support, conf_ppm, lift).
+    *
+    * Scale: baskets dedup with one combiner-friendly distinct; pair
+    * counts are a self-equi-join on the basket key + a map-side-
+    * combinable count (a hot basket fans out |basket|² pairs — cap
+    * basket size upstream like hot shingles if carts are unbounded);
+    * item counts broadcast back; the basket total is a 1-row broadcast,
+    * never a driver action. `minSupport` prunes before the stats join. */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long): DataFrame = {
+    require(minSupport >= 1, "minSupport must be positive")
+    val b = df.select(col(basketCol).as("__bk"), col(itemCol).as("__it")).distinct()
+    val n = b.agg(countDistinct(col("__bk")).as("__n"))
+    val ic = b.groupBy(col("__it")).agg(count(lit(1)).as("__c"))
+    val pairs = b.select(col("__bk"), col("__it").as("antecedent"))
+      .join(b.select(col("__bk"), col("__it").as("consequent")), Seq("__bk"))
+      .filter(col("antecedent") =!= col("consequent"))
+      .groupBy(col("antecedent"), col("consequent"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    pairs
+      .join(ic.select(col("__it").as("antecedent"), col("__c").as("__ca")), "antecedent")
+      .join(ic.select(col("__it").as("consequent"), col("__c").as("__cb")), "consequent")
+      .crossJoin(broadcast(n))
+      .select(col("antecedent"), col("consequent"), col("support"),
+        expr("support * 1000000L div __ca").as("conf_ppm"),
+        ((col("support").cast("double") * col("__n")) /
+          (col("__ca") * col("__cb")).cast("double")).as("lift"))
+  }
+
+  // q102 — pair association rules on order baskets: directed part pairs
+  // co-bought in ≥ 2 orders, with exact-integer confidence and a
+  // single-expression double lift.
+  private def q102(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    associationRules(Tables.lineitem(s, d), "l_orderkey", "l_partkey",
+        minSupport = 2L)
+      .orderBy($"antecedent", $"consequent")
+  }
+  private val q102Sql =
+    """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+      |n AS (SELECT COUNT(DISTINCT bk) AS n FROM b),
+      |pc AS (SELECT a.it AS antecedent, c.it AS consequent, COUNT(*) AS support
+      |       FROM b a JOIN b c ON a.bk = c.bk AND a.it <> c.it GROUP BY 1, 2),
+      |ic AS (SELECT it, COUNT(*) AS c FROM b GROUP BY 1)
+      |SELECT antecedent, consequent, support,
+      |  support * 1000000 // ia.c AS conf_ppm,
+      |  (CAST(support AS DOUBLE) * (SELECT n FROM n)) / CAST(ia.c * ib.c AS DOUBLE)
+      |    AS lift
+      |FROM pc JOIN ic ia ON antecedent = ia.it JOIN ic ib ON consequent = ib.it
+      |WHERE support >= 2
+      |ORDER BY antecedent, consequent""".stripMargin
+
   // q97 — grouped top-k as a RELATIONAL operator: the bounded TopKByScore
   // aggregate (the ANN serving path's no-straggler top-k) on a plain
   // fact-table ranking — top 3 line items per return flag by price. The
@@ -688,6 +747,7 @@ object Extended {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q97_topk_per_group" -> q97,
+    "q102_association_rules" -> q102,
     "q89_pivot" -> q89,
     "q90_unpivot" -> q90,
     "q42_grouping_sets" -> q42,
@@ -712,6 +772,7 @@ object Extended {
 
   val oracles: Map[String, String] = Map(
     "q97_topk_per_group" -> q97Sql,
+    "q102_association_rules" -> q102Sql,
     "q89_pivot" -> q89Sql,
     "q90_unpivot" -> q90Sql,
     "q42_grouping_sets" -> q42Sql,

@@ -450,6 +450,21 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       "C" -> ((0L, 1000000L)), "D" -> ((0L, 600000L))), s"got $got2")
   }
 
+  test("associationRules: hand-computed support, confidence and lift") {
+    // baskets: {x,y}, {x,y}, {x,z}, {y}; N=4, c_x=3, c_y=3, c_z=1
+    val rows = Seq((1L,"x"),(1L,"y"),(2L,"x"),(2L,"y"),(3L,"x"),(3L,"z"),(4L,"y"),
+      (1L,"x")) // duplicate (basket,item) row must not inflate support
+      .toDF("bk", "it")
+    val got = graft.operators.Extended.associationRules(rows, "bk", "it", 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // only x↔y reaches support 2: conf(x→y) = 2e6 div 3 = 666666,
+    // lift = 2·4/(3·3) = 8/9 both ways
+    assert(got.keySet == Set(("x","y"), ("y","x")), s"got ${got.keySet}")
+    assert(got(("x","y")) == ((2L, 666666L, 8.0 / 9.0)), s"got ${got(("x","y"))}")
+    assert(got(("y","x")) == ((2L, 666666L, 8.0 / 9.0)), s"got ${got(("y","x"))}")
+  }
+
   test("labelPropagation: two cliques bridged by one edge settle into two communities") {
     // cliques {1,2,3} and {10,11,12}, bridge 3-10; labels start as ids
     val cl = Seq((1L,2L),(1L,3L),(2L,3L),(10L,11L),(10L,12L),(11L,12L),(3L,10L))
