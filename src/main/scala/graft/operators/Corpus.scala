@@ -309,6 +309,25 @@ object Corpus {
       .orderBy($"doc_id")
   }
 
+  // q103 — bigram next-token statistics over the corpus: adjacent-pair
+  // counts (≥ 3) with exact-integer conditional probability — map-side
+  // bigram assembly, no positional join.
+  private def q103(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    TextStats.bigramStats(Tables.documents(s, d), "text", minCount = 3L)
+      .orderBy($"w1", $"w2")
+  }
+  private val q103Sql =
+    """WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS tk FROM documents),
+      |bi AS (SELECT tk[i] AS w1, tk[i+1] AS w2
+      |       FROM t, unnest(range(1, len(tk))) u(i) WHERE len(tk) >= 2),
+      |pc AS (SELECT w1, w2, COUNT(*) AS pair_n FROM bi GROUP BY 1, 2),
+      |un AS (SELECT w1, COUNT(*) AS u FROM bi GROUP BY 1)
+      |SELECT pc.w1, pc.w2, pair_n, pair_n * 1000000 // u AS cond_ppm
+      |FROM pc JOIN un ON pc.w1 = un.w1
+      |WHERE pair_n >= 3
+      |ORDER BY pc.w1, pc.w2""".stripMargin
+
   // q96 — character-level near-dup pairs: blocked (12-char prefix) +
   // length-filtered candidates, exact banded Levenshtein ≤ 30. The planted
   // one-word-changed near-dups sit at dist 4; block-mates further than 30
@@ -352,6 +371,7 @@ object Corpus {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q95_decontaminate_bloom" -> q95,
     "q96_dedup_edit_distance" -> q96,
+    "q103_bigram_stats" -> q103,
     "q94_heavy_hitters_grouped" -> q94,
     "q93_heavy_hitters" -> q93,
     "q65_exact_against" -> q65,
@@ -365,6 +385,7 @@ object Corpus {
   val oracles: Map[String, String] = Map(
     "q95_decontaminate_bloom" -> q65Sql, // identical semantics by design
     "q96_dedup_edit_distance" -> q96Sql,
+    "q103_bigram_stats" -> q103Sql,
     "q94_heavy_hitters_grouped" -> q94Sql,
     "q93_heavy_hitters" -> q93Sql,
     "q65_exact_against" -> q65Sql,

@@ -224,6 +224,36 @@ object TextStats {
     }
   }
 
+  /** Bigram language-model statistics: for every adjacent token pair
+    * (w1, w2) seen at least `minCount` times corpus-wide, the pair count
+    * and the exact-integer conditional probability
+    * `P(w2|w1) = count(w1,w2)·10⁶ div count(w1,·)` — the next-token
+    * table an n-gram LM (or a data-quality "surprisal" pass) reads.
+    * Output: (w1, w2, pair_n, cond_ppm).
+    *
+    * Scale: bigrams are assembled MAP-SIDE from each document's token
+    * array (`transform` over indices — no positional self-join, no
+    * shuffle before the count); both counts are combiner-friendly
+    * aggregates and the unigram table joins back by w1 (AQE-splittable
+    * on hot head words). */
+  def bigramStats(df: DataFrame, textCol: String, minCount: Long = 1L): DataFrame = {
+    require(minCount >= 1, "minCount must be positive")
+    val bi = df.select(split(trim(col(textCol)), "\\s+").as("__t"))
+      // sequence(1, 0) DESCENDS in Spark: a 1-token doc would fabricate
+      // null bigrams — guard short docs out before the transform
+      .filter(size(col("__t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(__t) - 1), i -> struct(__t[i-1] AS w1, __t[i] AS w2))"))
+        .as("__b"))
+      .select(col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+    val pairs = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= minCount)
+    val uni = bi.groupBy(col("w1")).agg(count(lit(1)).as("__u"))
+    pairs.join(uni, "w1")
+      .select(col("w1"), col("w2"), col("pair_n"),
+        expr("pair_n * 1000000L div __u").as("cond_ppm"))
+  }
+
   /** Per-group [[heavyHitters]]: items at ≥ `minFreqPpm` of EACH group's
     * own stream (e.g. top terms per language, hot keys per tenant), exact
     * by the same sketch-then-recount argument applied group-wise. Output:

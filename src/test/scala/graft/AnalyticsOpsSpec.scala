@@ -450,6 +450,19 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       "C" -> ((0L, 1000000L)), "D" -> ((0L, 600000L))), s"got $got2")
   }
 
+  test("bigramStats: map-side pairs, exact conditionals, short-doc guard") {
+    val docs = Seq("a b a b c", "a b", "x", "").toDF("txt")
+    val got = graft.operators.TextStats.bigramStats(docs, "txt")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // bigrams: (a,b)×3, (b,a)×1, (b,c)×1; unigram-as-w1: a=3, b=2
+    // "x" (1 token) and "" contribute nothing — no fabricated null pairs
+    assert(got == Map(
+      ("a","b") -> ((3L, 1000000L)),       // 3·1e6 div 3
+      ("b","a") -> ((1L, 500000L)),        // 1·1e6 div 2
+      ("b","c") -> ((1L, 500000L))), s"got $got")
+  }
+
   test("associationRules: hand-computed support, confidence and lift") {
     // baskets: {x,y}, {x,y}, {x,z}, {y}; N=4, c_x=3, c_y=3, c_z=1
     val rows = Seq((1L,"x"),(1L,"y"),(2L,"x"),(2L,"y"),(3L,"x"),(3L,"z"),(4L,"y"),
