@@ -328,6 +328,36 @@ object Corpus {
       |WHERE pair_n >= 3
       |ORDER BY pc.w1, pc.w2""".stripMargin
 
+  // q104 — bag-of-words document similarity: TF-IDF cosine ≥ 0.9 through
+  // the inverted-index join (df cap 400 — a guard at this scale, the skew
+  // bound at any scale). DECIMAL/HUGEINT sums, one double cosine at the
+  // end.
+  private def q104(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    TextStats.tfidfCosinePairs(Tables.documents(s, d), "doc_id", "text",
+        maxDf = 400L, threshold = 0.9)
+      .orderBy($"doc_a", $"doc_b")
+  }
+  private val q104Sql =
+    """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |             FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+      |dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1 HAVING COUNT(*) <= 400),
+      |w AS (SELECT doc_id, tf.term, tf * (((SELECT n FROM nn) * 1000) // df) AS w
+      |      FROM tf JOIN dfc ON tf.term = dfc.term),
+      |norms AS (SELECT doc_id, SUM(w::HUGEINT * w) AS norm FROM w GROUP BY 1),
+      |dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |           SUM(a.w::HUGEINT * b.w) AS dot, COUNT(*) AS shared
+      |         FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+      |         GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, shared,
+      |  CAST(dot AS DOUBLE) / (sqrt(CAST(na.norm AS DOUBLE)) * sqrt(CAST(nb.norm AS DOUBLE)))
+      |    AS cosine
+      |FROM dots JOIN norms na ON doc_a = na.doc_id JOIN norms nb ON doc_b = nb.doc_id
+      |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.norm AS DOUBLE)) * sqrt(CAST(nb.norm AS DOUBLE))) >= 0.9
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   // q96 — character-level near-dup pairs: blocked (12-char prefix) +
   // length-filtered candidates, exact banded Levenshtein ≤ 30. The planted
   // one-word-changed near-dups sit at dist 4; block-mates further than 30
@@ -372,6 +402,7 @@ object Corpus {
     "q95_decontaminate_bloom" -> q95,
     "q96_dedup_edit_distance" -> q96,
     "q103_bigram_stats" -> q103,
+    "q104_tfidf_cosine_pairs" -> q104,
     "q94_heavy_hitters_grouped" -> q94,
     "q93_heavy_hitters" -> q93,
     "q65_exact_against" -> q65,
@@ -386,6 +417,7 @@ object Corpus {
     "q95_decontaminate_bloom" -> q65Sql, // identical semantics by design
     "q96_dedup_edit_distance" -> q96Sql,
     "q103_bigram_stats" -> q103Sql,
+    "q104_tfidf_cosine_pairs" -> q104Sql,
     "q94_heavy_hitters_grouped" -> q94Sql,
     "q93_heavy_hitters" -> q93Sql,
     "q65_exact_against" -> q65Sql,

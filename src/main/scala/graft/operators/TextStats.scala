@@ -224,6 +224,53 @@ object TextStats {
     }
   }
 
+  /** Sparse TF-IDF cosine similarity pairs through the inverted index —
+    * the bag-of-words complement of the shingle-Jaccard and embedding
+    * near-dup detectors: document pairs sharing ≥ 1 indexable term, with
+    * cosine over integer TF-IDF weights (w = tf · (N·1000 div df)). All
+    * sums run in DECIMAL(38,0) (oracle: HUGEINT) so accumulation order
+    * cannot drift, and only the final cosine assembly is one identical
+    * double expression — bit-reproducible in any engine. Terms with
+    * df > `maxDf` are excluded from the vector space entirely (norms
+    * included — the standard stopword cut, and the skew guard). Output:
+    * (doc_a, doc_b, shared, cosine), doc_a < doc_b, cosine ≥ threshold.
+    *
+    * Scale: candidates are the term equi-join of the df-capped index —
+    * Σ_t df(t)² pairs, bounded by maxDf²·|vocab|, never corpus
+    * all-pairs; tf/df/norms/dots are all combiner-friendly aggregates;
+    * the doc total is a 1-row broadcast. */
+  def tfidfCosinePairs(df: DataFrame, idCol: String, textCol: String,
+      maxDf: Long, threshold: Double): DataFrame = {
+    require(maxDf >= 1, "maxDf must be positive")
+    val D = DecimalType(38, 0)
+    val tf = normalized(df, idCol, textCol)
+      .select(col("doc_id"), explode(toks).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val n1 = tf.agg(countDistinct(col("doc_id")).as("__n"))
+    val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+    val w = tf.join(dfc, "term").crossJoin(broadcast(n1))
+      .select(col("doc_id"), col("term"),
+        (col("tf") * expr("(__n * 1000L) div __df")).as("w"))
+    val norms = w.groupBy(col("doc_id"))
+      .agg(sum(col("w").cast(D) * col("w").cast(D)).as("norm"))
+    val dots = w.select(col("doc_id").as("doc_a"), col("term"), col("w").as("wa"))
+      .join(w.select(col("doc_id").as("doc_b"), col("term"), col("w").as("wb")),
+        "term")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("wa").cast(D) * col("wb").cast(D)).as("dot"),
+        count(lit(1)).as("shared"))
+    dots
+      .join(norms.select(col("doc_id").as("doc_a"), col("norm").as("__na")), "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("norm").as("__nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        (col("dot").cast("double") /
+          (sqrt(col("__na").cast("double")) * sqrt(col("__nb").cast("double"))))
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Bigram language-model statistics: for every adjacent token pair
     * (w1, w2) seen at least `minCount` times corpus-wide, the pair count
     * and the exact-integer conditional probability

@@ -450,6 +450,26 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       "C" -> ((0L, 1000000L)), "D" -> ((0L, 600000L))), s"got $got2")
   }
 
+  test("tfidfCosinePairs: hand-computed weights, identical duplicate at 1.0, df cap") {
+    // d1="a b", d2="a b", d3="a c": N=3, idf·1000 = {a:1000, b:1500, c:3000}
+    // weights d1=d2={a:1000,b:1500} (norm 3.25e6), d3={a:1000,c:3000} (1e7)
+    val docs = Seq((1L,"a b"), (2L,"a b"), (3L,"a c")).toDF("id", "txt")
+    val got = graft.operators.TextStats
+      .tfidfCosinePairs(docs, "id", "txt", maxDf = 3L, threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val c12 = 3.25e6 / (math.sqrt(3.25e6) * math.sqrt(3.25e6))
+    val c13 = 1.0e6 / (math.sqrt(3.25e6) * math.sqrt(1.0e7))
+    assert(got == Map((1L,2L) -> ((2L, c12)), (1L,3L) -> ((1L, c13)),
+      (2L,3L) -> ((1L, c13))), s"got $got")
+    // maxDf = 2 removes 'a' from the vector space: d1/d3 no longer share
+    // any term; d1/d2 still identical on {b}
+    val capped = graft.operators.TextStats
+      .tfidfCosinePairs(docs, "id", "txt", maxDf = 2L, threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)), s"got $capped")
+  }
+
   test("bigramStats: map-side pairs, exact conditionals, short-doc guard") {
     val docs = Seq("a b a b c", "a b", "x", "").toDF("txt")
     val got = graft.operators.TextStats.bigramStats(docs, "txt")
