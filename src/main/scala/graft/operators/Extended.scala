@@ -396,6 +396,54 @@ object Extended {
     histQuantilesImpl(df, valueCol, pcts, lit(lo), lit(width), bins, groupCols)
   }
 
+  /** Map-only quantile bucketing: assigns every row the bucket index
+    * `#{p ∈ pcts : value > est_p}` (0 … |pcts|) using the histogram
+    * sketch's thresholds — the skew-proof replacement for a global
+    * `ntile()` (an unpartitioned window funnels the whole relation into
+    * ONE task; this is one bounded aggregate + a broadcast of ≤ |pcts|
+    * thresholds + a map-only projection). Thresholds are sketch
+    * estimates (within one bin width of exact), deterministic given
+    * (lo, width, bins) — so bucket assignments replicate in any engine.
+    * Output: input columns + `bucket`. */
+  def bucketByQuantile(df: DataFrame, valueCol: String, pcts: Seq[Int],
+      lo: Double, width: Double, bins: Int): DataFrame = {
+    require(pcts.nonEmpty, "need at least one percentile cut")
+    val th = histQuantiles(df, valueCol, pcts, lo, width, bins)
+      .agg(sort_array(collect_list(col("est"))).as("__th"))
+    df.crossJoin(broadcast(th))
+      .withColumn("bucket", expr(
+        s"CAST(aggregate(__th, 0, (acc, t) -> acc + " +
+          s"(CASE WHEN CAST($valueCol AS DOUBLE) > t THEN 1 ELSE 0 END)) AS INT)"))
+      .drop("__th")
+  }
+
+  // q105 — quartile bucketing of every line item by extended price: the
+  // sketch thresholds broadcast and the assignment is map-only — no
+  // global ntile window anywhere.
+  private def q105(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    bucketByQuantile(Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_linenumber", $"l_extendedprice"),
+        "l_extendedprice", Seq(25, 50, 75), lo = 900.0, width = 13.0, bins = 8192)
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+  private val q105Sql =
+    """WITH b AS (SELECT CAST(least(greatest(floor((CAST(l_extendedprice AS DOUBLE)
+      |             - CAST(900.0 AS DOUBLE)) / CAST(13.0 AS DOUBLE)), CAST(0 AS DOUBLE)),
+      |             CAST(8191 AS DOUBLE)) AS INTEGER) AS bin
+      |           FROM lineitem),
+      |c AS (SELECT bin, COUNT(*) AS n FROM b GROUP BY 1),
+      |cum AS (SELECT bin, SUM(n) OVER (ORDER BY bin
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM c),
+      |tot AS (SELECT COUNT(*) AS total FROM lineitem),
+      |p AS (SELECT * FROM (VALUES (25), (50), (75)) v(pct)),
+      |th AS (SELECT pct, CAST(900.0 AS DOUBLE) + (min(bin) + 1) * CAST(13.0 AS DOUBLE) AS est
+      |       FROM p, cum, tot WHERE cum * 100 >= pct * total GROUP BY pct)
+      |SELECT l_orderkey, l_linenumber, l_extendedprice,
+      |  CAST((SELECT COUNT(*) FROM th
+      |        WHERE CAST(l_extendedprice AS DOUBLE) > est) AS INTEGER) AS bucket
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   /** Histogram-bin partials for [[histQuantiles]]: one combiner-friendly
     * aggregate to (groupCols…, bin, n). The partials are the MERGEABLE
     * sketch state — they sum associatively, so a streaming job can append
@@ -748,6 +796,7 @@ object Extended {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q97_topk_per_group" -> q97,
     "q102_association_rules" -> q102,
+    "q105_quantile_bucket" -> q105,
     "q89_pivot" -> q89,
     "q90_unpivot" -> q90,
     "q42_grouping_sets" -> q42,
@@ -773,6 +822,7 @@ object Extended {
   val oracles: Map[String, String] = Map(
     "q97_topk_per_group" -> q97Sql,
     "q102_association_rules" -> q102Sql,
+    "q105_quantile_bucket" -> q105Sql,
     "q89_pivot" -> q89Sql,
     "q90_unpivot" -> q90Sql,
     "q42_grouping_sets" -> q42Sql,

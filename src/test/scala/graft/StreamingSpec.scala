@@ -170,6 +170,28 @@ class StreamingSpec extends AnyFunSuite {
       batched.select(cols.map(col): _*).collect().toSet)
   }
 
+  test("stream-static join enriches a stream with a dimension table map-side") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // the standard serving enrichment: per micro-batch, the static dim
+    // joins (broadcast-sized here) without any stream-side state
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("uid", "tier")
+    val mem = MemoryStream[(Long, Double)]
+    val out = mem.toDF().toDF("uid", "v")
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("uid"), "left_outer")
+      .select($"uid", $"v", coalesce($"tier", lit("unknown")).as("tier"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    mem.addData((1L, 10.0), (3L, 30.0))
+    q.processAllAvailable()
+    mem.addData((2L, 20.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("enrich_out").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(got == Set((1L, "gold"), (2L, "basic"), (3L, "unknown")), s"got $got")
+  }
+
   test("Misra-Gries sketch aggregates a stream incrementally (complete mode)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
