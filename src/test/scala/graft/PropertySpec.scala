@@ -426,6 +426,80 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("editDistancePairs equals the naive blocked model on random corpora") {
+    import spark.implicits._
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = d(0); d(0) = j
+        for (i <- 1 to a.length) {
+          val cur = d(i)
+          d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      d(a.length)
+    }
+    val rnd = new scala.util.Random(55)
+    val alpha = "abc" // tiny alphabet → many near pairs
+    val docs = (1L to 60L).map { i =>
+      i -> (1 to 8 + rnd.nextInt(6)).map(_ => alpha(rnd.nextInt(3))).mkString
+    }
+    val bp = 2
+    val maxDist = 4
+    val want = (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      if ta.take(bp) == tb.take(bp) && math.abs(ta.length - tb.length) <= maxDist
+      d = lev(ta, tb) if d <= maxDist
+    } yield (ia, ib, d)).toSet
+    val got = operators.Dedup.editDistancePairs(
+        docs.toDF("id", "txt"), "id", "txt", maxDist, blockPrefix = bp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
+  test("changeHistory equals the naive run-collapse model, any partitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(56)
+    val rows = for {
+      k <- 1L to 20L
+      t <- 1L to (5 + rnd.nextInt(20)).toLong
+    } yield (k, t * 10, Seq("a", "b", "c")(rnd.nextInt(3)))
+    val want = rows.groupBy(_._1).flatMap { case (k, es) =>
+      val sorted = es.sortBy(_._2)
+      val runs = sorted.foldLeft(Vector.empty[(String, Long)]) { case (acc, (_, t, st)) =>
+        if (acc.nonEmpty && acc.last._1 == st) acc else acc :+ (st -> t)
+      }
+      runs.zipWithIndex.map { case ((st, from), i) =>
+        val to = if (i + 1 < runs.size) Some(runs(i + 1)._2) else None
+        (k, st, from, to, i + 1)
+      }
+    }.toSet
+    for (parts <- Seq(1, 7)) {
+      val got = operators.Events.changeHistory(
+          rows.toDF("k", "t", "st").repartition(parts), "k", "t", "st")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getInt(4))).toSet
+      assert(got == want, s"parts=$parts")
+    }
+  }
+
+  test("negativeSample: deterministic, self-excluding, ≤ k draws, pool-closed") {
+    import spark.implicits._
+    val pool = spark.range(100).select($"id".as("pid"))
+    val anchors = spark.range(20).select($"id".as("aid"))
+    def run(parts: Int) = operators.Similarity.negativeSample(
+        anchors.repartition(parts), "aid", pool, "pid", "nid", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val a = run(1); val b = run(9)
+    assert(a == b, "membership must not depend on partitioning")
+    assert(a.forall { case (anchor, _, neg) => anchor != neg }, "no self pairs")
+    assert(a.forall { case (_, j, neg) => j >= 0 && j < 5 && neg >= 0 && neg < 100 })
+    val perAnchor = a.groupBy(_._1).view.mapValues(_.size)
+    assert(perAnchor.values.forall(_ <= 5), "at most k draws per anchor")
+  }
+
   test("manifest utf8Cmp agrees with Spark's UTF8String binary order") {
     import org.apache.spark.unsafe.types.UTF8String
     // random strings biased toward the divergence zone: BMP private-use /
