@@ -724,18 +724,31 @@ object Extended {
     * item counts broadcast back; the basket total is a 1-row broadcast,
     * never a driver action. `minSupport` prunes before the stats join. */
   def associationRules(df: DataFrame, basketCol: String, itemCol: String,
-      minSupport: Long): DataFrame = {
+      minSupport: Long, materialize: Boolean = true): DataFrame = {
     require(minSupport >= 1, "minSupport must be positive")
-    val b = df.select(col(basketCol).as("__bk"), col(itemCol).as("__it")).distinct()
-    val n = b.agg(countDistinct(col("__bk")).as("__n"))
-    val ic = b.groupBy(col("__it")).agg(count(lit(1)).as("__c"))
-    val pairs = b.select(col("__bk"), col("__it").as("antecedent"))
-      .join(b.select(col("__bk"), col("__it").as("consequent")), Seq("__bk"))
-      .filter(col("antecedent") =!= col("consequent"))
+    // ONE shuffle builds the per-basket item set; dedup, the pair fan-out
+    // (|basket|² structs) and the item fan-out all happen MAP-SIDE from
+    // the array — no basket self-join, no separate distinct pass (the
+    // earlier join formulation shuffled the pair relation three times).
+    // The basket frame feeds three consumers and exchange reuse can NOT
+    // dedupe it (collect_set is non-deterministic, so the subplans never
+    // canonicalize equal) — persist + eager snapshot, pageRank-style
+    val baskets = df.groupBy(col(basketCol).as("__bk"))
+      .agg(sort_array(collect_set(col(itemCol))).as("__items"))
+      .persist()
+    val n = baskets.agg(count(lit(1)).as("__n"))
+    val ic = baskets.select(explode(col("__items")).as("__it"))
+      .groupBy(col("__it")).agg(count(lit(1)).as("__c"))
+    val pairs = baskets
+      .select(explode(expr(
+        "flatten(transform(__items, x -> " +
+          "transform(filter(__items, y -> y != x), y -> struct(x AS a, y AS b))))"))
+        .as("__p"))
+      .select(col("__p.a").as("antecedent"), col("__p.b").as("consequent"))
       .groupBy(col("antecedent"), col("consequent"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
-    pairs
+    val out = pairs
       .join(ic.select(col("__it").as("antecedent"), col("__c").as("__ca")), "antecedent")
       .join(ic.select(col("__it").as("consequent"), col("__c").as("__cb")), "consequent")
       .crossJoin(broadcast(n))
@@ -743,6 +756,12 @@ object Extended {
         expr("support * 1000000L div __ca").as("conf_ppm"),
         ((col("support").cast("double") * col("__n")) /
           (col("__ca") * col("__cb")).cast("double")).as("lift"))
+    if (!materialize) out
+    else {
+      val snapped = out.localCheckpoint()
+      baskets.unpersist(blocking = false)
+      snapped
+    }
   }
 
   // q102 — pair association rules on order baskets: directed part pairs
