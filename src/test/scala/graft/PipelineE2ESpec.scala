@@ -130,6 +130,43 @@ class PipelineE2ESpec extends AnyFunSuite {
       "results must be in descending score order")
   }
 
+  test("crawl chain: per-source cap -> quality filter -> pack, counts conserved") {
+    import spark.implicits._
+    import graft.operators.{Curation, Similarity}
+    val docs = Tables.documents(spark, sf)
+    val perSource = docs.groupBy($"source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cap = 10
+
+    // 1. per-domain cap: keep the `cap` longest docs per source — the
+    // bounded top-k aggregate (no per-source window), crawl-style
+    val kept = Similarity.topKPerKey(
+        docs.select($"source", $"doc_id", $"n_chars".cast("double").as("len")),
+        Seq("source"), "doc_id", "len", k = cap)
+      .select($"source", $"doc_id")
+    val keptBySource = kept.groupBy($"source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    keptBySource.foreach { case (src, n) =>
+      assert(n == math.min(cap.toLong, perSource(src)), s"$src kept $n")
+    }
+
+    // 2. quality filter over the capped corpus (drop very short docs)
+    val capped = docs.join(kept.select($"doc_id"), "doc_id")
+    val filtered = Curation.qualityFilter(capped, "doc_id", "text",
+      Seq("too_short" -> (length(trim($"text")) < 50)))
+    val survivors = filtered.filter($"reason".isNull)
+    assert(survivors.count() > 0)
+
+    // 3. pack survivors into fixed-budget sequences; every surviving doc
+    // lands in exactly one sequence (token conservation)
+    val packed = Curation.packSequences(
+      survivors.join(docs.select($"doc_id", $"text".as("t2")), "doc_id"),
+      "doc_id", "t2", budget = 256)
+    val packedDocs = packed.select($"doc_id").distinct().count()
+    assert(packedDocs == survivors.count(),
+      s"packed $packedDocs of ${survivors.count()} surviving docs")
+  }
+
   test("index chain: heavy hitters derive the stopword list -> postings skip them") {
     import spark.implicits._
     import graft.operators.TextStats
