@@ -764,6 +764,74 @@ object Extended {
     }
   }
 
+  /** 2-D skyline (Pareto frontier): rows not dominated on (x, y), both
+    * maximized — dominated means another row has x' ≥ x AND y' ≥ y with
+    * at least one strict. The "best trade-offs" query (price × recency,
+    * quality × length …).
+    *
+    * Scale: the direct formulations are all-pairs (N²) or one global
+    * cummax window (every row through a single task). This is the
+    * two-phase bucket skyline: per-bucket max-y (one combiner-friendly
+    * aggregate over ≤ `buckets` keys) → suffix-max thresholds on the
+    * bounded bucket relation (a ≤-buckets-row window) → broadcast
+    * map-only prefilter (a row below some strictly-higher bucket's max
+    * is dominated by construction and drops immediately) → the exact
+    * dominance windows run only on survivors, a relation sized by the
+    * frontier plus bucket-boundary noise. Worst case (fully
+    * anti-correlated data) the frontier IS O(N) — no algorithm avoids
+    * its own output. `xCol` must be integral (bucketing + exact range
+    * frame); ties on both dims are all kept (none strictly dominates). */
+  def skyline2D(df: DataFrame, xCol: String, yCol: String,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets >= 1, "buckets must be positive")
+    val x = col(xCol).cast(LongType)
+    val y = col(yCol).cast(DoubleType)
+    val mm = df.agg(min(x), max(x)).head()
+    require(!mm.isNullAt(0), "skyline needs a non-empty, non-null x column")
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val width = math.max(1L, (hi - lo) / buckets + 1)
+    val bEx = ((x - lit(lo)) / lit(width)).cast(LongType)
+    val bmax = df.groupBy(bEx.as("__b")).agg(max(y).as("__by"))
+    val wSuffix = Window.orderBy(col("__b").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val thr = bmax.select(col("__b"),
+      max(col("__by")).over(wSuffix).as("__thr"))
+    val cand = df.withColumn("__b", bEx)
+      .join(broadcast(thr), "__b")
+      .filter(col("__thr").isNull || y > col("__thr"))
+      .withColumn("__x", x).withColumn("__y", y)
+    val wAfter = Window.orderBy(col("__x")).rangeBetween(1L, Window.unboundedFollowing)
+    val wSame = Window.partitionBy(col("__x"))
+    cand
+      .withColumn("__am", max(col("__y")).over(wAfter))
+      .withColumn("__sm", max(col("__y")).over(wSame))
+      .filter((col("__am").isNull || col("__am") < col("__y")) &&
+        col("__sm") === col("__y"))
+      .select(df.columns.map(col): _*)
+  }
+
+  // q106 — Pareto frontier of orders on (order day, total price): the
+  // "largest AND most recent" orders no other order beats on both axes.
+  private def q106(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = Tables.orders(s, d).select($"o_orderkey",
+      datediff($"o_orderdate".cast("date"), to_date(lit("1970-01-01"))).as("days"),
+      $"o_totalprice")
+    skyline2D(t, "days", "o_totalprice")
+      .orderBy($"days", $"o_orderkey")
+  }
+  private val q106Sql =
+    """WITH t AS (SELECT o_orderkey,
+      |             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS INTEGER) AS days,
+      |             o_totalprice FROM orders),
+      |m AS (SELECT *,
+      |        MAX(o_totalprice) OVER (ORDER BY days
+      |          RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS am,
+      |        MAX(o_totalprice) OVER (PARTITION BY days) AS sm FROM t)
+      |SELECT o_orderkey, days, o_totalprice FROM m
+      |WHERE (am IS NULL OR am < o_totalprice) AND sm = o_totalprice
+      |ORDER BY days, o_orderkey""".stripMargin
+
   // q102 — pair association rules on order baskets: directed part pairs
   // co-bought in ≥ 2 orders, with exact-integer confidence and a
   // single-expression double lift.
@@ -816,6 +884,7 @@ object Extended {
     "q97_topk_per_group" -> q97,
     "q102_association_rules" -> q102,
     "q105_quantile_bucket" -> q105,
+    "q106_skyline" -> q106,
     "q89_pivot" -> q89,
     "q90_unpivot" -> q90,
     "q42_grouping_sets" -> q42,
@@ -842,6 +911,7 @@ object Extended {
     "q97_topk_per_group" -> q97Sql,
     "q102_association_rules" -> q102Sql,
     "q105_quantile_bucket" -> q105Sql,
+    "q106_skyline" -> q106Sql,
     "q89_pivot" -> q89Sql,
     "q90_unpivot" -> q90Sql,
     "q42_grouping_sets" -> q42Sql,

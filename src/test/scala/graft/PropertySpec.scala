@@ -500,6 +500,25 @@ class PropertySpec extends AnyFunSuite {
     assert(perAnchor.values.forall(_ <= 5), "at most k draws per anchor")
   }
 
+  test("skyline2D equals the naive dominance model across bucket counts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(57)
+    // clustered x values force ties; duplicated points must all survive
+    val pts = (1L to 400L).map(i =>
+      (i, (rnd.nextInt(40) * 3).toLong, rnd.nextInt(1000).toDouble)) ++
+      Seq((401L, 60L, 500.0), (402L, 60L, 500.0)) // exact duplicate pair
+    val df = pts.toDF("id", "x", "yv")
+    val want = pts.filter { case (_, x, yv) =>
+      !pts.exists { case (_, x2, y2) =>
+        x2 >= x && y2 >= yv && (x2 > x || y2 > yv) }
+    }.map(_._1).toSet
+    for (buckets <- Seq(1, 7, 1024)) {
+      val got = operators.Extended.skyline2D(df, "x", "yv", buckets)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == want, s"buckets=$buckets missing=${want -- got} extra=${got -- want}")
+    }
+  }
+
   test("manifest utf8Cmp agrees with Spark's UTF8String binary order") {
     import org.apache.spark.unsafe.types.UTF8String
     // random strings biased toward the divergence zone: BMP private-use /
