@@ -52,6 +52,7 @@ object Bench {
       "q88_triangles", // cold = the oriented triangle census build
       "q98_hits", // cold = the hub/authority fixed-point build
       "q101_label_propagation", // cold = the community build
+      "q102_association_rules", // cold = the rule-mining build
       "q66_term_rarity", "q69_bm25_topk") // cold = the memoized corpus-stats pass
       .filter(SparkEntry.queries.contains)
     val cold = coldNames.map { name =>

@@ -95,6 +95,7 @@ object Text {
     Similarity.invalidateCaches(s, d)
     Corpus.invalidateCaches(s, d)
     Graphs.invalidateCaches(s, d)
+    Extended.invalidateCaches(s, d)
   }
   private[operators] val shingleRowsSql =
     """toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
