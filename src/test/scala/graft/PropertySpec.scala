@@ -500,6 +500,26 @@ class PropertySpec extends AnyFunSuite {
     assert(perAnchor.values.forall(_ <= 5), "at most k draws per anchor")
   }
 
+  test("bucketByQuantile: monotone in value, near-even mass, no global window") {
+    import spark.implicits._
+    val df = spark.range(10000).select($"id".cast("double").as("v"))
+    val out = operators.Extended.bucketByQuantile(df, "v", Seq(25, 50, 75),
+      lo = 0.0, width = 1.0, bins = 10000)
+    val rows = out.collect().map(r => r.getDouble(0) -> r.getInt(1))
+    // monotone: higher value never gets a lower bucket
+    val sorted = rows.sortBy(_._1)
+    assert(sorted.sliding(2).forall(p => p(0)._2 <= p(1)._2))
+    // near-even mass: each quartile within a bin width of 2500
+    val sizes = rows.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sizes.keySet == Set(0, 1, 2, 3), s"buckets: $sizes")
+    sizes.values.foreach(n => assert(math.abs(n - 2500) <= 2, s"sizes $sizes"))
+    // plan: the assignment itself must not add a data-keyed or global
+    // window (the sketch's internal cum window runs on <= bins rows)
+    val p = out.queryExecution.executedPlan.toString()
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"thresholds must broadcast:\n$p")
+  }
+
   test("skyline2D equals the naive dominance model across bucket counts") {
     import spark.implicits._
     val rnd = new scala.util.Random(57)
