@@ -186,17 +186,26 @@ object Events {
     * partial rows, not a straggler task. The accumulator frame is at most
     * one row per entrant and shrinks monotonically down the funnel. */
   def funnel(df: DataFrame, userCol: String, tsCol: String, typeCol: String,
-      steps: Seq[String]): DataFrame = {
+      steps: Seq[String], maxGap: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    require(maxGap.forall(_ > 0), "maxGap must be positive when given")
     var acc = df.filter(col(typeCol) === steps.head)
       .groupBy(col(userCol).as("user_id"))
       .agg(min(col(tsCol)).as("t0"))
     for (i <- 1 until steps.length) {
       val prev = s"t${i - 1}"
+      // `maxGap` bounds each step-to-step wait (conversion windows —
+      // "clicked within a day of the first view"): steps anchor greedily
+      // to the EARLIEST qualifying prior-stage time (first-touch
+      // attribution; the oracle applies the identical greedy formula)
+      val inWindow = maxGap match {
+        case Some(g) => col("__ts") > col(prev) && col("__ts") <= col(prev) + g
+        case None => col("__ts") > col(prev)
+      }
       val next = df.filter(col(typeCol) === steps(i))
         .select(col(userCol).as("user_id"), col(tsCol).as("__ts"))
         .join(acc.select(col("user_id"), col(prev)), "user_id")
-        .filter(col("__ts") > col(prev))
+        .filter(inWindow)
         .groupBy(col("user_id"))
         .agg(min(col("__ts")).as(s"t$i"))
       acc = acc.join(next, Seq("user_id"), "left_outer")
@@ -444,8 +453,40 @@ object Events {
       |    AS version
       |FROM runs ORDER BY user_id, version""".stripMargin
 
+  // q107 — TIME-BOUNDED funnel: each step must land within one day of
+  // the previous step's anchor (view → click ≤ 1d → purchase ≤ 1d) —
+  // the conversion-window variant of q70 (150→60→25 users at sf0.01, so
+  // the bound is doing real work).
+  private val dayUs = 86400L * 1000000L
+  private def q107(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    funnel(Tables.events(s, d).withColumn("ts_us", expr("ts DIV 1000")),
+        "user_id", "ts_us", "event_type", Seq("view", "click", "purchase"),
+        maxGap = Some(dayUs))
+      .select($"user_id", $"t0".as("t_view"), $"t1".as("t_click"),
+        $"t2".as("t_purchase"), $"stage")
+      .orderBy($"user_id")
+  }
+  private val q107Sql =
+    s"""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tns FROM events),
+       |s0 AS (SELECT user_id, min(tns) AS t_view FROM e
+       |       WHERE event_type = 'view' GROUP BY 1),
+       |s1 AS (SELECT e.user_id, min(tns) AS t_click FROM e JOIN s0 USING (user_id)
+       |       WHERE event_type = 'click' AND tns > t_view
+       |         AND tns <= t_view + $dayUs GROUP BY 1),
+       |s2 AS (SELECT e.user_id, min(tns) AS t_purchase FROM e JOIN s1 USING (user_id)
+       |       WHERE event_type = 'purchase' AND tns > t_click
+       |         AND tns <= t_click + $dayUs GROUP BY 1)
+       |SELECT s0.user_id, t_view, t_click, t_purchase,
+       |  CASE WHEN t_purchase IS NOT NULL THEN 3
+       |       WHEN t_click IS NOT NULL THEN 2 ELSE 1 END AS stage
+       |FROM s0 LEFT JOIN s1 ON s0.user_id = s1.user_id
+       |        LEFT JOIN s2 ON s0.user_id = s2.user_id
+       |ORDER BY s0.user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q99_change_history" -> q99,
+    "q107_funnel_windowed" -> q107,
     "q91_rolling_range" -> q91,
     "q48_asof_join" -> q48,
     "q25_json_ingest" -> q25,
@@ -460,6 +501,7 @@ object Events {
 
   val oracles: Map[String, String] = Map(
     "q99_change_history" -> q99Sql,
+    "q107_funnel_windowed" -> q107Sql,
     "q91_rolling_range" -> q91Sql,
     "q51_window_sliding" -> q51Sql,
     "q48_asof_join" -> q48Sql,

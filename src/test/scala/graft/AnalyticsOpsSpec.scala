@@ -40,6 +40,18 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out(3L) == ((Some(700L), None, None), 1))
   }
 
+  test("funnel maxGap bounds each step-to-step wait (first-touch anchoring)") {
+    // user 1: view 100 → clicks 150/200 → purchase 300. gap 60: click 150
+    // qualifies (≤ 160) but purchase 300 > 150+60 drops; gap 40: no click
+    // within (100, 140] at all
+    def run(gap: Long) = Events.funnel(funnelEvents, "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"), maxGap = Some(gap))
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Int]("stage")).toMap
+    assert(run(60L)(1L) == 2)
+    assert(run(40L)(1L) == 1)
+    assert(run(1000L)(1L) == 3) // wide window ≡ unbounded on this data
+  }
+
   test("funnel plans as joins + partial aggregates, never a per-user window") {
     val p = Events.funnel(funnelEvents, "user_id", "ts", "event_type",
       Seq("view", "click", "purchase")).queryExecution.executedPlan.toString()
