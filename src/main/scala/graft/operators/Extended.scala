@@ -782,26 +782,32 @@ object Extended {
     * its own output. `xCol` must be integral (bucketing + exact range
     * frame); ties on both dims are all kept (none strictly dominates). */
   def skyline2D(df: DataFrame, xCol: String, yCol: String,
-      buckets: Int = 1024): DataFrame = {
+      buckets: Int = 1024, groupCols: Seq[String] = Nil): DataFrame = {
     require(buckets >= 1, "buckets must be positive")
+    val g = groupCols.map(col)
     val x = col(xCol).cast(LongType)
     val y = col(yCol).cast(DoubleType)
+    // one global x-range serves every group (the bucket grid need not be
+    // per-group tight — thresholds are per-group regardless)
     val mm = df.agg(min(x), max(x)).head()
     require(!mm.isNullAt(0), "skyline needs a non-empty, non-null x column")
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     val width = math.max(1L, (hi - lo) / buckets + 1)
     val bEx = ((x - lit(lo)) / lit(width)).cast(LongType)
-    val bmax = df.groupBy(bEx.as("__b")).agg(max(y).as("__by"))
-    val wSuffix = Window.orderBy(col("__b").desc)
+    val bmax = df.groupBy(g :+ bEx.as("__b"): _*).agg(max(y).as("__by"))
+    val wSuffix = (if (g.isEmpty) Window.orderBy(col("__b").desc)
+      else Window.partitionBy(g: _*).orderBy(col("__b").desc))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val thr = bmax.select(col("__b"),
-      max(col("__by")).over(wSuffix).as("__thr"))
+    val thr = bmax.select(g ++ Seq(col("__b"),
+      max(col("__by")).over(wSuffix).as("__thr")): _*)
     val cand = df.withColumn("__b", bEx)
-      .join(broadcast(thr), "__b")
+      .join(broadcast(thr), groupCols :+ "__b")
       .filter(col("__thr").isNull || y > col("__thr"))
       .withColumn("__x", x).withColumn("__y", y)
-    val wAfter = Window.orderBy(col("__x")).rangeBetween(1L, Window.unboundedFollowing)
-    val wSame = Window.partitionBy(col("__x"))
+    val wAfter = (if (g.isEmpty) Window.orderBy(col("__x"))
+      else Window.partitionBy(g: _*).orderBy(col("__x")))
+      .rangeBetween(1L, Window.unboundedFollowing)
+    val wSame = Window.partitionBy(g :+ col("__x"): _*)
     cand
       .withColumn("__am", max(col("__y")).over(wAfter))
       .withColumn("__sm", max(col("__y")).over(wSame))
@@ -831,6 +837,29 @@ object Extended {
       |SELECT o_orderkey, days, o_totalprice FROM m
       |WHERE (am IS NULL OR am < o_totalprice) AND sm = o_totalprice
       |ORDER BY days, o_orderkey""".stripMargin
+
+  // q108 — GROUPED skyline: the Pareto frontier per order priority
+  // ("best price-recency trade-offs in each class") — thresholds,
+  // prefilter and dominance windows all keyed by the group.
+  private def q108(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = Tables.orders(s, d).select($"o_orderpriority", $"o_orderkey",
+      datediff($"o_orderdate".cast("date"), to_date(lit("1970-01-01"))).as("days"),
+      $"o_totalprice")
+    skyline2D(t, "days", "o_totalprice", groupCols = Seq("o_orderpriority"))
+      .orderBy($"o_orderpriority", $"days", $"o_orderkey")
+  }
+  private val q108Sql =
+    """WITH t AS (SELECT o_orderpriority, o_orderkey,
+      |             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS INTEGER) AS days,
+      |             o_totalprice FROM orders),
+      |m AS (SELECT *,
+      |        MAX(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY days
+      |          RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS am,
+      |        MAX(o_totalprice) OVER (PARTITION BY o_orderpriority, days) AS sm FROM t)
+      |SELECT o_orderpriority, o_orderkey, days, o_totalprice FROM m
+      |WHERE (am IS NULL OR am < o_totalprice) AND sm = o_totalprice
+      |ORDER BY o_orderpriority, days, o_orderkey""".stripMargin
 
   // q102 — pair association rules on order baskets: directed part pairs
   // co-bought in ≥ 2 orders, with exact-integer confidence and a
@@ -892,6 +921,7 @@ object Extended {
     "q102_association_rules" -> q102,
     "q105_quantile_bucket" -> q105,
     "q106_skyline" -> q106,
+    "q108_skyline_grouped" -> q108,
     "q89_pivot" -> q89,
     "q90_unpivot" -> q90,
     "q42_grouping_sets" -> q42,
@@ -919,6 +949,7 @@ object Extended {
     "q102_association_rules" -> q102Sql,
     "q105_quantile_bucket" -> q105Sql,
     "q106_skyline" -> q106Sql,
+    "q108_skyline_grouped" -> q108Sql,
     "q89_pivot" -> q89Sql,
     "q90_unpivot" -> q90Sql,
     "q42_grouping_sets" -> q42Sql,

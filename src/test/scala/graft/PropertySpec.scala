@@ -537,6 +537,18 @@ class PropertySpec extends AnyFunSuite {
         .collect().map(_.getLong(0)).toSet
       assert(got == want, s"buckets=$buckets missing=${want -- got} extra=${got -- want}")
     }
+    // grouped form: frontier computed independently inside each group
+    val grouped = pts.map { case (id, x, yv) => (id % 3, id, x, yv) }
+    val gdf = grouped.toDF("grp", "id", "x", "yv")
+    val gwant = grouped.groupBy(_._1).flatMap { case (_, g) =>
+      g.filter { case (_, _, x, yv) =>
+        !g.exists { case (_, _, x2, y2) =>
+          x2 >= x && y2 >= yv && (x2 > x || y2 > yv) } }.map(_._2)
+    }.toSet
+    val ggot = operators.Extended.skyline2D(gdf, "x", "yv",
+        buckets = 7, groupCols = Seq("grp"))
+      .collect().map(_.getLong(1)).toSet
+    assert(ggot == gwant, s"missing=${gwant -- ggot} extra=${ggot -- gwant}")
   }
 
   test("manifest utf8Cmp agrees with Spark's UTF8String binary order") {
