@@ -428,6 +428,58 @@ object Events {
         col("valid_to"), col("version"))
   }
 
+  /** Session-level rollup on top of gap-based sessionization: one row per
+    * (user, session) with start/end, duration, event count and value sum
+    * — the session-metrics table every product-analytics store derives
+    * first. Gap semantics identical to q27 (> `gapSec` starts a session).
+    *
+    * Scale: the session-id windows are entity-keyed (high-cardinality,
+    * bounded rows per user); the rollup is one combiner-friendly
+    * aggregate on (user, session). */
+  def sessionMetrics(df: DataFrame, userCol: String, tsSecCol: String,
+      valueCol: String, tieCol: String, gapSec: Long): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsSecCol), col(tieCol))
+    df
+      .withColumn("__prev", lag(col(tsSecCol), 1).over(w))
+      .withColumn("__new", when(col("__prev").isNull ||
+        (col(tsSecCol) - col("__prev")) > gapSec, 1).otherwise(0))
+      .withColumn("session_id", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("session_id"))
+      .agg(min(col(tsSecCol)).as("t_start"), max(col(tsSecCol)).as("t_end"),
+        (max(col(tsSecCol)) - min(col(tsSecCol))).as("duration_sec"),
+        count(lit(1)).as("n_events"),
+        graft.functions.Ops.dsum(col(valueCol)).as("sum_value"))
+  }
+
+  // q109 — per-session metrics over the event stream (30-min gap, q27's
+  // exact session boundaries): duration, event count, decimal-exact value
+  // sum per (user, session).
+  private def q109(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    sessionMetrics(Tables.events(s, d).withColumn("sec", expr("ts DIV 1000000000")),
+        "user_id", "sec", "value", "event_id", gapSec = 1800L)
+      .orderBy($"user_id", $"session_id")
+  }
+  private val q109Sql =
+    s"""WITH t AS (
+       |  SELECT user_id, event_id, value, epoch_ns(ts) // 1000000000 AS sec,
+       |    LAG(epoch_ns(ts) // 1000000000, 1)
+       |      OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000000000, event_id) AS prev
+       |  FROM events),
+       |f AS (SELECT user_id, event_id, value, sec,
+       |        CASE WHEN prev IS NULL OR (sec - prev) > 1800 THEN 1 ELSE 0 END AS nw
+       |      FROM t),
+       |g AS (SELECT user_id, value, sec,
+       |        CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY sec, event_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+       |      FROM f)
+       |SELECT user_id, session_id, MIN(sec) AS t_start, MAX(sec) AS t_end,
+       |  MAX(sec) - MIN(sec) AS duration_sec, COUNT(*) AS n_events,
+       |  ${dsumSql("value")} AS sum_value
+       |FROM g GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin
+
   // q99 — per-user state version history from the event log: each user's
   // event-type runs become [valid_from, valid_to) versions; event_id
   // breaks ties identically in both engines. Times are µs (DuckDB
@@ -487,6 +539,7 @@ object Events {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q99_change_history" -> q99,
     "q107_funnel_windowed" -> q107,
+    "q109_session_metrics" -> q109,
     "q91_rolling_range" -> q91,
     "q48_asof_join" -> q48,
     "q25_json_ingest" -> q25,
@@ -502,6 +555,7 @@ object Events {
   val oracles: Map[String, String] = Map(
     "q99_change_history" -> q99Sql,
     "q107_funnel_windowed" -> q107Sql,
+    "q109_session_metrics" -> q109Sql,
     "q91_rolling_range" -> q91Sql,
     "q51_window_sliding" -> q51Sql,
     "q48_asof_join" -> q48Sql,
