@@ -480,6 +480,53 @@ object Events {
        |FROM g GROUP BY user_id, session_id
        |ORDER BY user_id, session_id""".stripMargin
 
+  /** Event-type transition matrix ("behavior flow"): for each ordered
+    * pair of consecutive events per user, the corpus-wide transition
+    * count and exact-integer conditional probability
+    * P(to | from) = count(from→to)·10⁶ div count(from→·).
+    * Output: (from_type, to_type, pair_n, cond_ppm).
+    *
+    * Scale: one entity-keyed lead() window (high-cardinality, bounded
+    * per user) + two combiner-friendly aggregates; the from-totals join
+    * back on a #types-sized relation. */
+  def eventTransitions(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieCols: Seq[String] = Nil): DataFrame = {
+    val ord = (col(tsCol) +: tieCols.map(col)).map(_.asc)
+    val w = Window.partitionBy(col(userCol)).orderBy(ord: _*)
+    val pairs = df
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("pair_n"))
+    val totals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("pair_n")).as("__tot"))
+    pairs.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("pair_n"),
+        expr("pair_n * 1000000L div __tot").as("cond_ppm"))
+  }
+
+  // q110 — behavior-flow transition matrix over the event stream
+  // (event_id tie-break, like q27/q99).
+  private def q110(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    eventTransitions(Tables.events(s, d), "user_id", "ts", "event_type",
+        tieCols = Seq("event_id"))
+      .orderBy($"from_type", $"to_type")
+  }
+  private val q110Sql =
+    """WITH t AS (
+      |  SELECT event_type AS from_type,
+      |    LEAD(event_type, 1) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |pc AS (SELECT from_type, to_type, COUNT(*) AS pair_n FROM t
+      |       WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT from_type, SUM(pair_n) AS tot FROM pc GROUP BY 1)
+      |SELECT pc.from_type, pc.to_type, pair_n,
+      |  pair_n * 1000000 // tot AS cond_ppm
+      |FROM pc JOIN tot ON pc.from_type = tot.from_type
+      |ORDER BY pc.from_type, pc.to_type""".stripMargin
+
   // q99 — per-user state version history from the event log: each user's
   // event-type runs become [valid_from, valid_to) versions; event_id
   // breaks ties identically in both engines. Times are µs (DuckDB
@@ -540,6 +587,7 @@ object Events {
     "q99_change_history" -> q99,
     "q107_funnel_windowed" -> q107,
     "q109_session_metrics" -> q109,
+    "q110_event_transitions" -> q110,
     "q91_rolling_range" -> q91,
     "q48_asof_join" -> q48,
     "q25_json_ingest" -> q25,
@@ -556,6 +604,7 @@ object Events {
     "q99_change_history" -> q99Sql,
     "q107_funnel_windowed" -> q107Sql,
     "q109_session_metrics" -> q109Sql,
+    "q110_event_transitions" -> q110Sql,
     "q91_rolling_range" -> q91Sql,
     "q51_window_sliding" -> q51Sql,
     "q48_asof_join" -> q48Sql,
