@@ -167,6 +167,15 @@ object Dedup {
       threshold: Double = 0.8, maxDocFreq: Option[Long] = None): DataFrame =
     Text.jaccardPairsFrom(shingles(df, idCol, textCol, n, maxDocFreq), threshold)
 
+  /** Asymmetric near-duplicate pairs by shingle CONTAINMENT
+    * (shared / min-size): an excerpt or quoted passage scores ~1 against
+    * its source even when the size mismatch keeps [[jaccardPairs]] low.
+    * Output: (doc_a, doc_b, shared, containment), doc_a < doc_b. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, threshold: Double = 0.9,
+      maxDocFreq: Option[Long] = None): DataFrame =
+    Text.containmentPairsFrom(shingles(df, idCol, textCol, n, maxDocFreq), threshold)
+
   /** Near-dup clusters: connected components over the pair graph, joined
     * back so every document gets a canonical id.
     * Output: (doc_id, canonical_id, is_dup). */

@@ -245,6 +245,49 @@ object Text {
       .filter($"jaccard" >= threshold)
   }
 
+  /** Shingle CONTAINMENT pairs — the asymmetric near-dup measure
+    * Jaccard misses: containment = shared / |smaller doc's shingles|, so
+    * an excerpt or quoted passage scores ~1 against its source even when
+    * the size mismatch keeps Jaccard low. Same inverted-index candidate
+    * join and df-capped vector space as [[jaccardPairsFrom]]; output
+    * (doc_a, doc_b, shared, containment), doc_a < doc_b. */
+  private[operators] def containmentPairsFrom(sh: DataFrame,
+      threshold: Double): DataFrame = {
+    val s = sh.sparkSession
+    import s.implicits._
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.toDF("doc_a", "s").join(sh.toDF("doc_b", "s2"),
+        $"s" === $"s2" && $"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.toDF("doc_a", "na"), "doc_a")
+      .join(sizes.toDF("doc_b", "nb"), "doc_b")
+      .select($"doc_a", $"doc_b", $"shared",
+        ($"shared".cast(DoubleType) / least($"na", $"nb")).as("containment"))
+      .filter($"containment" >= threshold)
+  }
+
+  // q111 — excerpt/quote detection: pairs where the smaller document's
+  // shingle set is ≥ 90% contained in the other — asymmetric near-dups
+  // the symmetric Jaccard gate (q34) under-scores. Shares the memoized
+  // capped shingle relation with the q34 chain.
+  private def q111(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    containmentPairsFrom(cappedShingleRows(s, d), 0.9)
+      .orderBy($"doc_a", $"doc_b")
+  }
+  private val q111Sql =
+    s"""WITH $cappedShingleRowsSql,
+       |sizes AS (SELECT doc_id, count(*) n FROM shc GROUP BY doc_id),
+       |pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) shared
+       |          FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, shared,
+       |  CAST(shared AS DOUBLE) / least(x.n, y.n) AS containment
+       |FROM pairs JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
+       |WHERE CAST(shared AS DOUBLE) / least(x.n, y.n) >= 0.9
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   private val pairCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def nearDupPairs(s: SparkSession, d: String): DataFrame =
@@ -675,6 +718,7 @@ object Text {
     "q32_fingerprint" -> q32,
     "q33_dedup_exact" -> q33,
     "q34_dedup_ngram_jaccard" -> q34,
+    "q111_containment_pairs" -> q111,
     "q35_dedup_minhash_lsh" -> q35,
     "q36_dedup_simhash" -> q36,
   )
@@ -692,6 +736,7 @@ object Text {
     "q32_fingerprint" -> q32Sql,
     "q33_dedup_exact" -> q33Sql,
     "q34_dedup_ngram_jaccard" -> q34Sql,
+    "q111_containment_pairs" -> q111Sql,
     "q35_dedup_minhash_lsh" -> q35Sql,
     "q36_dedup_simhash" -> q36Sql,
   )

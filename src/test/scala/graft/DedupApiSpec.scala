@@ -22,6 +22,23 @@ class DedupApiSpec extends AnyFunSuite {
     (104L, s"$boiler completely different words in this document entirely")
   ).toDF("my_id", "body")
 
+  test("containment catches the excerpt that Jaccard under-scores") {
+    val words = (1 to 40).map(i => s"w$i")
+    val source = words.mkString(" ")              // 40 tokens
+    val excerpt = words.slice(10, 18).mkString(" ") // 8-token quote
+    val docs = Seq((1L, source), (2L, excerpt)).toDF("my_id", "body")
+    val cont = Dedup.containmentPairs(docs, "my_id", "body",
+      threshold = 0.5).collect()
+    assert(cont.length == 1)
+    val r = cont.head
+    // every shingle of the excerpt appears in the source: containment 1.0
+    assert(r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+    assert(r.getAs[Double]("containment") == 1.0, s"got $r")
+    // the symmetric measure on the same pair is far below near-dup range
+    val jac = Dedup.jaccardPairs(docs, "my_id", "body", threshold = 0.0).collect()
+    assert(jac.head.getAs[Double]("jaccard") < 0.2, s"got ${jac.head}")
+  }
+
   test("editDistancePairs: exact distances inside blocks, banded cutoff holds") {
     val rows = Seq(
       (1L, "prefix match aaaa bbbb cccc"),
