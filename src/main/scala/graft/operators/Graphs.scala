@@ -42,10 +42,21 @@ object Graphs {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
       dampingPpm: Long = 850000L, base: Long = 1000000000L,
       seeds: Option[DataFrame] = None,
+      weightCol: Option[String] = None,
       materialize: Boolean = true): DataFrame = {
     require(iters >= 0, "iters must be non-negative")
     require(dampingPpm >= 0 && dampingPpm <= 1000000L, "damping is ppm in [0, 1e6]")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // WEIGHTED walk: each edge carries w(u,v) ≥ 1 and a node's rank splits
+    // proportionally — c = (r div W)·w + ((r mod W)·w) div W over
+    // W = Σ_v w(u,v), exact floor semantics, no overflow while
+    // W(u)·max w(u,·) < 2⁶³ (the unweighted path is the same formula at
+    // w = 1, W = outdeg — bit-identical results)
+    val e = weightCol match {
+      case Some(wc) => edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(wc).cast("long").as("w"))
+      case None => edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        lit(1L).as("w"))
+    }
     // the loop-invariant frames are persisted: without this every
     // iteration's lineage re-derives the edge list from source (the q84
     // plan re-read the lineitem⋈orders join 2×iters+1 times) — the
@@ -67,14 +78,15 @@ object Graphs {
           .select(col("id"),
             when(col("__sid").isNotNull, lit(teleport)).otherwise(lit(0L)).as("__t"))
     }).persist()
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val outdeg = e.groupBy(col("src")).agg(sum(col("w")).as("outdeg"))
     val ew = e.join(outdeg, "src").persist()
     var ranks =
       if (seeds.isEmpty) nodes.select(col("id"), lit(base).as("r"))
       else nodes.select(col("id"), col("__t").as("r"))
     for (_ <- 0 until iters) {
       val cs = ew.join(ranks, col("src") === col("id"))
-        .select(col("dst"), expr("r div outdeg").as("c"))
+        .select(col("dst"),
+          expr("(r div outdeg) * w + ((r % outdeg) * w) div outdeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
       ranks = nodes.join(cs, col("id") === col("dst"), "left_outer")
         .select(col("id"),
@@ -285,7 +297,7 @@ object Graphs {
   private val prCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
   private[operators] def invalidateCaches(s: SparkSession, d: String): Unit =
-    Seq(d, d + "#ppr", d + "#tri", d + "#hits", d + "#lp").foreach(k =>
+    Seq(d, d + "#ppr", d + "#tri", d + "#hits", d + "#lp", d + "#wpr").foreach(k =>
       prCache.remove((s, k)).foreach(_.unpersist(blocking = false)))
   // customer and supplier keys share the integer space, so node ids are
   // NAMESPACED (customer c → 10⁷ + c) — without this node 7 would be
@@ -400,6 +412,44 @@ object Graphs {
       |FROM deg d LEFT JOIN pn ON d.id = pn.id
       |ORDER BY triangles DESC, id ASC LIMIT 100""".stripMargin
 
+  // q112 — WEIGHTED PageRank: the purchase graph with edge weight = total
+  // quantity bought, so rank splits proportionally to purchase volume
+  // instead of uniformly per partner. 3 exact fixed-point rounds; the
+  // weighted split formula is unrolled identically in the oracle.
+  private def q112(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ranks = prCache.getOrElseUpdate((s, d + "#wpr"), {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(($"o_custkey" + custBase).as("src"), $"l_suppkey".as("dst"))
+        .agg(sum($"l_quantity").cast("long").as("qty"))
+      pageRank(edges, "src", "dst", iters = 3, weightCol = Some("qty"))
+    })
+    ranks.orderBy($"rank_scaled".desc, $"id".asc).limit(100)
+  }
+  private val wEdgesSql =
+    s"""edges AS (SELECT o_custkey + $custBase AS src, l_suppkey AS dst,
+       |    CAST(SUM(l_quantity) AS BIGINT) AS w
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+       |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+       |deg AS (SELECT src, SUM(w) AS outdeg FROM edges GROUP BY 1)""".stripMargin
+  private def wRoundSql(prev: String, n: Int, teleport: String): String =
+    s"""c$n AS (SELECT dst, SUM((r // outdeg) * w + ((r % outdeg) * w) // outdeg) AS cs
+       |  FROM edges JOIN deg USING (src) JOIN $prev ON $prev.id = edges.src
+       |  GROUP BY dst),
+       |r$n AS (SELECT id, $teleport + (coalesce(cs, 0) // 1000000) * 850000
+       |    + ((coalesce(cs, 0) % 1000000) * 850000) // 1000000 AS r
+       |  FROM nodes LEFT JOIN c$n ON id = dst)""".stripMargin
+  private val q112Sql =
+    s"""WITH $wEdgesSql,
+       |r0 AS (SELECT id, 1000000000 AS r FROM nodes),
+       |${wRoundSql("r0", 1, "150000000")},
+       |${wRoundSql("r1", 2, "150000000")},
+       |${wRoundSql("r2", 3, "150000000")}
+       |SELECT id, r AS rank_scaled FROM r3
+       |ORDER BY rank_scaled DESC, id ASC LIMIT 100""".stripMargin
+
   // q98 — HITS on the customer→supplier purchase graph: customers are
   // pure hubs (no in-edges), suppliers pure authorities — the bipartite
   // shape where authority = weighted buyer attention. 2 exact fixed-point
@@ -473,6 +523,7 @@ object Graphs {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_label_propagation" -> q101,
     "q98_hits" -> q98,
+    "q112_pagerank_weighted" -> q112,
     "q84_pagerank" -> q84,
     "q87_pagerank_personalized" -> q87,
     "q88_triangles" -> q88,
@@ -481,6 +532,7 @@ object Graphs {
   val oracles: Map[String, String] = Map(
     "q101_label_propagation" -> q101Sql,
     "q98_hits" -> q98Sql,
+    "q112_pagerank_weighted" -> q112Sql,
     "q84_pagerank" -> q84Sql,
     "q87_pagerank_personalized" -> q87Sql,
     "q88_triangles" -> q88Sql,

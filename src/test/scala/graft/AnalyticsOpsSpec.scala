@@ -439,6 +439,26 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       "A" -> 150000000L, "B" -> 127500000L, "C" -> 108375000L))
   }
 
+  test("weighted pageRank splits rank proportionally to edge weight") {
+    // A→B (w=3), A→C (w=1): W(A)=4, so B gets 3/4 of A's rank, C gets 1/4
+    val edges = Seq(("A", "B", 3L), ("A", "C", 1L)).toDF("s", "t", "w")
+    val got = graft.operators.Graphs.pageRank(edges, "s", "t", iters = 1,
+        weightCol = Some("w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // c(B) = (1e9 div 4)·3 = 7.5e8 → r(B) = 1.5e8 + 0.85·7.5e8
+    // c(C) = 2.5e8 → r(C) = 1.5e8 + 0.85·2.5e8; A gets teleport only
+    assert(got == Map("A" -> 150000000L, "B" -> 787500000L,
+      "C" -> 362500000L), s"got $got")
+    // w = 1 everywhere reduces to the unweighted walk exactly
+    val uw = Seq(("A", "B"), ("A", "C")).toDF("s", "t")
+    val a = graft.operators.Graphs.pageRank(uw, "s", "t", iters = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = graft.operators.Graphs.pageRank(
+        uw.withColumn("w", lit(1L)), "s", "t", iters = 2, weightCol = Some("w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b, s"unweighted $a vs w=1 $b")
+  }
+
   test("hits: exact max-normalized hub/authority scores on a hand-computed graph") {
     // A→C, B→C, B→D (bipartite: A,B hubs; C,D authorities), base 10⁶
     val edges = Seq(("A", "C"), ("B", "C"), ("B", "D")).toDF("s", "t")
