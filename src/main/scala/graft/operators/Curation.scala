@@ -432,6 +432,22 @@ object Curation {
 
   /** Redact PII occurrences in `textCol`. Output: (doc_id, text,
     * n_<name> per pattern, redacted). */
+  /** Text canonicalization — the normalize-before-dedup stage: lowercase,
+    * strip everything outside a conservative whitelist (ascii letters,
+    * digits, basic punctuation, space), collapse whitespace runs, trim.
+    * Two texts that differ only in case/spacing/exotic characters
+    * canonicalize identically, so exact dedup on the normalized form
+    * catches them. Map-only (zero shuffles at any scale); the whitelist
+    * character class evaluates identically under Java regex and RE2, so
+    * normal forms replicate across engines. Output: (doc_id, norm_text).
+    */
+  def normalizeText(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    normalized(df, idCol, textCol)
+      .select(col("doc_id"),
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 .,;:!?'-]", " "),
+          "\\s+", " ")).as("norm_text"))
+
   def redactPii(df: DataFrame, idCol: String, textCol: String,
       patterns: Seq[(String, String, String)] = piiPatterns): DataFrame = {
     val base = normalized(df, idCol, textCol)
@@ -443,6 +459,29 @@ object Curation {
     }
     counted.withColumn("redacted", redacted)
   }
+
+  // q113 — canonicalization: normalized text fingerprint + length, and
+  // whether normalization changed the document — the pre-dedup pass that
+  // makes case/spacing variants hash-equal. Map-only.
+  private def q113(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    normalizeText(Tables.documents(s, d), "doc_id", "text")
+      .join(Tables.documents(s, d).select($"doc_id", $"text"), "doc_id")
+      .select($"doc_id",
+        md5($"norm_text").as("norm_fp"),
+        length($"norm_text").as("n_chars_norm"),
+        when($"norm_text" === $"text", 0).otherwise(1).as("changed"))
+      .orderBy($"doc_id")
+  }
+  private val q113Sql =
+    """WITH n AS (SELECT doc_id, text,
+      |    trim(regexp_replace(regexp_replace(lower(text),
+      |      '[^a-z0-9 .,;:!?''-]', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text
+      |  FROM documents)
+      |SELECT doc_id, md5(norm_text) AS norm_fp,
+      |  CAST(length(norm_text) AS INTEGER) AS n_chars_norm,
+      |  CASE WHEN norm_text = text THEN 0 ELSE 1 END AS changed
+      |FROM n ORDER BY doc_id""".stripMargin
 
   private def q64(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -619,6 +658,7 @@ object Curation {
     "q62_quality_filter" -> q62,
     "q63_mix_sources" -> q63,
     "q64_pii_redact" -> q64,
+    "q113_normalize_text" -> q113,
     "q71_chunk_overlap" -> q71,
   )
 
@@ -632,6 +672,7 @@ object Curation {
     "q62_quality_filter" -> q62Sql,
     "q63_mix_sources" -> q63Sql,
     "q64_pii_redact" -> q64Sql,
+    "q113_normalize_text" -> q113Sql,
     "q71_chunk_overlap" -> q71Sql,
   )
 }
