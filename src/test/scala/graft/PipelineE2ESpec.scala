@@ -130,6 +130,31 @@ class PipelineE2ESpec extends AnyFunSuite {
       "results must be in descending score order")
   }
 
+  test("ops chain: sessionize -> session metrics -> per-type duration outliers") {
+    import spark.implicits._
+    import graft.operators.{Events, Extended}
+    val ev = Tables.events(spark, sf).withColumn("sec", expr("ts DIV 1000000000"))
+
+    // 1. session rollup (30-min gap): every event lands in exactly one
+    // session, so event counts are conserved
+    val sess = Events.sessionMetrics(ev, "user_id", "sec", "value",
+      "event_id", gapSec = 1800L)
+    val totalEvents = ev.count()
+    val sessEvents = sess.agg(sum($"n_events")).head().getLong(0)
+    assert(sessEvents == totalEvents, s"$sessEvents of $totalEvents events in sessions")
+    assert(sess.filter($"duration_sec" < 0).count() == 0)
+
+    // 2. flag anomalous session durations within each session-length
+    // class (bucket by event count) — the composed ops-analytics pass
+    val flagged = Extended.zscoreOutliers(
+      sess.select($"user_id", $"session_id", $"n_events", $"duration_sec"),
+      "duration_sec", Seq("n_events"), zThreshold = 3.0)
+    val n = flagged.count()
+    assert(n == sess.count(), "outlier pass must keep every session row")
+    val outliers = flagged.filter($"is_outlier" === 1).count()
+    assert(outliers < n / 10, s"z>3 should flag a small tail, got $outliers of $n")
+  }
+
   test("crawl chain: per-source cap -> quality filter -> pack, counts conserved") {
     import spark.implicits._
     import graft.operators.{Curation, Similarity}
