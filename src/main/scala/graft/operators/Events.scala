@@ -506,11 +506,15 @@ object Events {
   }
 
   // q110 — behavior-flow transition matrix over the event stream
-  // (event_id tie-break, like q27/q99).
+  // (event_id tie-break, like q27/q99). Ordering key is µs-truncated
+  // (ts DIV 1000) so Spark's nano longs sort identically to the
+  // oracle's µs-truncated timestamps even on nano-grain data — the
+  // same parity rule as q99/q107/q109.
   private def q110(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    eventTransitions(Tables.events(s, d), "user_id", "ts", "event_type",
-        tieCols = Seq("event_id"))
+    eventTransitions(
+        Tables.events(s, d).withColumn("ts_us", expr("ts DIV 1000")),
+        "user_id", "ts_us", "event_type", tieCols = Seq("event_id"))
       .orderBy($"from_type", $"to_type")
   }
   private val q110Sql =
@@ -522,8 +526,8 @@ object Events {
       |pc AS (SELECT from_type, to_type, COUNT(*) AS pair_n FROM t
       |       WHERE to_type IS NOT NULL GROUP BY 1, 2),
       |tot AS (SELECT from_type, SUM(pair_n) AS tot FROM pc GROUP BY 1)
-      |SELECT pc.from_type, pc.to_type, pair_n,
-      |  pair_n * 1000000 // tot AS cond_ppm
+      |SELECT pc.from_type, pc.to_type, CAST(pair_n AS BIGINT) AS pair_n,
+      |  CAST(pair_n * 1000000 // tot AS BIGINT) AS cond_ppm
       |FROM pc JOIN tot ON pc.from_type = tot.from_type
       |ORDER BY pc.from_type, pc.to_type""".stripMargin
 

@@ -336,7 +336,7 @@ object Graphs {
        |${roundSql("r0", 1, "150000000")},
        |${roundSql("r1", 2, "150000000")},
        |${roundSql("r2", 3, "150000000")}
-       |SELECT id, r AS rank_scaled FROM r3
+       |SELECT id, CAST(r AS BIGINT) AS rank_scaled FROM r3
        |ORDER BY rank_scaled DESC, id ASC LIMIT 100""".stripMargin
 
   // q87 — PERSONALIZED PageRank: teleport mass lands only on a trusted
@@ -362,7 +362,7 @@ object Graphs {
        |${roundSql("r0", 1, tele)},
        |${roundSql("r1", 2, tele)},
        |${roundSql("r2", 3, tele)}
-       |SELECT id, r AS rank_scaled FROM r3
+       |SELECT id, CAST(r AS BIGINT) AS rank_scaled FROM r3
        |ORDER BY rank_scaled DESC, id ASC LIMIT 100""".stripMargin
   }
 
@@ -447,7 +447,7 @@ object Graphs {
        |${wRoundSql("r0", 1, "150000000")},
        |${wRoundSql("r1", 2, "150000000")},
        |${wRoundSql("r2", 3, "150000000")}
-       |SELECT id, r AS rank_scaled FROM r3
+       |SELECT id, CAST(r AS BIGINT) AS rank_scaled FROM r3
        |ORDER BY rank_scaled DESC, id ASC LIMIT 100""".stripMargin
 
   // q98 — HITS on the customer→supplier purchase graph: customers are
@@ -479,7 +479,8 @@ object Graphs {
        |h0 AS (SELECT id, 1000000 AS h FROM nodes),
        |${hitsRoundSql("h0", 1)},
        |${hitsRoundSql("h1", 2)}
-       |SELECT h2.id, h2.h AS hub_scaled, a2.a AS auth_scaled
+       |SELECT h2.id, CAST(h2.h AS BIGINT) AS hub_scaled,
+       |  CAST(a2.a AS BIGINT) AS auth_scaled
        |FROM h2 JOIN a2 ON h2.id = a2.id
        |ORDER BY auth_scaled DESC, hub_scaled DESC, h2.id ASC LIMIT 100""".stripMargin
 
