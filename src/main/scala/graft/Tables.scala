@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Table registry: maps the engine's catalog onto parquet directories.
   *
@@ -38,7 +40,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = df(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = df(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = df(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame = df(s, d, "events")
+  /** The events stream table, with `ts` normalized to an epoch-nano long.
+    *
+    * The generator has produced `ts` both as TIMESTAMP(NANOS) (read as a
+    * nano long under spark.sql.legacy.parquet.nanosAsLong) and as plain
+    * TIMESTAMP (micros). All event-time operators do exact integer math on
+    * epoch nanos, so normalize here: micros × 1000 is lossless and keeps
+    * every downstream `ts DIV …` expression and its DuckDB `epoch_ns(ts)`
+    * oracle in exact agreement regardless of the physical parquet type.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = df(s, d, "events")
+    raw.schema("ts").dataType match {
+      case TimestampType | TimestampNTZType =>
+        // NTZ → TZ cast is exact under the engine's fixed UTC session zone.
+        raw.withColumn("ts",
+          (unix_micros(col("ts").cast(TimestampType)) * 1000L).cast(LongType))
+      case _ => raw
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = df(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = df(s, d, "embeddings")
 }
