@@ -398,7 +398,36 @@ object Corpus {
       |WHERE cnt.cnt * 1000000 >= n.c * 20000
       |ORDER BY cnt.lang ASC, cnt.cnt DESC, cnt.term ASC""".stripMargin
 
+  // q115 — windowed co-occurrence / PMI-ratio pairs (word-association
+  // statistics): unordered token pairs within 3 positions, corpus-wide
+  // count ≥ 20, pmi_ratio = pair_n·T/(c_x·c_y) over exact integer counts
+  // (one fixed double tree — the q102 lift pattern).
+  private def q115(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    TextStats.cooccurrencePairs(Tables.documents(s, d), "text",
+        window = 3, minCount = 20L)
+      .orderBy($"w1", $"w2")
+  }
+  private val q115Sql =
+    """WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS tk FROM documents),
+      |pr AS (SELECT least(tk[i], tk[j]) AS w1, greatest(tk[i], tk[j]) AS w2
+      |       FROM t, unnest(range(1, len(tk))) u(i),
+      |            unnest(range(i+1, least(i+3, len(tk)) + 1)) v(j)
+      |       WHERE len(tk) >= 2),
+      |pc AS (SELECT w1, w2, COUNT(*) AS pair_n FROM pr GROUP BY 1, 2),
+      |m AS (SELECT w, COUNT(*) AS c FROM (
+      |        SELECT w1 AS w FROM pr UNION ALL SELECT w2 FROM pr) GROUP BY 1),
+      |tt AS (SELECT COUNT(*) AS T FROM pr)
+      |SELECT pc.w1, pc.w2, pair_n,
+      |  (CAST(pair_n AS DOUBLE) * CAST(T AS DOUBLE))
+      |    / (CAST(mx.c AS DOUBLE) * CAST(my.c AS DOUBLE)) AS pmi_ratio
+      |FROM pc JOIN m mx ON pc.w1 = mx.w JOIN m my ON pc.w2 = my.w
+      |CROSS JOIN tt
+      |WHERE pair_n >= 20
+      |ORDER BY pc.w1, pc.w2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q115_cooccurrence_pmi" -> q115,
     "q95_decontaminate_bloom" -> q95,
     "q96_dedup_edit_distance" -> q96,
     "q103_bigram_stats" -> q103,
@@ -414,6 +443,7 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q115_cooccurrence_pmi" -> q115Sql,
     "q95_decontaminate_bloom" -> q65Sql, // identical semantics by design
     "q96_dedup_edit_distance" -> q96Sql,
     "q103_bigram_stats" -> q103Sql,

@@ -648,8 +648,46 @@ object Curation {
        |SELECT lang, doc_id, CAST(rank AS INTEGER) AS rank
        |FROM r WHERE rank <= 20 ORDER BY lang, rank""".stripMargin
 
+  /** Deterministic weighted Bernoulli sampling: keeps each row with
+    * probability `weightPpmCol`/10⁶ (parts-per-million, clamp upstream to
+    * [0, 1e6]) — the quality-weighted corpus subsample ("keep good docs
+    * more often") whose membership is a pure function of content:
+    * md5(salt:id) mod 10⁶ < weight_ppm. Exact integer comparison, so the
+    * kept set is bit-identical across engines, reruns and partitionings;
+    * vary `salt` for independent draws. In expectation the sample holds
+    * Σ weight_ppm/10⁶ rows and each row's inclusion is independent —
+    * the Bernoulli complement of [[samplePerGroup]]'s fixed-k draw.
+    *
+    * Scale: map-only (one hash + one compare per row); no shuffle, no
+    * state, trivially streamable. */
+  def sampleByWeight(df: DataFrame, idCol: String, weightPpmCol: String,
+      salt: String = "wsmp"): DataFrame =
+    df.filter(
+      pmod(md5Long(concat_ws(":", lit(salt), col(idCol).cast(StringType))),
+        lit(1000000L)) < col(weightPpmCol).cast(LongType))
+
+  // q114 — length-weighted corpus subsample: docs kept with probability
+  // proportional to n_chars (capped at 1.0), deterministic by content hash.
+  private def q114(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .withColumn("weight_ppm",
+        least(lit(1000000L), $"n_chars".cast(LongType) * 2000L))
+    sampleByWeight(docs, "doc_id", "weight_ppm")
+      .select($"doc_id", $"lang", $"weight_ppm")
+      .orderBy($"doc_id")
+  }
+  private val q114Sql =
+    s"""SELECT doc_id, lang,
+       |  least(1000000, CAST(n_chars AS BIGINT) * 2000) AS weight_ppm
+       |FROM documents
+       |WHERE (${md5LongSql("'wsmp:' || CAST(doc_id AS VARCHAR)")} % 1000000)
+       |      < least(1000000, CAST(n_chars AS BIGINT) * 2000)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q78_quantile_filter" -> q78,
+    "q114_weighted_sample" -> q114,
     "q79_sample_per_group" -> q79,
     "q57_boilerplate_removal" -> q57,
     "q58_tfidf_topk" -> q58,
@@ -664,6 +702,7 @@ object Curation {
 
   val oracles: Map[String, String] = Map(
     "q78_quantile_filter" -> q78Sql,
+    "q114_weighted_sample" -> q114Sql,
     "q79_sample_per_group" -> q79Sql,
     "q57_boilerplate_removal" -> q57Sql,
     "q58_tfidf_topk" -> q58Sql,

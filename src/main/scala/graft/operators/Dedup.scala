@@ -210,18 +210,32 @@ object Dedup {
     * Scale: candidates are an equi-join on the block key, never
     * all-pairs; the cheap length filter runs before the distance kernel;
     * a hot block (shared boilerplate prefix) is the same skew shape as a
-    * hot shingle — cap or salt it like [[shingles]]' maxDocFreq if the
-    * corpus has mega-blocks. */
+    * hot shingle, so `maxBlockSize` ENFORCES the cap: blocks with more
+    * than that many members are dropped before the self-join (one
+    * combiner-friendly count + join-back — the [[shingles]] maxDocFreq
+    * skeleton), bounding the fan-out at maxBlockSize² per block. Pairs
+    * inside a dropped mega-block are sacrificed recall, exactly like a
+    * capped hot shingle — raise the cap or add a second blocking pass to
+    * recover them. */
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int, blockPrefix: Int = 12): DataFrame = {
+      maxDist: Int, blockPrefix: Int = 12,
+      maxBlockSize: Option[Long] = None): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
     require(maxDist >= 0, "maxDist must be non-negative")
     require(blockPrefix >= 1, "blockPrefix must be positive")
-    val b = normalized(df, idCol, textCol)
+    require(maxBlockSize.forall(_ >= 2), "maxBlockSize must be >= 2")
+    val b0 = normalized(df, idCol, textCol)
       .select($"doc_id", $"text",
         substring(lower(trim($"text")), 1, blockPrefix).as("__blk"),
         length($"text").as("__len"))
+    val b = maxBlockSize match {
+      case None => b0
+      case Some(cap) =>
+        val kept = b0.groupBy($"__blk").agg(count(lit(1)).as("__bn"))
+          .filter($"__bn" <= cap).select($"__blk")
+        b0.join(kept, Seq("__blk"))
+    }
     val a = b.select($"doc_id".as("doc_a"), $"text".as("__ta"),
       $"__blk", $"__len".as("__la"))
     val c = b.select($"doc_id".as("doc_b"), $"text".as("__tb"),

@@ -587,7 +587,110 @@ object Events {
        |        LEFT JOIN s2 ON s0.user_id = s2.user_id
        |ORDER BY s0.user_id""".stripMargin
 
+  /** Time-weighted average of `valueCol` per entity — the "average gauge
+    * reading weighted by how long it held" aggregate (TWAP, utilization,
+    * session-intensity): each reading is weighted by the seconds until
+    * the entity's next event (last reading carries no weight — half-open
+    * intervals). Products accumulate exactly (value at DECIMAL(18,6) —
+    * the [[graft.functions.Ops.dsum]] money argument — × BIGINT seconds),
+    * so the final single double division is order-independent. Entities
+    * with one event (no held interval) are dropped. Output:
+    * (entityCol, twa_value, active_sec).
+    *
+    * Scale: one entity-keyed lead window (high-cardinality partition key
+    * — the allowed window class) + one combiner-friendly aggregate.
+    * `tsCol` is an epoch-nano long; `tieCols` breaks same-second order
+    * deterministically. */
+  def timeWeightedAvg(df: DataFrame, entityCol: String, tsCol: String,
+      valueCol: String, tieCols: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col("__sec") +: tieCols.map(col): _*)
+    df.withColumn("__sec", expr(s"$tsCol DIV 1000000000"))
+      .withColumn("__dt", lead(col("__sec"), 1).over(w) - col("__sec"))
+      .groupBy(col(entityCol))
+      .agg(
+        sum(col(valueCol).cast(DecimalType(18, 6)) *
+          col("__dt").cast(DecimalType(12, 0))).as("__sp"),
+        sum(col("__dt")).as("__sd"))
+      .filter(col("__sd") > 0)
+      .select(col(entityCol),
+        (col("__sp").cast(DoubleType) / col("__sd").cast(DoubleType))
+          .as("twa_value"),
+        col("__sd").as("active_sec"))
+  }
+
+  // q118 — time-weighted average event value per user (reading held until
+  // the user's next event, in whole seconds).
+  private def q118(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    timeWeightedAvg(Tables.events(s, d), "user_id", "ts", "value",
+        tieCols = Seq("event_id"))
+      .orderBy($"user_id")
+  }
+  private val q118Sql =
+    """WITH t AS (SELECT user_id, event_id, value,
+      |    epoch_ns(ts) // 1000000000 AS sec FROM events),
+      |o AS (SELECT user_id, value,
+      |    lead(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) - sec AS dt
+      |  FROM t),
+      |a AS (SELECT user_id,
+      |    SUM(CAST(value AS DECIMAL(18,6)) * CAST(dt AS DECIMAL(12,0))) AS sp,
+      |    SUM(dt) AS sd
+      |  FROM o GROUP BY 1)
+      |SELECT user_id, CAST(sp AS DOUBLE) / CAST(sd AS DOUBLE) AS twa_value,
+      |  CAST(sd AS BIGINT) AS active_sec
+      |FROM a WHERE sd > 0 ORDER BY user_id""".stripMargin
+
+  /** Rolling exact distinct count by day: for every day in the data's
+    * span, how many distinct entities were active in the trailing
+    * `windowDays`-day window — the "7-day active users" series, exact
+    * (no sketch) and windowless.
+    *
+    * Scale: the input first collapses to the DISTINCT (entity, day)
+    * relation (one combiner-friendly aggregate — the raw stream never
+    * fans out); each entity-day then emits its `windowDays` member
+    * windows MAP-SIDE (bounded ×windowDays fan-out) and one exact
+    * count-distinct aggregate (Spark's two-phase expand) produces the
+    * series. No global window, no per-day self-join; days beyond the
+    * data's max day are clipped by a 1-row broadcast. `dayCol` must be
+    * integral (epoch days). Output: (day, uniques). */
+  def rollingDistinct(df: DataFrame, entityCol: String, dayCol: String,
+      windowDays: Int): DataFrame = {
+    require(windowDays >= 1, "windowDays must be positive")
+    val ud = df.select(col(dayCol).cast(LongType).as("__day"), col(entityCol))
+      .distinct()
+    val maxDay = ud.agg(max(col("__day")).as("__maxd"))
+    ud.select(explode(expr(
+        s"sequence(__day, __day + ${windowDays - 1})")).as("day"),
+        col(entityCol))
+      .crossJoin(broadcast(maxDay))
+      .filter(col("day") <= col("__maxd"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col(entityCol)).as("uniques"))
+  }
+
+  // q119 — rolling 7-day distinct active users per day.
+  private def q119(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    rollingDistinct(
+        Tables.events(s, d).withColumn("day", expr("ts DIV 86400000000000")),
+        "user_id", "day", windowDays = 7)
+      .orderBy($"day")
+  }
+  private val q119Sql =
+    """WITH ud AS (SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day, user_id
+      |            FROM events),
+      |days AS (SELECT DISTINCT day FROM ud),
+      |mx AS (SELECT max(day) AS maxd FROM ud),
+      |win AS (SELECT ud.day + g.o AS day, ud.user_id
+      |        FROM ud, unnest(range(0, 7)) g(o)),
+      |f AS (SELECT day, user_id FROM win, mx WHERE day <= maxd)
+      |SELECT day, COUNT(DISTINCT user_id) AS uniques
+      |FROM f GROUP BY 1 ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_time_weighted_avg" -> q118,
+    "q119_rolling_distinct" -> q119,
     "q99_change_history" -> q99,
     "q107_funnel_windowed" -> q107,
     "q109_session_metrics" -> q109,
@@ -605,6 +708,8 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q118_time_weighted_avg" -> q118Sql,
+    "q119_rolling_distinct" -> q119Sql,
     "q99_change_history" -> q99Sql,
     "q107_funnel_windowed" -> q107Sql,
     "q109_session_metrics" -> q109Sql,

@@ -662,6 +662,136 @@ object Extended {
       |FROM lineitem JOIN st USING (l_returnflag, l_linestatus)
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** Per-group robust (median/MAD) outlier flagging — the heavy-tail-safe
+    * complement of [[zscoreOutliers]] (whose mean/σ are themselves pulled
+    * by the outliers they hunt): flags rows with
+    * |x − median| > k·MAD, MAD = median(|x − median|). Medians are exact
+    * interpolated percentiles (the q46 path), so the flags replicate
+    * bit-for-bit against any engine's quantile_cont. Appends
+    * (abs_dev, mad, is_outlier).
+    *
+    * Scale: two grouped exact-percentile aggregates + two BROADCAST
+    * join-backs (group-count rows each) — no window, no global sort.
+    * Exact percentile buffers each group's values in the aggregate state,
+    * so this is the exact-op tier (fine to ~10⁷ rows per group at 100 TB
+    * executor memory); above that, swap the median calls for the
+    * mergeable [[histQuantiles]] sketch — identical shape, bounded
+    * state. */
+  def madOutliers(df: DataFrame, valueCol: String, groupCols: Seq[String],
+      k: Double = 3.0): DataFrame = {
+    require(groupCols.nonEmpty, "madOutliers needs at least one group column")
+    val g = groupCols.map(col)
+    val med = df.groupBy(g: _*)
+      .agg(expr(s"percentile($valueCol, 0.5)").as("__med"))
+    val dev = df.join(broadcast(med), groupCols)
+      .withColumn("abs_dev", abs(col(valueCol).cast(DoubleType) - col("__med")))
+    val mad = dev.groupBy(g: _*)
+      .agg(expr("percentile(abs_dev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), groupCols)
+      .withColumn("is_outlier",
+        (col("abs_dev") > lit(k) * col("mad")).cast(IntegerType))
+      .drop("__med")
+  }
+
+  // q116 — robust MAD outliers on l_extendedprice per (returnflag,
+  // linestatus): k=2 (price is roughly uniform — like q82, the classic
+  // 3·MAD never fires, 2·MAD flags real tails and keeps the gate
+  // non-vacuous).
+  private def q116(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    madOutliers(Tables.lineitem(s, d), "l_extendedprice",
+        Seq("l_returnflag", "l_linestatus"), k = 2.0)
+      .select($"l_orderkey", $"l_linenumber", $"l_returnflag", $"l_linestatus",
+        $"abs_dev", $"mad", $"is_outlier")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+  private val q116Sql =
+    """WITH md AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |    quantile_cont(l_extendedprice, 0.5) AS med
+      |  FROM lineitem GROUP BY 1, 2),
+      |dv AS (
+      |  SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+      |    abs(CAST(l_extendedprice AS DOUBLE) - med) AS abs_dev
+      |  FROM lineitem JOIN md USING (l_returnflag, l_linestatus)),
+      |mm AS (
+      |  SELECT l_returnflag, l_linestatus, quantile_cont(abs_dev, 0.5) AS mad
+      |  FROM dv GROUP BY 1, 2)
+      |SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+      |  abs_dev, mad,
+      |  CASE WHEN abs_dev > 2.0 * mad THEN 1 ELSE 0 END AS is_outlier
+      |FROM dv JOIN mm USING (l_returnflag, l_linestatus)
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Per-group Pearson correlation from exact integer moments: both
+    * columns are taken at a caller-fixed integer grain (`xCol`, `yCol`
+    * must already be integral — scale money to cents upstream), the six
+    * moments (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as exact BIGINTs
+    * (DECIMAL(38,0)/HUGEINT products), and the final coefficient is one
+    * fixed double tree — numerator / (√varx·√vary), IEEE sqrt and divide
+    * being correctly rounded everywhere — so the result is bit-identical
+    * across engines and partitionings, unlike a naive streaming `corr`
+    * whose double accumulation is order-dependent. Zero-variance groups
+    * yield NULL. Output: groupCols ++ (n, corr).
+    *
+    * Scale: ONE combiner-friendly aggregate (map-side partials, no join,
+    * no window); output is group-count rows. */
+  def groupCorr(df: DataFrame, xCol: String, yCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "groupCorr needs at least one group column")
+    val x = col(xCol).cast(LongType)
+    val y = col(yCol).cast(LongType)
+    val dec = "DECIMAL(38,0)"
+    // per-row products fit a long at any sane grain; their SUMS do not
+    // (Σy² at cent grain passes 2⁶³ before 10⁶ rows) — accumulate the
+    // second moments as exact DECIMAL(38,0), the HUGEINT the oracle gets
+    // for free from SUM(BIGINT)
+    val pd = DecimalType(38, 0)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(x).as("__sx"), sum(y).as("__sy"),
+        sum((x * y).cast(pd)).as("__sxy"), sum((x * x).cast(pd)).as("__sxx"),
+        sum((y * y).cast(pd)).as("__syy"))
+      .withColumn("corr", expr(
+        s"""CASE WHEN CAST(n AS $dec) * __sxx - CAST(__sx AS $dec) * __sx = 0
+           |       OR CAST(n AS $dec) * __syy - CAST(__sy AS $dec) * __sy = 0
+           |  THEN CAST(NULL AS DOUBLE)
+           |  ELSE CAST(CAST(n AS $dec) * __sxy - CAST(__sx AS $dec) * __sy AS DOUBLE)
+           |    / (sqrt(CAST(CAST(n AS $dec) * __sxx - CAST(__sx AS $dec) * __sx AS DOUBLE))
+           |       * sqrt(CAST(CAST(n AS $dec) * __syy - CAST(__sy AS $dec) * __sy AS DOUBLE)))
+           |END""".stripMargin))
+      .drop("__sx", "__sy", "__sxy", "__sxx", "__syy")
+  }
+
+  // q117 — quantity × price correlation per (returnflag, linestatus);
+  // price at exact cent grain (2-decimal money, the dsum argument).
+  private def q117(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    groupCorr(
+      Tables.lineitem(s, d)
+        .withColumn("price_c",
+          round($"l_extendedprice" * 100).cast(LongType)),
+      "l_quantity", "price_c", Seq("l_returnflag", "l_linestatus"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+  private val q117Sql =
+    """WITH b AS (SELECT l_returnflag, l_linestatus,
+      |    CAST(l_quantity AS BIGINT) AS x,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      |  FROM lineitem),
+      |m AS (SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+      |    SUM(x * x) AS sxx, SUM(y * y) AS syy
+      |  FROM b GROUP BY 1, 2)
+      |SELECT l_returnflag, l_linestatus, n,
+      |  CASE WHEN n::HUGEINT * sxx - sx::HUGEINT * sx = 0
+      |         OR n::HUGEINT * syy - sy::HUGEINT * sy = 0
+      |    THEN CAST(NULL AS DOUBLE)
+      |    ELSE CAST(n::HUGEINT * sxy - sx::HUGEINT * sy AS DOUBLE)
+      |      / (sqrt(CAST(n::HUGEINT * sxx - sx::HUGEINT * sx AS DOUBLE))
+      |         * sqrt(CAST(n::HUGEINT * syy - sy::HUGEINT * sy AS DOUBLE)))
+      |  END AS corr
+      |FROM m ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   // q89 — PIVOT: long→wide reshape (the reporting cross-tab). The pivot
   // value list is EXPLICIT — Spark's values-less overload first runs a
   // driver-side collect-distinct over the pivot column, which at 100 TB
@@ -719,13 +849,20 @@ object Extended {
     *
     * Scale: baskets dedup with one combiner-friendly distinct; pair
     * counts are a self-equi-join on the basket key + a map-side-
-    * combinable count (a hot basket fans out |basket|² pairs — cap
-    * basket size upstream like hot shingles if carts are unbounded);
-    * item counts broadcast back; the basket total is a 1-row broadcast,
-    * never a driver action. `minSupport` prunes before the stats join. */
+    * combinable count. A hot basket fans out |basket|² pairs, so
+    * `maxBasketSize` ENFORCES the cap: baskets with more distinct items
+    * are dropped — from pair counts, item counts AND the total, so
+    * support/confidence/lift stay mutually consistent over the same
+    * (filtered) basket population. A crawler cart with 10⁵ items would
+    * otherwise fan out 10¹⁰ structs from one row; such baskets carry no
+    * signal for pair rules. Item counts broadcast back; the basket total
+    * is a 1-row broadcast, never a driver action. `minSupport` prunes
+    * before the stats join. */
   def associationRules(df: DataFrame, basketCol: String, itemCol: String,
-      minSupport: Long, materialize: Boolean = true): DataFrame = {
+      minSupport: Long, materialize: Boolean = true,
+      maxBasketSize: Option[Int] = None): DataFrame = {
     require(minSupport >= 1, "minSupport must be positive")
+    require(maxBasketSize.forall(_ >= 2), "maxBasketSize must be >= 2")
     // ONE shuffle builds the per-basket item set; dedup, the pair fan-out
     // (|basket|² structs) and the item fan-out all happen MAP-SIDE from
     // the array — no basket self-join, no separate distinct pass (the
@@ -733,8 +870,12 @@ object Extended {
     // The basket frame feeds three consumers and exchange reuse can NOT
     // dedupe it (collect_set is non-deterministic, so the subplans never
     // canonicalize equal) — persist + eager snapshot, pageRank-style
-    val baskets = df.groupBy(col(basketCol).as("__bk"))
+    val allBaskets = df.groupBy(col(basketCol).as("__bk"))
       .agg(sort_array(collect_set(col(itemCol))).as("__items"))
+    // map-only size cap BEFORE the persist: oversized baskets never enter
+    // any consumer (pairs, item counts, total), keeping the stats coherent
+    val baskets = maxBasketSize
+      .fold(allBaskets)(cap => allBaskets.filter(size(col("__items")) <= cap))
       .persist()
     val n = baskets.agg(count(lit(1)).as("__n"))
     val ic = baskets.select(explode(col("__items")).as("__it"))
@@ -930,6 +1071,8 @@ object Extended {
     "q76_quantile_sketch_grouped" -> q76,
     "q77_quantile_sketch_auto" -> q77,
     "q82_outlier_zscore" -> q82,
+    "q116_outlier_mad" -> q116,
+    "q117_group_corr" -> q117,
     "q13_join_facts" -> q13,
     "q14_join_broadcast_star" -> q14,
     "q15_semi_anti" -> q15,
@@ -958,6 +1101,8 @@ object Extended {
     "q76_quantile_sketch_grouped" -> q76Sql,
     "q77_quantile_sketch_auto" -> q77Sql,
     "q82_outlier_zscore" -> q82Sql,
+    "q116_outlier_mad" -> q116Sql,
+    "q117_group_corr" -> q117Sql,
     "q13_join_facts" -> q13Sql,
     "q14_join_broadcast_star" -> q14Sql,
     "q15_semi_anti" -> q15Sql,

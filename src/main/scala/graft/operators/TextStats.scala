@@ -301,6 +301,58 @@ object TextStats {
         expr("pair_n * 1000000L div __u").as("cond_ppm"))
   }
 
+  /** Windowed co-occurrence statistics (word-association / word2vec-style
+    * PMI pass): for every unordered token pair co-occurring within
+    * `window` positions at least `minCount` times, the co-occurrence
+    * count and the PMI ratio `P(x,y)/(P(x)·P(y)) = pair_n·T/(c_x·c_y)`
+    * (= e^PMI; marginals over pair-slot occurrences, T = total pair
+    * events). The ratio is one double expression over exact integer
+    * counts — the [[Extended.associationRules]] lift tree — so it
+    * reproduces bit-for-bit in any engine. Output: (w1, w2, pair_n,
+    * pmi_ratio), w1 ≤ w2.
+    *
+    * Scale: like [[bigramStats]], pairs are assembled MAP-SIDE from each
+    * document's token array (index `transform`, fan-out ≤ window·len per
+    * doc — no positional self-join); pair counts and slot marginals are
+    * combiner-friendly aggregates; the total is a 1-row broadcast. The
+    * pair frame feeds three consumers, so it is persisted for the pass
+    * and released after a `localCheckpoint` snap (the [[Extended
+    * .associationRules]] materialize pattern). */
+  def cooccurrencePairs(df: DataFrame, textCol: String, window: Int,
+      minCount: Long = 1L, materialize: Boolean = true): DataFrame = {
+    require(window >= 1, "window must be positive")
+    require(minCount >= 1, "minCount must be positive")
+    val pr = df.select(split(trim(col(textCol)), "\\s+").as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(explode(expr(
+        s"""flatten(transform(sequence(0, size(__t) - 2), i ->
+           |  transform(sequence(i + 1, least(i + $window, size(__t) - 1)), j ->
+           |    struct(least(__t[i], __t[j]) AS w1,
+           |           greatest(__t[i], __t[j]) AS w2))))""".stripMargin))
+        .as("__p"))
+      .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+      .persist()
+    val pairs = pr.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= minCount)
+    val marg = pr.select(explode(array(col("w1"), col("w2"))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+    val tot = pr.agg(count(lit(1)).as("__T"))
+    val out = pairs
+      .join(marg.select(col("__w").as("w1"), col("__c").as("__cx")), "w1")
+      .join(marg.select(col("__w").as("w2"), col("__c").as("__cy")), "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("pair_n"),
+        ((col("pair_n").cast(DoubleType) * col("__T").cast(DoubleType)) /
+          (col("__cx").cast(DoubleType) * col("__cy").cast(DoubleType)))
+          .as("pmi_ratio"))
+    if (!materialize) out
+    else {
+      val snapped = out.localCheckpoint()
+      pr.unpersist(blocking = false)
+      snapped
+    }
+  }
+
   /** Per-group [[heavyHitters]]: items at ≥ `minFreqPpm` of EACH group's
     * own stream (e.g. top terms per language, hot keys per tenant), exact
     * by the same sketch-then-recount argument applied group-wise. Output:

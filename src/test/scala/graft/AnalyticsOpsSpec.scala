@@ -530,6 +530,31 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(got(("y","x")) == ((2L, 666666L, 8.0 / 9.0)), s"got ${got(("y","x"))}")
   }
 
+  test("associationRules: maxBasketSize drops mega-baskets from every count") {
+    // the hand data plus a 4-item mega-basket; cap=3 must exclude it from
+    // pair counts, item counts AND the total — i.e. the capped run equals
+    // the uncapped run on the data without the mega-basket
+    val base = Seq((1L,"x"),(1L,"y"),(2L,"x"),(2L,"y"),(3L,"x"),(3L,"z"),(4L,"y"))
+    val mega = Seq((5L,"x"),(5L,"y"),(5L,"z"),(5L,"w"))
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))
+    val capped = graft.operators.Extended.associationRules(
+        (base ++ mega).toDF("bk", "it"), "bk", "it", 2L,
+        maxBasketSize = Some(3))
+      .collect().map(key).toMap
+    val without = graft.operators.Extended.associationRules(
+        base.toDF("bk", "it"), "bk", "it", 2L)
+      .collect().map(key).toMap
+    assert(capped == without, s"capped $capped vs without-mega $without")
+    // and the uncapped run over the full data differs (sanity that the
+    // mega-basket actually moves the numbers)
+    val uncapped = graft.operators.Extended.associationRules(
+        (base ++ mega).toDF("bk", "it"), "bk", "it", 2L)
+      .collect().map(key).toMap
+    assert(uncapped != capped, "mega-basket should change uncapped stats")
+  }
+
   test("labelPropagation: two cliques bridged by one edge settle into two communities") {
     // cliques {1,2,3} and {10,11,12}, bridge 3-10; labels start as ids
     val cl = Seq((1L,2L),(1L,3L),(2L,3L),(10L,11L),(10L,12L),(11L,12L),(3L,10L))
@@ -594,5 +619,48 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       (10L, p1 + p2, 2, 1),
       (20L, p1 + p2, 2, 2),
       (30L, p3, 1, 3)))
+  }
+
+  // ------------------------------------- co-occurrence / PMI pairs (q115)
+
+  test("cooccurrencePairs: hand counts, marginals and ratio at window 2") {
+    // "a b c a" window 2: i0→(a,b),(a,c); i1→(b,c),(a,b); i2→(a,c)
+    // pairs: (a,b)×2 (a,c)×2 (b,c)×1; T=5; slots: a=4, b=3, c=3
+    val docs = Seq("a b c a").toDF("text")
+    val got = TextStats.cooccurrencePairs(docs, "text", window = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map(
+      ("a","b") -> ((2L, 2.0 * 5.0 / (4.0 * 3.0))),
+      ("a","c") -> ((2L, 2.0 * 5.0 / (4.0 * 3.0))),
+      ("b","c") -> ((1L, 1.0 * 5.0 / (3.0 * 3.0)))), s"got $got")
+  }
+
+  // ------------------------------------------- time-weighted avg (q118)
+
+  test("timeWeightedAvg: held-interval weighting, single-event entities drop") {
+    val ns = 1000000000L
+    val ev = Seq(
+      (1L, 0L * ns, 10.0, 1L), (1L, 10L * ns, 20.0, 2L), (1L, 30L * ns, 99.0, 3L),
+      (2L, 5L * ns, 7.0, 4L)  // one event: no held interval — absent
+    ).toDF("user_id", "ts", "value", "event_id")
+    val got = Events.timeWeightedAvg(ev, "user_id", "ts", "value",
+        tieCols = Seq("event_id"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // user 1: 10·10s + 20·20s = 500 over 30s held; the last reading (99)
+    // carries no weight
+    assert(got.toSeq == Seq((1L, 500.0 / 30.0, 30L)), s"got ${got.toSeq}")
+  }
+
+  // ------------------------------------------- rolling distinct (q119)
+
+  test("rollingDistinct: trailing window membership, max-day clip") {
+    val ud = Seq((1L, 1L), (1L, 3L), (2L, 3L), (1L, 3L))
+      .toDF("user_id", "day")
+    val got = Events.rollingDistinct(ud, "user_id", "day", windowDays = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // day1: {u1}; day2: {u1} (trailing from day1); day3: {u1,u2};
+    // day4 (beyond max day) clipped
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L), s"got $got")
   }
 }

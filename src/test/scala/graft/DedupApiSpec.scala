@@ -58,6 +58,17 @@ class DedupApiSpec extends AnyFunSuite {
         blockPrefix = 12)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     assert(wide == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"got $wide")
+    // maxBlockSize enforces the mega-block cap: docs 1/2/3 share a
+    // 3-member block, so cap=2 drops the whole block (no pairs), cap=3
+    // keeps it (identical to uncapped)
+    val capped = Dedup.editDistancePairs(rows, "id", "txt", maxDist = 5,
+        blockPrefix = 12, maxBlockSize = Some(2L)).collect()
+    assert(capped.isEmpty, s"got ${capped.toSeq}")
+    val kept = Dedup.editDistancePairs(rows, "id", "txt", maxDist = 5,
+        blockPrefix = 12, maxBlockSize = Some(3L))
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("dist"))).toSet
+    assert(kept == Set((1L, 2L, 1)), s"got $kept")
   }
 
   test("exact: catches literal duplicates under caller-named columns") {

@@ -569,4 +569,54 @@ class PropertySpec extends AnyFunSuite {
         s"order mismatch for ${a.codePoints().toArray.toSeq} vs ${b.codePoints().toArray.toSeq}")
     }
   }
+
+  test("rollingDistinct equals the naive trailing-window model on random activity") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    for (windowDays <- Seq(1, 3, 7)) {
+      // sparse days with gaps longer than the window, duplicate user-days
+      val acts = (1 to 300).map(_ =>
+        (rnd.nextInt(12).toLong, (rnd.nextInt(40) * (1 + rnd.nextInt(2))).toLong))
+      val byDay = acts.distinct.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+      val maxDay = byDay.keys.max
+      val want = (byDay.keys.min to maxDay).map { d =>
+        d -> (d - windowDays + 1 to d).flatMap(byDay.get).flatten.toSet.size.toLong
+      }.filter(_._2 > 0).toMap
+      val got = operators.Events.rollingDistinct(
+          acts.toDF("uid", "day"), "uid", "day", windowDays)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"windowDays=$windowDays diff=${
+        (got.toSet diff want.toSet) ++ (want.toSet diff got.toSet)}")
+    }
+  }
+
+  test("timeWeightedAvg equals the naive per-entity integration on random streams") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(88)
+    val ns = 1000000000L
+    val ev = (1 to 400).map { i =>
+      (rnd.nextInt(20).toLong,                       // entity
+        rnd.nextInt(5000).toLong * ns + rnd.nextInt(1000000),  // ts (sub-sec noise)
+        (rnd.nextInt(10000) / 100.0),                // 2-decimal value
+        i.toLong)                                    // unique tie-break id
+    }
+    val want = ev.groupBy(_._1).flatMap { case (u, rows) =>
+      val seq = rows.map(r => (r._2 / ns, r._3, r._4)).sortBy(r => (r._1, r._3))
+      val dts = seq.zip(seq.drop(1)).map { case ((s0, v, _), (s1, _, _)) => (v, s1 - s0) }
+      val sd = dts.map(_._2).sum
+      if (sd <= 0) None
+      else {
+        // mirror the engine's exact path: decimal value × whole seconds
+        val sp = dts.map { case (v, dt) =>
+          BigDecimal(v).setScale(6) * BigDecimal(dt) }.sum
+        Some(u -> ((sp.toDouble / sd.toDouble), sd))
+      }
+    }
+    val got = operators.Events.timeWeightedAvg(
+        ev.toDF("uid", "ts", "value", "eid"), "uid", "ts", "value",
+        tieCols = Seq("eid"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(got == want.toMap, s"diff=${
+      (got.toSet diff want.toSet) ++ (want.toSet diff got.toSet)}")
+  }
 }
