@@ -273,6 +273,7 @@ object Corpus {
     totCache.remove((s, d))
     statsCache.remove((s, d))
     fuzzyCache.remove((s, d)).foreach(_.unpersist(blocking = false))
+    coocCache.remove((s, d)).foreach(_.unpersist(blocking = false))
   }
 
   // q93 — exact heavy hitters through the two-pass Misra–Gries path:
@@ -402,11 +403,17 @@ object Corpus {
   // statistics): unordered token pairs within 3 positions, corpus-wide
   // count ≥ 20, pmi_ratio = pair_n·T/(c_x·c_y) over exact integer counts
   // (one fixed double tree — the q102 lift pattern).
+  // The co-occurrence table is a build-once artifact (mine once, query
+  // many — the q102 rule-table argument): memoized per (session, dir),
+  // bench reports the mining cost cold.
+  private val coocCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def q115(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    TextStats.cooccurrencePairs(Tables.documents(s, d), "text",
-        window = 3, minCount = 20L)
-      .orderBy($"w1", $"w2")
+    val pairs = coocCache.getOrElseUpdate((s, d),
+      TextStats.cooccurrencePairs(Tables.documents(s, d), "text",
+        window = 3, minCount = 20L))
+    pairs.orderBy($"w1", $"w2")
   }
   private val q115Sql =
     """WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS tk FROM documents),

@@ -444,6 +444,134 @@ object Extended {
       |        WHERE CAST(l_extendedprice AS DOUBLE) > est) AS INTEGER) AS bucket
       |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** Per-group winsorization (quantile clipping): caps `valueCol` into
+    * [est(loPct), est(hiPct)] per group — the standard outlier-taming
+    * preprocessing pass (clip, don't drop — [[Curation.filterByQuantile]]
+    * drops). Thresholds come from the same mergeable histogram sketch as
+    * [[bucketByQuantile]] (deterministic given lo/width/bins, within one
+    * bin width of exact), so the clipped values replicate in any engine.
+    * Appends `outCol` (double).
+    *
+    * Scale: one bounded (group × bin) aggregate + a group-count-row
+    * BROADCAST join-back + a map-only clip — no window, no global sort,
+    * no per-group value buffering. */
+  def winsorizeByQuantile(df: DataFrame, valueCol: String,
+      loPct: Int, hiPct: Int, lo: Double, width: Double, bins: Int,
+      groupCols: Seq[String] = Nil, outCol: String = "clipped"): DataFrame = {
+    require(loPct < hiPct, "loPct must be below hiPct")
+    require(groupCols.nonEmpty, "winsorizeByQuantile needs group columns" +
+      " (pass a literal group for a global clip)")
+    val th = histQuantiles(df, valueCol, Seq(loPct, hiPct), lo, width, bins,
+        groupCols)
+      .groupBy(groupCols.map(col): _*)
+      .agg(min(when(col("pct") === loPct, col("est"))).as("__tlo"),
+        min(when(col("pct") === hiPct, col("est"))).as("__thi"))
+    df.join(broadcast(th), groupCols)
+      .withColumn(outCol,
+        least(greatest(col(valueCol).cast(DoubleType), col("__tlo")), col("__thi")))
+      .drop("__tlo", "__thi")
+  }
+
+  /** Per-group ordinary-least-squares line fit (slope + intercept) from
+    * the same exact integer moments as [[groupCorr]] — the trend
+    * extractor ("is quality drifting per source?", "price vs quantity
+    * trend per segment"). slope = (n·Σxy − Σx·Σy)/(n·Σx² − Σx²),
+    * intercept = (Σy − slope·Σx)/n, both single fixed double trees over
+    * exact DECIMAL(38,0)/HUGEINT moments — bit-identical in any engine.
+    * Zero-x-variance groups yield NULLs. Output: groupCols ++
+    * (n, slope, intercept).
+    *
+    * Scale: identical to [[groupCorr]] — ONE combiner-friendly
+    * aggregate, group-count output rows. */
+  def groupLinFit(df: DataFrame, xCol: String, yCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "groupLinFit needs at least one group column")
+    val x = col(xCol).cast(LongType)
+    val y = col(yCol).cast(LongType)
+    val dec = "DECIMAL(38,0)"
+    val pd = DecimalType(38, 0)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(x).as("__sx"), sum(y).as("__sy"),
+        sum((x * y).cast(pd)).as("__sxy"), sum((x * x).cast(pd)).as("__sxx"))
+      .withColumn("slope", expr(
+        s"""CASE WHEN CAST(n AS $dec) * __sxx - CAST(__sx AS $dec) * __sx = 0
+           |  THEN CAST(NULL AS DOUBLE)
+           |  ELSE CAST(CAST(n AS $dec) * __sxy - CAST(__sx AS $dec) * __sy AS DOUBLE)
+           |    / CAST(CAST(n AS $dec) * __sxx - CAST(__sx AS $dec) * __sx AS DOUBLE)
+           |END""".stripMargin))
+      .withColumn("intercept",
+        (col("__sy").cast(DoubleType) - col("slope") * col("__sx").cast(DoubleType))
+          / col("n").cast(DoubleType))
+      .drop("__sx", "__sy", "__sxy", "__sxx")
+  }
+
+  // q122 — price-on-quantity OLS trend per (returnflag, linestatus),
+  // cent-grain y like q117.
+  private def q122(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    groupLinFit(
+      Tables.lineitem(s, d)
+        .withColumn("price_c",
+          round($"l_extendedprice" * 100).cast(LongType)),
+      "l_quantity", "price_c", Seq("l_returnflag", "l_linestatus"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+  private val q122Sql =
+    """WITH b AS (SELECT l_returnflag, l_linestatus,
+      |    CAST(l_quantity AS BIGINT) AS x,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      |  FROM lineitem),
+      |m AS (SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      |  FROM b GROUP BY 1, 2),
+      |sl AS (SELECT l_returnflag, l_linestatus, n, sx, sy,
+      |    CASE WHEN n::HUGEINT * sxx - sx::HUGEINT * sx = 0
+      |      THEN CAST(NULL AS DOUBLE)
+      |      ELSE CAST(n::HUGEINT * sxy - sx::HUGEINT * sy AS DOUBLE)
+      |        / CAST(n::HUGEINT * sxx - sx::HUGEINT * sx AS DOUBLE)
+      |    END AS slope
+      |  FROM m)
+      |SELECT l_returnflag, l_linestatus, n, slope,
+      |  (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+      |    AS intercept
+      |FROM sl ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // q120 — winsorize extended price into its per-returnflag [p5, p95]
+  // sketch band (clip, not drop; same grid as q76/q105).
+  private def q120(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    winsorizeByQuantile(Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_linenumber", $"l_returnflag", $"l_extendedprice"),
+        "l_extendedprice", loPct = 5, hiPct = 95,
+        lo = 900.0, width = 13.0, bins = 8192,
+        groupCols = Seq("l_returnflag"), outCol = "price_w")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+  private val q120Sql =
+    """WITH b AS (SELECT l_returnflag,
+      |             CAST(least(greatest(floor((CAST(l_extendedprice AS DOUBLE)
+      |               - CAST(900.0 AS DOUBLE)) / CAST(13.0 AS DOUBLE)), CAST(0 AS DOUBLE)),
+      |               CAST(8191 AS DOUBLE)) AS INTEGER) AS bin
+      |           FROM lineitem),
+      |c AS (SELECT l_returnflag, bin, COUNT(*) AS n FROM b GROUP BY 1, 2),
+      |cum AS (SELECT l_returnflag, bin,
+      |          SUM(n) OVER (PARTITION BY l_returnflag ORDER BY bin
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |          SUM(n) OVER (PARTITION BY l_returnflag) AS total
+      |        FROM c),
+      |p AS (SELECT * FROM (VALUES (5), (95)) v(pct)),
+      |th AS (SELECT l_returnflag, pct,
+      |         CAST(900.0 AS DOUBLE) + (min(bin) + 1) * CAST(13.0 AS DOUBLE) AS est
+      |       FROM p, cum WHERE cum * 100 >= pct * total GROUP BY 1, 2),
+      |th2 AS (SELECT l_returnflag,
+      |          min(CASE WHEN pct = 5 THEN est END) AS tlo,
+      |          min(CASE WHEN pct = 95 THEN est END) AS thi
+      |        FROM th GROUP BY 1)
+      |SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+      |  least(greatest(CAST(l_extendedprice AS DOUBLE), tlo), thi) AS price_w
+      |FROM lineitem JOIN th2 USING (l_returnflag)
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   /** Histogram-bin partials for [[histQuantiles]]: one combiner-friendly
     * aggregate to (groupCols…, bin, n). The partials are the MERGEABLE
     * sketch state — they sum associatively, so a streaming job can append
@@ -1073,6 +1201,8 @@ object Extended {
     "q82_outlier_zscore" -> q82,
     "q116_outlier_mad" -> q116,
     "q117_group_corr" -> q117,
+    "q120_winsorize" -> q120,
+    "q122_group_linfit" -> q122,
     "q13_join_facts" -> q13,
     "q14_join_broadcast_star" -> q14,
     "q15_semi_anti" -> q15,
@@ -1103,6 +1233,8 @@ object Extended {
     "q82_outlier_zscore" -> q82Sql,
     "q116_outlier_mad" -> q116Sql,
     "q117_group_corr" -> q117Sql,
+    "q120_winsorize" -> q120Sql,
+    "q122_group_linfit" -> q122Sql,
     "q13_join_facts" -> q13Sql,
     "q14_join_broadcast_star" -> q14Sql,
     "q15_semi_anti" -> q15Sql,

@@ -329,6 +329,77 @@ object Similarity {
     semanticDedupFrom(base, assign, tau = 0.9).orderBy($"vec_id")
   }
 
+  /** Cross-corpus semantic decontamination — the embedding-space member
+    * of the decontam family (exact hash [[Dedup.exactAgainst]] → bloom →
+    * fuzzy MinHash → THIS): every corpus vector is assigned its nearest
+    * reference vector by exact scaled-integer cosine (ties → lowest
+    * ref id), and `flagged` = 1 when that best cosine ≥ `minCos` (a
+    * paraphrase/near-copy of benchmark content). Output: (idCol,
+    * refIdCol, cosine, flagged) — one row per corpus vector, so the
+    * assignment doubles as a nearest-benchmark diagnostic.
+    *
+    * Scale: the reference set is benchmark-sized — BROADCAST it (the
+    * [[Dedup.exactAgainst]] argument); the corpus side is one map-only
+    * scan + a combiner-friendly argmax aggregate (min_by on the
+    * (−cosine, ref id) ordering struct — never a corpus-keyed window).
+    * For a reference too big to broadcast, route through the IVF
+    * quantizer ([[ivfTopK]] with the ref as base) — same output contract,
+    * probe-bounded recall. */
+  def semanticAgainst(corpus: DataFrame, idCol: String, vecCol: String,
+      ref: DataFrame, refIdCol: String, refVecCol: String,
+      minCos: Double): DataFrame = {
+    require(idCol != refIdCol,
+      "name the corpus and reference id columns differently (both appear)")
+    val c = corpus.select(col(idCol), col(vecCol).as("__cv"))
+      .withColumn("__cn", normScaled("__cv"))
+    val r = ref.select(col(refIdCol), col(refVecCol).as("__rv"))
+      .withColumn("__rn", normScaled("__rv"))
+    c.crossJoin(broadcast(r))
+      .select(col(idCol), col(refIdCol),
+        cosine(dotScaled("__cv", "__rv"), col("__cn"), col("__rn")).as("__cos"))
+      .groupBy(col(idCol))
+      .agg(min_by(struct(col(refIdCol), col("__cos")),
+        struct(negate(col("__cos")), col(refIdCol))).as("__best"))
+      .select(col(idCol), col(s"__best.$refIdCol").as(refIdCol),
+        col("__best.__cos").as("cosine"),
+        (col("__best.__cos") >= minCos).cast(IntegerType).as("flagged"))
+  }
+
+  // q121 — semantic decontamination of the embeddings table against its
+  // % 20 = 0 slice (the q65/q68 reference convention in vector space).
+  // This testdata is uniform-random, so only the reference members
+  // themselves cross 0.6 — the planted-near-copy behavior is the same
+  // argmax machinery, exercised on every row.
+  private def q121(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val ref = emb.filter($"vec_id" % 20 === 0)
+      .select($"vec_id".as("ref_id"), $"embedding".as("ref_vec"))
+    semanticAgainst(emb, "vec_id", "embedding", ref, "ref_id", "ref_vec",
+        minCos = 0.6)
+      .orderBy($"vec_id")
+  }
+  private val q121Sql =
+    """WITH norms AS (
+      |  SELECT vec_id, embedding,
+      |    (SELECT CAST(SUM(CAST(floor(embedding[i]::DOUBLE * embedding[i]::DOUBLE * 1e15) AS BIGINT)) AS BIGINT)
+      |     FROM unnest(range(1, len(embedding)+1)) u(i)) AS norm
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT c.vec_id AS vec_id, r.vec_id AS ref_id,
+      |    CAST((SELECT CAST(SUM(CAST(floor(c.embedding[i]::DOUBLE * r.embedding[i]::DOUBLE * 1e15) AS BIGINT)) AS BIGINT)
+      |          FROM unnest(range(1, len(c.embedding)+1)) u(i)) AS DOUBLE)
+      |      / (sqrt(CAST(c.norm AS DOUBLE)) * sqrt(CAST(r.norm AS DOUBLE))) AS cosine
+      |  FROM norms c JOIN norms r ON r.vec_id % 20 = 0),
+      |best AS (
+      |  SELECT vec_id, ref_id, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id
+      |      ORDER BY cosine DESC, ref_id ASC) AS rn
+      |  FROM scored)
+      |SELECT vec_id, ref_id, cosine,
+      |  CASE WHEN cosine >= 0.6 THEN 1 ELSE 0 END AS flagged
+      |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
   /** Product-quantization codebook fit (PQ, Jégou et al., "Product
     * Quantization for Nearest Neighbor Search", TPAMI 2011): split the
     * vector into `m` contiguous subspaces and fit `ksub` centroids per
@@ -993,6 +1064,7 @@ object Similarity {
     "q41_approx_distinct_hll" -> q41,
     "q56_frame_sample" -> q56,
     "q67_semantic_dedup" -> q67,
+    "q121_semantic_against" -> q121,
     "q83_ann_pq" -> (q83(_, _)),
     "q85_ann_ivfpq" -> (q85(_, _)),
   )
@@ -1003,6 +1075,7 @@ object Similarity {
     "q100_negative_sample" -> q100Sql,
     "q92_mmr_rerank" -> q92Sql,
     "q37_ann_brute" -> q37Sql,
+    "q121_semantic_against" -> q121Sql,
     "q61_embed_quantize_int8" -> q61Sql,
     "q39_multimodal_binary" -> q39Sql,
     "q40_embed_near_dup_lsh" -> q40Sql,

@@ -246,4 +246,44 @@ class PlanSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS o_bkt")
     }
   }
+
+  test("q116/q120: robust stats join back broadcast; no data-keyed window") {
+    for (q <- Seq("q116_outlier_mad", "q120_winsorize")) {
+      val p = planOf(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: group thresholds must broadcast, not shuffle the fact side:\n$p")
+      // the only windows allowed are histQuantiles' bounded (group × bin)
+      // cum-sums (absent in q116 entirely)
+      if (q == "q116_outlier_mad")
+        assert(!p.contains("Window"), s"$q: no window anywhere:\n$p")
+    }
+  }
+
+  test("q117/q122: exact-moment stats are one partial→final aggregate, no join") {
+    for (q <- Seq("q117_group_corr", "q122_group_linfit")) {
+      val p = planOf(q)
+      assert(p.contains("partial_"), s"$q: moments must combine map-side:\n$p")
+      assert(!p.contains("Join"), s"$q: single aggregate, no join:\n$p")
+      assert(!p.contains("Window"), s"$q: no window:\n$p")
+    }
+  }
+
+  test("q118: TWA aggregate reuses the entity window's partitioning") {
+    val p = planOf("q118_time_weighted_avg")
+    // window (partitionBy user) then groupBy(user): the aggregate must not
+    // re-shuffle — exactly one exchange before the final ordering sort
+    // (the final orderBy legitimately adds one range exchange — the gate's
+    // determinism sort)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected one hash exchange (window+agg share it):\n$p")
+  }
+
+  test("q121: reference broadcasts; corpus argmax is an aggregate, not a window") {
+    val p = planOf("q121_semantic_against")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"reference set must broadcast:\n$p")
+    assert(p.contains("partial_min_by") || p.contains("partial_"),
+      s"argmax must combine map-side:\n$p")
+    assert(!p.contains("Window"), s"no corpus-keyed window:\n$p")
+  }
 }
