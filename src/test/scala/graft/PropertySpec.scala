@@ -590,6 +590,24 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("rollingDistinctApprox tracks the exact series within the HLL bound") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val acts = (1 to 3000).map(_ =>
+      (rnd.nextInt(500).toLong, rnd.nextInt(30).toLong)).toDF("uid", "day")
+    val exact = operators.Events.rollingDistinct(acts, "uid", "day", 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val approx = operators.Events.rollingDistinctApprox(acts, "uid", "day", 7,
+        rsd = 0.02)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (d, n) =>
+      val e = approx(d)
+      assert(math.abs(e - n) <= math.max(3, n * 0.10),
+        s"day $d: approx $e vs exact $n drifts past the bound")
+    }
+  }
+
   test("timeWeightedAvg equals the naive per-entity integration on random streams") {
     import spark.implicits._
     val rnd = new scala.util.Random(88)
