@@ -587,6 +587,73 @@ object Events {
        |        LEFT JOIN s2 ON s0.user_id = s2.user_id
        |ORDER BY s0.user_id""".stripMargin
 
+  /** Top-k session paths (behavior-flow mining): gap-sessionize each
+    * entity's stream, concatenate each session's ordered event types into
+    * a path string ("view>click>purchase"), and return the `k` most
+    * common paths with their session counts — the whole-sequence
+    * generalization of [[eventTransitions]]' pairwise matrix. Ties break
+    * path-asc. Output: (path, n_sessions).
+    *
+    * Scale: sessionization is the entity-keyed window class (bounded
+    * rows per entity); path assembly is ONE combiner aggregate per
+    * (entity, session) — a session's events are gap-bounded, so the
+    * collected list is small by construction; path counting is a
+    * combiner-friendly aggregate on the path string; the final top-k is
+    * TakeOrdered (never a global sort). `tsSecCol` is integral seconds;
+    * `tieCol` breaks same-second order. */
+  def sessionPaths(df: DataFrame, userCol: String, tsSecCol: String,
+      typeCol: String, tieCol: String, gapSec: Long, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsSecCol), col(tieCol))
+    df
+      .withColumn("__prev", lag(col(tsSecCol), 1).over(w))
+      .withColumn("__new", when(col("__prev").isNull ||
+        (col(tsSecCol) - col("__prev")) > gapSec, 1).otherwise(0))
+      .withColumn("__sid", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("__sid"))
+      .agg(expr(s"array_join(transform(array_sort(collect_list(" +
+        s"struct($tsSecCol, $tieCol, $typeCol))), x -> x.$typeCol), '>')")
+        .as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+  }
+
+  // q123 — the 20 most common session paths over the event stream
+  // (30-minute gap, like q27/q109).
+  private def q123(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    sessionPaths(
+        Tables.events(s, d).withColumn("sec", expr("ts DIV 1000000000")),
+        "user_id", "sec", "event_type", "event_id", gapSec = 1800L, k = 20)
+  }
+  private val q123Sql =
+    """WITH t AS (
+      |  SELECT user_id, event_id, event_type,
+      |    epoch_ns(ts) // 1000000000 AS sec,
+      |    LAG(epoch_ns(ts) // 1000000000, 1)
+      |      OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000000000,
+      |            event_id) AS prev
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, event_id, event_type, sec,
+      |    CASE WHEN prev IS NULL OR (sec - prev) > 1800 THEN 1 ELSE 0 END AS nw
+      |  FROM t),
+      |sess AS (
+      |  SELECT user_id, event_id, event_type, sec,
+      |    SUM(nw) OVER (PARTITION BY user_id ORDER BY sec, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM f),
+      |paths AS (
+      |  SELECT user_id, sid,
+      |    string_agg(event_type, '>' ORDER BY sec, event_id) AS path
+      |  FROM sess GROUP BY 1, 2)
+      |SELECT path, COUNT(*) AS n_sessions
+      |FROM paths GROUP BY 1
+      |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
+
   /** Time-weighted average of `valueCol` per entity — the "average gauge
     * reading weighted by how long it held" aggregate (TWAP, utilization,
     * session-intensity): each reading is weighted by the seconds until
@@ -713,6 +780,7 @@ object Events {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q118_time_weighted_avg" -> q118,
     "q119_rolling_distinct" -> q119,
+    "q123_session_paths" -> q123,
     "q99_change_history" -> q99,
     "q107_funnel_windowed" -> q107,
     "q109_session_metrics" -> q109,
@@ -732,6 +800,7 @@ object Events {
   val oracles: Map[String, String] = Map(
     "q118_time_weighted_avg" -> q118Sql,
     "q119_rolling_distinct" -> q119Sql,
+    "q123_session_paths" -> q123Sql,
     "q99_change_history" -> q99Sql,
     "q107_funnel_windowed" -> q107Sql,
     "q109_session_metrics" -> q109Sql,

@@ -652,6 +652,24 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 500.0 / 30.0, 30L)), s"got ${got.toSeq}")
   }
 
+  // ------------------------------------------- session paths (q123)
+
+  test("sessionPaths: gap splits, in-session order, count ties break path-asc") {
+    val ev = Seq(
+      // user 1: two sessions, both a>b (gap 5000 > 1800 splits)
+      (1L, 0L, "a", 1L), (1L, 100L, "b", 2L),
+      (1L, 5000L, "a", 3L), (1L, 5100L, "b", 4L),
+      // user 2: one a>b session; out-of-order insert (ts sorts it)
+      (2L, 900L, "b", 6L), (2L, 800L, "a", 5L),
+      // user 3: a solo "c" session
+      (3L, 50L, "c", 7L)
+    ).toDF("uid", "sec", "etype", "eid")
+    val got = Events.sessionPaths(ev, "uid", "sec", "etype", "eid",
+        gapSec = 1800L, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("a>b", 3L), ("c", 1L)), s"got ${got.toSeq}")
+  }
+
   // ------------------------------------------- rolling distinct (q119)
 
   test("rollingDistinct: trailing window membership, max-day clip") {
