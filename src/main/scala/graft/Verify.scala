@@ -22,15 +22,30 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+    val failures = selected.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        None
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        Some(name)
       }
     }
+    // a query that errors silently vanishes from the driver's correctness
+    // table (round 7 lost 12 event queries to a testdata type change with
+    // no visible signal) — make the tally impossible to miss, on BOTH
+    // streams and in a file the next session will trip over
+    val tally = s"[verify] dumped ${selected.size - failures.size} of " +
+      s"${selected.size} queries" +
+      (if (failures.isEmpty) "" else s"; FAILED: ${failures.mkString(", ")}")
+    println(tally)
+    System.err.println(tally)
+    if (failures.nonEmpty)
+      Files.writeString(Paths.get(s"$outDir/FAILURES.txt"),
+        failures.mkString("\n") + "\n")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -587,6 +587,66 @@ object Events {
        |        LEFT JOIN s2 ON s0.user_id = s2.user_id
        |ORDER BY s0.user_id""".stripMargin
 
+  /** Conversion attribution: for every entity that converts (first event
+    * of `convType`), credit the last (or first) preceding event whose
+    * type is in `touchTypes` — last-touch / first-touch marketing
+    * attribution. Converters with no prior touch keep a NULL attribution
+    * (organic conversions stay visible). Output: (userCol, touch_type,
+    * t_touch, t_conv).
+    *
+    * Scale: entirely windowless — one min-aggregate for conversion
+    * times, one filtered join (AQE-splittable on hot entities), one
+    * min_by/max_by argmax aggregate on the (time, tie) ordering struct.
+    * The [[funnel]] skeleton with credit assignment instead of stage
+    * counting. */
+  def attribution(df: DataFrame, userCol: String, tsSecCol: String,
+      typeCol: String, tieCol: String, convType: String,
+      touchTypes: Seq[String], lastTouch: Boolean = true): DataFrame = {
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    val conv = df.filter(col(typeCol) === convType)
+      .groupBy(col(userCol)).agg(min(col(tsSecCol)).as("t_conv"))
+    val ord = struct(col(tsSecCol), col(tieCol))
+    val pick = struct(col(typeCol).as("touch_type"), col(tsSecCol).as("t_touch"))
+    val best = df.filter(col(typeCol).isin(touchTypes: _*))
+      .join(conv, Seq(userCol))
+      .filter(col(tsSecCol) < col("t_conv"))
+      .groupBy(col(userCol))
+      .agg((if (lastTouch) max_by(pick, ord) else min_by(pick, ord)).as("__b"))
+      .select(col(userCol), col("__b.touch_type").as("touch_type"),
+        col("__b.t_touch").as("t_touch"))
+    conv.join(best, Seq(userCol), "left")
+      .select(col(userCol), col("touch_type"), col("t_touch"), col("t_conv"))
+  }
+
+  // q124 — last-touch attribution: which touch type (view/click) last
+  // preceded each user's first purchase.
+  private def q124(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    attribution(
+        Tables.events(s, d).withColumn("sec", expr("ts DIV 1000000000")),
+        "user_id", "sec", "event_type", "event_id",
+        convType = "purchase", touchTypes = Seq("view", "click"))
+      .orderBy($"user_id")
+  }
+  private val q124Sql =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |             epoch_ns(ts) // 1000000000 AS sec FROM events),
+      |cv AS (SELECT user_id, min(sec) AS t_conv FROM e
+      |       WHERE event_type = 'purchase' GROUP BY 1),
+      |tc AS (SELECT e.user_id, e.event_type, e.sec, e.event_id
+      |       FROM e JOIN cv USING (user_id)
+      |       WHERE e.event_type IN ('view', 'click') AND e.sec < cv.t_conv),
+      |tt AS (SELECT user_id, max(sec) AS t_touch FROM tc GROUP BY 1),
+      |tie AS (SELECT tc.user_id, max(tc.event_id) AS eid
+      |        FROM tc JOIN tt ON tc.user_id = tt.user_id AND tc.sec = tt.t_touch
+      |        GROUP BY 1),
+      |sel AS (SELECT tc.user_id, tc.event_type AS touch_type, tc.sec AS t_touch
+      |        FROM tc JOIN tie ON tc.user_id = tie.user_id
+      |                        AND tc.event_id = tie.eid)
+      |SELECT cv.user_id, touch_type, t_touch, t_conv
+      |FROM cv LEFT JOIN sel USING (user_id)
+      |ORDER BY cv.user_id""".stripMargin
+
   /** Top-k session paths (behavior-flow mining): gap-sessionize each
     * entity's stream, concatenate each session's ordered event types into
     * a path string ("view>click>purchase"), and return the `k` most
@@ -781,6 +841,7 @@ object Events {
     "q118_time_weighted_avg" -> q118,
     "q119_rolling_distinct" -> q119,
     "q123_session_paths" -> q123,
+    "q124_attribution" -> q124,
     "q99_change_history" -> q99,
     "q107_funnel_windowed" -> q107,
     "q109_session_metrics" -> q109,
@@ -801,6 +862,7 @@ object Events {
     "q118_time_weighted_avg" -> q118Sql,
     "q119_rolling_distinct" -> q119Sql,
     "q123_session_paths" -> q123Sql,
+    "q124_attribution" -> q124Sql,
     "q99_change_history" -> q99Sql,
     "q107_funnel_windowed" -> q107Sql,
     "q109_session_metrics" -> q109Sql,

@@ -652,6 +652,34 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 500.0 / 30.0, 30L)), s"got ${got.toSeq}")
   }
 
+  // ------------------------------------------- attribution (q124)
+
+  test("attribution: last/first touch, same-sec tie by id, organic NULL") {
+    val ev = Seq(
+      // user 1: view@10, click@20, purchase@30 → last=click, first=view
+      (1L, 10L, "view", 1L), (1L, 20L, "click", 2L), (1L, 30L, "purchase", 3L),
+      // user 2: two touches at the SAME second → max event_id wins
+      (2L, 40L, "view", 4L), (2L, 40L, "click", 5L), (2L, 50L, "purchase", 6L),
+      // user 3: organic purchase (touch AFTER conversion doesn't count)
+      (3L, 60L, "purchase", 7L), (3L, 70L, "click", 8L),
+      // user 4: touches but no purchase → absent
+      (4L, 80L, "view", 9L)
+    ).toDF("uid", "sec", "etype", "eid")
+    val last = Events.attribution(ev, "uid", "sec", "etype", "eid",
+        "purchase", Seq("view", "click"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), Option(r.get(2)), r.getLong(3)))).toMap
+    assert(last == Map(
+      1L -> ((Some("click"), Some(20L), 30L)),
+      2L -> ((Some("click"), Some(40L), 50L)),
+      3L -> ((None, None, 60L))), s"got $last")
+    val first = Events.attribution(ev, "uid", "sec", "etype", "eid",
+        "purchase", Seq("view", "click"), lastTouch = false)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(first(1L) == Some("view") && first(2L) == Some("view"),
+      s"got $first")
+  }
+
   // ------------------------------------------- session paths (q123)
 
   test("sessionPaths: gap splits, in-session order, count ties break path-asc") {
