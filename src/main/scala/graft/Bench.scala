@@ -55,6 +55,7 @@ object Bench {
       "q102_association_rules", // cold = the rule-mining build
       "q112_pagerank_weighted", // cold = the weighted rank build
       "q115_cooccurrence_pmi", // cold = the co-occurrence table mine
+      "q125_kcore", // cold = the iterative core strip
       "q66_term_rarity", "q69_bm25_topk") // cold = the memoized corpus-stats pass
       .filter(SparkEntry.queries.contains)
     val cold = coldNames.map { name =>

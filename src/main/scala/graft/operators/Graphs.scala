@@ -297,7 +297,8 @@ object Graphs {
   private val prCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
   private[operators] def invalidateCaches(s: SparkSession, d: String): Unit =
-    Seq(d, d + "#ppr", d + "#tri", d + "#hits", d + "#lp", d + "#wpr").foreach(k =>
+    Seq(d, d + "#ppr", d + "#tri", d + "#hits", d + "#lp", d + "#wpr",
+      d + "#kcore").foreach(k =>
       prCache.remove((s, k)).foreach(_.unpersist(blocking = false)))
   // customer and supplier keys share the integer space, so node ids are
   // NAMESPACED (customer c → 10⁷ + c) — without this node 7 would be
@@ -521,7 +522,73 @@ object Graphs {
        |SELECT CAST(id AS BIGINT) AS id, CAST(lbl AS BIGINT) AS community
        |FROM l2 ORDER BY id""".stripMargin
 
+  /** Fixed-k core extraction (k-core): `rounds` synchronous rounds of
+    * stripping nodes with undirected degree < `k` — the standard "dense
+    * backbone" pass (spam-farm isolation, influential-community cut,
+    * graph sparsification before triangle/community analysis). Edges are
+    * canonicalized undirected (least/greatest, self-loops dropped).
+    * Output after round R: the surviving edge set's nodes with their
+    * within-core degree (fixed-round semantics — converged when a round
+    * strips nobody; rounds is the exact-replication knob, like the
+    * PageRank iteration count). Output: (id, deg).
+    *
+    * Scale: per round ONE combiner-friendly degree aggregate + two
+    * left-semi equi-joins (AQE-splittable); the edge relation only
+    * shrinks, and each round's result is localCheckpoint'd so the plan
+    * stays round-sized (the [[pageRank]] lineage policy). */
+  def kCore(edgesDf: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(rounds >= 1, "rounds must be positive")
+    val s = edgesDf.sparkSession
+    import s.implicits._
+    var e = edgesDf
+      .select(least(col(srcCol), col(dstCol)).as("x"),
+        greatest(col(srcCol), col(dstCol)).as("y"))
+      .filter($"x" =!= $"y").distinct().localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val deg = e.select($"x".as("id")).union(e.select($"y".as("id")))
+        .groupBy($"id").agg(count(lit(1)).as("deg"))
+      val kept = deg.filter($"deg" >= k).select($"id")
+      e = e.join(kept.withColumnRenamed("id", "x"), Seq("x"), "left_semi")
+        .join(kept.withColumnRenamed("id", "y"), Seq("y"), "left_semi")
+        .select($"x", $"y").localCheckpoint()
+    }
+    e.select($"x".as("id")).union(e.select($"y".as("id")))
+      .groupBy($"id").agg(count(lit(1)).as("deg"))
+  }
+
+  // q125 — the 30-core of the purchase graph after 3 stripping rounds
+  // (median degree ≈ 33, so the cut does real work). A core build is a
+  // build-once artifact — memoized, bench reports it cold.
+  private def q125(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val core = prCache.getOrElseUpdate((s, d + "#kcore"), {
+      kCore(purchaseEdges(s, d), "src", "dst", k = 30, rounds = 3)
+    })
+    core.orderBy($"id")
+  }
+  private val q125Sql = {
+    def round(n: Int): String =
+      s"""d$n AS (SELECT id, COUNT(*) AS deg FROM (
+         |  SELECT x AS id FROM e$n UNION ALL SELECT y FROM e$n) GROUP BY 1),
+         |n$n AS (SELECT id FROM d$n WHERE deg >= 30),
+         |e${n + 1} AS (SELECT x, y FROM e$n
+         |  JOIN n$n a ON e$n.x = a.id JOIN n$n b ON e$n.y = b.id)""".stripMargin
+    s"""WITH e0 AS (SELECT DISTINCT least(o_custkey + $custBase, l_suppkey) AS x,
+       |    greatest(o_custkey + $custBase, l_suppkey) AS y
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE o_custkey + $custBase <> l_suppkey),
+       |${round(0)},
+       |${round(1)},
+       |${round(2)}
+       |SELECT id, COUNT(*) AS deg FROM (
+       |  SELECT x AS id FROM e3 UNION ALL SELECT y FROM e3) GROUP BY 1
+       |ORDER BY id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_kcore" -> q125,
     "q101_label_propagation" -> q101,
     "q98_hits" -> q98,
     "q112_pagerank_weighted" -> q112,
@@ -531,6 +598,7 @@ object Graphs {
   )
 
   val oracles: Map[String, String] = Map(
+    "q125_kcore" -> q125Sql,
     "q101_label_propagation" -> q101Sql,
     "q98_hits" -> q98Sql,
     "q112_pagerank_weighted" -> q112Sql,

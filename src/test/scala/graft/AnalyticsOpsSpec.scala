@@ -652,6 +652,24 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 500.0 / 30.0, 30L)), s"got ${got.toSeq}")
   }
 
+  // ------------------------------------------- k-core (q125)
+
+  test("kCore: cascading strip over rounds, dup/direction-immune input") {
+    // K4 on {1,2,3,4} + chain 4-5, 5-6 (fed with dups and reversals).
+    // k=2: round 1 strips 6 (deg 1); round 2 strips 5 (deg fell to 1
+    // when 6 left) — the cascade needs the second round.
+    val edges = Seq(
+      (1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),
+      (4L,5L),(5L,4L),(5L,6L),(6L,5L),(2L,1L)
+    ).toDF("a","b")
+    val r1 = graft.operators.Graphs.kCore(edges, "a", "b", k = 2, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L->3L, 2L->3L, 3L->3L, 4L->4L, 5L->1L), s"got $r1")
+    val r2 = graft.operators.Graphs.kCore(edges, "a", "b", k = 2, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 == Map(1L->3L, 2L->3L, 3L->3L, 4L->3L), s"got $r2")
+  }
+
   // ------------------------------------------- attribution (q124)
 
   test("attribution: last/first touch, same-sec tie by id, organic NULL") {
