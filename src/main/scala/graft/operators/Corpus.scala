@@ -399,6 +399,30 @@ object Corpus {
       |WHERE cnt.cnt * 1000000 >= n.c * 20000
       |ORDER BY cnt.lang ASC, cnt.cnt DESC, cnt.term ASC""".stripMargin
 
+  // q126 — bigram-LM quality score per document (surprisal proxy): mean
+  // corpus conditional probability of each doc's transitions, exact
+  // integers end to end; unseen transitions (below the q103 minCount=3
+  // cut) penalize as 0.
+  private def q126(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    TextStats.lmQualityScore(Tables.documents(s, d), "doc_id", "text",
+        minCount = 3L)
+      .orderBy($"doc_id")
+  }
+  private val q126Sql =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      |           FROM documents),
+      |bi AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+      |       FROM t, unnest(range(1, len(tk))) u(i) WHERE len(tk) >= 2),
+      |pc AS (SELECT w1, w2, COUNT(*) AS pair_n FROM bi GROUP BY 1, 2),
+      |un AS (SELECT w1, COUNT(*) AS u FROM bi GROUP BY 1),
+      |st AS (SELECT pc.w1, pc.w2, pair_n * 1000000 // u AS cond_ppm
+      |       FROM pc JOIN un ON pc.w1 = un.w1 WHERE pair_n >= 3)
+      |SELECT bi.doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(SUM(coalesce(cond_ppm, 0)) // COUNT(*) AS BIGINT) AS avg_cond_ppm
+      |FROM bi LEFT JOIN st ON bi.w1 = st.w1 AND bi.w2 = st.w2
+      |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   // q115 — windowed co-occurrence / PMI-ratio pairs (word-association
   // statistics): unordered token pairs within 3 positions, corpus-wide
   // count ≥ 20, pmi_ratio = pair_n·T/(c_x·c_y) over exact integer counts
@@ -435,6 +459,7 @@ object Corpus {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q115_cooccurrence_pmi" -> q115,
+    "q126_lm_quality" -> q126,
     "q95_decontaminate_bloom" -> q95,
     "q96_dedup_edit_distance" -> q96,
     "q103_bigram_stats" -> q103,
@@ -451,6 +476,7 @@ object Corpus {
 
   val oracles: Map[String, String] = Map(
     "q115_cooccurrence_pmi" -> q115Sql,
+    "q126_lm_quality" -> q126Sql,
     "q95_decontaminate_bloom" -> q65Sql, // identical semantics by design
     "q96_dedup_edit_distance" -> q96Sql,
     "q103_bigram_stats" -> q103Sql,

@@ -301,6 +301,41 @@ object TextStats {
         expr("pair_n * 1000000L div __u").as("cond_ppm"))
   }
 
+  /** Bigram-LM quality score per document — the surprisal-proxy filter:
+    * each document's bigrams are scored with the corpus conditional
+    * table ([[bigramStats]], pass it precomputed via `statsDf` to reuse
+    * a memoized build) and the document gets the exact-integer mean
+    * `avg_cond_ppm = Σ cond_ppm div n_bigrams` (bigrams absent from the
+    * table — rarer than the stats' minCount — count as 0, the "unseen =
+    * surprising" penalty). Low scores ≈ improbable token transitions ≈
+    * gibberish/boilerplate candidates; a rational mean instead of mean
+    * log-prob keeps every value engine-exact (no libm ln drift) while
+    * ordering documents the same way for filtering. Documents with < 2
+    * tokens score NULL (no bigrams). Output: (doc_id, n_bigrams,
+    * avg_cond_ppm).
+    *
+    * Scale: doc bigrams assemble MAP-SIDE (the [[bigramStats]] fan-out);
+    * the stats join is a (w1, w2) equi-join (AQE-splittable on hot
+    * pairs); one combiner mean aggregate per doc. */
+  def lmQualityScore(df: DataFrame, idCol: String, textCol: String,
+      statsDf: Option[DataFrame] = None, minCount: Long = 1L): DataFrame = {
+    val stats = statsDf.getOrElse(bigramStats(df, textCol, minCount))
+      .select(col("w1"), col("w2"), col("cond_ppm"))
+    val bi = df.select(col(idCol).cast(LongType).as("doc_id"),
+        split(trim(col(textCol)), "\\s+").as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(__t) - 1), i -> struct(__t[i-1] AS w1, __t[i] AS w2))"))
+        .as("__b"))
+      .select(col("doc_id"), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+    bi.join(stats, Seq("w1", "w2"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("cond_ppm"), lit(0L))).as("__s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("__s div n_bigrams").as("avg_cond_ppm"))
+  }
+
   /** Windowed co-occurrence statistics (word-association / word2vec-style
     * PMI pass): for every unordered token pair co-occurring within
     * `window` positions at least `minCount` times, the co-occurrence

@@ -652,6 +652,23 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 500.0 / 30.0, 30L)), s"got ${got.toSeq}")
   }
 
+  // ------------------------------------------- LM quality (q126)
+
+  test("lmQualityScore: exact rational means, minCount penalty, short docs absent") {
+    // corpus bigrams: d1 (a,b),(b,a),(a,c); d2 (a,b) → counts (a,b)=2,
+    // (b,a)=1, (a,c)=1; w1 counts a=3, b=1 → cond_ppm 666666/1000000/333333
+    val docs = Seq((1L, "a b a c"), (2L, "a b"), (3L, "z")).toDF("id", "txt")
+    val all = TextStats.lmQualityScore(docs, "id", "txt")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(all == Map(
+      1L -> ((3L, (666666L + 1000000L + 333333L) / 3)),
+      2L -> ((1L, 666666L))), s"got $all")  // doc 3 has no bigrams → absent
+    // minCount=2 drops (b,a)/(a,c) from the table → they score 0
+    val cut = TextStats.lmQualityScore(docs, "id", "txt", minCount = 2L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(cut == Map(1L -> 666666L / 3, 2L -> 666666L), s"got $cut")
+  }
+
   // ------------------------------------------- k-core (q125)
 
   test("kCore: cascading strip over rounds, dup/direction-immune input") {
