@@ -98,6 +98,40 @@ class PipelineE2ESpec extends AnyFunSuite {
         assert(r.getAs[Long]("end") == r.getAs[Long]("tot")))
   }
 
+  test("round-8 chain: canonicalize -> LM-quality cut -> weighted sample stays nested") {
+    import spark.implicits._
+    import graft.operators.{Curation, TextStats}
+    val docs = Tables.documents(spark, sf)
+
+    // 1. canonicalize text (normalize-before-anything)
+    val canon = Curation.normalizeText(docs, "doc_id", "text")
+      .select($"doc_id", $"norm_text".as("text"))
+    assert(canon.count() == docs.count())
+
+    // 2. score transitions against the canonical corpus's own bigram
+    // table and keep the upper half (drop improbable-transition docs)
+    val scored = TextStats.lmQualityScore(canon, "doc_id", "text",
+      minCount = 3L)
+    val cut = scored.agg(expr("percentile(avg_cond_ppm, 0.5)")).head().getDouble(0)
+    val kept = canon.join(
+      scored.filter($"avg_cond_ppm" >= cut).select("doc_id"), "doc_id")
+    assert(kept.count() > 0 && kept.count() < docs.count())
+
+    // 3. weighted Bernoulli subsample of the survivors, weight ∝ score
+    val weighted = kept.join(scored, "doc_id")
+      .withColumn("w_ppm", least(lit(1000000L), $"avg_cond_ppm"))
+    val sampled = Curation.sampleByWeight(weighted, "doc_id", "w_ppm")
+    val nKept = kept.count(); val nSamp = sampled.count()
+    assert(nSamp > 0 && nSamp <= nKept)
+    // sample is a strict subset of the kept set (pure content-hash draw)
+    assert(sampled.select("doc_id").except(kept.select("doc_id")).count() == 0)
+    // and re-running reproduces the identical subset (determinism E2E)
+    val again = Curation.sampleByWeight(weighted, "doc_id", "w_ppm")
+      .select("doc_id")
+    assert(again.except(sampled.select("doc_id")).count() == 0 &&
+      sampled.select("doc_id").except(again).count() == 0)
+  }
+
   test("retrieval chain: chunk with overlap -> slice text -> BM25 over chunks") {
     import spark.implicits._
     import graft.operators.{Curation, TextStats}
