@@ -472,6 +472,62 @@ object Extended {
       .drop("__tlo", "__thi")
   }
 
+  /** Percentile-rank normalization: maps `valueCol` to its estimated
+    * cumulative fraction (ppm) via the histogram sketch — the rank/CDF
+    * feature transform ("normalize score to [0,1] by population rank")
+    * that a global `percent_rank()` window would compute with a
+    * single-task sort. rank_ppm = cum_count(bin(v)) · 10⁶ div N over the
+    * deterministic (lo, width, bins) grid, so values replicate in any
+    * engine; resolution is one bin. Appends `outCol` (ppm long).
+    *
+    * Scale: one bounded bin aggregate → a ≤-bins-row cum window (the
+    * q73/q105 bounded-by-construction class) → BROADCAST equi-join on
+    * the bin — O(1) hash lookup per row inside codegen, map-only
+    * otherwise. Zero data-keyed windows, zero global sorts. */
+  def percentileRank(df: DataFrame, valueCol: String, lo: Double,
+      width: Double, bins: Int, outCol: String = "rank_ppm"): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val binEx = least(greatest(
+      floor((col(valueCol).cast(DoubleType) - lit(lo)) / lit(width)),
+      lit(0.0)), lit((bins - 1).toDouble)).cast(IntegerType)
+    val binned = df.withColumn("__bin", binEx)
+    val counts = binned.groupBy(col("__bin")).agg(count(lit(1)).as("__n"))
+    // single-partition window is bounded by construction: ≤ bins rows
+    val w = Window.orderBy(col("__bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("__cum", sum(col("__n")).over(w))
+      .select(col("__bin"), col("__cum"))
+    val tot = df.agg(count(lit(1)).as("__N"))
+    binned.join(broadcast(cum), Seq("__bin"))
+      .crossJoin(broadcast(tot))
+      .withColumn(outCol, expr("__cum * 1000000L div __N"))
+      .drop("__bin", "__cum", "__N")
+  }
+
+  // q127 — price percentile-rank feature on the q76/q105 grid.
+  private def q127(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    percentileRank(Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_linenumber", $"l_extendedprice"),
+        "l_extendedprice", lo = 900.0, width = 13.0, bins = 8192)
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+  private val q127Sql =
+    """WITH b AS (SELECT CAST(least(greatest(floor((CAST(l_extendedprice AS DOUBLE)
+      |             - CAST(900.0 AS DOUBLE)) / CAST(13.0 AS DOUBLE)), CAST(0 AS DOUBLE)),
+      |             CAST(8191 AS DOUBLE)) AS INTEGER) AS bin
+      |           FROM lineitem),
+      |c AS (SELECT bin, COUNT(*) AS n FROM b GROUP BY 1),
+      |cum AS (SELECT bin, SUM(n) OVER (ORDER BY bin
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM c),
+      |tot AS (SELECT COUNT(*) AS total FROM lineitem)
+      |SELECT l_orderkey, l_linenumber, l_extendedprice,
+      |  (SELECT cum FROM cum WHERE bin = CAST(least(greatest(
+      |     floor((CAST(l_extendedprice AS DOUBLE) - CAST(900.0 AS DOUBLE))
+      |       / CAST(13.0 AS DOUBLE)), CAST(0 AS DOUBLE)), CAST(8191 AS DOUBLE)) AS INTEGER))
+      |   * 1000000 // (SELECT total FROM tot) AS rank_ppm
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   /** Per-group ordinary-least-squares line fit (slope + intercept) from
     * the same exact integer moments as [[groupCorr]] — the trend
     * extractor ("is quality drifting per source?", "price vs quantity
@@ -1203,6 +1259,7 @@ object Extended {
     "q117_group_corr" -> q117,
     "q120_winsorize" -> q120,
     "q122_group_linfit" -> q122,
+    "q127_percentile_rank" -> q127,
     "q13_join_facts" -> q13,
     "q14_join_broadcast_star" -> q14,
     "q15_semi_anti" -> q15,
@@ -1235,6 +1292,7 @@ object Extended {
     "q117_group_corr" -> q117Sql,
     "q120_winsorize" -> q120Sql,
     "q122_group_linfit" -> q122Sql,
+    "q127_percentile_rank" -> q127Sql,
     "q13_join_facts" -> q13Sql,
     "q14_join_broadcast_star" -> q14Sql,
     "q15_semi_anti" -> q15Sql,

@@ -332,6 +332,39 @@ class PipelineE2ESpec extends AnyFunSuite {
       s"merged partials must equal the all-at-once sketch: $merged vs $batch")
   }
 
+  test("streamed LM-quality scoring with a fixed stats table (≡ batch)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.operators.TextStats
+    val stage = Files.createTempDirectory("graft-lmq").toString
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    // the corpus bigram table is fit ONCE (a deploy artifact, like the
+    // IVF quantizer) and each micro-batch scores against it map-side
+    val stats = TextStats.bigramStats(docs, "text", minCount = 3L)
+      .localCheckpoint()
+    val rows = docs.as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", s"$stage/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        TextStats.lmQualityScore(batch, "doc_id", "text",
+            statsDf = Some(stats))
+          .write.mode("append").parquet(s"$stage/scores")
+        ()
+      }.start()
+    Seq(rows.take(100), rows.slice(100, 350), rows.drop(350)).foreach { b =>
+      mem.addData(b: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.read.parquet(s"$stage/scores")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val batch = TextStats.lmQualityScore(docs, "doc_id", "text",
+        statsDf = Some(stats))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(streamed == batch,
+      s"per-batch scoring against the fixed table must equal all-at-once")
+  }
+
   test("ops-analytics chain: daily resample -> LOCF -> per-user outlier days") {
     import spark.implicits._
     import graft.operators.{Events, Extended}
