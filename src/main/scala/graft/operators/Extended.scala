@@ -472,6 +472,51 @@ object Extended {
       .drop("__tlo", "__thi")
   }
 
+  /** Per-column data-profile report: for each named column, total rows,
+    * non-null count and exact distinct count — the table-health pass a
+    * pipeline runs before trusting a new data drop (and the reference
+    * era's ANALYZE-style stats source). Long output, one row per
+    * column: (column, n_rows, n_nonnull, n_distinct).
+    *
+    * Scale: one aggregate pass PER COLUMN (a union of single-column
+    * plans) — each pass prunes its scan to that one column and uses the
+    * ordinary two-phase distinct, so no multi-distinct Expand blowup and
+    * no single wide shuffle; the per-column passes parallelize as
+    * independent jobs under the same action at any table width. For
+    * quick profiles of very wide tables swap the exact distinct for
+    * approx_count_distinct — same shape, one pass total. */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile at least one column")
+    cols.map { c =>
+      df.agg(count(lit(1)).as("n_rows"), count(col(c)).as("n_nonnull"),
+          countDistinct(col(c)).as("n_distinct"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_nonnull"),
+          col("n_distinct"))
+    }.reduce(_.union(_))
+  }
+
+  // q128 — profile the lineitem fact columns a pipeline keys on.
+  private def q128(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    profileColumns(Tables.lineitem(s, d),
+        Seq("l_orderkey", "l_partkey", "l_returnflag", "l_shipdate"))
+      .orderBy($"col_name")
+  }
+  private val q128Sql =
+    """SELECT 'l_orderkey' AS col_name, COUNT(*) AS n_rows,
+      |  COUNT(l_orderkey) AS n_nonnull, COUNT(DISTINCT l_orderkey) AS n_distinct
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'l_partkey', COUNT(*), COUNT(l_partkey), COUNT(DISTINCT l_partkey)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'l_returnflag', COUNT(*), COUNT(l_returnflag), COUNT(DISTINCT l_returnflag)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'l_shipdate', COUNT(*), COUNT(l_shipdate), COUNT(DISTINCT l_shipdate)
+      |FROM lineitem
+      |ORDER BY col_name""".stripMargin
+
   /** Percentile-rank normalization: maps `valueCol` to its estimated
     * cumulative fraction (ppm) via the histogram sketch — the rank/CDF
     * feature transform ("normalize score to [0,1] by population rank")
@@ -1260,6 +1305,7 @@ object Extended {
     "q120_winsorize" -> q120,
     "q122_group_linfit" -> q122,
     "q127_percentile_rank" -> q127,
+    "q128_profile" -> q128,
     "q13_join_facts" -> q13,
     "q14_join_broadcast_star" -> q14,
     "q15_semi_anti" -> q15,
@@ -1293,6 +1339,7 @@ object Extended {
     "q120_winsorize" -> q120Sql,
     "q122_group_linfit" -> q122Sql,
     "q127_percentile_rank" -> q127Sql,
+    "q128_profile" -> q128Sql,
     "q13_join_facts" -> q13Sql,
     "q14_join_broadcast_star" -> q14Sql,
     "q15_semi_anti" -> q15Sql,
