@@ -247,6 +247,36 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned star join prunes partitions dynamically (DPP)") {
+    // the 100 TB star-schema answer beyond static pruning: a date/dim-
+    // partitioned fact joined through a filtered dim scans only the
+    // partitions the dim filter selects — Spark inserts a dynamicpruning
+    // subquery on the partition column at planning time
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    val li = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_extendedprice"),
+        col("o_orderpriority").as("prio"))
+    li.write.mode("overwrite").partitionBy("prio").parquet(s"$dir/fact")
+    val fact = spark.read.parquet(s"$dir/fact")
+    // dim must be a real source with a real filter — a LocalRelation
+    // constant-folds its predicate away and DPP's selectivity check
+    // never sees one
+    Seq(("1-URGENT", 1), ("5-LOW", 5)).toDF("prio", "rank")
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    val dim = spark.read.parquet(s"$dir/dim")
+      .filter(col("rank") === 1) // selective dim filter → prune fact parts
+    val joined = fact.join(broadcast(dim), Seq("prio"))
+      .agg(sum(col("l_extendedprice")))
+    val p = joined.queryExecution.executedPlan.toString()
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning subquery on prio:\n$p")
+    assert(joined.collect().nonEmpty)
+  }
+
   test("q116/q120: robust stats join back broadcast; no data-keyed window") {
     for (q <- Seq("q116_outlier_mad", "q120_winsorize")) {
       val p = planOf(q)
