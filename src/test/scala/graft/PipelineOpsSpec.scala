@@ -90,6 +90,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ivf2.size <= brute.size)
   }
 
+  test("semanticAgainst is exactly top-1 ANN with the reference as queries") {
+    import spark.implicits._
+    // the decontam argmax must agree with the ANN kernel: for each corpus
+    // vector, its assigned ref = annTopK(k=1) over the ref set (same
+    // scaled-int cosine, same (score desc, id asc) tie-break)
+    val rnd = new scala.util.Random(17)
+    val emb = Seq.tabulate(80)(i =>
+        (i.toLong, Array.fill(10)(rnd.nextFloat() * 2 - 1)))
+      .toDF("cid", "vec")
+    val ref = emb.filter($"cid" % 10 === 0)
+      .select($"cid".as("rid"), $"vec".as("rvec"))
+    val got = operators.Similarity.semanticAgainst(
+        emb, "cid", "vec", ref, "rid", "rvec", minCos = 0.5)
+      .collect().map(r => r.getAs[Long]("cid") ->
+        ((r.getAs[Long]("rid"), r.getAs[Double]("cosine")))).toMap
+    // annTopK ranks base rows per query; flip roles so each corpus vector
+    // is the "query" over the ref base
+    val want = operators.Similarity.annTopK(
+        ref, "rid", "rvec", emb.select($"cid", $"vec"), "cid", "vec", k = 1)
+      .collect().map(r => r.getAs[Long]("cid") ->
+        ((r.getAs[Long]("rid"), r.getAs[Double]("cosine")))).toMap
+    assert(got == want, s"diff=${(got.toSet diff want.toSet) ++
+      (want.toSet diff got.toSet)}")
+  }
+
   test("mmrRerank diversifies: a duplicate of the top pick drops behind an orthogonal one") {
     import spark.implicits._
     // one query; c1 (rel .9) and c2 (rel .8) are the SAME direction

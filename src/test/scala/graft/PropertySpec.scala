@@ -570,6 +570,22 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("percentileRank: monotone in value, bounded, exact at the max") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(66)
+    val vals = Seq.fill(500)(rnd.nextInt(1000).toDouble)
+    val out = operators.Extended.percentileRank(
+        vals.toDF("v"), "v", lo = 0.0, width = 10.0, bins = 128)
+      .collect().map(r => r.getDouble(0) -> r.getLong(1))
+    // bounded and positive: every rank in (0, 1e6]
+    assert(out.forall { case (_, r) => r > 0 && r <= 1000000L })
+    // monotone: sorting by value never decreases rank
+    val sorted = out.sortBy(_._1).map(_._2)
+    assert(sorted.zip(sorted.drop(1)).forall { case (a, b) => a <= b })
+    // the maximum value sits at exactly 1e6 (its bin closes the CDF)
+    assert(out.maxBy(_._1)._2 == 1000000L)
+  }
+
   test("rollingDistinct equals the naive trailing-window model on random activity") {
     import spark.implicits._
     val rnd = new scala.util.Random(77)
