@@ -56,6 +56,7 @@ object Bench {
       "q112_pagerank_weighted", // cold = the weighted rank build
       "q115_cooccurrence_pmi", // cold = the co-occurrence table mine
       "q125_kcore", // cold = the iterative core strip
+      "q129_bpe_fit", // cold = the iterative merge-table fit
       "q66_term_rarity", "q69_bm25_topk") // cold = the memoized corpus-stats pass
       .filter(SparkEntry.queries.contains)
     val cold = coldNames.map { name =>

@@ -274,6 +274,7 @@ object Corpus {
     statsCache.remove((s, d))
     fuzzyCache.remove((s, d)).foreach(_.unpersist(blocking = false))
     coocCache.remove((s, d)).foreach(_.unpersist(blocking = false))
+    bpeCache.remove((s, d)).foreach(_.unpersist(blocking = false))
   }
 
   // q93 — exact heavy hitters through the two-pass Misra–Gries path:
@@ -399,6 +400,31 @@ object Corpus {
       |WHERE cnt.cnt * 1000000 >= n.c * 20000
       |ORDER BY cnt.lang ASC, cnt.cnt DESC, cnt.term ASC""".stripMargin
 
+  // q129 — BPE vocabulary fit over the corpus (40 merges). The merge
+  // table is a build-once deploy artifact — memoized like the quantizer
+  // fits. Iterative argmax (k-means class) → no SQL oracle; driver
+  // records the rows-only check; the trainer's exact semantics are
+  // pinned by the naive-model equivalence spec.
+  private val bpeCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def fittedBpe(s: SparkSession, d: String): DataFrame =
+    bpeCache.getOrElseUpdate((s, d),
+      TextStats.bpeFit(Tables.documents(s, d), "text", numMerges = 40)
+        .localCheckpoint())
+  private def q129(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    fittedBpe(s, d).orderBy($"rank")
+  }
+
+  // q130 — encode the corpus with the learned merges: true subword token
+  // counts per document (what tokenCounts' regex approximates).
+  private def q130(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    TextStats.bpeEncode(Tables.documents(s, d), "doc_id", "text",
+        fittedBpe(s, d))
+      .orderBy($"doc_id")
+  }
+
   // q126 — bigram-LM quality score per document (surprisal proxy): mean
   // corpus conditional probability of each doc's transitions, exact
   // integers end to end; unseen transitions (below the q103 minCount=3
@@ -460,6 +486,8 @@ object Corpus {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q115_cooccurrence_pmi" -> q115,
     "q126_lm_quality" -> q126,
+    "q129_bpe_fit" -> q129,
+    "q130_bpe_encode" -> q130,
     "q95_decontaminate_bloom" -> q95,
     "q96_dedup_edit_distance" -> q96,
     "q103_bigram_stats" -> q103,

@@ -301,6 +301,103 @@ object TextStats {
         expr("pair_n * 1000000L div __u").as("cond_ppm"))
   }
 
+  /** Byte-pair-encoding vocabulary trainer (Sennrich et al., ACL 2016 —
+    * the subword tokenizer fit every LLM pipeline runs): starting from
+    * characters, repeatedly merge the most frequent adjacent symbol pair
+    * (ties → lexicographic) for `numMerges` rounds, counting pairs
+    * word-wise weighted by corpus word frequency. Returns the merge
+    * table: (rank, left, right, pair_count) in merge order — the
+    * artifact a tokenizer ships. Symbols are plain strings (merged pair
+    * = concatenation), the standard text-BPE simplification.
+    *
+    * Scale: the trainer never touches the corpus after ONE word-count
+    * aggregate — all rounds operate on the DISTINCT-WORD vocabulary
+    * (combiner-friendly count, orders of magnitude smaller than the
+    * corpus). Per round: one map-side pair explode + sum aggregate over
+    * the vocab, ONE 1-row argmax collect (bounded by numMerges — the
+    * k-means-iteration driver-action class), one map-only greedy
+    * left-to-right rewrite of the symbol arrays, localCheckpoint to keep
+    * lineage round-sized. */
+  def bpeFit(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    require(numMerges >= 1, "numMerges must be positive")
+    val s = df.sparkSession
+    import s.implicits._
+    var vocab = df.select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+      .select($"freq", filter(split($"w", ""), c => length(c) > 0).as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 0
+    var done = false
+    while (r < numMerges && !done) {
+      val best = vocab.filter(size($"syms") >= 2)
+        .select($"freq", explode(expr(
+          "transform(sequence(0, size(syms) - 2), i -> struct(syms[i] AS l, syms[i+1] AS r))"))
+          .as("p"))
+        .groupBy($"p.l".as("l"), $"p.r".as("r"))
+        .agg(sum($"freq").as("cnt"))
+        .orderBy($"cnt".desc, $"l".asc, $"r".asc)
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val (l, rr, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r + 1, l, rr, cnt))
+        // greedy left-to-right merge of (l, rr) in every word — a fold,
+        // so overlapping runs ("aaa" under (a,a)) merge exactly once
+        vocab = vocab.withColumn("syms",
+          aggregate($"syms", array().cast("array<string>"), (acc, x) =>
+            when(size(acc) > 0 &&
+                element_at(acc, -1) === lit(l) && x === lit(rr),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + rr))))
+            .otherwise(concat(acc, array(x)))))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** Apply a [[bpeFit]] merge table: segment each document's words into
+    * the learned subword symbols (merges replayed in rank order — the
+    * standard greedy BPE encoder) and return per-document subword counts.
+    * Output: (doc_id, n_words, n_subwords) — the real token counter that
+    * [[tokenCounts]]' whitespace/BPE-ish regex approximates.
+    *
+    * Scale: merges replay over the DISTINCT-WORD vocabulary only (the
+    * fast-tokenizer memoization: segment each unique word once), each
+    * round a map-only rewrite on the vocab-sized frame with a
+    * localCheckpoint so the expression tree stays one-merge deep — the
+    * corpus itself is touched by ONE word explode + an equi-join on the
+    * word (AQE broadcasts the vocab side while it fits) + one per-doc
+    * combiner aggregate. Never numMerges corpus-wide passes. */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      mergesDf: DataFrame): DataFrame = {
+    val merges = mergesDf.select(col("rank"), col("left"), col("right"))
+      .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2)))
+    val docWords = df.select(col(idCol).cast(LongType).as("doc_id"),
+        split(trim(col(textCol)), "\\s+").as("__ws"))
+      .select(col("doc_id"), explode(col("__ws")).as("w"))
+      .filter(length(col("w")) > 0)
+    var vocab = docWords.select(col("w")).distinct()
+      .select(col("w"), filter(split(col("w"), ""), c => length(c) > 0).as("syms"))
+      .localCheckpoint()
+    merges.foreach { case (l, r) =>
+      vocab = vocab.withColumn("syms",
+        aggregate(col("syms"), array().cast("array<string>"), (acc, x) =>
+          when(size(acc) > 0 &&
+              element_at(acc, -1) === lit(l) && x === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(x)))))
+        .localCheckpoint()
+    }
+    docWords
+      .join(vocab.select(col("w"), size(col("syms")).as("__n")), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("__n")).as("n_subwords"))
+  }
+
   /** Bigram-LM quality score per document — the surprisal-proxy filter:
     * each document's bigrams are scored with the corpus conditional
     * table ([[bigramStats]], pass it precomputed via `statsDf` to reuse

@@ -90,6 +90,58 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ivf2.size <= brute.size)
   }
 
+  test("bpeFit equals the naive single-machine BPE trainer; encode counts check out") {
+    import spark.implicits._
+    // naive reference trainer: word-freq table, most frequent adjacent
+    // pair (ties lexicographic), greedy left-to-right merge
+    def naiveBpe(words: Map[String, Long], n: Int): Seq[(String, String, Long)] = {
+      var vocab = words.map { case (w, f) => (w.map(_.toString).toVector, f) }
+      var out = Vector.empty[(String, String, Long)]
+      var continue = true
+      while (out.size < n && continue) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        vocab.foreach { case (syms, f) =>
+          syms.zip(syms.drop(1)).foreach(p =>
+            counts(p) = counts.getOrElse(p, 0L) + f)
+        }
+        if (counts.isEmpty) continue = false
+        else {
+          val ((l, r), c) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+          out :+= ((l, r, c))
+          vocab = vocab.map { case (syms, f) =>
+            val merged = syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+              if (acc.nonEmpty && acc.last == l && x == r)
+                acc.init :+ (l + r)
+              else acc :+ x
+            }
+            (merged, f)
+          }
+        }
+      }
+      out
+    }
+    val docs = Seq("low low low low low", "lower lower",
+      "newest newest newest newest newest newest",
+      "widest widest widest").toDF("text")
+    val words = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val want = naiveBpe(words, 8).zipWithIndex
+      .map { case ((l, r, c), i) => (i + 1, l, r, c) }
+    val got = operators.TextStats.bpeFit(docs, "text", numMerges = 8)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(got == want, s"got $got\nwant $want")
+    // encode with the learned merges: subword count shrinks toward the
+    // merged symbols and never exceeds raw char count; word count exact
+    val enc = operators.TextStats.bpeEncode(
+        docs.withColumn("id", monotonically_increasing_id()), "id", "text",
+        operators.TextStats.bpeFit(docs, "text", numMerges = 8))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(enc.forall { case (nw, ns) => ns >= nw }, s"got ${enc.toSeq}")
+    val totalSub = enc.map(_._2).sum
+    val totalChars = docs.collect().map(_.getString(0).count(_ != ' ')).sum
+    assert(totalSub < totalChars, "merges must compress below char count")
+  }
+
   test("semanticAgainst is exactly top-1 ANN with the reference as queries") {
     import spark.implicits._
     // the decontam argmax must agree with the ANN kernel: for each corpus
