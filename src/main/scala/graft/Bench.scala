@@ -57,6 +57,7 @@ object Bench {
       "q115_cooccurrence_pmi", // cold = the co-occurrence table mine
       "q125_kcore", // cold = the iterative core strip
       "q129_bpe_fit", // cold = the iterative merge-table fit
+      "q130_bpe_encode", // cold = the vocab segmentation replay
       "q66_term_rarity", "q69_bm25_topk") // cold = the memoized corpus-stats pass
       .filter(SparkEntry.queries.contains)
     val cold = coldNames.map { name =>

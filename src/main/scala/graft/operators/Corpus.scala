@@ -275,6 +275,7 @@ object Corpus {
     fuzzyCache.remove((s, d)).foreach(_.unpersist(blocking = false))
     coocCache.remove((s, d)).foreach(_.unpersist(blocking = false))
     bpeCache.remove((s, d)).foreach(_.unpersist(blocking = false))
+    bpeSegCache.remove((s, d)).foreach(_.unpersist(blocking = false))
   }
 
   // q93 — exact heavy hitters through the two-pass Misra–Gries path:
@@ -418,10 +419,16 @@ object Corpus {
 
   // q130 — encode the corpus with the learned merges: true subword token
   // counts per document (what tokenCounts' regex approximates).
+  // the segmented vocabulary is the second deploy artifact (segment each
+  // unique word once, reuse across encode passes) — memoized like the fit
+  private val bpeSegCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def q130(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    TextStats.bpeEncode(Tables.documents(s, d), "doc_id", "text",
-        fittedBpe(s, d))
+    val segs = bpeSegCache.getOrElseUpdate((s, d),
+      TextStats.bpeSegmentVocab(Tables.documents(s, d), "text",
+        fittedBpe(s, d)).persist())
+    TextStats.bpeEncodeWith(Tables.documents(s, d), "doc_id", "text", segs)
       .orderBy($"doc_id")
   }
 

@@ -373,14 +373,22 @@ object TextStats {
     * word (AQE broadcasts the vocab side while it fits) + one per-doc
     * combiner aggregate. Never numMerges corpus-wide passes. */
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      mergesDf: DataFrame): DataFrame =
+    bpeEncodeWith(df, idCol, textCol, bpeSegmentVocab(df, textCol, mergesDf))
+
+  /** Segment a corpus's distinct-word vocabulary with a [[bpeFit]] merge
+    * table: (w, syms) — the memoizable half of [[bpeEncode]] (a deploy
+    * artifact like the fit itself: segment each unique word once, reuse
+    * across every encode pass and micro-batch). Each merge replays as a
+    * map-only rewrite on the vocab-sized frame, localCheckpoint'd so the
+    * fold stays one merge deep. */
+  def bpeSegmentVocab(df: DataFrame, textCol: String,
       mergesDf: DataFrame): DataFrame = {
     val merges = mergesDf.select(col("rank"), col("left"), col("right"))
       .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2)))
-    val docWords = df.select(col(idCol).cast(LongType).as("doc_id"),
-        split(trim(col(textCol)), "\\s+").as("__ws"))
-      .select(col("doc_id"), explode(col("__ws")).as("w"))
-      .filter(length(col("w")) > 0)
-    var vocab = docWords.select(col("w")).distinct()
+    var vocab = df
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0).distinct()
       .select(col("w"), filter(split(col("w"), ""), c => length(c) > 0).as("syms"))
       .localCheckpoint()
     merges.foreach { case (l, r) =>
@@ -392,10 +400,26 @@ object TextStats {
           .otherwise(concat(acc, array(x)))))
         .localCheckpoint()
     }
+    vocab
+  }
+
+  /** [[bpeEncode]] against a precomputed [[bpeSegmentVocab]] frame: one
+    * corpus word explode + an equi-join on the word (AQE broadcasts the
+    * vocab side while it fits) + one per-doc combiner aggregate. Words
+    * absent from the segmentation (OOV at serve time) fall back to
+    * their character count — the char-level BPE backstop. */
+  def bpeEncodeWith(df: DataFrame, idCol: String, textCol: String,
+      vocabSegs: DataFrame): DataFrame = {
+    val docWords = df.select(col(idCol).cast(LongType).as("doc_id"),
+        split(trim(col(textCol)), "\\s+").as("__ws"))
+      .select(col("doc_id"), explode(col("__ws")).as("w"))
+      .filter(length(col("w")) > 0)
     docWords
-      .join(vocab.select(col("w"), size(col("syms")).as("__n")), Seq("w"))
+      .join(vocabSegs.select(col("w"), size(col("syms")).as("__n")), Seq("w"),
+        "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_words"), sum(col("__n")).as("n_subwords"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("__n"), length(col("w")))).as("n_subwords"))
   }
 
   /** Bigram-LM quality score per document — the surprisal-proxy filter:
