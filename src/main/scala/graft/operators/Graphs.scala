@@ -43,7 +43,9 @@ object Graphs {
       dampingPpm: Long = 850000L, base: Long = 1000000000L,
       seeds: Option[DataFrame] = None,
       weightCol: Option[String] = None,
-      materialize: Boolean = true): DataFrame = {
+      materialize: Boolean = true,
+      checkpointEvery: Int = 8): DataFrame = {
+    require(checkpointEvery >= 1, "checkpointEvery must be positive")
     require(iters >= 0, "iters must be non-negative")
     require(dampingPpm >= 0 && dampingPpm <= 1000000L, "damping is ppm in [0, 1e6]")
     // WEIGHTED walk: each edge carries w(u,v) ≥ 1 and a node's rank splits
@@ -83,7 +85,7 @@ object Graphs {
     var ranks =
       if (seeds.isEmpty) nodes.select(col("id"), lit(base).as("r"))
       else nodes.select(col("id"), col("__t").as("r"))
-    for (_ <- 0 until iters) {
+    for (i <- 0 until iters) {
       val cs = ew.join(ranks, col("src") === col("id"))
         .select(col("dst"),
           expr("(r div outdeg) * w + ((r % outdeg) * w) div outdeg").as("c"))
@@ -93,6 +95,13 @@ object Graphs {
           expr(s"__t + (coalesce(cs, 0L) div 1000000L) * ${dampingPpm}L" +
             s" + ((coalesce(cs, 0L) % 1000000L) * ${dampingPpm}L) div 1000000L")
             .as("r"))
+      // deep-iteration hygiene: snap the rank lineage every few rounds so
+      // a 30-iteration walk optimizes a plan of depth ≤ checkpointEvery
+      // joins instead of 2·iters (ranks are integer-exact, so the snap
+      // cannot change results — only the plan). Skipped after the final
+      // round; `materialize` handles the terminal snap.
+      if (i + 1 < iters && (i + 1) % checkpointEvery == 0)
+        ranks = ranks.localCheckpoint()
     }
     // materialize (default): localCheckpoint cuts the iters-deep lineage
     // and computes eagerly, letting the loop invariants be RELEASED —
@@ -298,7 +307,7 @@ object Graphs {
     .empty[(SparkSession, String), DataFrame]
   private[operators] def invalidateCaches(s: SparkSession, d: String): Unit =
     Seq(d, d + "#ppr", d + "#tri", d + "#hits", d + "#lp", d + "#wpr",
-      d + "#kcore").foreach(k =>
+      d + "#kcore", d + "#bfs", d + "#lpred").foreach(k =>
       prCache.remove((s, k)).foreach(_.unpersist(blocking = false)))
   // customer and supplier keys share the integer space, so node ids are
   // NAMESPACED (customer c → 10⁷ + c) — without this node 7 would be
@@ -617,7 +626,181 @@ object Graphs {
        |ORDER BY id""".stripMargin
   }
 
+  /** Multi-source BFS hop distances: the minimum number of edges from any
+    * seed node, up to `maxHops` (trust radius around known-good domains,
+    * contamination blast-radius, "within k links of a spam hub" cuts).
+    * Frontier form: round h expands ONLY the nodes first reached at
+    * round h−1 — each node is expanded exactly once, so total work is
+    * O(E) across all rounds regardless of `maxHops` (a relax-everything
+    * loop re-joins the full distance table every round). With unit edge
+    * weights first-reach = min-hops, so the frontier result is exact.
+    * Undirected by default; `directed = true` follows edges src→dst
+    * only. Output: (id, hops) for every node within `maxHops` of a seed
+    * (seeds themselves at 0).
+    *
+    * Scale: per round one equi-join (frontier × adjacency, frontier
+    * shrinks as the graph saturates) + one distinct + one left-anti
+    * against the reached set — all equi-shuffles on node ids,
+    * AQE-splittable; the reached set is localCheckpoint'd per round so
+    * lineage stays round-sized ([[pageRank]] discipline). At 100 TB
+    * pre-bucket the adjacency by source node so the per-round join
+    * co-locates. */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, maxHops: Int, directed: Boolean = false): DataFrame = {
+    require(maxHops >= 0, "maxHops must be non-negative")
+    val e0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a") =!= col("b"))
+    val adj = (if (directed) e0
+      else e0.union(e0.select(col("b").as("a"), col("a").as("b"))))
+      .distinct().persist()
+    var dist = seeds.select(col(seeds.columns.head).as("id")).distinct()
+      .select(col("id"), lit(0L).as("hops")).localCheckpoint()
+    var frontier = dist
+    for (h <- 1 to maxHops) {
+      val cand = adj.join(frontier.select(col("id").as("__f")),
+          col("a") === col("__f"))
+        .select(col("b").as("id")).distinct()
+      val fresh = cand.join(dist.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id"), lit(h.toLong).as("hops"))
+      dist = dist.union(fresh).localCheckpoint()
+      frontier = fresh
+    }
+    adj.unpersist(blocking = false)
+    dist
+  }
+
+  /** Common-neighbor link prediction over an undirected graph: for every
+    * non-adjacent pair (u, w) sharing at least `minCommon` neighbors,
+    * the shared-neighbor count and the neighborhood Jaccard
+    * cn·10⁶ div (deg(u) + deg(w) − cn) in exact ppm — the classic
+    * "people you may know" / related-entity candidate generator, and in
+    * a corpus pipeline the related-domain signal behind crawl expansion.
+    * Self-loops and duplicate edges dropped.
+    *
+    * `maxBrokerDeg` is ENFORCED (the q34 df-cap shape): a broker node
+    * with degree > maxBrokerDeg generates no wedges — without the cap a
+    * celebrity node fans out deg² candidate pairs (10⁶ neighbors → 10¹²
+    * pairs), the exact blowup the shingle cap kills in the dedup suite.
+    * Capped semantics are part of the contract (mirrored in the oracle),
+    * not a sampling approximation. Endpoint degrees (for Jaccard) stay
+    * exact full-graph degrees.
+    *
+    * Scale: one combiner-friendly degree aggregate; the wedge build is
+    * an equi-join of the capped adjacency with itself on the broker key,
+    * fan-out ≤ maxBrokerDeg per broker; pair counting is a combiner
+    * aggregate; adjacency exclusion is one left-anti equi-join. No
+    * windows, no cartesians. Output: (u, w, cn, jaccard_ppm), u < w. */
+  def linkPredict(edges: DataFrame, aCol: String, bCol: String,
+      maxBrokerDeg: Int, minCommon: Long = 2L): DataFrame = {
+    require(maxBrokerDeg >= 2, "maxBrokerDeg must be at least 2")
+    require(minCommon >= 1, "minCommon must be positive")
+    val e0 = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+      .filter(col("a") =!= col("b"))
+    val und = e0.select(least(col("a"), col("b")).as("x"),
+      greatest(col("a"), col("b")).as("y")).distinct().persist()
+    val deg = und.select(col("x").as("id")).union(und.select(col("y").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg")).persist()
+    // adjacency keyed by broker v; brokers hotter than the cap are
+    // excluded BEFORE the self-join (broadcast-friendly eligibility is
+    // implicit: the semi-join keys on the capped degree frame)
+    val adj = und.select(col("x").as("v"), col("y").as("n"))
+      .union(und.select(col("y").as("v"), col("x").as("n")))
+    val okBrokers = deg.filter(col("deg") <= maxBrokerDeg).select(col("id").as("v"))
+    val cadj = adj.join(okBrokers, Seq("v"), "left_semi")
+    val n1 = cadj.select(col("v"), col("n").as("u"))
+    val n2 = cadj.select(col("v"), col("n").as("w"))
+    val cn = n1.join(n2, Seq("v")).filter(col("u") < col("w"))
+      .groupBy(col("u"), col("w")).agg(count(lit(1)).as("cn"))
+      .filter(col("cn") >= minCommon)
+    // drop already-adjacent pairs ((u,w) is canonical u<w, as is und)
+    val cand = cn.join(und.select(col("x").as("u"), col("y").as("w")),
+      Seq("u", "w"), "left_anti")
+    val out = cand
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("id").as("w"), col("deg").as("dw")), Seq("w"))
+      .select(col("u"), col("w"), col("cn"),
+        expr("cn * 1000000L div (du + dw - cn)").as("jaccard_ppm"))
+    val snapped = out.localCheckpoint()
+    und.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
+    snapped
+  }
+
+  // q131 — BFS trust radius on the purchase graph: every 10th customer
+  // (q87's seed set) at hop 0; how far each node sits from the nearest
+  // trusted customer. Undirected, 3 hops; build-once artifact, memoized.
+  private def q131(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dist = prCache.getOrElseUpdate((s, d + "#bfs"), {
+      val edges = purchaseEdges(s, d)
+      val seeds = edges.select($"src".as("seed_id")).distinct()
+        .filter(($"seed_id" - custBase) % 10 === 0)
+      bfsDistances(edges, "src", "dst", seeds, maxHops = 3)
+    })
+    dist.orderBy($"id")
+  }
+  private val q131Sql = {
+    def round(prev: String, n: Int): String =
+      s"""f$n AS (SELECT DISTINCT und.b AS id
+         |  FROM und JOIN n${n - 1} ON und.a = n${n - 1}.id),
+         |n$n AS (SELECT f$n.id, $n AS hops FROM f$n
+         |  LEFT JOIN $prev ON f$n.id = $prev.id WHERE $prev.id IS NULL),
+         |d$n AS (SELECT * FROM $prev UNION ALL SELECT * FROM n$n)""".stripMargin
+    s"""WITH $edgesSql,
+       |und AS (SELECT src AS a, dst AS b FROM edges
+       |        UNION SELECT dst, src FROM edges),
+       |n0 AS (SELECT DISTINCT src AS id, 0 AS hops FROM edges
+       |  WHERE (src - $custBase) % 10 = 0),
+       |d0 AS (SELECT * FROM n0),
+       |${round("d0", 1)},
+       |${round("d1", 2)},
+       |${round("d2", 3)}
+       |SELECT id, CAST(hops AS BIGINT) AS hops FROM d3 ORDER BY id""".stripMargin
+  }
+
+  // q132 — link prediction on the part co-purchase graph (q88's edges):
+  // non-adjacent part pairs ranked by shared co-purchase neighbors. The
+  // broker cap (40) is enforced engine-side and mirrored in the oracle.
+  private def q132(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = prCache.getOrElseUpdate((s, d + "#lpred"), {
+      val li = Tables.lineitem(s, d).filter($"l_quantity" > 25)
+        .select($"l_orderkey", $"l_partkey")
+      val a = li.select($"l_orderkey", $"l_partkey".as("pa"))
+      val b = li.select($"l_orderkey", $"l_partkey".as("pb"))
+      val edges = a.join(b, Seq("l_orderkey")).filter($"pa" =!= $"pb")
+        .select($"pa", $"pb")
+      linkPredict(edges, "pa", "pb", maxBrokerDeg = 40, minCommon = 3L)
+    })
+    pairs.orderBy($"cn".desc, $"u", $"w").limit(100)
+  }
+  private val q132Sql =
+    """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity > 25),
+      |raw AS (
+      |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS x,
+      |                  greatest(a.l_partkey, b.l_partkey) AS y
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+      |deg AS (SELECT id, COUNT(*) AS deg
+      |  FROM (SELECT x AS id FROM raw UNION ALL SELECT y FROM raw) GROUP BY 1),
+      |adj AS (SELECT x AS v, y AS n FROM raw UNION ALL SELECT y, x FROM raw),
+      |cadj AS (SELECT adj.v, adj.n FROM adj
+      |  JOIN deg ON adj.v = deg.id AND deg.deg <= 40),
+      |cn AS (SELECT n1.n AS u, n2.n AS w, COUNT(*) AS cn
+      |  FROM cadj n1 JOIN cadj n2 ON n1.v = n2.v AND n1.n < n2.n
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+      |cand AS (SELECT cn.* FROM cn
+      |  LEFT JOIN raw ON cn.u = raw.x AND cn.w = raw.y WHERE raw.x IS NULL)
+      |SELECT CAST(cand.u AS BIGINT) AS u, CAST(cand.w AS BIGINT) AS w,
+      |  cand.cn,
+      |  CAST(cand.cn * 1000000 // (du.deg + dw.deg - cand.cn) AS BIGINT)
+      |    AS jaccard_ppm
+      |FROM cand JOIN deg du ON cand.u = du.id JOIN deg dw ON cand.w = dw.id
+      |ORDER BY cand.cn DESC, u, w LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_bfs_distance" -> q131,
+    "q132_link_predict" -> q132,
     "q125_kcore" -> q125,
     "q101_label_propagation" -> q101,
     "q98_hits" -> q98,
@@ -628,6 +811,8 @@ object Graphs {
   )
 
   val oracles: Map[String, String] = Map(
+    "q131_bfs_distance" -> q131Sql,
+    "q132_link_predict" -> q132Sql,
     "q125_kcore" -> q125Sql,
     "q101_label_propagation" -> q101Sql,
     "q98_hits" -> q98Sql,

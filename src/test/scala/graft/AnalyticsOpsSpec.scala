@@ -751,4 +751,73 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     // day4 (beyond max day) clipped
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L), s"got $got")
   }
+
+  // ------------------------------------------- BFS distances (q131)
+
+  test("bfsDistances: path graph hops, horizon cut, multi-seed min") {
+    val path = Seq(("A", "B"), ("B", "C"), ("C", "D"), ("D", "E")).toDF("s", "t")
+    val one = graft.operators.Graphs
+      .bfsDistances(path, "s", "t", Seq("A").toDF("id"), maxHops = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // E is 4 hops out — beyond the horizon, absent
+    assert(one == Map("A" -> 0L, "B" -> 1L, "C" -> 2L, "D" -> 3L), s"got $one")
+    // two seeds: every node takes the NEAREST seed's distance
+    val two = graft.operators.Graphs
+      .bfsDistances(path, "s", "t", Seq("A", "E").toDF("id"), maxHops = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(two == Map("A" -> 0L, "B" -> 1L, "C" -> 2L,
+      "D" -> 1L, "E" -> 0L), s"got $two")
+  }
+
+  test("bfsDistances directed follows edge direction only") {
+    val ring = Seq(("A", "B"), ("B", "C"), ("C", "A")).toDF("s", "t")
+    val got = graft.operators.Graphs
+      .bfsDistances(ring, "s", "t", Seq("C").toDF("id"), maxHops = 2,
+        directed = true)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // C→A→B; the undirected shortcut C-B must NOT apply
+    assert(got == Map("C" -> 0L, "A" -> 1L, "B" -> 2L), s"got $got")
+  }
+
+  // ------------------------------------------- link prediction (q132)
+
+  test("linkPredict: square graph diagonals, exact Jaccard ppm") {
+    // A-B-C-D-A: non-adjacent diagonals (A,C) and (B,D) each share both
+    // off-diagonal corners; all degrees 2 → jaccard = 2/(2+2-2) = 1.0
+    val sq = Seq(("A", "B"), ("B", "C"), ("C", "D"), ("D", "A")).toDF("s", "t")
+    val got = graft.operators.Graphs.linkPredict(sq, "s", "t",
+        maxBrokerDeg = 10, minCommon = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(("A", "C", 2L, 1000000L), ("B", "D", 2L, 1000000L)),
+      s"got $got")
+  }
+
+  test("linkPredict: broker cap silences hot hubs; adjacency excluded") {
+    // star H-X1..X5 (H degree 5): with the cap at 4 no broker is
+    // eligible → empty; at 5 every leaf pair appears via H with cn=1,
+    // jaccard = 1/(1+1-1) = 1.0; H itself never pairs (adjacent to all)
+    val star = (1 to 5).map(i => ("H", s"X$i")).toDF("s", "t")
+    val capped = graft.operators.Graphs.linkPredict(star, "s", "t",
+      maxBrokerDeg = 4, minCommon = 1L)
+    assert(capped.count() == 0L)
+    val open = graft.operators.Graphs.linkPredict(star, "s", "t",
+        maxBrokerDeg = 5, minCommon = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(open.length == 10 && open.forall(_._3 == 1L), s"got ${open.toSeq}")
+  }
+
+  // -------------------------------- pageRank deep-iteration checkpoints
+
+  test("pageRank checkpointEvery: identical ranks, bounded plan depth") {
+    val edges = Seq(("A", "B"), ("A", "C"), ("B", "C"), ("C", "A"))
+      .toDF("s", "t")
+    val snapped = graft.operators.Graphs.pageRank(edges, "s", "t",
+        iters = 12, checkpointEvery = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val straight = graft.operators.Graphs.pageRank(edges, "s", "t",
+        iters = 12, checkpointEvery = 100)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(snapped == straight, s"snapped $snapped vs straight $straight")
+  }
 }
