@@ -685,7 +685,149 @@ object Curation {
        |      < least(1000000, CAST(n_chars AS BIGINT) * 2000)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Corpus snapshot diff — dataset versioning's core primitive: what
+  // changed between two corpus snapshots (crawl refresh, re-filter run)?
+
+  /** Diff two corpus snapshots by content fingerprint. Output: one row per
+    * doc id present in either snapshot — (doc_id, status) with status
+    * `added` (new only), `removed` (old only), `changed` (both, different
+    * text), `unchanged`. Feeding the `changed`+`added` set into the
+    * dedup/quality pipeline is the standard incremental-refresh pattern:
+    * re-process the delta, not the corpus.
+    *
+    * Plan: fingerprint map-side (md5 — no full-text shuffle), ONE full
+    * outer equi-join on the id. At 100 TB both sides shuffle once on
+    * doc_id (or zero times if both snapshots are bucketed by id — the
+    * recommended layout for versioned corpora); no windows, no skew
+    * (ids are unique per side). */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).cast(LongType).as("doc_id"),
+      md5(col(textCol)).as("__ofp"))
+    val n = newDf.select(col(idCol).cast(LongType).as("doc_id"),
+      md5(col(textCol)).as("__nfp"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("__ofp").isNull, lit("added"))
+          .when(col("__nfp").isNull, lit("removed"))
+          .when(col("__ofp") === col("__nfp"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
+  // q133 — snapshot diff: the "new" snapshot drops every 17th doc,
+  // appends ' v2' to every 13th, and re-adds every 11th under a fresh id
+  // (same derivation in the oracle), so all four statuses occur.
+  private def q133(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val old = Tables.documents(s, d)
+    val newSnap = old.filter($"doc_id" % 17 =!= 0)
+      .select($"doc_id",
+        when($"doc_id" % 13 === 0, concat($"text", lit(" v2")))
+          .otherwise($"text").as("text"))
+      .union(old.filter($"doc_id" % 11 === 0)
+        .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
+    corpusDiff(old, newSnap, "doc_id", "text").orderBy($"doc_id")
+  }
+  private val q133Sql =
+    """WITH newsnap AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 17 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 11 = 0),
+      |o AS (SELECT doc_id, md5(text) AS ofp FROM documents),
+      |n AS (SELECT doc_id, md5(text) AS nfp FROM newsnap)
+      |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+      |  CASE WHEN o.doc_id IS NULL THEN 'added'
+      |       WHEN n.doc_id IS NULL THEN 'removed'
+      |       WHEN ofp = nfp THEN 'unchanged' ELSE 'changed' END AS status
+      |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Exact per-source token-budget take — "give me the first B tokens of
+  // each source in deterministic priority order" (corpus mixing by token
+  // budget, the unit LLM data recipes are actually written in — q63 mixes
+  // by document PROPORTION; this caps absolute token VOLUME).
+
+  /** Keep, per source, the priority-ordered prefix of documents whose
+    * running token total stays ≤ `budgetTokens` (the first doc that would
+    * cross the budget is dropped, as is everything after it). Priority is
+    * a salted content-independent hash of the id — deterministic,
+    * reproducible, and uncorrelated with document properties, so the
+    * taken prefix is an unbiased subsample of the source.
+    *
+    * The running total is exact WITHOUT a source-keyed global window (a
+    * source at 100 TB is one giant window partition — the classic
+    * straggler): the priority hash is split into `numBuckets` ordered
+    * high-bits buckets, so sorting by (bucket, pri) equals sorting by
+    * pri. Per-(source, bucket) token sums (a combiner-friendly aggregate,
+    * sources×buckets rows) get exclusive prefix offsets via a window over
+    * that TINY frame; the exact within-bucket cumsum then runs in
+    * parallel per bucket with the offset added back — a two-level
+    * prefix-sum, each partition ~1/numBuckets of the source. Buckets
+    * whose offset already exceeds the budget are filtered BEFORE the
+    * within-bucket window (their rows can't survive), so work shrinks to
+    * the kept prefix + one boundary bucket. Output: (doc_id, source,
+    * toks, cum_tokens) for kept docs.
+    *
+    * Size `numBuckets` ≈ source_rows / 10⁷ at scale; 256 is fine to
+    * ~10⁹-row sources. */
+  def takeTokenBudget(df: DataFrame, idCol: String, sourceCol: String,
+      tokensCol: String, budgetTokens: Long, numBuckets: Int = 256,
+      salt: String = "tb"): DataFrame = {
+    require(budgetTokens >= 0, "budget must be non-negative")
+    require(numBuckets >= 1 && (numBuckets & (numBuckets - 1)) == 0 &&
+      numBuckets <= (1 << 20), "numBuckets must be a power of two ≤ 2^20")
+    // md5Long is 15 hex digits = 60 bits; bucket = the high log2(b) bits,
+    // so (bucket, pri) and (pri) induce the SAME total order
+    val bucketShift = 60 - java.lang.Integer.numberOfTrailingZeros(numBuckets)
+    val base = df.select(col(idCol).cast(LongType).as("doc_id"),
+        col(sourceCol).as("source"), col(tokensCol).cast(LongType).as("toks"))
+      .withColumn("__pri",
+        md5Long(concat(lit(s"$salt:"), col("doc_id").cast(StringType))))
+      .withColumn("__bkt", shiftright(col("__pri"), bucketShift))
+    val bucketSums = base.groupBy(col("source"), col("__bkt"))
+      .agg(sum(col("toks")).as("__bsum"))
+    // tiny frame: sources × numBuckets rows — the only window, bounded
+    val w = Window.partitionBy(col("source")).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = bucketSums
+      .withColumn("__off", sum(col("__bsum")).over(w) - col("__bsum"))
+      .filter(col("__off") <= budgetTokens)
+      .select(col("source"), col("__bkt"), col("__off"))
+    val wb = Window.partitionBy(col("source"), col("__bkt"))
+      .orderBy(col("__pri"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(offsets), Seq("source", "__bkt"))
+      .withColumn("cum_tokens", sum(col("toks")).over(wb) + col("__off"))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select(col("doc_id"), col("source"), col("toks"), col("cum_tokens"))
+  }
+
+  // q134 — token-budget mixing: the first 4k chars of every source in
+  // hash-priority order (n_chars as the token weight — the weight column
+  // is the caller's choice). Output size is budget-bounded at ANY sf.
+  private def q134(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    takeTokenBudget(Tables.documents(s, d), "doc_id", "source", "n_chars",
+        budgetTokens = 4000L)
+      .orderBy($"doc_id")
+  }
+  private val q134Sql =
+    s"""WITH pri AS (SELECT doc_id, source, n_chars,
+       |    ${md5LongSql("'tb:' || CAST(doc_id AS VARCHAR)")} AS pri
+       |  FROM documents),
+       |c AS (SELECT doc_id, source, n_chars,
+       |    SUM(n_chars) OVER (PARTITION BY source ORDER BY pri, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM pri)
+       |SELECT doc_id, source, n_chars AS toks, CAST(cum AS BIGINT) AS cum_tokens
+       |FROM c WHERE cum <= 4000 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q133_corpus_diff" -> q133,
+    "q134_token_budget" -> q134,
     "q78_quantile_filter" -> q78,
     "q114_weighted_sample" -> q114,
     "q79_sample_per_group" -> q79,
@@ -701,6 +843,8 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q133_corpus_diff" -> q133Sql,
+    "q134_token_budget" -> q134Sql,
     "q78_quantile_filter" -> q78Sql,
     "q114_weighted_sample" -> q114Sql,
     "q79_sample_per_group" -> q79Sql,

@@ -216,4 +216,62 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(c != a.map(x => (x._1, x._2)).toSet)
   }
+
+  // ------------------------------------------------- corpus diff (q133)
+
+  test("corpusDiff: all four statuses on a hand-built pair of snapshots") {
+    val s = spark
+    import s.implicits._
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "t")
+    val neu = Seq((1L, "a"), (2L, "B2"), (4L, "d")).toDF("id", "t")
+    val got = Curation.corpusDiff(old, neu, "id", "t")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"), s"got $got")
+  }
+
+  // ------------------------------------------- token budget take (q134)
+
+  test("takeTokenBudget equals the naive per-source window cumsum") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 400).map(i =>
+      (i.toLong, s"s${i % 3}", (rnd.nextInt(50) + 1).toLong))
+      .toDF("id", "src", "tk")
+    for (budget <- Seq(0L, 137L, 900L, 100000L)) {
+      val got = Curation.takeTokenBudget(df, "id", "src", "tk", budget,
+          numBuckets = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+      // naive model: global sort by (pri, id) per source, inclusive cumsum
+      val pri = df.withColumn("pri",
+          graft.functions.Ops.md5Long(concat(lit("tb:"), $"id".cast("string"))))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3)))
+      val want = pri.groupBy(_._2).flatMap { case (_, rows) =>
+        var cum = 0L
+        rows.toSeq.sortBy(r => (r._4, r._1)).flatMap { r =>
+          cum += r._3
+          if (cum <= budget) Some(r._1 -> cum) else None
+        }
+        // NB flatMap keeps post-boundary rows out even if a later tiny doc
+        // would fit — prefix semantics, matched by the operator's filter
+      }.toMap
+      assert(got == want, s"budget $budget: got ${got.size}, want ${want.size}")
+    }
+  }
+
+  test("takeTokenBudget: the only unbounded-side window partitions by (source, bucket)") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 100).map(i => (i.toLong, "one_source", 5L)).toDF("id", "src", "tk")
+    val plan = Curation.takeTokenBudget(df, "id", "src", "tk", 200L, numBuckets = 16)
+      .queryExecution.executedPlan.toString
+    // the data-sized window must carry the bucket key — a source-only
+    // window would serialize the whole source through one task
+    val winLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty)
+    assert(winLines.exists(l => l.contains("__bkt") && l.contains("source")),
+      s"expected a (source, __bkt)-keyed window:\n${winLines.mkString("\n")}")
+  }
 }
