@@ -244,6 +244,74 @@ object Events {
       |FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
       |ORDER BY user_id""".stripMargin
 
+  /** CEP-style negative-condition pattern: per user, the first `a` event,
+    * the first `b` event after it (within `maxGap` when given), and
+    * whether the match is VETOED by a `veto` event strictly between them
+    * — "viewed then purchased with no error in between", the
+    * absence-condition shape classic CEP engines (MATCH_RECOGNIZE,
+    * Flink CEP) express and a funnel cannot: [[funnel]] chains only
+    * positive steps. First-touch anchoring like [[funnel]]: `t_a` is the
+    * global first `a`, `t_b` the first qualifying `b` after it. Output:
+    * (user_id, t_a, t_b, t_veto, matched) for every user with an `a`
+    * event; `t_veto` is the first veto event after `t_a` (informational
+    * — it only vetoes when it lands before `t_b`); matched = 1 iff `t_b`
+    * exists and no veto event falls in (t_a, t_b).
+    *
+    * Plan: three combiner-friendly min-aggregates (each filtered to one
+    * event type BEFORE grouping) + two user_id equi-joins — the funnel
+    * skeleton, windowless, so a hot user costs map-side partial rows,
+    * never a straggler sort. At 100 TB identical scaling to [[funnel]]. */
+  def patternMatch(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, a: String, b: String, veto: String,
+      maxGap: Option[Long] = None): DataFrame = {
+    require(maxGap.forall(_ > 0), "maxGap must be positive when given")
+    val ta = df.filter(col(typeCol) === a)
+      .groupBy(col(userCol).as("user_id")).agg(min(col(tsCol)).as("t_a"))
+    val ev = df.select(col(userCol).as("user_id"), col(tsCol).as("__ts"),
+      col(typeCol).as("__tp"))
+    val inWindow = maxGap match {
+      case Some(g) => col("__ts") > col("t_a") && col("__ts") <= col("t_a") + g
+      case None => col("__ts") > col("t_a")
+    }
+    val tb = ev.filter(col("__tp") === b)
+      .join(ta, "user_id").filter(inWindow)
+      .groupBy(col("user_id")).agg(min(col("__ts")).as("t_b"))
+    val tv = ev.filter(col("__tp") === veto)
+      .join(ta, "user_id").filter(col("__ts") > col("t_a"))
+      .groupBy(col("user_id")).agg(min(col("__ts")).as("t_veto"))
+    ta.join(tb, Seq("user_id"), "left_outer")
+      .join(tv, Seq("user_id"), "left_outer")
+      .withColumn("matched",
+        when(col("t_b").isNotNull &&
+          (col("t_veto").isNull || col("t_veto") >= col("t_b")), 1)
+          .otherwise(0))
+  }
+
+  // q137 — "view then purchase within 12h, with no error in between":
+  // the negative-condition conversion the funnel suite can't express.
+  // Micro precision on both sides (the q70 parity rule).
+  private def q137(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    patternMatch(Tables.events(s, d).withColumn("ts_us", expr("ts DIV 1000")),
+        "user_id", "ts_us", "event_type", a = "view", b = "purchase",
+        veto = "error", maxGap = Some(43200000000L))
+      .orderBy($"user_id")
+  }
+  private val q137Sql =
+    """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tus FROM events),
+      |ta AS (SELECT user_id, min(tus) AS t_a FROM e
+      |       WHERE event_type = 'view' GROUP BY 1),
+      |tb AS (SELECT e.user_id, min(tus) AS t_b FROM e JOIN ta USING (user_id)
+      |       WHERE event_type = 'purchase' AND tus > t_a
+      |         AND tus <= t_a + 43200000000 GROUP BY 1),
+      |tv AS (SELECT e.user_id, min(tus) AS t_veto FROM e JOIN ta USING (user_id)
+      |       WHERE event_type = 'error' AND tus > t_a GROUP BY 1)
+      |SELECT ta.user_id, t_a, t_b, t_veto,
+      |  CAST(CASE WHEN t_b IS NOT NULL AND (t_veto IS NULL OR t_veto >= t_b)
+      |       THEN 1 ELSE 0 END AS INTEGER) AS matched
+      |FROM ta LEFT JOIN tb USING (user_id) LEFT JOIN tv USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
   /** Cohort retention: users are cohorted by the bucket of their first
     * event; n_users counts cohort members active again `day_offset` buckets
     * later. `tsCol` is an epoch-nano long; buckets are floor(sec /
@@ -839,6 +907,7 @@ object Events {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q118_time_weighted_avg" -> q118,
+    "q137_cep_pattern" -> q137,
     "q119_rolling_distinct" -> q119,
     "q123_session_paths" -> q123,
     "q124_attribution" -> q124,
@@ -860,6 +929,7 @@ object Events {
 
   val oracles: Map[String, String] = Map(
     "q118_time_weighted_avg" -> q118Sql,
+    "q137_cep_pattern" -> q137Sql,
     "q119_rolling_distinct" -> q119Sql,
     "q123_session_paths" -> q123Sql,
     "q124_attribution" -> q124Sql,

@@ -1286,7 +1286,72 @@ object Extended {
       |SELECT l_returnflag, item_id, CAST(rank AS INTEGER) AS rank, price
       |FROM r WHERE rank <= 3 ORDER BY l_returnflag, rank""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // SCD1 merge-upsert — latest-wins table maintenance, the batch MERGE
+  // a corpus/profile table needs when a refresh lands (the SCD2 sibling,
+  // change HISTORY, is Events.changeHistory).
+
+  /** Merge `updates` into `base` latest-wins: per key, the row with the
+    * highest (`versionCol`, side) — side breaks version ties toward the
+    * update, so re-delivering a batch with equal versions converges on
+    * the update (idempotent upsert). Both frames must share `base`'s
+    * schema; (key, version) pairs are assumed unique within each side
+    * (the standard CDC contract — violating rows tie-break on the side
+    * bit only). New keys in `updates` insert; absent keys keep their
+    * base row. Output: `base`'s columns, key columns first.
+    *
+    * Plan: ONE union + one combiner-friendly max_by aggregate on the key
+    * — no join, no window, so a hot key reduces map-side. At 100 TB: if
+    * `base` is bucketed by key and updates are small, prefer writing
+    * only touched partitions (dynamic partition overwrite, the
+    * Realtime.rt2His layout); this operator is the dataflow inside. */
+  def mergeUpsert(base: DataFrame, updates: DataFrame,
+      keyCols: Seq[String], versionCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val cols = base.columns.toSeq
+    require(cols.toSet == updates.columns.toSet,
+      "base and updates must share one schema")
+    require(!keyCols.contains(versionCol), "version must not be a key")
+    val tagged = base.select(cols.map(col): _*).withColumn("__side", lit(0))
+      .unionByName(updates.select(cols.map(col): _*).withColumn("__side", lit(1)))
+    val payloadCols = cols.filterNot(keyCols.contains)
+    val payload = struct(payloadCols.map(col): _*)
+    tagged.groupBy(keyCols.map(col): _*)
+      .agg(max_by(payload, struct(col(versionCol), col("__side"))).as("__p"))
+      .select(keyCols.map(col) ++
+        payloadCols.map(c => col(s"__p.$c").as(c)): _*)
+  }
+
+  // q136 — SCD1 profile refresh: the user-profile table (latest event per
+  // user, versioned by arrival id) merged with an update batch that
+  // reuses each target user's CURRENT max version — the equal-version
+  // redelivery case, which must resolve toward the update.
+  private def q136(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.events(s, d)
+      .select($"user_id", $"event_id", $"event_type", $"value")
+    val updates = base.filter($"user_id" % 7 === 0)
+      .groupBy($"user_id").agg(max($"event_id").as("event_id"))
+      .select($"user_id", $"event_id", lit("profile_fix").as("event_type"),
+        lit(0.0).as("value"))
+    mergeUpsert(base, updates, Seq("user_id"), "event_id")
+      .orderBy($"user_id")
+  }
+  private val q136Sql =
+    """WITH base AS (SELECT user_id, event_id, event_type, value, 0 AS side
+      |  FROM events),
+      |upd AS (SELECT user_id, max(event_id) AS event_id,
+      |    'profile_fix' AS event_type, 0.0 AS value, 1 AS side
+      |  FROM events WHERE user_id % 7 = 0 GROUP BY user_id),
+      |u AS (SELECT * FROM base UNION ALL SELECT * FROM upd)
+      |SELECT user_id,
+      |  arg_max(event_id, event_id * 2 + side) AS event_id,
+      |  arg_max(event_type, event_id * 2 + side) AS event_type,
+      |  arg_max(value, event_id * 2 + side) AS value
+      |FROM u GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_merge_upsert" -> q136,
     "q97_topk_per_group" -> q97,
     "q102_association_rules" -> q102,
     "q105_quantile_bucket" -> q105,
@@ -1321,6 +1386,7 @@ object Extended {
   )
 
   val oracles: Map[String, String] = Map(
+    "q136_merge_upsert" -> q136Sql,
     "q97_topk_per_group" -> q97Sql,
     "q102_association_rules" -> q102Sql,
     "q105_quantile_bucket" -> q105Sql,

@@ -752,6 +752,70 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L), s"got $got")
   }
 
+  // ------------------------------------------- CEP pattern (q137)
+
+  test("patternMatch: veto between a and b kills the match; veto after b does not") {
+    val ev = Seq(
+      // u1: view 10, purchase 30, error 20 BETWEEN → vetoed
+      (1L, 10L, "view"), (1L, 30L, "purchase"), (1L, 20L, "error"),
+      // u2: view 10, purchase 30, error 40 after b → matched
+      (2L, 10L, "view"), (2L, 30L, "purchase"), (2L, 40L, "error"),
+      // u3: view 10, error 15 but purchase never → unmatched, veto recorded
+      (3L, 10L, "view"), (3L, 15L, "error"),
+      // u4: purchase BEFORE the view only → unmatched
+      (4L, 5L, "purchase"), (4L, 10L, "view"),
+      // u5: no view at all → absent
+      (5L, 10L, "purchase")
+    ).toDF("uid", "t", "et")
+    val got = Events.patternMatch(ev, "uid", "t", "et",
+        a = "view", b = "purchase", veto = "error")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3))), r.getInt(4)))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(1L) == ((Some(10L), Some(30L), Some(20L)), 0))
+    assert(got(2L) == ((Some(10L), Some(30L), Some(40L)), 1))
+    assert(got(3L) == ((Some(10L), None, Some(15L)), 0))
+    assert(got(4L) == ((Some(10L), None, None), 0))
+  }
+
+  test("patternMatch maxGap: a qualifying b outside the window doesn't match") {
+    val ev = Seq((1L, 10L, "a"), (1L, 100L, "b")).toDF("uid", "t", "et")
+    val tight = Events.patternMatch(ev, "uid", "t", "et", "a", "b", "c",
+        maxGap = Some(50L)).collect()
+    assert(tight.length == 1 && tight(0).getInt(4) == 0)
+    val loose = Events.patternMatch(ev, "uid", "t", "et", "a", "b", "c",
+        maxGap = Some(90L)).collect()
+    assert(loose(0).getInt(4) == 1)
+  }
+
+  // ------------------------------------------- merge upsert (q136)
+
+  test("mergeUpsert: latest version wins, equal versions resolve to the update") {
+    import graft.operators.Extended
+    val base = Seq((1L, 1L, "a"), (1L, 5L, "b"), (2L, 3L, "c"))
+      .toDF("k", "v", "payload")
+    val upd = Seq((1L, 5L, "B2"), (2L, 2L, "old"), (9L, 1L, "new"))
+      .toDF("k", "v", "payload")
+    val got = Extended.mergeUpsert(base, upd, Seq("k"), "v")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // k=1: update ties base's max version 5 → update wins;
+    // k=2: stale update (v2 < v3) ignored; k=9: pure insert
+    assert(got == Map(1L -> ((5L, "B2")), 2L -> ((3L, "c")),
+      9L -> ((1L, "new"))), s"got $got")
+  }
+
+  test("mergeUpsert plans as one aggregate — no join, no window") {
+    import graft.operators.Extended
+    val base = Seq((1L, 1L, "a")).toDF("k", "v", "p")
+    val upd = Seq((1L, 2L, "b")).toDF("k", "v", "p")
+    val plan = Extended.mergeUpsert(base, upd, Seq("k"), "v")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Window"), plan)
+    assert(plan.contains("partial_max_by") || plan.contains("ObjectHashAggregate")
+      || plan.contains("SortAggregate"), s"expected a partial aggregate:\n$plan")
+  }
+
   // ------------------------------------------- BFS distances (q131)
 
   test("bfsDistances: path graph hops, horizon cut, multi-seed min") {
