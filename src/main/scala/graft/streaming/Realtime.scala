@@ -233,6 +233,35 @@ object Realtime {
       .toDF(keyCol, "total", "n")
   }
 
+  /** Stream-stream event-time interval join — the two-stream correlation
+    * (impressions ⋈ clicks within an attribution window) the reference's
+    * single-stream ingest cannot express. Inner join on `keyCols` with
+    * `rightTimeCol` ∈ [leftTimeCol, leftTimeCol + maxDelay]; BOTH sides
+    * are watermarked, which is what lets Spark expire buffered state —
+    * the 100 TB requirement: state ∝ the in-flight interval per key, not
+    * stream history. Right-side key columns are coalesced away; both
+    * event-time columns are kept. Inner-join matches emit as soon as
+    * both rows arrive (no watermark wait).
+    *
+    * At scale the join shuffles both streams on the key per micro-batch
+    * and keeps per-key sorted state; size `watermarkDelay` to the real
+    * out-of-orderness and `maxDelay` to the semantic window — state is
+    * proportional to rate × (delay + window). */
+  def joinStreams(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTimeCol: String, rightTimeCol: String,
+      watermarkDelay: String, maxDelay: String): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(leftTimeCol != rightTimeCol,
+      "rename one side's event-time column — both are kept in the output")
+    val l = left.withWatermark(leftTimeCol, watermarkDelay)
+    val r0 = right.withWatermark(rightTimeCol, watermarkDelay)
+    val r = keyCols.foldLeft(r0)((d, k) => d.withColumnRenamed(k, s"__r_$k"))
+    val cond = keyCols.map(k => col(k) === col(s"__r_$k")).reduce(_ && _) &&
+      col(rightTimeCol) >= col(leftTimeCol) &&
+      col(rightTimeCol) <= col(leftTimeCol) + expr(s"INTERVAL $maxDelay")
+    l.join(r, cond, "inner").drop(keyCols.map(k => s"__r_$k"): _*)
+  }
+
   /** Event-time session windows (gap-based), streaming form of the batch
     * sessionization operator (q27): sessions close and emit once the
     * watermark passes last-event + gap. State per open session only — the

@@ -192,6 +192,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((1L, "gold"), (2L, "basic"), (3L, "unknown")), s"got $got")
   }
 
+  test("stream-stream interval join: clicks attribute to impressions within the window") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val imps = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val clicks = MemoryStream[(java.sql.Timestamp, Long)]
+    val out = Realtime.joinStreams(
+      imps.toDF().toDF("its", "uid", "ad"),
+      clicks.toDF().toDF("cts", "uid"),
+      keyCols = Seq("uid"), leftTimeCol = "its", rightTimeCol = "cts",
+      watermarkDelay = "1 minute", maxDelay = "10 minutes")
+    val q = out.select($"uid", $"ad", $"its", $"cts")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    // u1 clicks 5 min after the impression (in-window, ARRIVES in a later
+    // micro-batch — the cross-batch buffering the stateful join exists
+    // for); u2 clicks 20 min later (out of window); u3 clicks with no
+    // impression; u4 clicks BEFORE its impression
+    imps.addData((t(0), 1L, "adA"), (t(0), 2L, "adB"), (t(30), 4L, "adD"))
+    q.processAllAvailable()
+    clicks.addData((t(5), 1L), (t(20), 2L), (t(10), 3L), (t(25), 4L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssj_out").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "adA")), s"got $got")
+  }
+
   test("Misra-Gries sketch aggregates a stream incrementally (complete mode)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
