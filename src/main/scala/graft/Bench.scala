@@ -56,6 +56,8 @@ object Bench {
       "q112_pagerank_weighted", // cold = the weighted rank build
       "q115_cooccurrence_pmi", // cold = the co-occurrence table mine
       "q125_kcore", // cold = the iterative core strip
+      "q131_bfs_distance", // cold = the frontier walk build
+      "q132_link_predict", // cold = the wedge-join candidate build
       "q129_bpe_fit", // cold = the iterative merge-table fit
       "q130_bpe_encode", // cold = the vocab segmentation replay
       "q66_term_rarity", "q69_bm25_topk") // cold = the memoized corpus-stats pass
