@@ -1287,6 +1287,127 @@ object Extended {
       |FROM r WHERE rank <= 3 ORDER BY l_returnflag, rank""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Equi-width histogram — the chart-ready distribution summary (the
+  // reference's pack histograms are internal pruning stats; this is the
+  // user-facing aggregate). Explicit [lo, hi) bounds keep binning
+  // data-independent (use manifestBounds / histQuantilesAuto when bounds
+  // should come from metadata).
+
+  /** Per-group equi-width histogram: bin = floor((v − lo)/w) clamped to
+    * [0, bins), w = (hi − lo)/bins. Out-of-range values land in the edge
+    * bins (the [[histQuantiles]] clamp convention). Output: (groupCols…,
+    * bin, bin_lo, n) for every NON-EMPTY bin; bin_lo = lo + bin·w.
+    *
+    * Plan: one map-side projection + one combiner-friendly aggregate on
+    * (group, bin) — ≤ groups×bins result rows, no window, no join. The
+    * float ops (one subtract, one divide, one floor, one multiply+add)
+    * are each single IEEE operations, so bins replicate exactly across
+    * engines. */
+  def histogram(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+      bins: Int, groupCols: Seq[String] = Nil): DataFrame = {
+    require(bins >= 1, "bins must be positive")
+    require(hi > lo, "hi must exceed lo")
+    val w = (hi - lo) / bins
+    val bin = least(greatest(
+      floor((col(valueCol).cast(DoubleType) - lo) / w), lit(0.0)),
+      lit((bins - 1).toDouble)).cast(LongType)
+    df.withColumn("bin", bin)
+      .groupBy((groupCols :+ "bin").map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bin_lo", lit(lo) + col("bin") * lit(w))
+      .select((groupCols.map(col) ++ Seq(col("bin"), col("bin_lo"), col("n"))): _*)
+  }
+
+  // q138 — price distribution per return flag, 20 equi-width bins.
+  private def q138(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    histogram(Tables.lineitem(s, d), "l_extendedprice",
+        lo = 900.0, hi = 105000.0, bins = 20, groupCols = Seq("l_returnflag"))
+      .orderBy($"l_returnflag", $"bin")
+  }
+  private val q138Sql = {
+    val w = (105000.0 - 900.0) / 20
+    s"""WITH b AS (SELECT l_returnflag,
+       |  CAST(least(greatest(floor((CAST(l_extendedprice AS DOUBLE) - 900.0)
+       |    / $w), 0.0), 19.0) AS BIGINT) AS bin
+       |  FROM lineitem)
+       |SELECT l_returnflag, bin, 900.0 + bin * $w AS bin_lo, COUNT(*) AS n
+       |FROM b GROUP BY 1, 2 ORDER BY l_returnflag, bin""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // Ranking evaluation — recall@k of a candidate ranking against a golden
+  // one (the ANN/retrieval eval loop as a first-class distributed op:
+  // grade ivfTopK against annTopK, or a new ranker against production).
+
+  /** Per-query recall: |golden ∩ candidate| / |golden| in exact ppm.
+    * Inputs are (queryCol, itemCol) relations already cut to their top-k
+    * (extra columns ignored); queries with no candidate rows score 0.
+    * Output: (query, n_gold, n_hit, recall_ppm).
+    *
+    * Plan: one distinct per side (combiner-friendly), one left-semi
+    * equi-join on (query, item), two tiny aggregates + one left join on
+    * the query key. No windows; scales to any query count. */
+  def recallAtK(golden: DataFrame, candidate: DataFrame,
+      queryCol: String, itemCol: String): DataFrame = {
+    val g = golden.select(col(queryCol).as("query"), col(itemCol).as("item"))
+      .distinct()
+    val c = candidate.select(col(queryCol).as("query"), col(itemCol).as("item"))
+      .distinct()
+    val nGold = g.groupBy(col("query")).agg(count(lit(1)).as("n_gold"))
+    val nHit = g.join(c, Seq("query", "item"), "left_semi")
+      .groupBy(col("query")).agg(count(lit(1)).as("n_hit"))
+    nGold.join(nHit, Seq("query"), "left_outer")
+      .select(col("query"), col("n_gold"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        expr("coalesce(n_hit, 0L) * 1000000L div n_gold").as("recall_ppm"))
+  }
+
+  // q139 — eval harness on two deterministic rankers: golden = top-5
+  // parts per return flag by revenue, candidate = top-5 by quantity;
+  // recall@5 measures how well quantity predicts revenue rank.
+  private def q139(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    // ranking keys are DECIMAL-exact sums (order-independent — a raw
+    // double sum could rank differently per partitioning or engine);
+    // top-5 via the bounded TopKByScore aggregate (score desc, id asc —
+    // the oracle's ROW_NUMBER order), never a flag-keyed window
+    def top5(metric: Column) =
+      Similarity.topKPerKey(
+        li.groupBy($"l_returnflag", $"l_partkey")
+          .agg(metric.cast(DoubleType).as("__m")),
+        Seq("l_returnflag"), "l_partkey", "__m", 5)
+        .select($"l_returnflag", $"l_partkey")
+    val golden = top5(dsum($"l_extendedprice"))
+    val cand = top5(sum($"l_quantity".cast(LongType)))
+    recallAtK(golden, cand, "l_returnflag", "l_partkey")
+      .withColumnRenamed("query", "l_returnflag")
+      .orderBy($"l_returnflag")
+  }
+  private val q139Sql =
+    s"""WITH g AS (SELECT l_returnflag, l_partkey FROM (
+      |    SELECT l_returnflag, l_partkey,
+      |      ROW_NUMBER() OVER (PARTITION BY l_returnflag
+      |        ORDER BY ${dsumSql("l_extendedprice")} DESC,
+      |                 l_partkey ASC) AS r
+      |    FROM lineitem GROUP BY 1, 2) WHERE r <= 5),
+      |c AS (SELECT l_returnflag, l_partkey FROM (
+      |    SELECT l_returnflag, l_partkey,
+      |      ROW_NUMBER() OVER (PARTITION BY l_returnflag
+      |        ORDER BY SUM(CAST(l_quantity AS BIGINT)) DESC,
+      |                 l_partkey ASC) AS r
+      |    FROM lineitem GROUP BY 1, 2) WHERE r <= 5),
+      |ng AS (SELECT l_returnflag, COUNT(*) AS n_gold FROM g GROUP BY 1),
+      |nh AS (SELECT g.l_returnflag, COUNT(*) AS n_hit
+      |  FROM g JOIN c ON g.l_returnflag = c.l_returnflag
+      |    AND g.l_partkey = c.l_partkey GROUP BY 1)
+      |SELECT ng.l_returnflag, ng.n_gold, coalesce(nh.n_hit, 0) AS n_hit,
+      |  CAST(coalesce(nh.n_hit, 0) * 1000000 // ng.n_gold AS BIGINT) AS recall_ppm
+      |FROM ng LEFT JOIN nh ON ng.l_returnflag = nh.l_returnflag
+      |ORDER BY ng.l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------------
   // SCD1 merge-upsert — latest-wins table maintenance, the batch MERGE
   // a corpus/profile table needs when a refresh lands (the SCD2 sibling,
   // change HISTORY, is Events.changeHistory).
@@ -1352,6 +1473,8 @@ object Extended {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q136_merge_upsert" -> q136,
+    "q138_histogram" -> q138,
+    "q139_recall_at_k" -> q139,
     "q97_topk_per_group" -> q97,
     "q102_association_rules" -> q102,
     "q105_quantile_bucket" -> q105,
@@ -1387,6 +1510,8 @@ object Extended {
 
   val oracles: Map[String, String] = Map(
     "q136_merge_upsert" -> q136Sql,
+    "q138_histogram" -> q138Sql,
+    "q139_recall_at_k" -> q139Sql,
     "q97_topk_per_group" -> q97Sql,
     "q102_association_rules" -> q102Sql,
     "q105_quantile_bucket" -> q105Sql,

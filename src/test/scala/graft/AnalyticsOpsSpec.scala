@@ -752,6 +752,41 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L), s"got $got")
   }
 
+  // ------------------------------------------- histogram (q138)
+
+  test("histogram: edge clamp, empty bins absent, per-group counts") {
+    import graft.operators.Extended
+    val df = Seq(("a", -5.0), ("a", 0.0), ("a", 9.9), ("a", 10.0),
+      ("a", 99.9), ("a", 200.0), ("b", 55.0))
+      .toDF("g", "v")
+    val got = Extended.histogram(df, "v", lo = 0.0, hi = 100.0, bins = 10,
+        groupCols = Seq("g"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    // -5 clamps into bin 0; 200 clamps into bin 9; 10.0 is bin 1's edge
+    assert(got == Set(("a", 0L, 2L + 1L), ("a", 1L, 1L), ("a", 9L, 1L + 1L),
+      ("b", 5L, 1L)), s"got $got")
+    val plan = Extended.histogram(df, "v", 0.0, 100.0, 10, Seq("g"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Window"), plan)
+  }
+
+  // ------------------------------------------- recall@k (q139)
+
+  test("recallAtK: exact ppm, missing-candidate queries score 0") {
+    import graft.operators.Extended
+    val gold = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L),
+      (2L, 20L), (3L, 30L)).toDF("q", "item")
+    val cand = Seq((1L, 11L), (1L, 13L), (1L, 99L), (2L, 21L))
+      .toDF("q", "item")
+    val got = Extended.recallAtK(gold, cand, "q", "item")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // q1: 2 of 4 golden found; q2: candidate exists but misses; q3: no
+    // candidate rows at all — still reported, recall 0
+    assert(got == Map(1L -> ((4L, 2L, 500000L)), 2L -> ((1L, 0L, 0L)),
+      3L -> ((1L, 0L, 0L))), s"got $got")
+  }
+
   // ------------------------------------------- CEP pattern (q137)
 
   test("patternMatch: veto between a and b kills the match; veto after b does not") {
