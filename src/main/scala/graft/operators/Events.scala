@@ -686,6 +686,62 @@ object Events {
       .select(col(userCol), col("touch_type"), col("t_touch"), col("t_conv"))
   }
 
+  /** Multi-touch LINEAR attribution: every touch before the user's first
+    * conversion shares the conversion credit equally — each touch earns
+    * floor(10⁶ / n_touches) ppm (exact integer floor semantics; the
+    * ≤ n−1 ppm remainder is deliberately unassigned, the documented
+    * convention — engines that spread remainders do it tie-ambiguously).
+    * Rolled up per touch type. Output: (touch_type, n_touches,
+    * credit_ppm) — credit_ppm sums a whole conversion (10⁶) per user
+    * minus floor remainders.
+    *
+    * Plan: conversion time = one filtered min-aggregate; touches = one
+    * user_id equi-join + filter; per-user touch count and per-(user,
+    * type) counts are combiner aggregates; the final rollup is
+    * touch-type-sized. Windowless like [[funnel]]/[[attribution]]. */
+  def attributionLinear(df: DataFrame, userCol: String, tsSecCol: String,
+      typeCol: String, convType: String, touchTypes: Seq[String]): DataFrame = {
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    val conv = df.filter(col(typeCol) === convType)
+      .groupBy(col(userCol)).agg(min(col(tsSecCol)).as("t_conv"))
+    val touches = df.filter(col(typeCol).isin(touchTypes: _*))
+      .join(conv, Seq(userCol))
+      .filter(col(tsSecCol) < col("t_conv"))
+    val n = touches.groupBy(col(userCol)).agg(count(lit(1)).as("__n"))
+    touches.groupBy(col(userCol), col(typeCol).as("touch_type"))
+      .agg(count(lit(1)).as("__c"))
+      .join(n, Seq(userCol))
+      .select(col("touch_type"), col("__c"),
+        expr("__c * (1000000L div __n)").as("__credit"))
+      .groupBy(col("touch_type"))
+      .agg(sum(col("__c")).as("n_touches"), sum(col("__credit")).as("credit_ppm"))
+  }
+
+  // q140 — linear attribution rollup: how view vs click share credit for
+  // first purchases across all users.
+  private def q140(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    attributionLinear(
+        Tables.events(s, d).withColumn("sec", expr("ts DIV 1000000000")),
+        "user_id", "sec", "event_type",
+        convType = "purchase", touchTypes = Seq("view", "click"))
+      .orderBy($"touch_type")
+  }
+  private val q140Sql =
+    """WITH e AS (SELECT user_id, event_type,
+      |             epoch_ns(ts) // 1000000000 AS sec FROM events),
+      |cv AS (SELECT user_id, min(sec) AS t_conv FROM e
+      |       WHERE event_type = 'purchase' GROUP BY 1),
+      |tc AS (SELECT e.user_id, e.event_type FROM e JOIN cv USING (user_id)
+      |       WHERE e.event_type IN ('view', 'click') AND e.sec < cv.t_conv),
+      |n AS (SELECT user_id, COUNT(*) AS n FROM tc GROUP BY 1),
+      |pc AS (SELECT user_id, event_type AS touch_type, COUNT(*) AS c
+      |       FROM tc GROUP BY 1, 2)
+      |SELECT touch_type, CAST(SUM(c) AS BIGINT) AS n_touches,
+      |  CAST(SUM(c * (1000000 // n.n)) AS BIGINT) AS credit_ppm
+      |FROM pc JOIN n USING (user_id)
+      |GROUP BY touch_type ORDER BY touch_type""".stripMargin
+
   // q124 — last-touch attribution: which touch type (view/click) last
   // preceded each user's first purchase.
   private def q124(s: SparkSession, d: String): DataFrame = {
@@ -908,6 +964,7 @@ object Events {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q118_time_weighted_avg" -> q118,
     "q137_cep_pattern" -> q137,
+    "q140_attribution_linear" -> q140,
     "q119_rolling_distinct" -> q119,
     "q123_session_paths" -> q123,
     "q124_attribution" -> q124,
@@ -930,6 +987,7 @@ object Events {
   val oracles: Map[String, String] = Map(
     "q118_time_weighted_avg" -> q118Sql,
     "q137_cep_pattern" -> q137Sql,
+    "q140_attribution_linear" -> q140Sql,
     "q119_rolling_distinct" -> q119Sql,
     "q123_session_paths" -> q123Sql,
     "q124_attribution" -> q124Sql,

@@ -1336,6 +1336,81 @@ object Extended {
   }
 
   // ---------------------------------------------------------------------
+  // Data-quality audit — the dbt-test / Deequ-style table contract check,
+  // run as ONE pass over the table (plus one anti-join per foreign key).
+
+  /** Evaluate named row predicates in a single aggregate pass. A NULL
+    * predicate counts as a failure (contract checks are three-valued:
+    * unknown is not a pass). Output: (check_name, n_rows, n_fail), one
+    * row per check — n_rows is the full table count for every row check.
+    *
+    * Plan: one map-only projection + one global aggregate (all checks
+    * share the single scan); the melt to rows is over a 1-row frame. */
+  def auditChecks(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty, "need at least one check")
+    require(checks.map(_._1).distinct.size == checks.size, "check names must be unique")
+    val aggs = count(lit(1)).as("__n") +: checks.map { case (nm, pred) =>
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"__f_$nm") }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = checks.map { case (nm, _) => s"'$nm', __f_$nm" }.mkString(", ")
+    one.select(col("__n").as("n_rows"),
+        expr(s"stack(${checks.size}, $stackArgs) AS (check_name, n_fail)"))
+      .select(col("check_name"), col("n_rows"), col("n_fail"))
+  }
+
+  /** Referential-integrity audit: count child rows whose non-null
+    * `fkCol` has no match in `parent.pkCol` (orphans). NULL foreign keys
+    * are counted by a row check, not here — SQL FK semantics. Output:
+    * (check_name, n_rows, n_fail). One left-anti equi-join; broadcast
+    * when the parent key set is small, shuffle otherwise (AQE picks). */
+  def auditForeignKey(child: DataFrame, fkCol: String,
+      parent: DataFrame, pkCol: String, name: String): DataFrame = {
+    val total = child.agg(count(lit(1)).as("n_rows"))
+    val orphans = child.filter(col(fkCol).isNotNull)
+      .join(parent.select(col(pkCol).as(fkCol)).distinct(),
+        Seq(fkCol), "left_anti")
+      .agg(count(lit(1)).as("n_fail"))
+    total.crossJoin(orphans)
+      .select(lit(name).as("check_name"), col("n_rows"), col("n_fail"))
+  }
+
+  // q141 — orders-table contract: three row checks in one pass + the
+  // customer foreign key (plus a deliberately failing bound so the gate
+  // exercises a non-zero n_fail).
+  private def q141(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d)
+    val rowChecks = auditChecks(o, Seq(
+      "totalprice_positive" -> ($"o_totalprice" > 0),
+      "totalprice_under_300k" -> ($"o_totalprice" < 300000.0),
+      "custkey_not_null" -> $"o_custkey".isNotNull))
+    val fk = auditForeignKey(o, "o_custkey",
+      Tables.customer(s, d), "c_custkey", "custkey_in_customer")
+    rowChecks.unionByName(fk).orderBy($"check_name")
+  }
+  private val q141Sql =
+    """WITH n AS (SELECT COUNT(*) AS n_rows FROM orders),
+      |rc AS (
+      |  SELECT 'totalprice_positive' AS check_name, n.n_rows,
+      |    (SELECT COUNT(*) FROM orders
+      |     WHERE NOT coalesce(o_totalprice > 0, false)) AS n_fail FROM n
+      |  UNION ALL
+      |  SELECT 'totalprice_under_300k', n.n_rows,
+      |    (SELECT COUNT(*) FROM orders
+      |     WHERE NOT coalesce(o_totalprice < 300000.0, false)) FROM n
+      |  UNION ALL
+      |  SELECT 'custkey_not_null', n.n_rows,
+      |    (SELECT COUNT(*) FROM orders
+      |     WHERE o_custkey IS NULL) FROM n
+      |  UNION ALL
+      |  SELECT 'custkey_in_customer', n.n_rows,
+      |    (SELECT COUNT(*) FROM orders o
+      |     WHERE o.o_custkey IS NOT NULL
+      |       AND NOT EXISTS (SELECT 1 FROM customer c
+      |                       WHERE c.c_custkey = o.o_custkey)) FROM n)
+      |SELECT check_name, n_rows, n_fail FROM rc ORDER BY check_name""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Ranking evaluation — recall@k of a candidate ranking against a golden
   // one (the ANN/retrieval eval loop as a first-class distributed op:
   // grade ivfTopK against annTopK, or a new ranker against production).
@@ -1474,6 +1549,7 @@ object Extended {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q136_merge_upsert" -> q136,
     "q138_histogram" -> q138,
+    "q141_audit_checks" -> q141,
     "q139_recall_at_k" -> q139,
     "q97_topk_per_group" -> q97,
     "q102_association_rules" -> q102,
@@ -1511,6 +1587,7 @@ object Extended {
   val oracles: Map[String, String] = Map(
     "q136_merge_upsert" -> q136Sql,
     "q138_histogram" -> q138Sql,
+    "q141_audit_checks" -> q141Sql,
     "q139_recall_at_k" -> q139Sql,
     "q97_topk_per_group" -> q97Sql,
     "q102_association_rules" -> q102Sql,

@@ -752,6 +752,53 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L), s"got $got")
   }
 
+  // --------------------------------------- linear attribution (q140)
+
+  test("attributionLinear: equal split with floor ppm, pre-conversion only") {
+    val ev = Seq(
+      // u1: 3 touches (2 view, 1 click) before conv → each floor(1e6/3)
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "view"), (1L, 10L, "purchase"),
+      // u1 touch after conversion must not count
+      (1L, 20L, "click"),
+      // u2: 1 click only → full 1e6; u3: converts with no touches
+      (2L, 1L, "click"), (2L, 5L, "purchase"), (3L, 5L, "purchase")
+    ).toDF("uid", "sec", "et")
+    val got = Events.attributionLinear(ev, "uid", "sec", "et",
+        convType = "purchase", touchTypes = Seq("view", "click"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      "view" -> ((2L, 2 * 333333L)),
+      "click" -> ((2L, 333333L + 1000000L))), s"got $got")
+  }
+
+  // ------------------------------------------- table audit (q141)
+
+  test("auditChecks: one-pass counts; NULL predicate is a failure") {
+    import graft.operators.Extended
+    val df = Seq[(java.lang.Long, String)]((5L, "x"), (-1L, "y"), (null, "z"))
+      .toDF("v", "s")
+    val got = Extended.auditChecks(df, Seq(
+        "v_positive" -> (col("v") > 0),
+        "s_nonempty" -> (length(col("s")) > 0)))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // v NULL → predicate NULL → fail (counts with the -1)
+    assert(got == Map("v_positive" -> ((3L, 2L)), "s_nonempty" -> ((3L, 0L))),
+      s"got $got")
+    val plan = Extended.auditChecks(df, Seq("c" -> (col("v") > 0)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Window"), plan)
+  }
+
+  test("auditForeignKey counts only non-null orphans") {
+    import graft.operators.Extended
+    val child = Seq[(Long, java.lang.Long)]((1L, 10L), (2L, 99L), (3L, null))
+      .toDF("id", "fk")
+    val parent = Seq(10L, 11L).toDF("pk")
+    val got = Extended.auditForeignKey(child, "fk", parent, "pk", "fk_ok")
+      .collect()(0)
+    assert((got.getString(0), got.getLong(1), got.getLong(2)) == (("fk_ok", 3L, 1L)))
+  }
+
   // ------------------------------------------- histogram (q138)
 
   test("histogram: edge clamp, empty bins absent, per-group counts") {
