@@ -1336,6 +1336,89 @@ object Extended {
   }
 
   // ---------------------------------------------------------------------
+  // Higher central moments — per-group skewness/kurtosis from exact
+  // integer power sums (the distribution-shape profile a data-quality
+  // pass reads next to q82's z-scores and q116's MAD).
+
+  /** Per-group population skewness g1 = m3/m2^1.5 and excess kurtosis
+    * g2 = m4/m2² − 3, computed from exact integer power sums S1..S4
+    * accumulated as DECIMAL(38,0) (HUGEINT in the oracle): with
+    * M2 = n·S2 − S1², M3 = n²·S3 − 3n·S1·S2 + 2·S1³ and
+    * M4 = n³·S4 − 4n²·S1·S3 + 6n·S1²·S2 − 3·S1⁴, the n powers cancel so
+    * g1 = M3/M2^1.5 and g2 = M4/M2² − 3 exactly. The only floats are
+    * final single IEEE ops (casts, one sqrt, one or two mul/div) — no
+    * pow(), whose libm implementations drift across engines. Constant
+    * groups (M2 = 0) yield NULL. Output: (groupCols…, n, skewness,
+    * kurtosis).
+    *
+    * Plan: ONE combiner-friendly aggregate — no join, no window; a hot
+    * group reduces map-side. Digit bounds: S1⁴ must fit 38 digits —
+    * holds while (Σ|x|)⁴ < 10³⁸, i.e. Σ|x| < ~3·10⁹ per group; rescale
+    * x (coarser grain) for bigger groups, exactly like [[groupCorr]]'s
+    * documented bound. */
+  def groupMoments(df: DataFrame, xCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "groupMoments needs at least one group column")
+    val x = col(xCol).cast(LongType)
+    val pd = DecimalType(38, 0)
+    val dec = "DECIMAL(38,0)"
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(x).as("__s1"),
+        sum((x * x).cast(pd)).as("__s2"),
+        sum(((x * x).cast(pd)) * x).as("__s3"),
+        sum(((x * x).cast(pd)) * ((x * x).cast(pd))).as("__s4"))
+      .withColumn("__m2", expr(s"CAST(n AS $dec) * __s2 - CAST(__s1 AS $dec) * __s1"))
+      .withColumn("__m3", expr(
+        s"CAST(n AS $dec) * n * __s3 - 3 * CAST(n AS $dec) * __s1 * __s2" +
+          s" + 2 * CAST(__s1 AS $dec) * __s1 * __s1"))
+      .withColumn("__m4", expr(
+        s"CAST(n AS $dec) * n * n * __s4 - 4 * CAST(n AS $dec) * n * __s1 * __s3" +
+          s" + 6 * CAST(n AS $dec) * __s1 * __s1 * __s2" +
+          s" - 3 * CAST(__s1 AS $dec) * __s1 * __s1 * __s1"))
+      .withColumn("skewness", expr(
+        """CASE WHEN __m2 <= 0 THEN CAST(NULL AS DOUBLE)
+          |ELSE CAST(__m3 AS DOUBLE)
+          |  / (CAST(__m2 AS DOUBLE) * sqrt(CAST(__m2 AS DOUBLE))) END""".stripMargin))
+      .withColumn("kurtosis", expr(
+        """CASE WHEN __m2 <= 0 THEN CAST(NULL AS DOUBLE)
+          |ELSE CAST(__m4 AS DOUBLE)
+          |  / (CAST(__m2 AS DOUBLE) * CAST(__m2 AS DOUBLE)) - 3.0 END""".stripMargin))
+      .drop("__s1", "__s2", "__s3", "__s4", "__m2", "__m3", "__m4")
+  }
+
+  // q142 — quantity distribution shape per (returnflag, linestatus):
+  // integer grain keeps every power sum exact.
+  private def q142(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    groupMoments(Tables.lineitem(s, d), "l_quantity",
+        Seq("l_returnflag", "l_linestatus"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+  private val q142Sql =
+    """WITH b AS (SELECT l_returnflag, l_linestatus,
+      |    CAST(l_quantity AS BIGINT) AS x FROM lineitem),
+      |m AS (SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |    SUM(x) AS s1, SUM(x::HUGEINT * x) AS s2,
+      |    SUM(x::HUGEINT * x * x) AS s3, SUM(x::HUGEINT * x * x * x) AS s4
+      |  FROM b GROUP BY 1, 2),
+      |c AS (SELECT l_returnflag, l_linestatus, n,
+      |    n::HUGEINT * s2 - s1::HUGEINT * s1 AS m2,
+      |    n::HUGEINT * n * s3 - 3 * n::HUGEINT * s1 * s2
+      |      + 2 * s1::HUGEINT * s1 * s1 AS m3,
+      |    n::HUGEINT * n * n * s4 - 4 * n::HUGEINT * n * s1 * s3
+      |      + 6 * n::HUGEINT * s1 * s1 * s2
+      |      - 3 * s1::HUGEINT * s1 * s1 * s1 AS m4
+      |  FROM m)
+      |SELECT l_returnflag, l_linestatus, n,
+      |  CASE WHEN m2 <= 0 THEN CAST(NULL AS DOUBLE)
+      |    ELSE CAST(m3 AS DOUBLE)
+      |      / (CAST(m2 AS DOUBLE) * sqrt(CAST(m2 AS DOUBLE))) END AS skewness,
+      |  CASE WHEN m2 <= 0 THEN CAST(NULL AS DOUBLE)
+      |    ELSE CAST(m4 AS DOUBLE)
+      |      / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)) - 3.0 END AS kurtosis
+      |FROM c ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Data-quality audit — the dbt-test / Deequ-style table contract check,
   // run as ONE pass over the table (plus one anti-join per foreign key).
 
@@ -1550,6 +1633,7 @@ object Extended {
     "q136_merge_upsert" -> q136,
     "q138_histogram" -> q138,
     "q141_audit_checks" -> q141,
+    "q142_moments" -> q142,
     "q139_recall_at_k" -> q139,
     "q97_topk_per_group" -> q97,
     "q102_association_rules" -> q102,
@@ -1588,6 +1672,7 @@ object Extended {
     "q136_merge_upsert" -> q136Sql,
     "q138_histogram" -> q138Sql,
     "q141_audit_checks" -> q141Sql,
+    "q142_moments" -> q142Sql,
     "q139_recall_at_k" -> q139Sql,
     "q97_topk_per_group" -> q97Sql,
     "q102_association_rules" -> q102Sql,

@@ -817,6 +817,27 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Join") && !plan.contains("Window"), plan)
   }
 
+  // ------------------------------------------- moments (q142)
+
+  test("groupMoments: hand-computed skew/kurtosis; constant group is NULL") {
+    import graft.operators.Extended
+    val df = (Seq(1L, 2L, 3L, 4L, 10L).map(("a", _)) ++
+      Seq(7L, 7L, 7L).map(("c", _))).toDF("g", "x")
+    val rows = Extended.groupMoments(df, "x", Seq("g"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    // group a: M2=250, M3=4500, M4=174250 (mean 4, m2=10, m3=36, m4=278.8)
+    val skew = 4500.0 / (250.0 * math.sqrt(250.0))
+    val kurt = 174250.0 / (250.0 * 250.0) - 3.0
+    assert(rows("a") == ((5L, Some(skew), Some(kurt))), s"got ${rows("a")}")
+    // constant group: zero variance → both NULL
+    assert(rows("c") == ((3L, None, None)))
+    val plan = Extended.groupMoments(df, "x", Seq("g"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Window"), plan)
+    assert(plan.contains("partial"), s"expected map-side partial aggregate:\n$plan")
+  }
+
   // ------------------------------------------- recall@k (q139)
 
   test("recallAtK: exact ppm, missing-candidate queries score 0") {
