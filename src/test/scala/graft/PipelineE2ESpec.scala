@@ -67,6 +67,45 @@ class PipelineE2ESpec extends AnyFunSuite {
     assert(index.lastKept <= 2) // manifest consulted during the scan
   }
 
+  test("refresh chain: snapshot diff routes the delta; merged artifact ≡ full rebuild") {
+    import spark.implicits._
+    import graft.operators.{Curation, Extended, TextStats}
+    // v1 → v2: doc 3 edited, doc 5 dropped, doc 9 new, rest untouched
+    val v1 = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "epsilon zeta"),
+      (3L, "old text that will change"), (5L, "doomed document"),
+      (7L, "stable seven words here for good measure now"))
+      .toDF("doc_id", "text")
+    val v2 = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "epsilon zeta"),
+      (3L, "brand new replacement text"), (9L, "fresh arrival"),
+      (7L, "stable seven words here for good measure now"))
+      .toDF("doc_id", "text")
+    def artifact(df: org.apache.spark.sql.DataFrame) =
+      TextStats.tokenCounts(df, "doc_id", "text")
+    // incremental: the diff names the delta; only changed+added docs are
+    // re-processed (the 100 TB point — unchanged docs never recompute),
+    // then mergeUpsert folds them in and removals are anti-joined away
+    val diff = Curation.corpusDiff(v1, v2, "doc_id", "text")
+    val statuses = diff.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(statuses == Map(1L -> "unchanged", 2L -> "unchanged",
+      3L -> "changed", 5L -> "removed", 7L -> "unchanged", 9L -> "added"))
+    val delta = v2.join(
+      diff.filter($"status".isin("changed", "added")).select($"doc_id"),
+      "doc_id")
+    assert(delta.count() == 2)
+    val removed = diff.filter($"status" === "removed").select($"doc_id")
+    val incrementally = Extended.mergeUpsert(
+        artifact(v1).withColumn("v", lit(1L)),
+        artifact(delta).withColumn("v", lit(2L)),
+        Seq("doc_id"), "v")
+      .join(removed, Seq("doc_id"), "left_anti")
+      .drop("v")
+    val full = artifact(v2)
+    assert(incrementally.exceptAll(full).isEmpty && full.exceptAll(incrementally).isEmpty,
+      "incremental refresh must equal the full rebuild")
+  }
+
   test("curation chain: quality filter -> decontaminate -> pack, tokens conserved") {
     import spark.implicits._
     import graft.operators.Curation
