@@ -1336,6 +1336,67 @@ object Extended {
   }
 
   // ---------------------------------------------------------------------
+  // Concentration index — per-group Herfindahl-Hirschman index of member
+  // shares (how concentrated is a source's/domain's contribution?). The
+  // corpus use: detect groups dominated by one member (a source where one
+  // domain is 90% of tokens is a dedup/bias risk) without any sorting.
+
+  /** Per-group HHI in exact ppm: with w_i the member weights (grouped by
+    * `memberCol` inside `groupCols`), HHI = Σ (w_i / W)² =
+    * (Σ w_i²) / W², emitted as (Σ w_i²)·10⁶ div W² over DECIMAL(38,0) —
+    * exact integer floor, no per-member division. 10⁶ = one member owns
+    * everything; 10⁶/n = perfectly even across n members. Output:
+    * (groupCols…, n_members, hhi_ppm).
+    *
+    * Plan: two combiner-friendly aggregates (member weights, then group
+    * sums) — no window, no join, no sort; the share-squared sum needs no
+    * per-member share materialization. Digit bound: Σw_i² ≤ W² so both
+    * fit 38 digits while W < ~3·10¹⁵ per group; coarsen the weight grain
+    * beyond that. */
+  def groupConcentration(df: DataFrame, memberCol: String, weightCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "needs at least one group column")
+    val pd = DecimalType(38, 0)
+    val w = df.groupBy((groupCols :+ memberCol).map(col): _*)
+      .agg(sum(col(weightCol).cast(LongType)).as("__w"))
+    w.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("__w").cast(pd) * col("__w")).as("__sq"),
+        sum(col("__w")).as("__tot"))
+      .withColumn("hhi_ppm", expr(
+        """CASE WHEN __tot <= 0 THEN CAST(NULL AS BIGINT)
+          |ELSE CAST((__sq * 1000000) div
+          |  (CAST(__tot AS DECIMAL(38,0)) * __tot) AS BIGINT) END""".stripMargin))
+      .drop("__sq", "__tot")
+  }
+
+  // q143 — supplier revenue concentration per nation (cent grain).
+  private def q143(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+      .withColumn("rev_c", round($"l_extendedprice" * 100).cast(LongType))
+    val sup = Tables.supplier(s, d).select($"s_suppkey", $"s_nationkey")
+    groupConcentration(
+        li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey")),
+        "l_suppkey", "rev_c", Seq("s_nationkey"))
+      .orderBy($"s_nationkey")
+  }
+  private val q143Sql =
+    """WITH b AS (SELECT s_nationkey, l_suppkey,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS rev
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey),
+      |w AS (SELECT s_nationkey, l_suppkey, SUM(rev) AS w
+      |  FROM b GROUP BY 1, 2),
+      |g AS (SELECT s_nationkey, COUNT(*) AS n_members,
+      |    SUM(w::HUGEINT * w) AS sq, SUM(w) AS tot
+      |  FROM w GROUP BY 1)
+      |SELECT s_nationkey, n_members,
+      |  CASE WHEN tot <= 0 THEN CAST(NULL AS BIGINT)
+      |    ELSE CAST((sq * 1000000) // (tot::HUGEINT * tot) AS BIGINT)
+      |  END AS hhi_ppm
+      |FROM g ORDER BY s_nationkey""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Higher central moments — per-group skewness/kurtosis from exact
   // integer power sums (the distribution-shape profile a data-quality
   // pass reads next to q82's z-scores and q116's MAD).
@@ -1634,6 +1695,7 @@ object Extended {
     "q138_histogram" -> q138,
     "q141_audit_checks" -> q141,
     "q142_moments" -> q142,
+    "q143_concentration" -> q143,
     "q139_recall_at_k" -> q139,
     "q97_topk_per_group" -> q97,
     "q102_association_rules" -> q102,
@@ -1673,6 +1735,7 @@ object Extended {
     "q138_histogram" -> q138Sql,
     "q141_audit_checks" -> q141Sql,
     "q142_moments" -> q142Sql,
+    "q143_concentration" -> q143Sql,
     "q139_recall_at_k" -> q139Sql,
     "q97_topk_per_group" -> q97Sql,
     "q102_association_rules" -> q102Sql,

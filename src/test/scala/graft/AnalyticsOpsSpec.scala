@@ -817,6 +817,24 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Join") && !plan.contains("Window"), plan)
   }
 
+  // ------------------------------------------- concentration (q143)
+
+  test("groupConcentration: monopoly 1e6, even split 1e6/n, exact floor") {
+    import graft.operators.Extended
+    val df = Seq(
+      ("mono", "a", 70L), ("mono", "a", 30L),          // one member: HHI 1e6
+      ("even", "a", 50L), ("even", "b", 50L),          // two equal: 5e5
+      ("skew", "a", 90L), ("skew", "b", 10L))          // 0.81+0.01 = 82e4
+      .toDF("g", "m", "w")
+    val got = Extended.groupConcentration(df, "m", "w", Seq("g"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("mono" -> ((1L, 1000000L)), "even" -> ((2L, 500000L)),
+      "skew" -> ((2L, 820000L))), s"got $got")
+    val plan = Extended.groupConcentration(df, "m", "w", Seq("g"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Window"), plan)
+  }
+
   // ------------------------------------------- moments (q142)
 
   test("groupMoments: hand-computed skew/kurtosis; constant group is NULL") {
