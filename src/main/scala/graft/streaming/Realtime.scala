@@ -249,17 +249,27 @@ object Realtime {
     * proportional to rate × (delay + window). */
   def joinStreams(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTimeCol: String, rightTimeCol: String,
-      watermarkDelay: String, maxDelay: String): DataFrame = {
+      watermarkDelay: String, maxDelay: String,
+      joinType: String = "inner"): DataFrame = {
     require(keyCols.nonEmpty, "need at least one key column")
     require(leftTimeCol != rightTimeCol,
       "rename one side's event-time column — both are kept in the output")
+    require(Seq("inner", "left_outer", "right_outer").contains(joinType),
+      "joinType must be inner, left_outer or right_outer")
     val l = left.withWatermark(leftTimeCol, watermarkDelay)
     val r0 = right.withWatermark(rightTimeCol, watermarkDelay)
     val r = keyCols.foldLeft(r0)((d, k) => d.withColumnRenamed(k, s"__r_$k"))
     val cond = keyCols.map(k => col(k) === col(s"__r_$k")).reduce(_ && _) &&
       col(rightTimeCol) >= col(leftTimeCol) &&
       col(rightTimeCol) <= col(leftTimeCol) + expr(s"INTERVAL $maxDelay")
-    l.join(r, cond, "inner").drop(keyCols.map(k => s"__r_$k"): _*)
+    // OUTER variants: the unmatched side emits null-padded once the
+    // watermark proves no in-interval partner can still arrive — the
+    // impression-with-no-click row an attribution pipeline needs. The
+    // preserved side's key survives the coalesce below either way.
+    val joined = l.join(r, cond, joinType)
+    keyCols.foldLeft(joined)((d, k) =>
+      d.withColumn(k, coalesce(col(k), col(s"__r_$k"))))
+      .drop(keyCols.map(k => s"__r_$k"): _*)
   }
 
   /** Event-time session windows (gap-based), streaming form of the batch

@@ -220,6 +220,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((1L, "adA")), s"got $got")
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched impressions after the watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val imps = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val clicks = MemoryStream[(java.sql.Timestamp, Long)]
+    val out = Realtime.joinStreams(
+      imps.toDF().toDF("its", "uid", "ad"),
+      clicks.toDF().toDF("cts", "uid"),
+      keyCols = Seq("uid"), leftTimeCol = "its", rightTimeCol = "cts",
+      watermarkDelay = "1 minute", maxDelay = "10 minutes",
+      joinType = "left_outer")
+    val q = out.select($"uid", $"ad", $"cts")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_outer_out").start()
+    // u1 matches; u2 never clicks — must emit null-padded, but only after
+    // the watermark passes its interval end (t0 + 10min join window + 1min
+    // delay), which the t(40) click advances
+    imps.addData((t(0), 1L, "adA"), (t(0), 2L, "adB"))
+    q.processAllAvailable()
+    clicks.addData((t(5), 1L))
+    q.processAllAvailable()
+    val before = spark.table("ssj_outer_out").collect()
+      .map(r => (r.getLong(0), Option(r.get(2)).isDefined)).toSet
+    assert(before == Set((1L, true)), s"u2 must NOT emit yet: ${before.toSeq}")
+    // the join's watermark is the MIN across both inputs — advance BOTH
+    // sides past u2's interval end (t0 + 10min window + 1min delay)
+    clicks.addData((t(40), 99L))
+    imps.addData((t(40), 98L, "adX"))
+    q.processAllAvailable()
+    // state eviction runs on the NEXT batch after the watermark advances
+    clicks.addData((t(41), 99L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssj_outer_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.get(2)).isDefined)).toSet
+    assert(got == Set((1L, "adA", true), (2L, "adB", false)), s"got $got")
+  }
+
   test("Misra-Gries sketch aggregates a stream incrementally (complete mode)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
