@@ -312,6 +312,89 @@ object Events {
       |FROM ta LEFT JOIN tb USING (user_id) LEFT JOIN tv USING (user_id)
       |ORDER BY user_id""".stripMargin
 
+  /** Burst debounce: keep only the FIRST event of each burst, where a
+    * burst chains events of the same key at gaps ≤ `gapSec` (the
+    * double-click / retry / sensor-chatter suppressor; the keep-first
+    * complement of sessionization — q27 numbers the bursts, this picks
+    * their heads). Deterministic: ties on the timestamp order by
+    * `tieCol`. Output: the input rows that start a burst.
+    *
+    * Plan: one lag window keyed by the ENTITY key (user × type — the
+    * high-cardinality key class the repo's window policy allows; never
+    * a global or type-only window). A bot key's events still sort within
+    * one task — cap per-key volume upstream if a single key can exceed a
+    * partition (same note as q27). */
+  def debounce(df: DataFrame, keyCols: Seq[String], tsSecCol: String,
+      tieCol: String, gapSec: Long): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(gapSec >= 0, "gapSec must be non-negative")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsSecCol), col(tieCol))
+    df.withColumn("__prev", lag(col(tsSecCol), 1).over(w))
+      .filter(col("__prev").isNull || col(tsSecCol) - col("__prev") > gapSec)
+      .drop("__prev")
+  }
+
+  // q145 — suppress same-user same-type chatter within 30 min bursts.
+  private def q145(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    debounce(Tables.events(s, d).withColumn("sec", expr("ts DIV 1000000000")),
+        Seq("user_id", "event_type"), "sec", "event_id", gapSec = 1800L)
+      .select($"event_id", $"user_id", $"event_type", $"sec")
+      .orderBy($"event_id")
+  }
+  private val q145Sql =
+    """WITH t AS (SELECT event_id, user_id, event_type,
+      |    epoch_ns(ts) // 1000000000 AS sec FROM events),
+      |l AS (SELECT *, LAG(sec, 1) OVER (PARTITION BY user_id, event_type
+      |        ORDER BY sec, event_id) AS prev FROM t)
+      |SELECT event_id, user_id, event_type, sec FROM l
+      |WHERE prev IS NULL OR sec - prev > 1800
+      |ORDER BY event_id""".stripMargin
+
+  /** Per-(user, day) lifecycle classification — the growth-accounting
+    * label: `new` (first active day), `retained` (also active the
+    * previous day), `resurrected` (returning after a gap). Days are
+    * floor(sec / 86400) buckets of `tsSecCol`. Output: (user_id, day,
+    * status), one row per active user-day.
+    *
+    * Plan: one distinct on (user, day) (combiner-friendly — event volume
+    * collapses map-side), then one entity-keyed lag window over each
+    * user's ACTIVE DAYS (≤ days-in-history rows per user, tiny). The
+    * churn complement (inactive days) is the [[gapFill]] grid if
+    * needed. */
+  def userLifecycle(df: DataFrame, userCol: String,
+      tsSecCol: String): DataFrame = {
+    val ud = df.select(col(userCol).as("user_id"),
+      expr(s"$tsSecCol DIV 86400").as("day")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    ud.withColumn("__prev", lag(col("day"), 1).over(w))
+      .withColumn("status",
+        when(col("__prev").isNull, lit("new"))
+          .when(col("day") === col("__prev") + 1, lit("retained"))
+          .otherwise(lit("resurrected")))
+      .drop("__prev")
+  }
+
+  // q146 — growth accounting over the event stream.
+  private def q146(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    userLifecycle(Tables.events(s, d).withColumn("sec", expr("ts DIV 1000000000")),
+        "user_id", "sec")
+      .orderBy($"user_id", $"day")
+  }
+  private val q146Sql =
+    """WITH ud AS (SELECT DISTINCT user_id,
+      |    (epoch_ns(ts) // 1000000000) // 86400 AS day FROM events),
+      |l AS (SELECT user_id, day,
+      |    LAG(day, 1) OVER (PARTITION BY user_id ORDER BY day) AS prev
+      |  FROM ud)
+      |SELECT user_id, day,
+      |  CASE WHEN prev IS NULL THEN 'new'
+      |       WHEN day = prev + 1 THEN 'retained'
+      |       ELSE 'resurrected' END AS status
+      |FROM l ORDER BY user_id, day""".stripMargin
+
   /** Cohort retention: users are cohorted by the bucket of their first
     * event; n_users counts cohort members active again `day_offset` buckets
     * later. `tsCol` is an epoch-nano long; buckets are floor(sec /
@@ -965,6 +1048,8 @@ object Events {
     "q118_time_weighted_avg" -> q118,
     "q137_cep_pattern" -> q137,
     "q140_attribution_linear" -> q140,
+    "q145_debounce" -> q145,
+    "q146_user_lifecycle" -> q146,
     "q119_rolling_distinct" -> q119,
     "q123_session_paths" -> q123,
     "q124_attribution" -> q124,
@@ -988,6 +1073,8 @@ object Events {
     "q118_time_weighted_avg" -> q118Sql,
     "q137_cep_pattern" -> q137Sql,
     "q140_attribution_linear" -> q140Sql,
+    "q145_debounce" -> q145Sql,
+    "q146_user_lifecycle" -> q146Sql,
     "q119_rolling_distinct" -> q119Sql,
     "q123_session_paths" -> q123Sql,
     "q124_attribution" -> q124Sql,

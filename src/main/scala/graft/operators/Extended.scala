@@ -1336,6 +1336,45 @@ object Extended {
   }
 
   // ---------------------------------------------------------------------
+  // Mode — per-group most frequent value, deterministic (the categorical
+  // summary statistic; DuckDB's mode() is tie-arbitrary, this is not).
+
+  /** Per-group mode of `valueCol` with count, ties broken toward the
+    * SMALLEST value ((−count, value) lexicographic min — a total order,
+    * so results replicate in any engine). Output: (groupCols…, mode,
+    * n_mode).
+    *
+    * Plan: one (group, value) combiner aggregate + one min_by argmax
+    * aggregate — never a group-keyed window; hot groups reduce map-side
+    * twice. */
+  def groupMode(df: DataFrame, valueCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "needs at least one group column")
+    df.groupBy((groupCols :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        min_by(struct(col(valueCol).as("v"), col("__c").as("c")),
+          struct(negate(col("__c")).as("nc"), col(valueCol).as("v"))).as("__m"))
+      .select(groupCols.map(col) ++ Seq(
+        col("__m.v").as("mode"), col("__m.c").as("n_mode")): _*)
+  }
+
+  // q144 — each user's dominant event type (ties → alphabetically first).
+  private def q144(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    groupMode(Tables.events(s, d), "event_type", Seq("user_id"))
+      .orderBy($"user_id")
+  }
+  private val q144Sql =
+    """WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |m AS (SELECT user_id, MAX(n) AS mn FROM c GROUP BY 1)
+      |SELECT c.user_id, MIN(c.event_type) AS mode, CAST(m.mn AS BIGINT) AS n_mode
+      |FROM c JOIN m ON c.user_id = m.user_id AND c.n = m.mn
+      |GROUP BY c.user_id, m.mn ORDER BY c.user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Concentration index — per-group Herfindahl-Hirschman index of member
   // shares (how concentrated is a source's/domain's contribution?). The
   // corpus use: detect groups dominated by one member (a source where one
@@ -1696,6 +1735,7 @@ object Extended {
     "q141_audit_checks" -> q141,
     "q142_moments" -> q142,
     "q143_concentration" -> q143,
+    "q144_group_mode" -> q144,
     "q139_recall_at_k" -> q139,
     "q97_topk_per_group" -> q97,
     "q102_association_rules" -> q102,
@@ -1736,6 +1776,7 @@ object Extended {
     "q141_audit_checks" -> q141Sql,
     "q142_moments" -> q142Sql,
     "q143_concentration" -> q143Sql,
+    "q144_group_mode" -> q144Sql,
     "q139_recall_at_k" -> q139Sql,
     "q97_topk_per_group" -> q97Sql,
     "q102_association_rules" -> q102Sql,

@@ -817,6 +817,49 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Join") && !plan.contains("Window"), plan)
   }
 
+  // ------------------------------------------- group mode (q144)
+
+  test("groupMode: tie breaks toward the smallest value, counts exact") {
+    import graft.operators.Extended
+    val df = Seq(("g1", "b"), ("g1", "b"), ("g1", "a"),
+      ("g2", "z"), ("g2", "y"))  // g2: 1-1 tie → 'y'
+      .toDF("g", "v")
+    val got = Extended.groupMode(df, "v", Seq("g"))
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got == Map("g1" -> (("b", 2L)), "g2" -> (("y", 1L))), s"got $got")
+  }
+
+  // ------------------------------------------- debounce (q145)
+
+  test("debounce keeps only burst heads; gap chains suppress trailing events") {
+    val ev = Seq(
+      // one key: bursts {0,5,12} (chained ≤10-gaps) and {30}
+      (1L, "a", 0L, 1L), (1L, "a", 5L, 2L), (1L, "a", 12L, 3L), (1L, "a", 30L, 4L),
+      // different type is an independent key
+      (1L, "b", 1L, 5L),
+      // tie on ts: event_id orders — the first kept, the second suppressed
+      (2L, "a", 0L, 7L), (2L, "a", 0L, 6L)
+    ).toDF("uid", "et", "sec", "eid")
+    val kept = Events.debounce(ev, Seq("uid", "et"), "sec", "eid", gapSec = 10L)
+      .collect().map(_.getAs[Long]("eid")).toSet
+    assert(kept == Set(1L, 4L, 5L, 6L), s"got $kept")
+  }
+
+  // ------------------------------------------- lifecycle (q146)
+
+  test("userLifecycle: new / retained / resurrected day labels") {
+    val ev = Seq(
+      (1L, 0L), (1L, 10L),          // day 0 twice → one 'new' row
+      (1L, 86400L),                 // day 1: retained
+      (1L, 4 * 86400L),             // day 4: resurrected
+      (2L, 2 * 86400L))             // day 2: new
+      .toDF("uid", "sec")
+    val got = Events.userLifecycle(ev, "uid", "sec")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(got == Map((1L, 0L) -> "new", (1L, 1L) -> "retained",
+      (1L, 4L) -> "resurrected", (2L, 2L) -> "new"), s"got $got")
+  }
+
   // ------------------------------------------- concentration (q143)
 
   test("groupConcentration: monopoly 1e6, even split 1e6/n, exact floor") {
