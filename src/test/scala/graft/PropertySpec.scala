@@ -653,4 +653,63 @@ class PropertySpec extends AnyFunSuite {
     assert(got == want.toMap, s"diff=${
       (got.toSet diff want.toSet) ++ (want.toSet diff got.toSet)}")
   }
+
+  test("bfsDistances equals a naive BFS model on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 4) {
+      val n = 12 + trial * 4
+      val edges = Seq.fill(n * 2)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val seeds = Seq.fill(2)(rnd.nextInt(n).toLong).distinct
+      val maxHops = 1 + rnd.nextInt(4)
+      // naive frontier BFS over the undirected adjacency
+      val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+        .map { case (k, v) => k -> v.map(_._2).toSet }
+      var dist = seeds.map(_ -> 0L).toMap
+      var frontier = seeds.toSet
+      for (h <- 1 to maxHops) {
+        val next = frontier.flatMap(adj.getOrElse(_, Set.empty))
+          .filterNot(dist.contains)
+        dist ++= next.map(_ -> h.toLong)
+        frontier = next
+      }
+      val got = operators.Graphs.bfsDistances(
+          edges.toDF("s", "t"), "s", "t", seeds.toDF("id"), maxHops)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // the operator only knows nodes with at least one edge; the naive
+      // model may seed an isolated node — align on the operator's domain
+      val nodes = adj.keySet ++ seeds
+      assert(got == dist.filter(kv => nodes.contains(kv._1)),
+        s"trial $trial: got $got want $dist")
+    }
+  }
+
+  test("linkPredict equals a naive common-neighbor model on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    for (trial <- 1 to 4) {
+      val n = 10 + trial * 3
+      val edges = Seq.fill(n * 2)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val maxDeg = 3 + rnd.nextInt(5)
+      val und = edges.map(e => (e._1 min e._2, e._1 max e._2)).distinct
+      val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+        .map { case (k, v) => k -> v.map(_._2).toSet }
+      val deg = adj.map { case (k, v) => k -> v.size.toLong }
+      val want = (for {
+        (v, ns) <- adj.toSeq if ns.size <= maxDeg
+        Seq(u, w) <- ns.toSeq.sorted.combinations(2)
+      } yield (u, w)).groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+        .filter { case ((u, w), cn) => cn >= 2 && !und.contains((u, w)) }
+        .map { case ((u, w), cn) =>
+          (u, w) -> ((cn, cn * 1000000L / (deg(u) + deg(w) - cn))) }
+      val got = operators.Graphs.linkPredict(
+          edges.toDF("s", "t"), "s", "t", maxBrokerDeg = maxDeg)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap
+      assert(got == want, s"trial $trial (maxDeg $maxDeg): got $got want $want")
+    }
+  }
 }
