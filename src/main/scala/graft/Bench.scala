@@ -69,17 +69,42 @@ object Bench {
       catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // 3-decimal seconds keep the whole line well inside the driver's tail
-    // capture (full-precision doubles once overflowed it and lost the head)
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def jmap(m: Seq[(String, Double)]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    def f2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    def jmap(m: Seq[(String, Double)], f: Double => String): String =
+      m.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val coldTotal = cold.map(_._2).sum
     val passTotals = passes.map(_.values.sum).map(f3).mkString("[", ",", "]")
+    // The driver captures only the LAST 2000 chars of stdout and parses the
+    // JSON line out of that tail — rounds 6/7 overflowed it (parsed: null)
+    // once the query map passed ~100 entries. Full-precision detail goes to a
+    // file; stdout gets a line guaranteed to fit, degrading per-query keys
+    // ("q75_interval_overlap" -> "q75") and, if even that overflows, keeping
+    // only the slowest entries.
+    val detailPath = "BENCH_DETAIL.json"
+    val detail = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jmap(results, f3)},"cold":${jmap(cold, f3)},"pass_totals":$passTotals,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      (detail + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    def shortKey(n: String): String = n.indexOf('_') match {
+      case -1 => n
+      case i  => n.substring(0, i)
+    }
+    def line(qs: Seq[(String, Double)], omitted: Int): String = {
+      val omit = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jmap(qs, f2)}$omit,"cold_total":${f3(coldTotal)},"pass_totals":$passTotals,"detail":"$detailPath","sf":"$sfDir"}"""
+    }
+    val shortAll = results.map { case (k, v) => shortKey(k) -> v }
+    val bySlow = shortAll.sortBy(-_._2)
+    val candidates = Iterator(line(shortAll, 0)) ++
+      Iterator(60, 30, 10, 0).map(n => line(bySlow.take(n).sortBy(_._1), shortAll.size - n))
+    val out = candidates.find(_.length <= 1900).getOrElse(line(Nil, shortAll.size))
     // stop Spark BEFORE emitting the JSON line so no shutdown logging can
     // interleave after it — the driver parses this line from the stream tail
     spark.stop()
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jmap(results)},"cold":${jmap(cold)},"pass_totals":$passTotals,"sf":"$sfDir"}""")
+    println(out)
   }
 }

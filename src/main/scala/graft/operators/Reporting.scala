@@ -142,11 +142,281 @@ object Reporting {
        |ORDER BY o_totalprice DESC, o_orderkey ASC
        |LIMIT 20""".stripMargin
 
+  // q147 — nation-pair trade volume (TPC-H Q7 shape): revenue shipped
+  // between two nations per direction per year. The two nation dims are
+  // broadcast; the fact side shuffles once for the join chain and once for
+  // the (supp, cust, year) aggregate.
+  private def q147(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast(TimestampType) &&
+        $"l_shipdate" < lit("1998-01-01").cast(TimestampType))
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val su = Tables.supplier(s, d)
+    val n1 = Tables.nation(s, d).select($"n_nationkey".as("sk"), $"n_name".as("supp_nation"))
+    val n2 = Tables.nation(s, d).select($"n_nationkey".as("ck"), $"n_name".as("cust_nation"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey")) // scaling dim: AQE decides
+      .join(su, li("l_suppkey") === su("s_suppkey")) // scaling dim: AQE decides
+      .join(broadcast(n1), $"s_nationkey" === $"sk")
+      .join(broadcast(n2), $"c_nationkey" === $"ck")
+      .filter(($"supp_nation" === "NATION_3" && $"cust_nation" === "NATION_7") ||
+        ($"supp_nation" === "NATION_7" && $"cust_nation" === "NATION_3"))
+      .groupBy($"supp_nation", $"cust_nation", year($"l_shipdate").as("l_year"))
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+  private val q147Sql =
+    s"""SELECT supp_nation, cust_nation, l_year,
+       | ${dsumSql("volume")} AS revenue
+       |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |        EXTRACT(year FROM l_shipdate) AS l_year,
+       |        l_extendedprice * (1.0 - l_discount) AS volume
+       |      FROM lineitem
+       |      JOIN orders ON l_orderkey = o_orderkey
+       |      JOIN customer ON o_custkey = c_custkey
+       |      JOIN supplier ON l_suppkey = s_suppkey
+       |      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+       |        AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+       |          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))) t
+       |GROUP BY supp_nation, cust_nation, l_year
+       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  // q148 — national market share (TPC-H Q8 shape): NATION_2's share of
+  // LARGE-part revenue sold to ASIA customers, per order year. Numerator and
+  // denominator are both exact decimal sums; the share is one final IEEE
+  // division, identical in any engine.
+  private def q148(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val p = Tables.part(s, d).filter($"p_type" === "LARGE")
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val su = Tables.supplier(s, d)
+    val n1 = Tables.nation(s, d).select($"n_nationkey".as("ck"), $"n_regionkey")
+    val r = Tables.region(s, d).filter($"r_name" === "ASIA")
+    val n2 = Tables.nation(s, d).select($"n_nationkey".as("sk"), $"n_name".as("supp_nation"))
+    val D = DecimalType(30, 6)
+    val vol = ($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(D)
+    li.join(p, li("l_partkey") === p("p_partkey")) // scaling dim: AQE decides
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey")) // scaling dim: AQE decides
+      .join(broadcast(n1), $"c_nationkey" === $"ck")
+      .join(broadcast(r), $"n_regionkey" === r("r_regionkey"))
+      .join(su, li("l_suppkey") === su("s_suppkey")) // scaling dim: AQE decides
+      .join(broadcast(n2), $"s_nationkey" === $"sk")
+      .groupBy(year($"o_orderdate").as("o_year"))
+      .agg((sum(when($"supp_nation" === "NATION_2", vol).otherwise(lit(0).cast(D)))
+        .cast(DoubleType) / sum(vol).cast(DoubleType)).as("mkt_share"))
+      .orderBy($"o_year")
+  }
+  private val q148Sql =
+    s"""SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+       | CAST(SUM(CASE WHEN n2.n_name = 'NATION_2'
+       |     THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))
+       |     ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE)
+       |   / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE)
+       |   AS mkt_share
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+       |JOIN region ON n1.n_regionkey = r_regionkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+       |WHERE p_type = 'LARGE' AND r_name = 'ASIA'
+       |GROUP BY EXTRACT(year FROM o_orderdate)
+       |ORDER BY o_year""".stripMargin
+
+  // q149 — late-shipment accounting (TPC-H Q12 shape, adapted: the testdata
+  // has no commit/receipt dates or ship modes, so "late" = shipped more than
+  // 90 days after the order date, bucketed by ship year and order-priority
+  // class). One join + one conditional aggregate.
+  private def q149(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .filter(datediff($"l_shipdate", $"o_orderdate") > 90)
+      .groupBy(year($"l_shipdate").as("ship_year"))
+      .agg(
+        sum(when($"o_orderpriority" === "1-URGENT" || $"o_orderpriority" === "2-HIGH", 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when($"o_orderpriority" =!= "1-URGENT" && $"o_orderpriority" =!= "2-HIGH", 1L)
+          .otherwise(0L)).as("low_line_count"))
+      .orderBy($"ship_year")
+  }
+  private val q149Sql =
+    """SELECT EXTRACT(year FROM l_shipdate) AS ship_year,
+      | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      | CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE date_diff('day', o_orderdate, l_shipdate) > 90
+      |GROUP BY EXTRACT(year FROM l_shipdate)
+      |ORDER BY ship_year""".stripMargin
+
+  // q150 — promo revenue share per month (TPC-H Q14 shape): two exact
+  // decimal sums over one join, one final division. The month label uses the
+  // same yyyy-MM rendering on both engines.
+  private def q150(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val p = Tables.part(s, d)
+    val li = Tables.lineitem(s, d)
+      .filter($"l_shipdate" >= lit("1997-01-01").cast(TimestampType) &&
+        $"l_shipdate" < lit("1998-01-01").cast(TimestampType))
+    val D = DecimalType(30, 6)
+    val vol = ($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(D)
+    li.join(p, li("l_partkey") === p("p_partkey")) // scaling dim: AQE decides
+      .groupBy(date_format($"l_shipdate", "yyyy-MM").as("ship_month"))
+      .agg((lit(100.0) * sum(when($"p_type" === "PROMO", vol).otherwise(lit(0).cast(D)))
+        .cast(DoubleType) / sum(vol).cast(DoubleType)).as("promo_share"))
+      .orderBy($"ship_month")
+  }
+  private val q150Sql =
+    """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+      | 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |     THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))
+      |     ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE)
+      |   / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE)
+      |   AS promo_share
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY strftime(l_shipdate, '%Y-%m')
+      |ORDER BY ship_month""".stripMargin
+
+  // q151 — top supplier(s) by quarter revenue (TPC-H Q15 shape): the
+  // per-supplier rollup computes once, its 1-row max broadcasts back as the
+  // filter — the "CREATE VIEW revenue" pattern without a second scan. The
+  // equality compares two doubles produced by the identical decimal→double
+  // conversion, so it is exact.
+  private def q151(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rev = Tables.lineitem(s, d)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast(TimestampType) &&
+        $"l_shipdate" < lit("1996-04-01").cast(TimestampType))
+      .groupBy($"l_suppkey".as("supplier_no"))
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("total_revenue"))
+    val top = rev.agg(max($"total_revenue").as("max_rev"))
+    val su = Tables.supplier(s, d)
+    rev.join(broadcast(top), $"total_revenue" === $"max_rev").drop("max_rev")
+      .join(su, $"supplier_no" === su("s_suppkey")) // scaling dim: AQE decides
+      .select($"s_suppkey", $"s_name", $"total_revenue")
+      .orderBy($"s_suppkey")
+  }
+  private val q151Sql =
+    s"""WITH revenue AS (
+       |  SELECT l_suppkey AS supplier_no,
+       |    ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS total_revenue
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, total_revenue
+       |FROM revenue JOIN supplier ON supplier_no = s_suppkey
+       |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+       |ORDER BY s_suppkey""".stripMargin
+
+  // q152 — small-quantity-order revenue (TPC-H Q17 shape): the per-part
+  // average joins BACK onto the lines it came from. The avg comparison is
+  // cross-multiplied into exact decimal arithmetic (qty * n * 5 < sum_qty
+  // ⇔ qty < 0.2 * avg) so no engine-specific division rounding can flip a
+  // row; the single division by 7 happens once, on the final total.
+  private def q152(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val D = DecimalType(30, 6)
+    val li = Tables.lineitem(s, d)
+    val brand = li.join(Tables.part(s, d).filter($"p_brand" === "Brand#23"),
+      li("l_partkey") === $"p_partkey") // scaling dim: AQE decides
+    val perPart = brand.groupBy($"l_partkey".as("pk"))
+      .agg(sum($"l_quantity".cast(D)).as("sum_qty"), count(lit(1)).as("n_qty"))
+    brand.join(perPart, $"l_partkey" === $"pk")
+      .filter($"l_quantity".cast(D) * $"n_qty" * lit(5) < $"sum_qty")
+      .agg((sum($"l_extendedprice".cast(D)).cast(DoubleType) / lit(7.0)).as("avg_yearly"))
+  }
+  private val q152Sql =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / 7.0 AS avg_yearly
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN (SELECT l_partkey AS pk, SUM(CAST(l_quantity AS DECIMAL(30,6))) AS sum_qty,
+      |        COUNT(*) AS n_qty
+      |      FROM lineitem JOIN part ON l_partkey = p_partkey
+      |      WHERE p_brand = 'Brand#23' GROUP BY l_partkey) t ON l_partkey = pk
+      |WHERE p_brand = 'Brand#23'
+      |  AND CAST(l_quantity AS DECIMAL(30,6)) * n_qty * 5 < sum_qty""".stripMargin
+
+  // q153 — idle wealthy customers (TPC-H Q22 shape): above-average balances
+  // with no recent orders. The global average is a 1-row broadcast; the
+  // "no orders" test is a left-anti join against the distinct recent
+  // custkeys — no correlated subquery ever materializes per row.
+  private def q153(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, d)
+    val avgBal = c.filter($"c_acctbal" > 0.0)
+      .agg(davg($"c_acctbal").as("avg_bal"))
+    val recent = Tables.orders(s, d)
+      .filter($"o_orderdate" >= lit("1999-07-01").cast(TimestampType))
+      .select($"o_custkey").distinct()
+    c.join(broadcast(avgBal)).filter($"c_acctbal" > $"avg_bal")
+      .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("numcust"), dsum($"c_acctbal").as("totacctbal"))
+      .orderBy($"c_nationkey")
+  }
+  private val q153Sql =
+    s"""SELECT c_nationkey, COUNT(*) AS numcust,
+       | ${dsumSql("c_acctbal")} AS totacctbal
+       |FROM customer
+       |WHERE c_acctbal > (SELECT ${davgSql("c_acctbal")} FROM customer WHERE c_acctbal > 0.0)
+       |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+       |                        WHERE o_orderdate >= TIMESTAMP '1999-07-01 00:00:00')
+       |GROUP BY c_nationkey
+       |ORDER BY c_nationkey""".stripMargin
+
+  // q154 — priority-queue accounting (TPC-H Q4 shape, adapted: "problem
+  // order" = any line shipped more than 60 days after the order date). The
+  // EXISTS is a left-semi join — each order emits at most once, no distinct
+  // needed, and the probe side carries only the join key.
+  private def q154(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d)
+      .filter($"o_orderdate" >= lit("1996-07-01").cast(TimestampType) &&
+        $"o_orderdate" < lit("1996-10-01").cast(TimestampType))
+    val li = Tables.lineitem(s, d)
+    val late = o.join(li, o("o_orderkey") === li("l_orderkey") &&
+      datediff(li("l_shipdate"), o("o_orderdate")) > 60, "left_semi")
+    late.groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+  private val q154Sql =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+      |              AND date_diff('day', o_orderdate, l_shipdate) > 60)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_tpch3_shipping_priority" -> q43,
     "q44_tpch5_local_volume" -> q44,
     "q45_tpch10_returns" -> q45,
     "q50_tpch18_big_orders" -> q50,
+    "q147_tpch7_nation_volume" -> q147,
+    "q148_tpch8_market_share" -> q148,
+    "q149_tpch12_late_lines" -> q149,
+    "q150_tpch14_promo_share" -> q150,
+    "q151_tpch15_top_supplier" -> q151,
+    "q152_tpch17_small_qty" -> q152,
+    "q153_tpch22_idle_customers" -> q153,
+    "q154_tpch4_priority_semi" -> q154,
   )
 
   val oracles: Map[String, String] = Map(
@@ -154,5 +424,13 @@ object Reporting {
     "q44_tpch5_local_volume" -> q44Sql,
     "q45_tpch10_returns" -> q45Sql,
     "q50_tpch18_big_orders" -> q50Sql,
+    "q147_tpch7_nation_volume" -> q147Sql,
+    "q148_tpch8_market_share" -> q148Sql,
+    "q149_tpch12_late_lines" -> q149Sql,
+    "q150_tpch14_promo_share" -> q150Sql,
+    "q151_tpch15_top_supplier" -> q151Sql,
+    "q152_tpch17_small_qty" -> q152Sql,
+    "q153_tpch22_idle_customers" -> q153Sql,
+    "q154_tpch4_priority_semi" -> q154Sql,
   )
 }
