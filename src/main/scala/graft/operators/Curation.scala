@@ -825,7 +825,41 @@ object Curation {
        |SELECT doc_id, source, n_chars AS toks, CAST(cum AS BIGINT) AS cum_tokens
        |FROM c WHERE cum <= 4000 ORDER BY doc_id""".stripMargin
 
+  /** Deterministic train/val/test assignment: hash-bucket each row into
+    * ppm-of-100 bands (train < `trainPct` ≤ val < `trainPct`+`valPct` ≤
+    * test). Map-only, zero shuffle, streamable, stable across reruns and
+    * engines (md5-prefix hash) — the split a 100 TB corpus can recompute
+    * row-local on every read instead of materializing an assignment table. */
+  def splitAssign(df: DataFrame, idCol: String,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100)
+    val b = md5Long(concat(lit("split:"), col(idCol).cast(StringType))) % 100L
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  // q158 — split the corpus 80/10/10 and report per-(split, lang) volume:
+  // the sanity table every training run prints before it starts.
+  private def q158(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    splitAssign(Tables.documents(s, d), "doc_id")
+      .groupBy($"split", $"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+      .orderBy($"split", $"lang")
+  }
+  private val q158Sql =
+    s"""SELECT CASE WHEN ${md5LongSql("'split:' || doc_id")} % 100 < 80 THEN 'train'
+       |            WHEN ${md5LongSql("'split:' || doc_id")} % 100 < 90 THEN 'val'
+       |            ELSE 'test' END AS split,
+       |  lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+       |FROM documents
+       |GROUP BY 1, 2
+       |ORDER BY split, lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q158_split_assign" -> q158,
     "q133_corpus_diff" -> q133,
     "q134_token_budget" -> q134,
     "q78_quantile_filter" -> q78,
@@ -843,6 +877,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q158_split_assign" -> q158Sql,
     "q133_corpus_diff" -> q133Sql,
     "q134_token_budget" -> q134Sql,
     "q78_quantile_filter" -> q78Sql,

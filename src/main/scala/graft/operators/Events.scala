@@ -1044,7 +1044,155 @@ object Events {
       |SELECT day, COUNT(DISTINCT user_id) AS uniques
       |FROM f GROUP BY 1 ORDER BY day""".stripMargin
 
+  /** Exact bounded-lag EWMA: per entity, ordered by (ts, tie), the
+    * α = 1/2 exponentially weighted moving average truncated at `maxLag`
+    * lags — the streaming smoother as a batch feature column.
+    *
+    * Exactness: weights 2^(maxLag−j) and values scaled to integer micros
+    * make numerator and denominator exact longs; the single final IEEE
+    * division replicates bit-for-bit in any engine (a recursive
+    * ewma_t = αx + (1−α)ewma_{t−1} over doubles would drift by evaluation
+    * order). Truncation at 8 lags leaves ≤ 2⁻⁹ of the mass — below double
+    * display precision for typical values, and *defined* identically
+    * everywhere.
+    *
+    * Scale: one entity-keyed window (high-cardinality partition key — the
+    * safe windowing class), no self-join, no state. */
+  def ewmaSmooth(df: DataFrame, entityCol: String, tsCol: String,
+      valueCol: String, tieCol: String, maxLag: Int = 8): DataFrame = {
+    require(maxLag >= 0 && maxLag <= 16, "maxLag in [0,16]")
+    val D = DecimalType(30, 6)
+    val w = Window.partitionBy(col(entityCol)).orderBy(col(tsCol), col(tieCol))
+    val xs = (col(valueCol).cast(D) * 1000000).cast(LongType)
+    val lagged = df.withColumn("__x0", xs)
+    val withLags = (1 to maxLag).foldLeft(lagged) { (acc, j) =>
+      acc.withColumn(s"__x$j", lag(col("__x0"), j).over(w))
+    }
+    val num = (0 to maxLag).map { j =>
+      val wgt = 1L << (maxLag - j)
+      coalesce(col(s"__x$j") * wgt, lit(0L))
+    }.reduce(_ + _)
+    val den = (0 to maxLag).map { j =>
+      val wgt = 1L << (maxLag - j)
+      when(col(s"__x$j").isNotNull, lit(wgt)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    withLags
+      .withColumn("ewma", num.cast(DoubleType) / (den * 1000000L).cast(DoubleType))
+      .drop((0 to maxLag).map(j => s"__x$j"): _*)
+  }
+
+  // q157 — EWMA-smoothed event value per user (α = 1/2, 8 lags).
+  private def q157(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    ewmaSmooth(Tables.events(s, d), "user_id", "ts", "value", "event_id")
+      .select($"event_id", $"user_id", $"ewma")
+      .orderBy($"event_id")
+  }
+  private val q157Sql = {
+    val lags = (1 to 8).map(j =>
+      s"lag(xs, $j) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x$j")
+      .mkString(",\n      |    ")
+    val num = (0 to 8).map(j => s"coalesce(x$j * ${1L << (8 - j)}, 0)").mkString(" + ")
+    val den = (0 to 8).map(j =>
+      s"CASE WHEN x$j IS NULL THEN 0 ELSE ${1L << (8 - j)} END").mkString(" + ")
+    s"""WITH x AS (SELECT event_id, user_id, ts,
+       |    CAST(CAST(value AS DECIMAL(30,6)) * 1000000 AS BIGINT) AS xs
+       |  FROM events),
+       |l AS (SELECT event_id, user_id, xs AS x0,
+       |    $lags
+       |  FROM x)
+       |SELECT event_id, user_id,
+       |  CAST($num AS DOUBLE)
+       |    / CAST(($den) * 1000000 AS DOUBLE) AS ewma
+       |FROM l ORDER BY event_id""".stripMargin
+  }
+
+  /** KMV (k-minimum-values) distinct sketch: the k smallest element hashes
+    * per key (Bar-Yossef et al. 2002) — the mergeable primitive for
+    * approximate set cardinality AND set intersection/Jaccard between huge
+    * keyed sets, which HLL cannot give. The hash is the engine-portable
+    * md5-prefix, so the sketch — and every estimate derived from it — is
+    * deterministic and reproducible in any engine, any partitioning.
+    * Output: (key, h) rows, ≤ k per key. */
+  def kmvSketch(df: DataFrame, keyCol: String, hashCol: String, k: Int): DataFrame = {
+    val bk = udaf(new graft.functions.BottomKLongs(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())
+    df.groupBy(col(keyCol))
+      .agg(bk(col(hashCol)).as("__kmv"))
+      .select(col(keyCol), explode(col("__kmv")).as("h"))
+  }
+
+  // q159 — estimated Jaccard overlap of (user, day) activity sets between
+  // every pair of event types, from 64-value KMV sketches. The element
+  // relation collapses ONCE through the bounded bottom-k aggregate
+  // (combiner-friendly — only ≤2k buffers shuffle, never the set); every
+  // op after it touches ≤ #types × k rows, so the pair windows below are
+  // bounded by construction (≤ 2k rows per pair). Estimator: with
+  // θ = the kk-th smallest hash of A ∪ B (kk = min(k, |union sketch|)),
+  // J ≈ |{h ≤ θ} ∩ A ∩ B| / kk — reported in exact integer ppm.
+  private def q159(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 64
+    val el = Tables.events(s, d)
+      .select($"event_type", $"user_id", expr("ts DIV 86400000000000").as("day"))
+      .distinct()
+      .withColumn("h", md5Long(concat_ws(":", lit("kmv"), $"user_id", $"day")))
+    val bk = kmvSketch(el, "event_type", "h", k).localCheckpoint()
+    val types = bk.select($"event_type").distinct()
+    val pairs = types.as("x").join(types.as("y"),
+        col("x.event_type") < col("y.event_type"))
+      .select(col("x.event_type").as("ta"), col("y.event_type").as("tb"))
+    val ua = pairs.join(bk, $"ta" === bk("event_type")).select($"ta", $"tb", $"h")
+    val ub = pairs.join(bk, $"tb" === bk("event_type")).select($"ta", $"tb", $"h")
+    val union = ua.union(ub).distinct()
+    val wp = Window.partitionBy($"ta", $"tb").orderBy($"h")
+    val ranked = union.withColumn("rn", row_number().over(wp))
+    val theta = ranked.groupBy($"ta", $"tb")
+      .agg(max(when($"rn" <= k, $"h")).as("th"), least(max($"rn"), lit(k)).as("kk"))
+    val inA = bk.select($"event_type".as("ma"), $"h".as("ha"))
+    val inB = bk.select($"event_type".as("mb"), $"h".as("hb"))
+    val hits = ranked.join(theta, Seq("ta", "tb")).filter($"h" <= $"th")
+      .join(inA, $"ta" === $"ma" && $"h" === $"ha", "left_semi")
+      .join(inB, $"tb" === $"mb" && $"h" === $"hb", "left_semi")
+      .groupBy($"ta", $"tb").agg(count(lit(1)).as("c"))
+    theta.join(hits, Seq("ta", "tb"), "left_outer")
+      .select($"ta".as("type_a"), $"tb".as("type_b"),
+        expr("(coalesce(c, 0) * 1000000) DIV kk").cast(LongType).as("jaccard_est_ppm"))
+      .orderBy($"type_a", $"type_b")
+  }
+  private val q159Sql =
+    s"""WITH el AS (SELECT DISTINCT event_type, user_id,
+       |    epoch_ns(ts) // 86400000000000 AS day FROM events),
+       |h AS (SELECT event_type,
+       |    ${md5LongSql("'kmv:' || CAST(user_id AS VARCHAR) || ':' || CAST(day AS VARCHAR)")} AS h
+       |  FROM el),
+       |bk AS (SELECT event_type, h FROM (
+       |    SELECT event_type, h,
+       |      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |    FROM (SELECT DISTINCT event_type, h FROM h)) WHERE rn <= 64),
+       |types AS (SELECT DISTINCT event_type FROM bk),
+       |pairs AS (SELECT x.event_type AS ta, y.event_type AS tb
+       |  FROM types x JOIN types y ON x.event_type < y.event_type),
+       |un AS (SELECT ta, tb, h FROM pairs JOIN bk ON bk.event_type = ta
+       |  UNION SELECT ta, tb, h FROM pairs JOIN bk ON bk.event_type = tb),
+       |ranked AS (SELECT ta, tb, h,
+       |    row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn FROM un),
+       |theta AS (SELECT ta, tb, MAX(CASE WHEN rn <= 64 THEN h END) AS th,
+       |    LEAST(MAX(rn), 64) AS kk FROM ranked GROUP BY 1, 2),
+       |hits AS (SELECT r.ta, r.tb, COUNT(*) AS c
+       |  FROM ranked r JOIN theta t ON r.ta = t.ta AND r.tb = t.tb
+       |  WHERE r.h <= t.th
+       |    AND EXISTS (SELECT 1 FROM bk a WHERE a.event_type = r.ta AND a.h = r.h)
+       |    AND EXISTS (SELECT 1 FROM bk b WHERE b.event_type = r.tb AND b.h = r.h)
+       |  GROUP BY 1, 2)
+       |SELECT t.ta AS type_a, t.tb AS type_b,
+       |  CAST((coalesce(c, 0) * 1000000) // kk AS BIGINT) AS jaccard_est_ppm
+       |FROM theta t LEFT JOIN hits ON t.ta = hits.ta AND t.tb = hits.tb
+       |ORDER BY type_a, type_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_ewma_smooth" -> q157,
+    "q159_kmv_jaccard" -> q159,
     "q118_time_weighted_avg" -> q118,
     "q137_cep_pattern" -> q137,
     "q140_attribution_linear" -> q140,
@@ -1070,6 +1218,8 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q157_ewma_smooth" -> q157Sql,
+    "q159_kmv_jaccard" -> q159Sql,
     "q118_time_weighted_avg" -> q118Sql,
     "q137_cep_pattern" -> q137Sql,
     "q140_attribution_linear" -> q140Sql,

@@ -1729,7 +1729,51 @@ object Extended {
       |  arg_max(value, event_id * 2 + side) AS value
       |FROM u GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Leave-one-out target encoding — the ML-prep categorical encoder that
+    * avoids self-leakage: each row's category is encoded as the mean target
+    * of the OTHER rows in its category, (Σ_cat − y_i) / (n_cat − 1).
+    *
+    * Scale: ONE combiner-friendly aggregate over the fact (sums shrink to
+    * #categories rows), broadcast back, map-only encode — no window, no
+    * self-join. Exactness: the numerator stays DECIMAL until the single
+    * final IEEE division, so encoding replicates bit-for-bit against any
+    * engine; singleton categories encode NULL (no leave-one-out sample). */
+  def targetEncodeLoo(df: DataFrame, catCol: String, targetCol: String): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val D = DecimalType(30, 6)
+    val stats = df.groupBy(col(catCol).as("__cat"))
+      .agg(sum(col(targetCol).cast(D)).as("__sum"), count(lit(1)).as("__n"))
+    df.join(broadcast(stats), col(catCol) === $"__cat")
+      .withColumn("loo_encoded",
+        when($"__n" > 1,
+          ($"__sum" - col(targetCol).cast(D)).cast(DoubleType) / ($"__n" - 1))
+          .otherwise(lit(null).cast(DoubleType)))
+      .drop("__cat", "__sum", "__n")
+  }
+
+  // q156 — LOO-encode order priority against total price.
+  private def q156(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    targetEncodeLoo(Tables.orders(s, d), "o_orderpriority", "o_totalprice")
+      .select($"o_orderkey", $"loo_encoded")
+      .orderBy($"o_orderkey")
+  }
+  private val q156Sql =
+    """WITH stats AS (
+      |  SELECT o_orderpriority AS cat,
+      |    SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS cat_sum,
+      |    COUNT(*) AS cat_n
+      |  FROM orders GROUP BY 1)
+      |SELECT o_orderkey,
+      |  CASE WHEN cat_n > 1
+      |    THEN CAST(cat_sum - CAST(o_totalprice AS DECIMAL(30,6)) AS DOUBLE) / (cat_n - 1)
+      |    ELSE NULL END AS loo_encoded
+      |FROM orders JOIN stats ON o_orderpriority = cat
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q156_target_encode_loo" -> q156,
     "q136_merge_upsert" -> q136,
     "q138_histogram" -> q138,
     "q141_audit_checks" -> q141,
@@ -1771,6 +1815,7 @@ object Extended {
   )
 
   val oracles: Map[String, String] = Map(
+    "q156_target_encode_loo" -> q156Sql,
     "q136_merge_upsert" -> q136Sql,
     "q138_histogram" -> q138Sql,
     "q141_audit_checks" -> q141Sql,

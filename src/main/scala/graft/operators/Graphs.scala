@@ -798,7 +798,35 @@ object Graphs {
       |FROM cand JOIN deg du ON cand.u = du.id JOIN deg dw ON cand.w = dw.id
       |ORDER BY cand.cn DESC, u, w LIMIT 100""".stripMargin
 
+  // q155 — connected components of the purchase graph, FORCED down the
+  // distributed path (localThreshold = 0): min-label propagation with
+  // pointer jumping, O(log diameter) rounds, per-round localCheckpoint.
+  // q47 exercises the same operator through its adaptive small-graph
+  // (driver union-find) branch; this query is the oracle gate for the
+  // 100 TB branch — the one a near-dup graph over a full crawl actually
+  // takes. Component label = min node id in the component, which is
+  // exactly what the oracle's recursive reachability closure computes.
+  private def q155(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val comp = Text.connectedComponents(
+      purchaseEdges(s, d).select($"src".as("doc_a"), $"dst".as("doc_b")),
+      localThreshold = 0L)
+    comp.select($"n".as("id"), $"lbl".as("component")).orderBy($"id")
+  }
+  private val q155Sql =
+    s"""WITH RECURSIVE
+       |base AS (SELECT DISTINCT o_custkey + $custBase AS src, l_suppkey AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |und AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+       |nodes AS (SELECT DISTINCT src AS id FROM und),
+       |reach(id, lab) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT u.dst, r.lab FROM reach r JOIN und u ON u.src = r.id)
+       |SELECT id, MIN(lab) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q155_connected_components" -> q155,
     "q131_bfs_distance" -> q131,
     "q132_link_predict" -> q132,
     "q125_kcore" -> q125,
@@ -811,6 +839,7 @@ object Graphs {
   )
 
   val oracles: Map[String, String] = Map(
+    "q155_connected_components" -> q155Sql,
     "q131_bfs_distance" -> q131Sql,
     "q132_link_predict" -> q132Sql,
     "q125_kcore" -> q125Sql,

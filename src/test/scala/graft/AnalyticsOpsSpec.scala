@@ -1048,4 +1048,65 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(snapped == straight, s"snapped $snapped vs straight $straight")
   }
+
+  // -------------------------------------------- LOO target encoding
+
+  test("targetEncodeLoo: mean of the others; singleton category is NULL") {
+    val df = Seq(("a", 10.0, 1L), ("a", 20.0, 2L), ("a", 30.0, 3L),
+      ("b", 5.0, 4L), ("b", 7.0, 5L), ("c", 99.0, 6L))
+      .toDF("cat", "y", "id")
+    val out = graft.operators.Extended.targetEncodeLoo(df, "cat", "y")
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[Any]("loo_encoded"))).toMap
+    assert(out(1L).contains(25.0)) // (20+30)/2
+    assert(out(2L).contains(20.0)) // (10+30)/2
+    assert(out(4L).contains(7.0))
+    assert(out(6L).isEmpty) // singleton: no leave-one-out sample
+  }
+
+  // ------------------------------------------------------ exact EWMA
+
+  test("ewmaSmooth: hand-computed alpha=1/2 weights; truncation at maxLag") {
+    // one entity, values 1, 2, 4 at ts 1, 2, 3 (maxLag=2 → weights 4,2,1)
+    val df = Seq((1L, 1L, 1.0, 10L), (1L, 2L, 2.0, 11L), (1L, 3L, 4.0, 12L))
+      .toDF("u", "ts", "v", "eid")
+    val out = graft.operators.Events.ewmaSmooth(df, "u", "ts", "v", "eid", maxLag = 2)
+      .collect().map(r => r.getAs[Long]("ts") -> r.getAs[Double]("ewma")).toMap
+    assert(out(1L) == 1.0) // only x0: 4·1/4
+    assert(out(2L) == (4.0 * 2 + 2 * 1) / 6.0) // (4·2+2·1)/(4+2)
+    assert(out(3L) == (4.0 * 4 + 2 * 2 + 1 * 1) / 7.0) // full window
+  }
+
+  // --------------------------------------------- deterministic split
+
+  test("splitAssign: partitions the corpus, deterministic, ~80/10/10") {
+    val df = (1L to 2000L).toDF("id")
+    val a = graft.operators.Curation.splitAssign(df, "id")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a.values.sum == 2000L)
+    assert(a("train") > 1500 && a("train") < 1700, s"train ${a("train")}")
+    assert(a("val") > 120 && a("val") < 280, s"val ${a("val")}")
+    val b = graft.operators.Curation.splitAssign(df, "id")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b) // rerun-stable
+  }
+
+  // ------------------------------------------------------ KMV sketch
+
+  test("kmvSketch: exact k smallest distinct hashes per key, merge-order-free") {
+    val df = (1L to 500L).flatMap(i => Seq(("s1", i), ("s2", i * 7)))
+      .toDF("key", "x")
+      .withColumn("h", graft.functions.Ops.md5Long(concat(lit("e:"), col("x"))))
+    val sk = graft.operators.Events.kmvSketch(df, "key", "h", 16)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val naive = df.collect().map(r => (r.getString(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted.take(16).toSeq).toMap
+    assert(sk.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap == naive)
+    // repartition shuffles merge order; the sketch must not change
+    val sk2 = graft.operators.Events.kmvSketch(df.repartition(7), "key", "h", 16)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(sk2.sorted.toSeq == sk.sorted.toSeq)
+  }
 }
