@@ -1190,7 +1190,45 @@ object Events {
        |FROM theta t LEFT JOIN hits ON t.ta = hits.ta AND t.tb = hits.tb
        |ORDER BY type_a, type_b""".stripMargin
 
+  /** Out-of-order-arrival accounting — the stream-health metric that sizes
+    * watermarks: per entity, how many events arrived (by `arrivalCol`
+    * order) with an event time (`tsCol`) behind the running maximum, i.e.
+    * would have been late under a zero-lateness watermark.
+    *
+    * Scale: one entity-keyed running-max window (high-cardinality key) +
+    * one combiner aggregate. Exact integer ppm. */
+  def outOfOrder(df: DataFrame, entityCol: String, tsCol: String,
+      arrivalCol: String): DataFrame = {
+    val w = Window.partitionBy(col(entityCol)).orderBy(col(arrivalCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__prevmax", max(col(tsCol)).over(w))
+      .withColumn("__late",
+        when(col("__prevmax").isNotNull && col(tsCol) < col("__prevmax"), 1L)
+          .otherwise(0L))
+      .groupBy(col(entityCol))
+      .agg(count(lit(1)).as("n_events"), sum(col("__late")).as("n_late"))
+      .withColumn("late_ppm", expr("n_late * 1000000 DIV n_events").cast(LongType))
+  }
+
+  // q160 — per-user late-event ratio under arrival order = event_id.
+  private def q160(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    outOfOrder(Tables.events(s, d), "user_id", "ts", "event_id")
+      .orderBy($"user_id")
+  }
+  private val q160Sql =
+    """WITH m AS (SELECT user_id, ts,
+      |    MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+      |  FROM events)
+      |SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN prevmax IS NOT NULL AND ts < prevmax THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+      |  CAST(SUM(CASE WHEN prevmax IS NOT NULL AND ts < prevmax THEN 1 ELSE 0 END) * 1000000
+      |    // COUNT(*) AS BIGINT) AS late_ppm
+      |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q160_out_of_order" -> q160,
     "q157_ewma_smooth" -> q157,
     "q159_kmv_jaccard" -> q159,
     "q118_time_weighted_avg" -> q118,
@@ -1218,6 +1256,7 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q160_out_of_order" -> q160Sql,
     "q157_ewma_smooth" -> q157Sql,
     "q159_kmv_jaccard" -> q159Sql,
     "q118_time_weighted_avg" -> q118Sql,

@@ -1772,7 +1772,65 @@ object Extended {
       |FROM orders JOIN stats ON o_orderpriority = cat
       |ORDER BY o_orderkey""".stripMargin
 
+  /** MRR (mean-reciprocal-rank) components per query: the rank of the
+    * FIRST golden item in each query's ranked candidate list, and its
+    * reciprocal in exact integer ppm (10⁶ DIV rank; 0 when the list has no
+    * golden item). The recall@k complement for position-sensitive grading.
+    *
+    * Scale: one left-semi join (golden is the small side per query) + one
+    * min aggregate — no window; `ranked` should come from the bounded
+    * TopKByScore aggregate, so everything here is #queries × k rows. */
+  def mrrEval(golden: DataFrame, ranked: DataFrame, queryCol: String,
+      idCol: String, rankCol: String): DataFrame = {
+    val hits = ranked.join(golden, Seq(queryCol, idCol), "left_semi")
+      .groupBy(col(queryCol)).agg(min(col(rankCol)).cast(LongType).as("first_hit_rank"))
+    golden.select(col(queryCol)).distinct()
+      .join(hits, Seq(queryCol), "left_outer")
+      .select(col(queryCol), col("first_hit_rank"),
+        coalesce(expr("1000000 DIV first_hit_rank"), lit(0L)).cast(LongType)
+          .as("rr_ppm"))
+  }
+
+  // q162 — grade the quantity ranker against the revenue golden set with
+  // MRR: same deterministic rankers as q139, position-sensitive metric.
+  private def q162(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    def topk(metric: Column, k: Int) =
+      Similarity.topKPerKey(
+        li.groupBy($"l_returnflag", $"l_partkey")
+          .agg(metric.cast(DoubleType).as("__m")),
+        Seq("l_returnflag"), "l_partkey", "__m", k)
+    val golden = topk(dsum($"l_extendedprice"), 5).select($"l_returnflag", $"l_partkey")
+    val ranked = topk(sum($"l_quantity".cast(LongType)), 10)
+      .select($"l_returnflag", $"l_partkey", $"rank")
+    mrrEval(golden, ranked, "l_returnflag", "l_partkey", "rank")
+      .orderBy($"l_returnflag")
+  }
+  private val q162Sql =
+    s"""WITH g AS (SELECT l_returnflag, l_partkey FROM (
+       |    SELECT l_returnflag, l_partkey,
+       |      ROW_NUMBER() OVER (PARTITION BY l_returnflag
+       |        ORDER BY ${dsumSql("l_extendedprice")} DESC,
+       |                 l_partkey ASC) AS r
+       |    FROM lineitem GROUP BY 1, 2) WHERE r <= 5),
+       |c AS (SELECT l_returnflag, l_partkey, r FROM (
+       |    SELECT l_returnflag, l_partkey,
+       |      ROW_NUMBER() OVER (PARTITION BY l_returnflag
+       |        ORDER BY SUM(CAST(l_quantity AS BIGINT)) DESC,
+       |                 l_partkey ASC) AS r
+       |    FROM lineitem GROUP BY 1, 2) WHERE r <= 10),
+       |h AS (SELECT c.l_returnflag, MIN(c.r) AS first_hit_rank
+       |  FROM c JOIN g ON c.l_returnflag = g.l_returnflag
+       |    AND c.l_partkey = g.l_partkey GROUP BY 1)
+       |SELECT q.l_returnflag, CAST(first_hit_rank AS BIGINT) AS first_hit_rank,
+       |  CAST(coalesce(1000000 // first_hit_rank, 0) AS BIGINT) AS rr_ppm
+       |FROM (SELECT DISTINCT l_returnflag FROM g) q
+       |LEFT JOIN h ON q.l_returnflag = h.l_returnflag
+       |ORDER BY q.l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q162_mrr" -> q162,
     "q156_target_encode_loo" -> q156,
     "q136_merge_upsert" -> q136,
     "q138_histogram" -> q138,
@@ -1815,6 +1873,7 @@ object Extended {
   )
 
   val oracles: Map[String, String] = Map(
+    "q162_mrr" -> q162Sql,
     "q156_target_encode_loo" -> q156Sql,
     "q136_merge_upsert" -> q136Sql,
     "q138_histogram" -> q138Sql,

@@ -28,16 +28,19 @@ object Text {
     * re-evaluates per explode output row — measured 8× slower at sf0.1.
     * Cost: one shuffle on doc_id (window sort by pos); docs ≫ partitions so
     * it scales evenly. */
-  private[operators] def gramRows(docs: DataFrame, n: Int): DataFrame = {
+  private[operators] def gramRows(docs: DataFrame, n: Int,
+      carryCols: Seq[String] = Nil): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val byDoc = Window.partitionBy($"doc_id").orderBy($"pos")
     val parts = $"tok" +: (1 until n).map(i => lead($"tok", i).over(byDoc))
     docs.withColumn("toks", toks)
-      .select($"doc_id", size($"toks").as("n_toks"), posexplode($"toks").as(Seq("pos", "tok")))
+      .select(Seq($"doc_id", size($"toks").as("n_toks"),
+        posexplode($"toks").as(Seq("pos", "tok")): Column) ++
+        carryCols.map(col): _*)
       .withColumn("gram", concat_ws(" ", parts: _*))
       .filter($"pos" <= $"n_toks" - n)
-      .select($"doc_id", $"gram")
+      .select($"doc_id" +: $"gram" +: carryCols.map(col): _*)
   }
 
   /** (doc_id, s) distinct 4-gram shingle pairs — the inverted-index layout.
@@ -705,7 +708,36 @@ object Text {
       |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents)
       |GROUP BY tok ORDER BY freq DESC, tok ASC LIMIT 15""".stripMargin
 
+  // q161 — distinct-n diversity per source: distinct trigrams / total
+  // trigrams, the template-detection signal (a boilerplate-heavy or
+  // self-repeating source scores low). Exact integer ppm.
+  //
+  // Scale: gram generation is the doc-keyed window (high-cardinality);
+  // the per-source rollup is one aggregate pair — COUNT(DISTINCT) plans
+  // as Spark's two-phase expand, partials combine map-side. No joins.
+  private def q161(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    gramRows(Tables.documents(s, d), 3, carryCols = Seq("source"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_grams"),
+        count_distinct($"gram").as("n_distinct"))
+      .withColumn("distinct_ppm",
+        expr("n_distinct * 1000000 DIV n_grams").cast(LongType))
+      .orderBy($"source")
+  }
+  private val q161Sql =
+    """WITH toks AS (SELECT doc_id, source,
+      |    string_split_regex(trim(text), '\s+') t FROM documents),
+      |g AS (SELECT doc_id, source,
+      |    unnest(list_transform(range(1, greatest(len(t)-1,1)),
+      |      i -> array_to_string(t[i:i+2], ' '))) AS gram FROM toks)
+      |SELECT source, COUNT(*) AS n_grams,
+      |  COUNT(DISTINCT gram) AS n_distinct,
+      |  CAST(COUNT(DISTINCT gram) * 1000000 // COUNT(*) AS BIGINT) AS distinct_ppm
+      |FROM g GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_distinct_ngrams" -> q161,
     "q52_sample_hash_stratified" -> q52,
     "q53_repetition_ratio" -> q53,
     "q54_passage_overlap" -> q54,
@@ -724,6 +756,7 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    "q161_distinct_ngrams" -> q161Sql,
     "q52_sample_hash_stratified" -> q52Sql,
     "q53_repetition_ratio" -> q53Sql,
     "q54_passage_overlap" -> q54Sql,

@@ -285,6 +285,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(cands.contains("hot") && cands.contains("hot2"), s"got $cands")
   }
 
+  test("KMV sketch aggregates a stream incrementally = batch bottom-k") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // BottomKLongs is mergeable: partial buffers combine across
+    // micro-batches exactly as across partitions, so the streamed sketch
+    // over everything ingested equals the one-shot batch sketch
+    val mem = MemoryStream[Long]
+    val bk = udaf(new graft.functions.BottomKLongs(8),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())
+    val hashed = mem.toDF().toDF("x")
+      .withColumn("h", graft.functions.Ops.md5Long(concat(lit("k:"), $"x")))
+    val agg = hashed.agg(bk($"h").as("sketch"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("kmv_out").start()
+    mem.addData(1L to 40L: _*)
+    q.processAllAvailable()
+    mem.addData(41L to 80L: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("kmv_out").head().getSeq[Long](0)
+    val batch = (1L to 80L).toDF("x")
+      .withColumn("h", graft.functions.Ops.md5Long(concat(lit("k:"), $"x")))
+      .agg(bk($"h")).head().getSeq[Long](0)
+    assert(streamed == batch, s"streamed $streamed vs batch $batch")
+    assert(streamed.size == 8 && streamed == streamed.sorted)
+  }
+
   test("streaming exact dedup drops duplicate keys within the watermark") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
