@@ -1829,7 +1829,115 @@ object Extended {
        |LEFT JOIN h ON q.l_returnflag = h.l_returnflag
        |ORDER BY q.l_returnflag""".stripMargin
 
+  /** Chi-square independence test between two categorical columns, in
+    * EXACT integer arithmetic: per cell, with O = observed, R/C = row/col
+    * totals, N = grand total, the contribution (O·N − R·C)²/(R·C·N) is
+    * computed in scaled ppm via the overflow-decomposed integer division
+    * (q·10⁶ + (rem·10⁶) div d — the pageRank damping trick), so χ² sums
+    * exactly in any engine at any partitioning. Output: one row,
+    * (chi2_ppm, df). Long bounds: safe while N ≤ ~10⁹ rows and per-cell
+    * diff² ≤ 2⁶³ (diff ≤ N·min(R,C)/N ≤ 3·10⁹); swap the internal longs
+    * for DECIMAL(38,0) beyond that.
+    *
+    * Scale: ONE combiner count aggregate over the fact (→ #cells rows);
+    * row/col/grand totals are re-aggregates of the tiny cell frame. */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy(col("__a")).agg(sum(col("o")).as("r"))
+    val cols_ = cells.groupBy(col("__b")).agg(sum(col("o")).as("c"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      count_distinct(col("__a")).as("na"), count_distinct(col("__b")).as("nb"))
+    cells.join(broadcast(rows), "__a").join(broadcast(cols_), "__b")
+      .join(broadcast(tot))
+      .withColumn("__d", col("o") * col("n") - col("r") * col("c"))
+      .withColumn("__num", col("__d") * col("__d"))
+      .withColumn("__den", col("r") * col("c") * col("n"))
+      .withColumn("__contrib",
+        expr("(__num DIV __den) * 1000000 + ((__num % __den) * 1000000) DIV __den"))
+      .agg(sum(col("__contrib")).cast(LongType).as("chi2_ppm"),
+        ((max(col("na")) - 1) * (max(col("nb")) - 1)).cast(LongType).as("df"))
+  }
+
+  // q163 — is order priority independent of customer market segment?
+  private def q163(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    chiSquare(o.join(c, o("o_custkey") === c("c_custkey")),
+      "c_mktsegment", "o_orderpriority")
+  }
+  private val q163Sql =
+    """WITH f AS (SELECT c_mktsegment AS a, o_orderpriority AS b
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |cells AS (SELECT a, b, COUNT(*) AS o FROM f GROUP BY 1, 2),
+      |rt AS (SELECT a, SUM(o) AS r FROM cells GROUP BY 1),
+      |ct AS (SELECT b, SUM(o) AS c FROM cells GROUP BY 1),
+      |tt AS (SELECT SUM(o) AS n, COUNT(DISTINCT a) AS na,
+      |       COUNT(DISTINCT b) AS nb FROM cells),
+      |terms AS (SELECT
+      |    (o * n - r * c) * (o * n - r * c) AS num, r * c * n AS den
+      |  FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN tt)
+      |SELECT CAST(SUM((num // den) * 1000000 + ((num % den) * 1000000) // den)
+      |    AS BIGINT) AS chi2_ppm,
+      |  CAST((MAX(na) - 1) * (MAX(nb) - 1) AS BIGINT) AS df
+      |FROM terms CROSS JOIN tt""".stripMargin
+
+  /** Two-sample Kolmogorov-Smirnov distance between the distributions of
+    * `valueCol` under two groups, EXACT in integer ppm: the CDF difference
+    * at x is |cum_a(x)·n_b − cum_b(x)·n_a| over the common denominator
+    * n_a·n_b — all integer products, no float CDFs — and the max rescales
+    * once via the overflow-decomposed ppm division. The distribution-drift
+    * gate a corpus refresh runs per feature.
+    *
+    * Scale: the raw relation collapses ONCE to (value, side-counts) —
+    * #distinct-values rows, bounded by the value domain, not the data. The
+    * cumulative window after it runs on that bounded frame (same class as
+    * the sketch cum-windows). Long bounds: n_a·n_b ≤ ~9·10¹²; beyond that
+    * swap the products to DECIMAL(38,0). */
+  def ksTest(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val per = df.filter(col(groupCol).isin(groupA, groupB))
+      .groupBy(col(valueCol).as("__v"))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__cb"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = per.agg(sum(col("__ca")).as("na"), sum(col("__cb")).as("nb"))
+    per.withColumn("__cuma", sum(col("__ca")).over(w))
+      .withColumn("__cumb", sum(col("__cb")).over(w))
+      .join(broadcast(tot))
+      .withColumn("__diff", abs(col("__cuma") * col("nb") - col("__cumb") * col("na")))
+      .agg(max(col("__diff")).as("m"), max(col("na") * col("nb")).as("d"))
+      .select(expr("(m DIV d) * 1000000 + ((m % d) * 1000000) DIV d")
+        .cast(LongType).as("ks_ppm"))
+  }
+
+  // q164 — document-length distribution drift between two sources.
+  private def q164(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    ksTest(Tables.documents(s, d), "source", "n_chars", "src0", "src1")
+  }
+  private val q164Sql =
+    """WITH f AS (SELECT source, n_chars FROM documents
+      |  WHERE source IN ('src0','src1')),
+      |per AS (SELECT n_chars AS v,
+      |    SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ca,
+      |    SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS cb
+      |  FROM f GROUP BY 1),
+      |tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM per),
+      |cum AS (SELECT v,
+      |    SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+      |    SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+      |  FROM per),
+      |mx AS (SELECT MAX(abs(cuma * nb - cumb * na)) AS m, MAX(na * nb) AS d
+      |  FROM cum CROSS JOIN tot)
+      |SELECT CAST((m // d) * 1000000 + ((m % d) * 1000000) // d AS BIGINT) AS ks_ppm
+      |FROM mx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q163_chi_square" -> q163,
+    "q164_ks_test" -> q164,
     "q162_mrr" -> q162,
     "q156_target_encode_loo" -> q156,
     "q136_merge_upsert" -> q136,
@@ -1873,6 +1981,8 @@ object Extended {
   )
 
   val oracles: Map[String, String] = Map(
+    "q163_chi_square" -> q163Sql,
+    "q164_ks_test" -> q164Sql,
     "q162_mrr" -> q162Sql,
     "q156_target_encode_loo" -> q156Sql,
     "q136_merge_upsert" -> q136Sql,

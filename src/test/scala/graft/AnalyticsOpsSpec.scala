@@ -1093,6 +1093,36 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(a == b) // rerun-stable
   }
 
+  // ------------------------------------------- chi-square / KS drift
+
+  test("chiSquare: hand-computed 2x2 table in exact ppm") {
+    // cells: (x,p)=30 (x,q)=10 / (y,p)=10 (y,q)=30; N=80, R=C=40
+    // E = 20 everywhere, chi2 = 4 * (10^2/20) = 20.000000
+    val rows = Seq.fill(30)(("x", "p")) ++ Seq.fill(10)(("x", "q")) ++
+      Seq.fill(10)(("y", "p")) ++ Seq.fill(30)(("y", "q"))
+    val out = graft.operators.Extended.chiSquare(
+      rows.toDF("a", "b"), "a", "b").head()
+    assert(out.getAs[Long]("chi2_ppm") == 20000000L)
+    assert(out.getAs[Long]("df") == 1L)
+  }
+
+  test("ksTest: equals the naive max-CDF-gap; identical samples give 0") {
+    val df = (Seq.tabulate(20)(i => ("a", i.toLong)) ++
+      Seq.tabulate(10)(i => ("b", (i * 2).toLong))).toDF("g", "v")
+    val got = graft.operators.Extended.ksTest(df, "g", "v", "a", "b")
+      .head().getAs[Long]("ks_ppm")
+    // naive model over the pooled value set
+    val a = (0 until 20).map(_.toLong)
+    val b = (0 until 10).map(i => (i * 2).toLong)
+    val naive = (a ++ b).distinct.sorted.map { x =>
+      math.abs(a.count(_ <= x).toLong * b.size - b.count(_ <= x).toLong * a.size)
+    }.max * 1000000L / (a.size.toLong * b.size)
+    assert(got == naive, s"got $got naive $naive")
+    val same = (a.map(("a", _)) ++ a.map(("b", _))).toDF("g", "v")
+    assert(graft.operators.Extended.ksTest(same, "g", "v", "a", "b")
+      .head().getAs[Long]("ks_ppm") == 0L)
+  }
+
   // ------------------------------------------------------ KMV sketch
 
   test("kmvSketch: exact k smallest distinct hashes per key, merge-order-free") {
