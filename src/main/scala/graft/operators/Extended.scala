@@ -1935,7 +1935,43 @@ object Extended {
       |SELECT CAST((m // d) * 1000000 + ((m % d) * 1000000) // d AS BIGINT) AS ks_ppm
       |FROM mx""".stripMargin
 
+  /** Per-group Gini impurity of a label column: 1 − Σ p² — the
+    * label-purity score (0 = one label, →1 = uniform). Numerator and
+    * denominator (N² − Σc², N²) are exact DECIMAL(38,0) integers from one
+    * count aggregate; the score is ONE final IEEE division, identical in
+    * any engine at any partitioning.
+    *
+    * Scale: two combiner aggregates ((group,label) counts → per-group
+    * rollup); nothing else touches the data. */
+  def giniImpurity(df: DataFrame, groupCol: String, labelCol: String): DataFrame = {
+    val Dz = DecimalType(38, 0)
+    val cells = df.groupBy(col(groupCol), col(labelCol)).agg(count(lit(1)).as("__c"))
+    cells.groupBy(col(groupCol))
+      .agg(sum(col("__c")).cast(Dz).as("__n"),
+        sum((col("__c") * col("__c")).cast(Dz)).as("__ss"))
+      .select(col(groupCol),
+        ((col("__n") * col("__n") - col("__ss")).cast(DoubleType) /
+          (col("__n") * col("__n")).cast(DoubleType)).as("gini"))
+  }
+
+  // q165 — language purity per source.
+  private def q165(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    giniImpurity(Tables.documents(s, d), "source", "lang")
+      .orderBy($"source")
+  }
+  private val q165Sql =
+    """WITH cells AS (SELECT source, lang, COUNT(*) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |g AS (SELECT source, CAST(SUM(c) AS DECIMAL(38,0)) AS n,
+      |    SUM(CAST(c * c AS DECIMAL(38,0))) AS ss
+      |  FROM cells GROUP BY 1)
+      |SELECT source,
+      |  CAST(n * n - ss AS DOUBLE) / CAST(n * n AS DOUBLE) AS gini
+      |FROM g ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_gini_impurity" -> q165,
     "q163_chi_square" -> q163,
     "q164_ks_test" -> q164,
     "q162_mrr" -> q162,
@@ -1981,6 +2017,7 @@ object Extended {
   )
 
   val oracles: Map[String, String] = Map(
+    "q165_gini_impurity" -> q165Sql,
     "q163_chi_square" -> q163Sql,
     "q164_ks_test" -> q164Sql,
     "q162_mrr" -> q162Sql,

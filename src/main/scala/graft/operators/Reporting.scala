@@ -404,7 +404,44 @@ object Reporting {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // q167 — month-over-month revenue growth in exact signed ppm: revenue
+  // lands as exact integer cents (decimal sum → integral), the delta is
+  // sign·(|cur−prev|·10⁶ DIV prev) — truncation toward zero on BOTH
+  // engines (a raw signed DIV would floor in DuckDB and truncate in
+  // Spark and disagree on negative deltas). First month → NULL.
+  //
+  // Scale: one combiner aggregate (→ #months rows); the lag window runs
+  // on that bounded frame (#months, not data). Long bound: |Δ|·10⁶ needs
+  // cents ≤ ~9·10¹² (~$90B/month); swap to DECIMAL beyond.
+  private def q167(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val D = DecimalType(30, 6)
+    val m = Tables.orders(s, d)
+      .groupBy(date_format($"o_orderdate", "yyyy-MM").as("month"))
+      .agg((sum($"o_totalprice".cast(D)) * 100).cast(LongType).as("rev_cents"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"month")
+    m.withColumn("prev", lag($"rev_cents", 1).over(w))
+      .withColumn("mom_ppm",
+        when($"prev".isNull, lit(null).cast(LongType))
+          .otherwise((when($"rev_cents" < $"prev", -1L).otherwise(1L) *
+            expr("abs(rev_cents - prev) * 1000000 DIV prev")).cast(LongType)))
+      .select($"month", $"rev_cents", $"mom_ppm")
+      .orderBy($"month")
+  }
+  private val q167Sql =
+    """WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) * 100 AS BIGINT) AS rev_cents
+      |  FROM orders GROUP BY 1),
+      |l AS (SELECT month, rev_cents,
+      |    lag(rev_cents, 1) OVER (ORDER BY month) AS prev FROM m)
+      |SELECT month, rev_cents,
+      |  CASE WHEN prev IS NULL THEN NULL
+      |    ELSE CAST((CASE WHEN rev_cents < prev THEN -1 ELSE 1 END)
+      |      * (abs(rev_cents - prev) * 1000000 // prev) AS BIGINT) END AS mom_ppm
+      |FROM l ORDER BY month""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q167_mom_growth" -> q167,
     "q43_tpch3_shipping_priority" -> q43,
     "q44_tpch5_local_volume" -> q44,
     "q45_tpch10_returns" -> q45,
@@ -420,6 +457,7 @@ object Reporting {
   )
 
   val oracles: Map[String, String] = Map(
+    "q167_mom_growth" -> q167Sql,
     "q43_tpch3_shipping_priority" -> q43Sql,
     "q44_tpch5_local_volume" -> q44Sql,
     "q45_tpch10_returns" -> q45Sql,

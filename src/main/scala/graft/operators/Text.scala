@@ -736,7 +736,48 @@ object Text {
       |  CAST(COUNT(DISTINCT gram) * 1000000 // COUNT(*) AS BIGINT) AS distinct_ppm
       |FROM g GROUP BY source ORDER BY source""".stripMargin
 
+  // q166 — exact pairwise vocabulary Jaccard between sources: shared
+  // distinct tokens / union size, exact integer ppm. The EXACT complement
+  // of q159's KMV estimate — right when the key set is small (#sources²
+  // pairs); the sketch is the path when it isn't.
+  //
+  // Scale: the corpus collapses ONCE to the distinct (source, token)
+  // relation (combiner aggregate). The token-keyed self-join fans out at
+  // most #sources² rows per token — bounded by the source count, not the
+  // corpus. Never a token-keyed window.
+  private def q166(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vocab = Tables.documents(s, d)
+      .select($"source", explode(toks).as("tok"))
+      .distinct()
+    val sizes = vocab.groupBy($"source").agg(count(lit(1)).as("nv"))
+    val a = vocab.select($"source".as("sa"), $"tok")
+    val b = vocab.select($"source".as("sb"), $"tok")
+    val shared = a.join(b, Seq("tok")).filter($"sa" < $"sb")
+      .groupBy($"sa", $"sb").agg(count(lit(1)).as("shared"))
+    shared
+      .join(broadcast(sizes.select($"source".as("sa"), $"nv".as("na"))), Seq("sa"))
+      .join(broadcast(sizes.select($"source".as("sb"), $"nv".as("nb"))), Seq("sb"))
+      .select($"sa".as("source_a"), $"sb".as("source_b"), $"shared",
+        expr("shared * 1000000 DIV (na + nb - shared)").cast(LongType)
+          .as("jaccard_ppm"))
+      .orderBy($"source_a", $"source_b")
+  }
+  private val q166Sql =
+    """WITH v AS (SELECT DISTINCT source,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+      |sizes AS (SELECT source, COUNT(*) AS nv FROM v GROUP BY 1),
+      |sh AS (SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS shared
+      |  FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT source_a, source_b, shared,
+      |  CAST(shared * 1000000 // (x.nv + y.nv - shared) AS BIGINT) AS jaccard_ppm
+      |FROM sh JOIN sizes x ON source_a = x.source
+      |JOIN sizes y ON source_b = y.source
+      |ORDER BY source_a, source_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_vocab_overlap" -> q166,
     "q161_distinct_ngrams" -> q161,
     "q52_sample_hash_stratified" -> q52,
     "q53_repetition_ratio" -> q53,
@@ -756,6 +797,7 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    "q166_vocab_overlap" -> q166Sql,
     "q161_distinct_ngrams" -> q161Sql,
     "q52_sample_hash_stratified" -> q52Sql,
     "q53_repetition_ratio" -> q53Sql,
