@@ -825,7 +825,104 @@ object Graphs {
        |  SELECT u.dst, r.lab FROM reach r JOIN und u ON u.src = r.id)
        |SELECT id, MIN(lab) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin
 
+  /** Budget-bounded multi-source weighted shortest paths (Bellman-Ford
+    * rounds to fixpoint): min total edge weight from any seed, keeping
+    * only nodes whose distance is ≤ `budget` — the cost-space sibling of
+    * [[bfsDistances]]' hop radius (supply-chain latency radius, weighted
+    * trust propagation). Weights must be non-negative longs; parallel
+    * edges collapse to their min weight; `directed = false` mirrors every
+    * edge.
+    *
+    * The budget is part of the SEMANTICS, not an approximation: it bounds
+    * the (node, distance) lattice so both the fixpoint loop and the
+    * oracle's recursive closure terminate even with 0-weight edges or
+    * cycles. Convergence: distances only decrease and live in
+    * {0..budget}, so the (count, sum) pair reaches fixpoint in at most
+    * O(budget/minPositiveWeight · diameter) rounds; `maxRounds` is a
+    * safety rail, loud when hit.
+    *
+    * Scale: each round is ONE equi-join (edges ⋈ current distances on the
+    * edge source — shuffle on node id, co-locatable by pre-bucketing
+    * edges) + one combiner min-aggregate + a full-outer merge;
+    * localCheckpoint per round keeps lineage flat. Nothing driver-side
+    * but the 1-row fixpoint probe. */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, seeds: DataFrame, budget: Long,
+      directed: Boolean = false, maxRounds: Int = 64): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    require(maxRounds >= 1, "maxRounds must be positive")
+    val e0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("a") =!= col("b"))
+    val oriented = if (directed) e0
+      else e0.union(e0.select(col("b").as("a"), col("a").as("b"), col("w")))
+    val e = oriented.groupBy(col("a"), col("b")).agg(min(col("w")).as("w"))
+      .filter(col("w") <= budget).persist()
+    val negatives = e.filter(col("w") < 0).limit(1).count()
+    require(negatives == 0, "shortestPaths requires non-negative weights")
+    var dist = seeds.select(col(seeds.columns.head).as("id")).distinct()
+      .select(col("id"), lit(0L).as("dist")).localCheckpoint()
+    var state: (Long, java.math.BigDecimal) = null
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      round += 1
+      val cand = e.join(dist.select(col("id").as("__i"), col("dist").as("__d")),
+          col("a") === col("__i"))
+        .select(col("b").as("id"), (col("__d") + col("w")).as("nd"))
+        .filter(col("nd") <= budget)
+        .groupBy(col("id")).agg(min(col("nd")).as("nd"))
+      dist = dist.join(cand, Seq("id"), "full_outer")
+        .select(col("id"),
+          least(coalesce(col("dist"), col("nd")),
+            coalesce(col("nd"), col("dist"))).as("dist"))
+        .localCheckpoint()
+      val row = dist.agg(count(lit(1)),
+        coalesce(sum(col("dist").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)"))).head()
+      val now = (row.getLong(0), row.getDecimal(1))
+      converged = state != null && state._1 == now._1 &&
+        state._2.compareTo(now._2) == 0
+      state = now
+    }
+    e.unpersist(blocking = false)
+    require(converged, s"shortestPaths hit maxRounds=$maxRounds before fixpoint")
+    dist
+  }
+
+  // q168 — supply latency radius: min cumulative ship-lag months from the
+  // seed customers over the customer↔supplier purchase graph, budget 6.
+  private def q168(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(($"o_custkey" + custBase).as("src"), $"l_suppkey".as("dst"))
+      .agg(expr("min(greatest(datediff(l_shipdate, o_orderdate), 0)) DIV 30").as("w"))
+    val seeds = edges.select($"src".as("seed_id")).distinct()
+      .filter(($"seed_id" - custBase) % 50 === 0)
+    shortestPaths(edges, "src", "dst", "w", seeds, budget = 6L)
+      .orderBy($"id")
+  }
+  private val q168Sql =
+    s"""WITH RECURSIVE base AS (
+       |  SELECT o_custkey + $custBase AS ca, l_suppkey AS sb,
+       |    MIN(greatest(date_diff('day', o_orderdate, l_shipdate), 0)) // 30 AS w
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2),
+       |e AS (SELECT ca AS a, sb AS b, w FROM base
+       |  UNION ALL SELECT sb, ca, w FROM base),
+       |seeds AS (SELECT DISTINCT ca AS id FROM base
+       |  WHERE (ca - $custBase) % 50 = 0),
+       |walk(id, d) AS (
+       |  SELECT id, CAST(0 AS BIGINT) FROM seeds
+       |  UNION
+       |  SELECT e.b, walk.d + e.w FROM walk JOIN e ON e.a = walk.id
+       |  WHERE walk.d + e.w <= 6)
+       |SELECT id, MIN(d) AS dist FROM walk GROUP BY id ORDER BY id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_shortest_path" -> q168,
     "q155_connected_components" -> q155,
     "q131_bfs_distance" -> q131,
     "q132_link_predict" -> q132,
@@ -839,6 +936,7 @@ object Graphs {
   )
 
   val oracles: Map[String, String] = Map(
+    "q168_shortest_path" -> q168Sql,
     "q155_connected_components" -> q155Sql,
     "q131_bfs_distance" -> q131Sql,
     "q132_link_predict" -> q132Sql,

@@ -1093,6 +1093,29 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(a == b) // rerun-stable
   }
 
+  // ------------------------------------- weighted shortest paths
+
+  test("shortestPaths: hand graph — min-cost wins over fewer hops; budget clips") {
+    // A -1- B -1- C, plus a direct A -5- C shortcut, D isolated beyond budget
+    val edges = Seq(("A", "B", 1L), ("B", "C", 1L), ("A", "C", 5L),
+      ("C", "D", 9L)).toDF("s", "t", "w")
+    val out = graft.operators.Graphs.shortestPaths(edges, "s", "t", "w",
+        Seq("A").toDF("seed"), budget = 6L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("A" -> 0L, "B" -> 1L, "C" -> 2L)) // D: 2+9 > 6
+    // directed: C unreachable backwards from itself via B
+    val dir = graft.operators.Graphs.shortestPaths(edges, "s", "t", "w",
+        Seq("C").toDF("seed"), budget = 6L, directed = true)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dir == Map("C" -> 0L)) // only outgoing C->D (9) is over budget
+    // negative weights refused
+    intercept[IllegalArgumentException] {
+      graft.operators.Graphs.shortestPaths(
+        Seq(("A", "B", -1L)).toDF("s", "t", "w"),
+        "s", "t", "w", Seq("A").toDF("seed"), budget = 6L)
+    }
+  }
+
   // ------------------------------------------- chi-square / KS drift
 
   test("chiSquare: hand-computed 2x2 table in exact ppm") {
