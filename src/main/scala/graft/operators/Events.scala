@@ -1227,7 +1227,66 @@ object Events {
       |    // COUNT(*) AS BIGINT) AS late_ppm
       |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // q169 — A/B conversion readout: per-variant user conversion rates in
+  // exact ppm, the relative lift (B vs A, truncation-consistent signed
+  // integer division), and the chi-square statistic from the composed
+  // `Extended.chiSquare` — the experiment-dashboard row, fully
+  // deterministic. Variant assignment here is the parity of the user id
+  // (a real deployment passes its own assignment column).
+  //
+  // Scale: one combiner aggregate to per-user conversion flags, then only
+  // #variants×2 cells exist; everything after is 1-row frames.
+  private def q169(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val conv = Tables.events(s, d)
+      .groupBy($"user_id")
+      .agg(max(when($"event_type" === "purchase", 1L).otherwise(0L)).as("converted"))
+      .withColumn("variant", pmod($"user_id", lit(2L)))
+    val rates = conv.agg(
+      sum(when($"variant" === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when($"variant" === 0, $"converted").otherwise(0L)).as("c_a"),
+      sum(when($"variant" === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when($"variant" === 1, $"converted").otherwise(0L)).as("c_b"))
+      .select($"n_a", $"n_b",
+        expr("c_a * 1000000 DIV n_a").as("rate_a_ppm"),
+        expr("c_b * 1000000 DIV n_b").as("rate_b_ppm"))
+      .withColumn("lift_ppm",
+        expr("(rate_b_ppm * 1000000 DIV rate_a_ppm) - 1000000").cast(LongType))
+    val chi = Extended.chiSquare(conv, "variant", "converted")
+      .select($"chi2_ppm")
+    rates.join(broadcast(chi))
+  }
+  private val q169Sql =
+    """WITH conv AS (SELECT user_id,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
+      |    user_id % 2 AS variant
+      |  FROM events GROUP BY user_id),
+      |rates AS (SELECT
+      |    SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n_a,
+      |    SUM(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS c_a,
+      |    SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n_b,
+      |    SUM(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS c_b
+      |  FROM conv),
+      |r2 AS (SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      |    CAST(c_a * 1000000 // n_a AS BIGINT) AS rate_a_ppm,
+      |    CAST(c_b * 1000000 // n_b AS BIGINT) AS rate_b_ppm
+      |  FROM rates),
+      |cells AS (SELECT variant AS a, converted AS b, COUNT(*) AS o
+      |  FROM conv GROUP BY 1, 2),
+      |rt AS (SELECT a, SUM(o) AS r FROM cells GROUP BY 1),
+      |ct AS (SELECT b, SUM(o) AS c FROM cells GROUP BY 1),
+      |tt AS (SELECT SUM(o) AS n FROM cells),
+      |terms AS (SELECT (o * n - r * c) * (o * n - r * c) AS num, r * c * n AS den
+      |  FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN tt),
+      |chi AS (SELECT CAST(SUM((num // den) * 1000000
+      |    + ((num % den) * 1000000) // den) AS BIGINT) AS chi2_ppm FROM terms)
+      |SELECT n_a, n_b, rate_a_ppm, rate_b_ppm,
+      |  CAST((rate_b_ppm * 1000000 // rate_a_ppm) - 1000000 AS BIGINT) AS lift_ppm,
+      |  chi2_ppm
+      |FROM r2 CROSS JOIN chi""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q169_ab_test" -> q169,
     "q160_out_of_order" -> q160,
     "q157_ewma_smooth" -> q157,
     "q159_kmv_jaccard" -> q159,
@@ -1256,6 +1315,7 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q169_ab_test" -> q169Sql,
     "q160_out_of_order" -> q160Sql,
     "q157_ewma_smooth" -> q157Sql,
     "q159_kmv_jaccard" -> q159Sql,
