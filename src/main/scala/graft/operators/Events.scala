@@ -1285,7 +1285,46 @@ object Events {
       |  chi2_ppm
       |FROM r2 CROSS JOIN chi""".stripMargin
 
+  // q170 — rollup-mode serving end-to-end (reference rollup parity): the
+  // ingest-side rollup segments are built once (memoized per dir), the
+  // raw events path is registered, the RollupServingRule is installed,
+  // and the query below — written against the RAW table — is served from
+  // the rollup. The oracle aggregates the raw table in DuckDB, so the
+  // driver's gate proves the rewrite is answer-identical; the plan-level
+  // lock (the scan really moves to the rollup, non-derivable shapes
+  // don't) is RollupServingSpec.
+  private val rollupDirCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def q170(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rawPath = graft.Tables.path(d, "events")
+    val spec = graft.streaming.Realtime.RollupSpec(
+      Seq("event_type", "user_id"),
+      Seq(("value", graft.streaming.Realtime.Sum),
+        ("event_id", graft.streaming.Realtime.Cnt)), arrival = "event_id")
+    val rollupPath = rollupDirCache.getOrElseUpdate((s, d), {
+      val p = java.nio.file.Files.createTempDirectory("graft_rollup_")
+        .toString + "/events_rollup"
+      graft.streaming.Realtime.rollupBatch(s.read.parquet(rawPath), spec)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    graft.plans.RollupServing.registerFromSpec(rawPath, rollupPath, spec)
+    if (!s.experimental.extraOptimizations
+        .exists(_.isInstanceOf[graft.plans.RollupServingRule]))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.RollupServingRule(s)
+    s.read.parquet(rawPath)
+      .groupBy($"event_type")
+      .agg(dsum($"value").as("sum_value"), count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+  private val q170Sql =
+    s"""SELECT event_type, ${dsumSql("value")} AS sum_value, COUNT(*) AS n
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q170_rollup_serving" -> q170,
     "q169_ab_test" -> q169,
     "q160_out_of_order" -> q160,
     "q157_ewma_smooth" -> q157,
@@ -1315,6 +1354,7 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q170_rollup_serving" -> q170Sql,
     "q169_ab_test" -> q169Sql,
     "q160_out_of_order" -> q160Sql,
     "q157_ewma_smooth" -> q157Sql,

@@ -21,5 +21,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => ScaledDotProduct(exprs.head, exprs(1))))
     // metadata-only count/min/max over manifest-backed scans
     ext.injectOptimizerRule(ManifestAggregates)
+    // rollup-mode serving: aggregates over registered raw tables rewritten
+    // onto their pre-aggregated rollup segments (reference rollup parity)
+    ext.injectOptimizerRule(RollupServingRule)
   }
 }
