@@ -1323,7 +1323,48 @@ object Events {
     s"""SELECT event_type, ${dsumSql("value")} AS sum_value, COUNT(*) AS n
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // q171 — funnel latency profile: for users completing the full
+  // view→click→purchase chain, the exact p50/p90 of each step-to-step
+  // gap in whole seconds — "how long does conversion take", the funnel's
+  // timing complement. Gaps are exact integer seconds (µs DIV 10⁶);
+  // percentiles use the engines' shared linear-interpolation definition
+  // (Spark `percentile` = DuckDB `quantile_cont`, the q46 pattern).
+  //
+  // Scale: the funnel itself is windowless min-agg chains; the percentile
+  // runs over one row per completer. The histogram-sketch quantile
+  // (q73) is the swap-in when completers outgrow exact percentile.
+  private def q171(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val f = funnel(Tables.events(s, d).withColumn("ts_us", expr("ts DIV 1000")),
+      "user_id", "ts_us", "event_type", Seq("view", "click", "purchase"))
+    f.filter($"stage" === 3)
+      .select(expr("(t1 - t0) DIV 1000000").as("g1"),
+        expr("(t2 - t1) DIV 1000000").as("g2"))
+      .agg(count(lit(1)).as("n_completers"),
+        expr("percentile(g1, 0.5)").as("p50_view_click_sec"),
+        expr("percentile(g1, 0.9)").as("p90_view_click_sec"),
+        expr("percentile(g2, 0.5)").as("p50_click_purchase_sec"),
+        expr("percentile(g2, 0.9)").as("p90_click_purchase_sec"))
+  }
+  private val q171Sql =
+    """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tus FROM events),
+      |s0 AS (SELECT user_id, min(tus) AS t0 FROM e
+      |       WHERE event_type = 'view' GROUP BY 1),
+      |s1 AS (SELECT e.user_id, min(tus) AS t1 FROM e JOIN s0 USING (user_id)
+      |       WHERE event_type = 'click' AND tus > t0 GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(tus) AS t2 FROM e JOIN s1 USING (user_id)
+      |       WHERE event_type = 'purchase' AND tus > t1 GROUP BY 1),
+      |g AS (SELECT (t1 - t0) // 1000000 AS g1, (t2 - t1) // 1000000 AS g2
+      |  FROM s0 JOIN s1 USING (user_id) JOIN s2 USING (user_id))
+      |SELECT COUNT(*) AS n_completers,
+      |  quantile_cont(g1, 0.5) AS p50_view_click_sec,
+      |  quantile_cont(g1, 0.9) AS p90_view_click_sec,
+      |  quantile_cont(g2, 0.5) AS p50_click_purchase_sec,
+      |  quantile_cont(g2, 0.9) AS p90_click_purchase_sec
+      |FROM g""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q171_funnel_latency" -> q171,
     "q170_rollup_serving" -> q170,
     "q169_ab_test" -> q169,
     "q160_out_of_order" -> q160,
@@ -1354,6 +1395,7 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q171_funnel_latency" -> q171Sql,
     "q170_rollup_serving" -> q170Sql,
     "q169_ab_test" -> q169Sql,
     "q160_out_of_order" -> q160Sql,
