@@ -1970,7 +1970,102 @@ object Extended {
       |  CAST(n * n - ss AS DOUBLE) / CAST(n * n AS DOUBLE) AS gini
       |FROM g ORDER BY source""".stripMargin
 
+  /** Exact weighted median per group: the smallest value whose cumulative
+    * weight covers half the group's total (2·cumw ≥ W — exact integers,
+    * no interpolation, no rounding). The robust center for "median order
+    * size weighted by revenue"-class questions.
+    *
+    * Scale: the fact collapses ONCE to (group, value) weight sums — a
+    * combiner aggregate bounded by the VALUE DOMAIN, not the data; the
+    * cum-window then runs on that bounded frame (the q164/KS class).
+    * Weighted by-row percentiles over unbounded domains should use the
+    * q73 histogram sketch instead. */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String): DataFrame = {
+    val per = df.groupBy(col(groupCol), col(valueCol).as("__v"))
+      .agg(sum(col(weightCol).cast(LongType)).as("__w"))
+    val wOrd = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(groupCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    per.withColumn("__cum", sum(col("__w")).over(wOrd))
+      .withColumn("__tot", sum(col("__w")).over(wAll))
+      .filter(col("__cum") * 2 >= col("__tot"))
+      .groupBy(col(groupCol))
+      .agg(min(col("__v")).as("weighted_median"))
+  }
+
+  // q172 — revenue-weighted median line quantity per return flag (weights
+  // in exact integer cents).
+  private def q172(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val D = DecimalType(30, 6)
+    val li = Tables.lineitem(s, d)
+      .withColumn("rev_cents",
+        (($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(D) * 100)
+          .cast(LongType))
+      .withColumn("qty", $"l_quantity".cast(LongType))
+    weightedMedian(li, "l_returnflag", "qty", "rev_cents")
+      .orderBy($"l_returnflag")
+  }
+  private val q172Sql =
+    """WITH li AS (SELECT l_returnflag,
+      |    CAST(l_quantity AS BIGINT) AS v,
+      |    CAST(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6)) * 100 AS BIGINT) AS w
+      |  FROM lineitem),
+      |per AS (SELECT l_returnflag, v, SUM(w) AS w FROM li GROUP BY 1, 2),
+      |c AS (SELECT l_returnflag, v,
+      |    SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+      |  FROM per)
+      |SELECT l_returnflag, CAST(MIN(v) AS BIGINT) AS weighted_median
+      |FROM c WHERE cum * 2 >= tot
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** m-estimate (shrunken-mean) target encoding: each category encodes as
+    * the global-prior-regularized mean (S_c + m·prior)/(n_c + m) — the
+    * small-sample-stable complement of [[targetEncodeLoo]]. Computed as
+    * ONE final IEEE division of exact decimals:
+    * (S_c·N + m·S) / (N·(n_c + m)) with S/N the global sum/count.
+    *
+    * Scale: one combiner aggregate to #categories rows; the 1-row global
+    * frame broadcasts. */
+  def targetEncodeMEstimate(df: DataFrame, catCol: String, targetCol: String,
+      m: Long = 20L): DataFrame = {
+    require(m >= 0, "m must be non-negative")
+    val D = DecimalType(30, 6)
+    val cats = df.groupBy(col(catCol))
+      .agg(sum(col(targetCol).cast(D)).as("__sc"), count(lit(1)).as("__nc"))
+    val glob = df.agg(sum(col(targetCol).cast(D)).as("__s"),
+      count(lit(1)).as("__n"))
+    cats.join(broadcast(glob))
+      .select(col(catCol), col("__nc").as("n"),
+        ((col("__sc") * col("__n") + lit(m) * col("__s")).cast(DoubleType) /
+          (col("__n") * (col("__nc") + lit(m))).cast(DoubleType))
+          .as("encoded"))
+  }
+
+  // q173 — shrunken-mean encode of market segment against account balance.
+  private def q173(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    targetEncodeMEstimate(Tables.customer(s, d), "c_mktsegment", "c_acctbal")
+      .orderBy($"c_mktsegment")
+  }
+  private val q173Sql =
+    """WITH cats AS (SELECT c_mktsegment,
+      |    SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS sc, COUNT(*) AS nc
+      |  FROM customer GROUP BY 1),
+      |tot AS (SELECT SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS s, COUNT(*) AS gn
+      |  FROM customer)
+      |SELECT c_mktsegment, nc AS n,
+      |  CAST(sc * gn + 20 * s AS DOUBLE) / CAST(gn * (nc + 20) AS DOUBLE) AS encoded
+      |FROM cats CROSS JOIN tot
+      |ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_weighted_median" -> q172,
+    "q173_mestimate_encode" -> q173,
     "q165_gini_impurity" -> q165,
     "q163_chi_square" -> q163,
     "q164_ks_test" -> q164,
@@ -2017,6 +2112,8 @@ object Extended {
   )
 
   val oracles: Map[String, String] = Map(
+    "q172_weighted_median" -> q172Sql,
+    "q173_mestimate_encode" -> q173Sql,
     "q165_gini_impurity" -> q165Sql,
     "q163_chi_square" -> q163Sql,
     "q164_ks_test" -> q164Sql,

@@ -440,7 +440,46 @@ object Reporting {
       |      * (abs(rev_cents - prev) * 1000000 // prev) AS BIGINT) END AS mom_ppm
       |FROM l ORDER BY month""".stripMargin
 
+  // q174 — share-of-parent reporting: each nation's slice of its region's
+  // order revenue in exact integer ppm. Revenue lands as exact cents; the
+  // region totals are a re-aggregate of the #nations-row frame, broadcast
+  // back — the hierarchy never touches the fact twice.
+  private def q174(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val D = DecimalType(30, 6)
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    val byNation = o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy($"r_name", $"n_name")
+      .agg((sum($"o_totalprice".cast(D)) * 100).cast(LongType).as("nat_cents"))
+    val byRegion = byNation.groupBy($"r_name".as("__r"))
+      .agg(sum($"nat_cents").as("reg_cents"))
+    byNation.join(broadcast(byRegion), $"r_name" === $"__r")
+      .select($"r_name", $"n_name", $"nat_cents",
+        expr("nat_cents * 1000000 DIV reg_cents").cast(LongType)
+          .as("share_ppm"))
+      .orderBy($"r_name", $"n_name")
+  }
+  private val q174Sql =
+    """WITH bn AS (SELECT r_name, n_name,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) * 100 AS BIGINT) AS nat_cents
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY 1, 2),
+      |br AS (SELECT r_name, SUM(nat_cents) AS reg_cents FROM bn GROUP BY 1)
+      |SELECT bn.r_name, n_name, nat_cents,
+      |  CAST(nat_cents * 1000000 // reg_cents AS BIGINT) AS share_ppm
+      |FROM bn JOIN br ON bn.r_name = br.r_name
+      |ORDER BY bn.r_name, n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q174_share_of_parent" -> q174,
     "q167_mom_growth" -> q167,
     "q43_tpch3_shipping_priority" -> q43,
     "q44_tpch5_local_volume" -> q44,
@@ -457,6 +496,7 @@ object Reporting {
   )
 
   val oracles: Map[String, String] = Map(
+    "q174_share_of_parent" -> q174Sql,
     "q167_mom_growth" -> q167Sql,
     "q43_tpch3_shipping_priority" -> q43Sql,
     "q44_tpch5_local_volume" -> q44Sql,
