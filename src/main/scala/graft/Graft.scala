@@ -25,6 +25,15 @@ object Graft {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     functions.Registry.install(spark)
+    // the session-local equivalents of GraftExtensions' injected rules
+    // (metadata-only manifest aggregates; rollup-mode serving) — a
+    // spark-submit deployment gets them via spark.sql.extensions instead
+    val rules = Seq(plans.ManifestAggregates(spark),
+      plans.RollupServingRule(spark))
+      .filterNot(r => spark.experimental.extraOptimizations
+        .exists(_.getClass == r.getClass))
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations ++ rules
     spark
   }
 
