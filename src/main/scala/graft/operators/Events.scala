@@ -1363,7 +1363,54 @@ object Events {
       |  quantile_cont(g2, 0.9) AS p90_click_purchase_sec
       |FROM g""".stripMargin
 
+  // q176 — KMV distinct-cardinality estimates per event type from the
+  // same 64-value sketches as q159: n̂ = (k−1)·2⁶⁰ / θ_k with θ_k the
+  // k-th smallest hash (exact count when the sketch isn't full). The
+  // deterministic-hash sketch makes even the ESTIMATE engine-exact, so
+  // it oracles — unlike HLL (q41, rows-only). The division runs in
+  // DECIMAL(38,0) with explicit floor ((x − x mod θ)/θ): (k−1)·2⁶⁰
+  // overflows a long, and Spark's integral DIV doesn't take decimals.
+  //
+  // Scale: identical to q159 — one bounded bottom-k aggregate; the
+  // estimator math touches #types rows.
+  private def q176(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 64
+    val el = Tables.events(s, d)
+      .select($"event_type", $"user_id", expr("ts DIV 86400000000000").as("day"))
+      .distinct()
+      .withColumn("h", md5Long(concat_ws(":", lit("kmv"), $"user_id", $"day")))
+    kmvSketch(el, "event_type", "h", k)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_kept"), max($"h").as("theta"))
+      .select($"event_type", $"n_kept",
+        when($"n_kept" < k, $"n_kept")
+          .otherwise(expr(s"""CAST((CAST(${k - 1} AS DECIMAL(38,0)) * 1152921504606846976
+            - (CAST(${k - 1} AS DECIMAL(38,0)) * 1152921504606846976) % theta) / theta
+            AS BIGINT)"""))
+          .cast(LongType).as("est_distinct"))
+      .orderBy($"event_type")
+  }
+  private val q176Sql =
+    s"""WITH el AS (SELECT DISTINCT event_type, user_id,
+       |    epoch_ns(ts) // 86400000000000 AS day FROM events),
+       |h AS (SELECT event_type,
+       |    ${md5LongSql("'kmv:' || CAST(user_id AS VARCHAR) || ':' || CAST(day AS VARCHAR)")} AS h
+       |  FROM el),
+       |bk AS (SELECT event_type, h FROM (
+       |    SELECT event_type, h,
+       |      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |    FROM (SELECT DISTINCT event_type, h FROM h)) WHERE rn <= 64),
+       |st AS (SELECT event_type, COUNT(*) AS n_kept, MAX(h) AS theta
+       |  FROM bk GROUP BY 1)
+       |SELECT event_type, n_kept,
+       |  CAST(CASE WHEN n_kept < 64 THEN n_kept
+       |    ELSE (63::HUGEINT * 1152921504606846976::HUGEINT) // theta
+       |  END AS BIGINT) AS est_distinct
+       |FROM st ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q176_kmv_cardinality" -> q176,
     "q171_funnel_latency" -> q171,
     "q170_rollup_serving" -> q170,
     "q169_ab_test" -> q169,
@@ -1395,6 +1442,7 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q176_kmv_cardinality" -> q176Sql,
     "q171_funnel_latency" -> q171Sql,
     "q170_rollup_serving" -> q170Sql,
     "q169_ab_test" -> q169Sql,

@@ -776,7 +776,61 @@ object Text {
       |JOIN sizes y ON source_b = y.source
       |ORDER BY source_a, source_b""".stripMargin
 
+  // q175 — golden-record survivorship merge: per near-dup cluster, the
+  // field-level merged entity a master-data pipeline ships — longest
+  // member as representative (q49's winner rule), majority-vote language
+  // (ties → lexicographically first), member/source counts. Every
+  // survivorship rule is a combiner-friendly min_by/max_by or count —
+  // never a cluster-keyed row_number window, so a boilerplate
+  // mega-cluster still reduces map-side.
+  private def q175(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val clusters = q47(s, d).select($"doc_id", $"canonical_id")
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+    val joined = clusters.join(docs, "doc_id")
+    val langPick = joined.groupBy($"canonical_id", $"lang")
+      .agg(count(lit(1)).as("__c"))
+      .groupBy($"canonical_id")
+      .agg(min_by($"lang", struct((-$"__c").as("nc"), $"lang".as("l")))
+        .as("lang"))
+    val agg = joined.groupBy($"canonical_id")
+      .agg(count(lit(1)).as("n_members"),
+        min_by($"doc_id", struct((-$"n_chars").as("q"), $"doc_id".as("i")))
+          .as("rep_doc"),
+        max($"n_chars").as("max_chars"),
+        count_distinct($"source").as("n_sources"))
+    agg.join(langPick, "canonical_id")
+      .select($"canonical_id", $"n_members", $"rep_doc", $"max_chars",
+        $"n_sources", $"lang")
+      .orderBy($"canonical_id")
+  }
+  private val q175Sql =
+    s"""WITH RECURSIVE $closureCtes,
+       |assigned AS (
+       |  SELECT d.doc_id, coalesce(c.lbl, d.doc_id) AS canonical_id,
+       |    d.lang, d.source, d.n_chars
+       |  FROM documents d LEFT OUTER JOIN comp c ON d.doc_id = c.n),
+       |votes AS (SELECT canonical_id, lang, COUNT(*) AS cnt
+       |  FROM assigned GROUP BY 1, 2),
+       |pick AS (SELECT canonical_id, lang FROM (
+       |    SELECT canonical_id, lang, ROW_NUMBER() OVER (
+       |      PARTITION BY canonical_id ORDER BY cnt DESC, lang ASC) AS rn
+       |    FROM votes) WHERE rn = 1),
+       |rep AS (SELECT canonical_id, doc_id AS rep_doc FROM (
+       |    SELECT canonical_id, doc_id, ROW_NUMBER() OVER (
+       |      PARTITION BY canonical_id ORDER BY n_chars DESC, doc_id ASC) AS rn
+       |    FROM assigned) WHERE rn = 1),
+       |agg AS (SELECT canonical_id, COUNT(*) AS n_members,
+       |    MAX(n_chars) AS max_chars, COUNT(DISTINCT source) AS n_sources
+       |  FROM assigned GROUP BY 1)
+       |SELECT agg.canonical_id, n_members, rep_doc, max_chars, n_sources, lang
+       |FROM agg JOIN rep ON agg.canonical_id = rep.canonical_id
+       |JOIN pick ON agg.canonical_id = pick.canonical_id
+       |ORDER BY agg.canonical_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q175_golden_record" -> q175,
     "q166_vocab_overlap" -> q166,
     "q161_distinct_ngrams" -> q161,
     "q52_sample_hash_stratified" -> q52,
@@ -797,6 +851,7 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    "q175_golden_record" -> q175Sql,
     "q166_vocab_overlap" -> q166Sql,
     "q161_distinct_ngrams" -> q161Sql,
     "q52_sample_hash_stratified" -> q52Sql,

@@ -1148,6 +1148,23 @@ class AnalyticsOpsSpec extends AnyFunSuite {
 
   // ------------------------------------------------------ KMV sketch
 
+  test("KMV cardinality estimate lands within the sketch's error bound") {
+    // n = 5000 distinct elements, k = 64 → std err ≈ 1/√62 ≈ 12.7%;
+    // assert a generous 3-sigma band (and exactness below k)
+    val k = 64
+    val M = BigInt(1) << 60
+    val df = (1L to 5000L).toDF("x").withColumn("key", lit("all"))
+      .withColumn("h", graft.functions.Ops.md5Long(concat(lit("card:"), col("x"))))
+    val sk = graft.operators.Events.kmvSketch(df, "key", "h", k)
+      .collect().map(_.getLong(1)).sorted
+    assert(sk.length == k)
+    val est = ((BigInt(k - 1) * M) / BigInt(sk.last)).toLong
+    assert(est > 3000 && est < 7000, s"est $est for n=5000")
+    val small = (1L to 20L).toDF("x").withColumn("key", lit("all"))
+      .withColumn("h", graft.functions.Ops.md5Long(concat(lit("card:"), col("x"))))
+    assert(graft.operators.Events.kmvSketch(small, "key", "h", k).count() == 20)
+  }
+
   test("kmvSketch: exact k smallest distinct hashes per key, merge-order-free") {
     val df = (1L to 500L).flatMap(i => Seq(("s1", i), ("s2", i * 7)))
       .toDF("key", "x")
