@@ -99,6 +99,28 @@ class ModelStorageSpec extends AnyFunSuite {
     assert(index.lastKept == 8)
   }
 
+  test("format(\"graft\") resolves by name to the manifest-pruned relation") {
+    val dir = Files.createTempDirectory("graft-fmt").toString + "/li"
+    val li = Tables.lineitem(spark, sf)
+    Segments.write(li, dir, sortCols = Seq("l_orderkey"),
+      indexedCols = Seq("l_orderkey"), numSegments = 8)
+    // ServiceLoader resolves the short name — the reference's
+    // format("indexr") registration shape (SURVEY.md §3.2)
+    val df = spark.read.format("graft").load(dir)
+    assert(df.count() == li.count())
+    assert(df.filter(col("l_orderkey") <= 50L).count() ==
+      spark.read.parquet(dir).filter(col("l_orderkey") <= 50L).count())
+    // the relation really is manifest-backed (prunable), not a plain scan
+    val idx = df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location
+        }
+    }
+    assert(idx.exists(_.isInstanceOf[graft.plans.ManifestFileIndex]))
+  }
+
   test("ManifestAggregates answers count/min/max from metadata, no scan") {
     import graft.plans.{ManifestAggregates, ManifestFileIndex}
     val dir = Files.createTempDirectory("graft-magg").toString + "/li"
