@@ -829,7 +829,91 @@ object Text {
        |JOIN pick ON agg.canonical_id = pick.canonical_id
        |ORDER BY agg.canonical_id""".stripMargin
 
+  // q177 — LSH candidate-recall eval: what fraction of the EXACT
+  // Jaccard≥0.8 pairs (q34's relation) does the MinHash+LSH candidate
+  // generator (q35's relation) recover? The tuning harness for (k, bands)
+  // — run it before trusting an LSH dedup pass at scale. Both inputs are
+  // the memoized pipeline stages; the eval itself is one semi-join +
+  // 1-row counts, exact integer ppm.
+  private def q177(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val exact = jaccardPairsFrom(cappedShingleRows(s, d), 0.8)
+      .select($"doc_a", $"doc_b")
+    val cand = minhashPairsFrom(minhashSigs(s, d), K, bands = 2)
+      .select($"doc_a", $"doc_b")
+    val hits = exact.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+    val ne = exact.agg(count(lit(1)).as("n_exact"))
+    val nc = cand.agg(count(lit(1)).as("n_cand"))
+    val nh = hits.agg(count(lit(1)).as("n_hit"))
+    ne.join(broadcast(nc)).join(broadcast(nh))
+      .select($"n_exact", $"n_cand", $"n_hit",
+        expr("n_hit * 1000000 DIV n_exact").cast(LongType).as("recall_ppm"))
+  }
+  private val q177Sql = {
+    val mins = (0 until K).map(i =>
+      s"min(${md5LongSql(s"concat('s$i:', s)")}) AS h$i").mkString(",\n  ")
+    s"""WITH $cappedShingleRowsSql,
+       |sizes AS (SELECT doc_id, count(*) n FROM shc GROUP BY doc_id),
+       |p AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) shared
+       |      FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2),
+       |exact AS (SELECT doc_a, doc_b FROM p
+       |  JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
+       |  WHERE CAST(shared AS DOUBLE) / (x.n + y.n - shared) >= 0.8),
+       |sigs AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, 0 AS band, concat_ws(',', h0, h1, h2, h3) AS bkey FROM sigs
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, concat_ws(',', h4, h5, h6, h7) AS bkey FROM sigs),
+       |cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+       |         FROM banded a JOIN banded b
+       |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |ne AS (SELECT COUNT(*) AS n_exact FROM exact),
+       |nc AS (SELECT COUNT(*) AS n_cand FROM cand),
+       |nh AS (SELECT COUNT(*) AS n_hit FROM exact
+       |  WHERE EXISTS (SELECT 1 FROM cand
+       |    WHERE cand.doc_a = exact.doc_a AND cand.doc_b = exact.doc_b))
+       |SELECT n_exact, n_cand, n_hit,
+       |  CAST(n_hit * 1000000 // n_exact AS BIGINT) AS recall_ppm
+       |FROM ne CROSS JOIN nc CROSS JOIN nh""".stripMargin
+  }
+
+  // q178 — similarity threshold sweep: pair counts per exact-integer
+  // Jaccard band ((shared·10) DIV (union) ∈ 5..10) from the shared pair
+  // relation — the knob curve a curator reads before picking the dedup
+  // cutoff. One extra aggregate over the memoized pair stage.
+  private def q178(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = cappedShingleRows(s, d)
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.toDF("doc_a", "s").join(sh.toDF("doc_b", "s2"),
+        $"s" === $"s2" && $"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.toDF("doc_a", "na"), "doc_a")
+      .join(sizes.toDF("doc_b", "nb"), "doc_b")
+      .withColumn("band", expr("(shared * 10) DIV (na + nb - shared)")
+        .cast(LongType))
+      .filter($"band" >= 5)
+      .groupBy($"band").agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"band")
+  }
+  private val q178Sql =
+    s"""WITH $cappedShingleRowsSql,
+       |sizes AS (SELECT doc_id, count(*) n FROM shc GROUP BY doc_id),
+       |p AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) shared
+       |      FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2),
+       |banded AS (SELECT (shared * 10) // (x.n + y.n - shared) AS band
+       |  FROM p JOIN sizes x ON doc_a = x.doc_id
+       |  JOIN sizes y ON doc_b = y.doc_id)
+       |SELECT CAST(band AS BIGINT) AS band, COUNT(*) AS n_pairs
+       |FROM banded WHERE band >= 5
+       |GROUP BY band ORDER BY band""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q177_lsh_recall" -> q177,
+    "q178_threshold_sweep" -> q178,
     "q175_golden_record" -> q175,
     "q166_vocab_overlap" -> q166,
     "q161_distinct_ngrams" -> q161,
@@ -851,6 +935,8 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    "q177_lsh_recall" -> q177Sql,
+    "q178_threshold_sweep" -> q178Sql,
     "q175_golden_record" -> q175Sql,
     "q166_vocab_overlap" -> q166Sql,
     "q161_distinct_ngrams" -> q161Sql,
