@@ -1409,7 +1409,84 @@ object Events {
        |  END AS BIGINT) AS est_distinct
        |FROM st ORDER BY event_type""".stripMargin
 
+  // q179 — difference-in-differences readout: treated (odd user ids) vs
+  // control, pre vs post (month midpoint, epoch-day 19738 = 2024-01-16),
+  // mean event value per cell and the DiD estimate
+  // (μ_t,post − μ_t,pre) − (μ_c,post − μ_c,pre). Cell sums are exact
+  // decimals; each mean is one IEEE division and the estimate a fixed
+  // subtraction tree — deterministic in any engine.
+  //
+  // Scale: ONE conditional aggregate pass over the stream; everything
+  // after is a 1-row frame.
+  private def q179(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val D = DecimalType(30, 6)
+    val e = Tables.events(s, d)
+      .withColumn("treated", pmod($"user_id", lit(2L)) === 1)
+      .withColumn("post", expr("ts DIV 86400000000000") >= 19738L)
+    def cell(t: Boolean, p: Boolean, tag: String) = Seq(
+      sum(when($"treated" === t && $"post" === p, $"value".cast(D))
+        .otherwise(lit(0).cast(D))).as(s"s_$tag"),
+      sum(when($"treated" === t && $"post" === p, 1L).otherwise(0L)).as(s"n_$tag"))
+    val cells = cell(true, false, "tpre") ++ cell(true, true, "tpost") ++
+      cell(false, false, "cpre") ++ cell(false, true, "cpost")
+    e.agg(cells.head, cells.tail: _*)
+      .select(
+        ($"s_tpre".cast(DoubleType) / $"n_tpre").as("mean_treated_pre"),
+        ($"s_tpost".cast(DoubleType) / $"n_tpost").as("mean_treated_post"),
+        ($"s_cpre".cast(DoubleType) / $"n_cpre").as("mean_control_pre"),
+        ($"s_cpost".cast(DoubleType) / $"n_cpost").as("mean_control_post"))
+      .withColumn("did_estimate",
+        ($"mean_treated_post" - $"mean_treated_pre") -
+          ($"mean_control_post" - $"mean_control_pre"))
+  }
+  private val q179Sql =
+    """WITH e AS (SELECT value,
+      |    (user_id % 2 = 1) AS treated,
+      |    (epoch_ns(ts) // 86400000000000 >= 19738) AS post
+      |  FROM events),
+      |c AS (SELECT
+      |  SUM(CASE WHEN treated AND NOT post THEN CAST(value AS DECIMAL(30,6)) ELSE CAST(0 AS DECIMAL(30,6)) END) AS s_tpre,
+      |  SUM(CASE WHEN treated AND NOT post THEN 1 ELSE 0 END) AS n_tpre,
+      |  SUM(CASE WHEN treated AND post THEN CAST(value AS DECIMAL(30,6)) ELSE CAST(0 AS DECIMAL(30,6)) END) AS s_tpost,
+      |  SUM(CASE WHEN treated AND post THEN 1 ELSE 0 END) AS n_tpost,
+      |  SUM(CASE WHEN NOT treated AND NOT post THEN CAST(value AS DECIMAL(30,6)) ELSE CAST(0 AS DECIMAL(30,6)) END) AS s_cpre,
+      |  SUM(CASE WHEN NOT treated AND NOT post THEN 1 ELSE 0 END) AS n_cpre,
+      |  SUM(CASE WHEN NOT treated AND post THEN CAST(value AS DECIMAL(30,6)) ELSE CAST(0 AS DECIMAL(30,6)) END) AS s_cpost,
+      |  SUM(CASE WHEN NOT treated AND post THEN 1 ELSE 0 END) AS n_cpost
+      |  FROM e),
+      |m AS (SELECT
+      |  CAST(s_tpre AS DOUBLE) / n_tpre AS mean_treated_pre,
+      |  CAST(s_tpost AS DOUBLE) / n_tpost AS mean_treated_post,
+      |  CAST(s_cpre AS DOUBLE) / n_cpre AS mean_control_pre,
+      |  CAST(s_cpost AS DOUBLE) / n_cpost AS mean_control_post
+      |  FROM c)
+      |SELECT *, (mean_treated_post - mean_treated_pre)
+      |  - (mean_control_post - mean_control_pre) AS did_estimate
+      |FROM m""".stripMargin
+
+  // q180 — seasonality grid: event volume and mean value per
+  // (day-of-week, hour-of-day). Both keys are pure integer epoch math
+  // ((day+4) mod 7, 0 = Sunday; hour mod 24) — no engine calendar
+  // functions with divergent week conventions. One combiner aggregate.
+  private def q180(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .withColumn("dow", expr("((ts DIV 86400000000000) + 4) % 7").cast(LongType))
+      .withColumn("hod", expr("(ts DIV 3600000000000) % 24").cast(LongType))
+      .groupBy($"dow", $"hod")
+      .agg(count(lit(1)).as("n"), davg($"value").as("mean_value"))
+      .orderBy($"dow", $"hod")
+  }
+  private val q180Sql =
+    s"""SELECT ((epoch_ns(ts) // 86400000000000) + 4) % 7 AS dow,
+       |  (epoch_ns(ts) // 3600000000000) % 24 AS hod,
+       |  COUNT(*) AS n, ${davgSql("value")} AS mean_value
+       |FROM events GROUP BY 1, 2 ORDER BY dow, hod""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_diff_in_diff" -> q179,
+    "q180_seasonality" -> q180,
     "q176_kmv_cardinality" -> q176,
     "q171_funnel_latency" -> q171,
     "q170_rollup_serving" -> q170,
@@ -1442,6 +1519,8 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q179_diff_in_diff" -> q179Sql,
+    "q180_seasonality" -> q180Sql,
     "q176_kmv_cardinality" -> q176Sql,
     "q171_funnel_latency" -> q171Sql,
     "q170_rollup_serving" -> q170Sql,

@@ -478,7 +478,44 @@ object Reporting {
       |FROM bn JOIN br ON bn.r_name = br.r_name
       |ORDER BY bn.r_name, n_name""".stripMargin
 
+  // q181 — fulfillment SLA report: per order priority, the exact-ppm
+  // fraction of lines shipped within 30/60/90 days of the order. One
+  // join + one conditional aggregate; the thresholds are whole-day
+  // integer comparisons on both engines.
+  private def q181(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    def within(days: Int) =
+      sum(when(datediff($"l_shipdate", $"o_orderdate") <= days, 1L)
+        .otherwise(0L))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        within(30).as("w30"), within(60).as("w60"), within(90).as("w90"))
+      .select($"o_orderpriority", $"n_lines",
+        expr("w30 * 1000000 DIV n_lines").cast(LongType).as("within30_ppm"),
+        expr("w60 * 1000000 DIV n_lines").cast(LongType).as("within60_ppm"),
+        expr("w90 * 1000000 DIV n_lines").cast(LongType).as("within90_ppm"))
+      .orderBy($"o_orderpriority")
+  }
+  private val q181Sql =
+    """WITH j AS (SELECT o_orderpriority,
+      |    date_diff('day', o_orderdate, l_shipdate) AS lag
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |a AS (SELECT o_orderpriority, COUNT(*) AS n_lines,
+      |    SUM(CASE WHEN lag <= 30 THEN 1 ELSE 0 END) AS w30,
+      |    SUM(CASE WHEN lag <= 60 THEN 1 ELSE 0 END) AS w60,
+      |    SUM(CASE WHEN lag <= 90 THEN 1 ELSE 0 END) AS w90
+      |  FROM j GROUP BY 1)
+      |SELECT o_orderpriority, n_lines,
+      |  CAST(w30 * 1000000 // n_lines AS BIGINT) AS within30_ppm,
+      |  CAST(w60 * 1000000 // n_lines AS BIGINT) AS within60_ppm,
+      |  CAST(w90 * 1000000 // n_lines AS BIGINT) AS within90_ppm
+      |FROM a ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q181_sla_report" -> q181,
     "q174_share_of_parent" -> q174,
     "q167_mom_growth" -> q167,
     "q43_tpch3_shipping_priority" -> q43,
@@ -496,6 +533,7 @@ object Reporting {
   )
 
   val oracles: Map[String, String] = Map(
+    "q181_sla_report" -> q181Sql,
     "q174_share_of_parent" -> q174Sql,
     "q167_mom_growth" -> q167Sql,
     "q43_tpch3_shipping_priority" -> q43Sql,

@@ -911,7 +911,27 @@ object Text {
        |FROM banded WHERE band >= 5
        |GROUP BY band ORDER BY band""".stripMargin
 
+  // q182 — near-dup cluster-size distribution: how many clusters of each
+  // size the Jaccard≥0.8 graph produced (singletons included) — the
+  // dedup-observability histogram a curator checks before shipping a
+  // keep-best pass. Two combiner aggregates over the memoized cluster
+  // stage.
+  private def q182(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    q47(s, d).groupBy($"canonical_id").agg(count(lit(1)).as("sz"))
+      .groupBy($"sz").agg(count(lit(1)).as("n_clusters"))
+      .orderBy($"sz")
+  }
+  private val q182Sql =
+    s"""WITH RECURSIVE $closureCtes,
+       |assigned AS (SELECT d.doc_id, coalesce(c.lbl, d.doc_id) AS canonical_id
+       |  FROM documents d LEFT OUTER JOIN comp c ON d.doc_id = c.n),
+       |csizes AS (SELECT canonical_id, COUNT(*) AS sz FROM assigned GROUP BY 1)
+       |SELECT sz, COUNT(*) AS n_clusters FROM csizes
+       |GROUP BY sz ORDER BY sz""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q182_cluster_sizes" -> q182,
     "q177_lsh_recall" -> q177,
     "q178_threshold_sweep" -> q178,
     "q175_golden_record" -> q175,
@@ -935,6 +955,7 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    "q182_cluster_sizes" -> q182Sql,
     "q177_lsh_recall" -> q177Sql,
     "q178_threshold_sweep" -> q178Sql,
     "q175_golden_record" -> q175Sql,
