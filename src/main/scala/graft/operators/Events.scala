@@ -1484,7 +1484,105 @@ object Events {
        |  COUNT(*) AS n, ${davgSql("value")} AS mean_value
        |FROM events GROUP BY 1, 2 ORDER BY dow, hod""".stripMargin
 
+  // q183 — seasonality-adjusted anomaly counts: events whose value sits
+  // more than 1.5σ from their own (day-of-week, hour-of-day) cell mean —
+  // composes the q180 seasonal keys with the exact-moment z-score op
+  // (Extended.zscoreOutliers): a Monday-9am reading is judged against
+  // Monday-9am behavior, not the global mean. Values are exact integer
+  // cents so the moment sums stay in long range at any realistic cell
+  // size; z² is the documented identical-IEEE-tree double.
+  private def q183(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val D = DecimalType(30, 6)
+    val e = Tables.events(s, d)
+      .withColumn("dow", expr("((ts DIV 86400000000000) + 4) % 7").cast(LongType))
+      .withColumn("hod", expr("(ts DIV 3600000000000) % 24").cast(LongType))
+      .withColumn("value_c", ($"value".cast(D) * 100).cast(LongType))
+    Extended.zscoreOutliers(e, "value_c", Seq("dow", "hod"), zThreshold = 1.5)
+      .groupBy($"dow", $"hod")
+      .agg(count(lit(1)).as("n"),
+        sum($"is_outlier".cast(LongType)).as("n_anomalies"))
+      .orderBy($"dow", $"hod")
+  }
+  private val q183Sql =
+    """WITH e AS (SELECT
+      |    ((epoch_ns(ts) // 86400000000000) + 4) % 7 AS dow,
+      |    (epoch_ns(ts) // 3600000000000) % 24 AS hod,
+      |    CAST(CAST(value AS DECIMAL(30,6)) * 100 AS BIGINT) AS x
+      |  FROM events),
+      |st AS (SELECT dow, hod, COUNT(*) AS n, SUM(x) AS s,
+      |    SUM(x * x) AS q FROM e GROUP BY 1, 2)
+      |SELECT dow, hod, n,
+      |  CAST(SUM(CASE WHEN
+      |    (CASE WHEN n::HUGEINT * q - s::HUGEINT * s = 0 THEN 0.0
+      |     ELSE (CAST(n::HUGEINT * x - s AS DOUBLE)
+      |           * CAST(n::HUGEINT * x - s AS DOUBLE)
+      |           * CAST(n - 1 AS DOUBLE))
+      |          / (CAST(n AS DOUBLE)
+      |             * CAST(n::HUGEINT * q - s::HUGEINT * s AS DOUBLE))
+      |     END) > 2.25 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+      |FROM e JOIN st USING (dow, hod)
+      |GROUP BY dow, hod, n ORDER BY dow, hod""".stripMargin
+
+  /** Time-decay attribution: conversion credit splits across a user's
+    * prior touches with weight halving per `halflifeSec` of age
+    * (w = 2^(30 − min(ageBuckets, 30)) — exact powers of two, no float
+    * decay), floor-ppm normalized per user like [[attributionLinear]].
+    * Recency-weighted credit, the standard middle ground between
+    * last-touch (all recency) and linear (none).
+    *
+    * Scale: same windowless min-agg + combiner skeleton as the other
+    * attribution ops. */
+  def attributionDecay(df: DataFrame, userCol: String, tsSecCol: String,
+      typeCol: String, convType: String, touchTypes: Seq[String],
+      halflifeSec: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    require(halflifeSec > 0, "halflife must be positive")
+    val conv = df.filter(col(typeCol) === convType)
+      .groupBy(col(userCol)).agg(min(col(tsSecCol)).as("t_conv"))
+    val touches = df.filter(col(typeCol).isin(touchTypes: _*))
+      .join(conv, Seq(userCol))
+      .filter(col(tsSecCol) < col("t_conv"))
+      .withColumn("__age", col("t_conv") - col(tsSecCol))
+      .withColumn("__b",
+        least(expr(s"__age DIV ${halflifeSec}L"), lit(30L)).cast(IntegerType))
+      .withColumn("__w", expr("shiftleft(1L, 30 - __b)"))
+    val totals = touches.groupBy(col(userCol)).agg(sum(col("__w")).as("__tw"))
+    touches.join(totals, Seq(userCol))
+      .select(col(typeCol).as("touch_type"),
+        expr("__w * 1000000 DIV __tw").as("__credit"))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_touches"), sum(col("__credit")).as("credit_ppm"))
+  }
+
+  // q184 — recency-weighted credit for view vs click (1-day half-life).
+  private def q184(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    attributionDecay(
+        Tables.events(s, d).withColumn("sec", expr("ts DIV 1000000000")),
+        "user_id", "sec", "event_type",
+        convType = "purchase", touchTypes = Seq("view", "click"),
+        halflifeSec = 86400L)
+      .orderBy($"touch_type")
+  }
+  private val q184Sql =
+    """WITH e AS (SELECT user_id, event_type,
+      |             epoch_ns(ts) // 1000000000 AS sec FROM events),
+      |cv AS (SELECT user_id, min(sec) AS t_conv FROM e
+      |       WHERE event_type = 'purchase' GROUP BY 1),
+      |tc AS (SELECT e.user_id, e.event_type,
+      |         (1::BIGINT << (30 - CAST(least((cv.t_conv - e.sec) // 86400, 30) AS INTEGER))) AS w
+      |       FROM e JOIN cv USING (user_id)
+      |       WHERE e.event_type IN ('view', 'click') AND e.sec < cv.t_conv),
+      |tw AS (SELECT user_id, SUM(w) AS tw FROM tc GROUP BY 1)
+      |SELECT event_type AS touch_type, COUNT(*) AS n_touches,
+      |  CAST(SUM(w * 1000000 // tw.tw) AS BIGINT) AS credit_ppm
+      |FROM tc JOIN tw USING (user_id)
+      |GROUP BY event_type ORDER BY touch_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q183_seasonal_anomaly" -> q183,
+    "q184_attribution_decay" -> q184,
     "q179_diff_in_diff" -> q179,
     "q180_seasonality" -> q180,
     "q176_kmv_cardinality" -> q176,
@@ -1519,6 +1617,8 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q183_seasonal_anomaly" -> q183Sql,
+    "q184_attribution_decay" -> q184Sql,
     "q179_diff_in_diff" -> q179Sql,
     "q180_seasonality" -> q180Sql,
     "q176_kmv_cardinality" -> q176Sql,
