@@ -2063,7 +2063,82 @@ object Extended {
       |FROM cats CROSS JOIN tot
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** Pareto / ABC take WITHOUT a global window: how many top entities (by
+    * `valueCol`, exact integer units) cover `sharePpm` of the total. The
+    * global (value desc, id asc) prefix sum is decomposed two-level like
+    * q134's budget take, but ordered by VALUE: map-only equi-width bin
+    * assignment (the q105 formula — one subtraction + one division,
+    * identical IEEE in any engine), per-bin suffix offsets over ≤`bins`
+    * rows, parallel within-bin windows. The answer is binning-independent
+    * — bins only parallelize the prefix sum — so the oracle can state the
+    * straight global-window definition.
+    *
+    * Output (1 row): n_entities, n_top, top_share_ppm. */
+  def paretoTake(df: DataFrame, idCol: String, valueCol: String,
+      sharePpm: Long, lo: Double, width: Double, bins: Int): DataFrame = {
+    require(sharePpm >= 0 && sharePpm <= 1000000L, "share is ppm in [0, 1e6]")
+    require(bins >= 1 && width > 0, "need positive bins/width")
+    val v = col(valueCol).cast(LongType)
+    val binned = df.select(col(idCol).as("__id"), v.as("__v"))
+      .withColumn("__bin", expr(
+        s"CAST(least(greatest(floor((CAST(__v AS DOUBLE) - CAST($lo AS DOUBLE)) " +
+          s"/ CAST($width AS DOUBLE)), CAST(0 AS DOUBLE)), " +
+          s"CAST(${bins - 1} AS DOUBLE)) AS INTEGER)"))
+    val perBin = binned.groupBy(col("__bin")).agg(sum(col("__v")).as("__bs"))
+    val wOff = Window.orderBy(col("__bin").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perBin.withColumn("__off",
+      coalesce(sum(col("__bs")).over(wOff), lit(0L)))
+    val wIn = Window.partitionBy(col("__bin"))
+      .orderBy(col("__v").desc, col("__id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = binned.agg(sum(col("__v")).as("__tot"),
+      count(lit(1)).as("__n"))
+    binned
+      .withColumn("__local", sum(col("__v")).over(wIn))
+      .join(broadcast(offsets.select(col("__bin"), col("__off"))), Seq("__bin"))
+      .join(broadcast(tot))
+      .withColumn("__cum", col("__off") + col("__local"))
+      .withColumn("__take",
+        (col("__cum") - col("__v")) * 1000000L < lit(sharePpm) * col("__tot"))
+      .agg(max(col("__n")).as("n_entities"),
+        sum(when(col("__take"), 1L).otherwise(0L)).as("n_top"),
+        sum(when(col("__take"), col("__v")).otherwise(0L)).as("__topv"),
+        max(col("__tot")).as("__t"))
+      .select(col("n_entities"), col("n_top"),
+        expr("__topv * 1000000 DIV __t").cast(LongType).as("top_share_ppm"))
+  }
+
+  // q185 — revenue concentration: how many customers cover 80% of order
+  // revenue (exact cents; two-level value-ordered prefix sum, no global
+  // window).
+  private def q185(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val D = DecimalType(30, 6)
+    val rev = Tables.orders(s, d)
+      .groupBy($"o_custkey")
+      .agg((sum($"o_totalprice".cast(D)) * 100).cast(LongType).as("cents"))
+    paretoTake(rev, "o_custkey", "cents", sharePpm = 800000L,
+      lo = 0.0, width = 2500000.0, bins = 256)
+  }
+  private val q185Sql =
+    """WITH rev AS (SELECT o_custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) * 100 AS BIGINT) AS v
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT SUM(v) AS tot, COUNT(*) AS n FROM rev),
+      |c AS (SELECT o_custkey, v,
+      |    SUM(v) OVER (ORDER BY v DESC, o_custkey ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM rev),
+      |inc AS (SELECT v FROM c CROSS JOIN t
+      |  WHERE (cum - v) * 1000000 < 800000 * tot)
+      |SELECT t.n AS n_entities,
+      |  (SELECT COUNT(*) FROM inc) AS n_top,
+      |  CAST((SELECT SUM(v) FROM inc) * 1000000 // t.tot AS BIGINT) AS top_share_ppm
+      |FROM t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q185_pareto_take" -> q185,
     "q172_weighted_median" -> q172,
     "q173_mestimate_encode" -> q173,
     "q165_gini_impurity" -> q165,
@@ -2112,6 +2187,7 @@ object Extended {
   )
 
   val oracles: Map[String, String] = Map(
+    "q185_pareto_take" -> q185Sql,
     "q172_weighted_median" -> q172Sql,
     "q173_mestimate_encode" -> q173Sql,
     "q165_gini_impurity" -> q165Sql,

@@ -514,7 +514,95 @@ object Reporting {
       |  CAST(w90 * 1000000 // n_lines AS BIGINT) AS within90_ppm
       |FROM a ORDER BY o_orderpriority""".stripMargin
 
+  // q186 — RFM segmentation: recency / frequency / monetary buckets per
+  // customer (fixed engine-portable thresholds — whole-day and exact-cent
+  // integer comparisons), rolled up to segment counts. One aggregate to
+  // per-customer stats, one 1-row broadcast for "today" (the data's max
+  // order date), map-only bucketing, one rollup.
+  private def q186(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val D = DecimalType(30, 6)
+    val o = Tables.orders(s, d)
+    val per = o.groupBy($"o_custkey")
+      .agg(max($"o_orderdate").as("last_order"),
+        count(lit(1)).as("f"),
+        (sum($"o_totalprice".cast(D)) * 100).cast(LongType).as("m_cents"))
+    val today = o.agg(max($"o_orderdate").as("today"))
+    per.join(broadcast(today))
+      .withColumn("r_days", datediff($"today", $"last_order"))
+      .select(
+        when($"r_days" <= 180, "active").when($"r_days" <= 365, "cooling")
+          .otherwise("dormant").as("r_seg"),
+        when($"f" >= 12, "frequent").when($"f" >= 6, "regular")
+          .otherwise("rare").as("f_seg"),
+        when($"m_cents" >= 40000000000L / 100, "high")
+          .when($"m_cents" >= 15000000000L / 100, "mid")
+          .otherwise("low").as("m_seg"))
+      .groupBy($"r_seg", $"f_seg", $"m_seg")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy($"r_seg", $"f_seg", $"m_seg")
+  }
+  private val q186Sql =
+    """WITH per AS (SELECT o_custkey, MAX(o_orderdate) AS last_order,
+      |    COUNT(*) AS f,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) * 100 AS BIGINT) AS m_cents
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT MAX(o_orderdate) AS today FROM orders),
+      |seg AS (SELECT
+      |    CASE WHEN date_diff('day', last_order, today) <= 180 THEN 'active'
+      |         WHEN date_diff('day', last_order, today) <= 365 THEN 'cooling'
+      |         ELSE 'dormant' END AS r_seg,
+      |    CASE WHEN f >= 12 THEN 'frequent' WHEN f >= 6 THEN 'regular'
+      |         ELSE 'rare' END AS f_seg,
+      |    CASE WHEN m_cents >= 400000000 THEN 'high'
+      |         WHEN m_cents >= 150000000 THEN 'mid' ELSE 'low' END AS m_seg
+      |  FROM per CROSS JOIN t)
+      |SELECT r_seg, f_seg, m_seg, COUNT(*) AS n_customers
+      |FROM seg GROUP BY 1, 2, 3 ORDER BY r_seg, f_seg, m_seg""".stripMargin
+
+  // q187 — new-vs-repeat revenue split per month: each order classified
+  // by whether its month is the customer's FIRST order month. One
+  // aggregate to per-customer first months, one join-back, one rollup —
+  // exact cents and ppm.
+  private def q187(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val D = DecimalType(30, 6)
+    val o = Tables.orders(s, d)
+      .withColumn("month", date_format($"o_orderdate", "yyyy-MM"))
+    val firstMonth = o.groupBy($"o_custkey".as("__ck"))
+      .agg(min($"month").as("first_month"))
+    o.join(firstMonth, $"o_custkey" === $"__ck")
+      .groupBy($"month")
+      .agg(
+        (sum(when($"month" === $"first_month", $"o_totalprice".cast(D))
+          .otherwise(lit(0).cast(D))) * 100).cast(LongType).as("new_cents"),
+        (sum(when($"month" =!= $"first_month", $"o_totalprice".cast(D))
+          .otherwise(lit(0).cast(D))) * 100).cast(LongType).as("repeat_cents"))
+      .withColumn("new_share_ppm",
+        expr("new_cents * 1000000 DIV (new_cents + repeat_cents)")
+          .cast(LongType))
+      .orderBy($"month")
+  }
+  private val q187Sql =
+    """WITH o AS (SELECT o_custkey, strftime(o_orderdate, '%Y-%m') AS month,
+      |    o_totalprice FROM orders),
+      |fm AS (SELECT o_custkey, MIN(month) AS first_month FROM o GROUP BY 1),
+      |a AS (SELECT month,
+      |    CAST(SUM(CASE WHEN month = first_month
+      |      THEN CAST(o_totalprice AS DECIMAL(30,6))
+      |      ELSE CAST(0 AS DECIMAL(30,6)) END) * 100 AS BIGINT) AS new_cents,
+      |    CAST(SUM(CASE WHEN month <> first_month
+      |      THEN CAST(o_totalprice AS DECIMAL(30,6))
+      |      ELSE CAST(0 AS DECIMAL(30,6)) END) * 100 AS BIGINT) AS repeat_cents
+      |  FROM o JOIN fm USING (o_custkey) GROUP BY 1)
+      |SELECT month, new_cents, repeat_cents,
+      |  CAST(new_cents * 1000000 // (new_cents + repeat_cents) AS BIGINT)
+      |    AS new_share_ppm
+      |FROM a ORDER BY month""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q186_rfm_segments" -> q186,
+    "q187_new_vs_repeat" -> q187,
     "q181_sla_report" -> q181,
     "q174_share_of_parent" -> q174,
     "q167_mom_growth" -> q167,
@@ -533,6 +621,8 @@ object Reporting {
   )
 
   val oracles: Map[String, String] = Map(
+    "q186_rfm_segments" -> q186Sql,
+    "q187_new_vs_repeat" -> q187Sql,
     "q181_sla_report" -> q181Sql,
     "q174_share_of_parent" -> q174Sql,
     "q167_mom_growth" -> q167Sql,
