@@ -1116,6 +1116,28 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ----------------------------------------------- pareto take
+
+  test("paretoTake ≡ naive global prefix take at any binning (incl. degenerate)") {
+    val vals = Seq(100L, 90L, 80L, 70L, 10L, 10L, 5L, 1L, 1L, 1L)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    // naive: order by (v desc, id asc), take while prefix-before-row < 80%
+    val tot = vals.sum
+    val ordered = vals.zipWithIndex.map { case (v, i) => (v, i.toLong) }
+      .sortBy { case (v, i) => (-v, i) }
+    val naive = ordered.scanLeft(0L)(_ + _._1).zip(ordered)
+      .takeWhile { case (prefixBefore, _) => prefixBefore * 1000000L < 800000L * tot }
+    val (nTop, topSum) = (naive.size.toLong, naive.map(_._2._1).sum)
+    for ((lo, width, bins) <- Seq((0.0, 10.0, 16), (0.0, 1000.0, 1), (-5.0, 3.0, 64))) {
+      val row = graft.operators.Extended.paretoTake(df, "id", "v",
+        800000L, lo, width, bins).head()
+      assert(row.getAs[Long]("n_entities") == vals.size.toLong, s"bins=$bins")
+      assert(row.getAs[Long]("n_top") == nTop, s"bins=$bins")
+      assert(row.getAs[Long]("top_share_ppm") == topSum * 1000000L / tot,
+        s"bins=$bins")
+    }
+  }
+
   // ------------------------------------------- chi-square / KS drift
 
   test("chiSquare: hand-computed 2x2 table in exact ppm") {
