@@ -600,7 +600,100 @@ object Reporting {
       |    AS new_share_ppm
       |FROM a ORDER BY month""".stripMargin
 
+  // q188 — tail-latency SLA: exact p50/p95/p99 ship lag (whole days) per
+  // order priority — the percentile complement of q181's threshold view.
+  // Shared linear-interpolation percentile (q46 pattern) over integer
+  // day lags.
+  private def q188(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .withColumn("lag", datediff($"l_shipdate", $"o_orderdate").cast(LongType))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        expr("percentile(lag, 0.5)").as("p50_days"),
+        expr("percentile(lag, 0.95)").as("p95_days"),
+        expr("percentile(lag, 0.99)").as("p99_days"))
+      .orderBy($"o_orderpriority")
+  }
+  private val q188Sql =
+    """WITH j AS (SELECT o_orderpriority,
+      |    CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT) AS lag
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      |SELECT o_orderpriority, COUNT(*) AS n_lines,
+      |  quantile_cont(lag, 0.5) AS p50_days,
+      |  quantile_cont(lag, 0.95) AS p95_days,
+      |  quantile_cont(lag, 0.99) AS p99_days
+      |FROM j GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
+  // q189 — inter-purchase cadence: per customer the gaps between
+  // consecutive orders (entity-keyed lead window), then the exact global
+  // gap percentiles — "median days between orders", the reorder-cycle
+  // metric.
+  private def q189(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables.orders(s, d)
+      .withColumn("nxt", lead($"o_orderdate", 1).over(w))
+      .filter($"nxt".isNotNull)
+      .withColumn("gap", datediff($"nxt", $"o_orderdate").cast(LongType))
+      .agg(count(lit(1)).as("n_gaps"),
+        expr("percentile(gap, 0.25)").as("p25_days"),
+        expr("percentile(gap, 0.5)").as("p50_days"),
+        expr("percentile(gap, 0.75)").as("p75_days"))
+  }
+  private val q189Sql =
+    """WITH g AS (SELECT
+      |    CAST(date_diff('day', o_orderdate,
+      |      lead(o_orderdate) OVER (PARTITION BY o_custkey
+      |        ORDER BY o_orderdate, o_orderkey)) AS BIGINT) AS gap
+      |  FROM orders)
+      |SELECT COUNT(*) AS n_gaps,
+      |  quantile_cont(gap, 0.25) AS p25_days,
+      |  quantile_cont(gap, 0.5) AS p50_days,
+      |  quantile_cont(gap, 0.75) AS p75_days
+      |FROM g WHERE gap IS NOT NULL""".stripMargin
+
+  // q190 — cohort LTV curve: cumulative revenue per signup cohort (first
+  // order month) by months-since-first — the growth-accounting table.
+  // One aggregate to (cohort, age) cells; the cum-window runs per cohort
+  // over ≤ #months rows (calendar-bounded, not data-bounded).
+  private def q190(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val D = DecimalType(30, 6)
+    val o = Tables.orders(s, d)
+      .withColumn("ym", (year($"o_orderdate") * 12 + month($"o_orderdate"))
+        .cast(LongType))
+    val first = o.groupBy($"o_custkey".as("__ck")).agg(min($"ym").as("cohort_ym"))
+    val cells = o.join(first, $"o_custkey" === $"__ck")
+      .withColumn("age_months", ($"ym" - $"cohort_ym").cast(LongType))
+      .groupBy($"cohort_ym", $"age_months")
+      .agg((sum($"o_totalprice".cast(D)) * 100).cast(LongType).as("cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cohort_ym").orderBy($"age_months")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    cells.withColumn("cum_cents", sum($"cents").over(w))
+      .orderBy($"cohort_ym", $"age_months")
+  }
+  private val q190Sql =
+    """WITH o AS (SELECT o_custkey,
+      |    EXTRACT(year FROM o_orderdate) * 12 + EXTRACT(month FROM o_orderdate) AS ym,
+      |    o_totalprice FROM orders),
+      |fm AS (SELECT o_custkey, MIN(ym) AS cohort_ym FROM o GROUP BY 1),
+      |cells AS (SELECT cohort_ym, ym - cohort_ym AS age_months,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) * 100 AS BIGINT) AS cents
+      |  FROM o JOIN fm USING (o_custkey) GROUP BY 1, 2)
+      |SELECT cohort_ym, age_months, cents,
+      |  CAST(SUM(cents) OVER (PARTITION BY cohort_ym ORDER BY age_months
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+      |FROM cells ORDER BY cohort_ym, age_months""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q188_sla_percentiles" -> q188,
+    "q189_interpurchase_gaps" -> q189,
+    "q190_ltv_curve" -> q190,
     "q186_rfm_segments" -> q186,
     "q187_new_vs_repeat" -> q187,
     "q181_sla_report" -> q181,
@@ -621,6 +714,9 @@ object Reporting {
   )
 
   val oracles: Map[String, String] = Map(
+    "q188_sla_percentiles" -> q188Sql,
+    "q189_interpurchase_gaps" -> q189Sql,
+    "q190_ltv_curve" -> q190Sql,
     "q186_rfm_segments" -> q186Sql,
     "q187_new_vs_repeat" -> q187Sql,
     "q181_sla_report" -> q181Sql,
