@@ -490,7 +490,37 @@ object Corpus {
       |WHERE pair_n >= 20
       |ORDER BY pc.w1, pc.w2""".stripMargin
 
+  // q192 — contamination-rate dashboard: per source, the exact-ppm share
+  // of documents that collide with the benchmark set (q65's reference) —
+  // the rollup a decontamination run reports before dropping anything.
+  // Same broadcast-hash probe as q65 + one combiner rollup.
+  private def q192(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val flags = graft.operators.Dedup.exactAgainst(
+      graft.Tables.documents(s, d), "doc_id", "text", ref(s, d), "text")
+    graft.Tables.documents(s, d).select($"doc_id", $"source")
+      .join(flags, "doc_id")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"in_ref".cast(org.apache.spark.sql.types.LongType))
+          .as("n_contaminated"))
+      .withColumn("contaminated_ppm",
+        expr("n_contaminated * 1000000 DIV n_docs")
+          .cast(org.apache.spark.sql.types.LongType))
+      .orderBy($"source")
+  }
+  private val q192Sql =
+    """WITH ref AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 20 = 0)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN r.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_contaminated,
+      |  CAST(SUM(CASE WHEN r.h IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+      |    // COUNT(*) AS BIGINT) AS contaminated_ppm
+      |FROM documents d LEFT JOIN ref r ON md5(d.text) = r.h
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q192_contamination_rate" -> q192,
     "q115_cooccurrence_pmi" -> q115,
     "q126_lm_quality" -> q126,
     "q129_bpe_fit" -> q129,
@@ -510,6 +540,7 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q192_contamination_rate" -> q192Sql,
     "q115_cooccurrence_pmi" -> q115Sql,
     "q126_lm_quality" -> q126Sql,
     "q95_decontaminate_bloom" -> q65Sql, // identical semantics by design

@@ -930,7 +930,44 @@ object Text {
        |SELECT sz, COUNT(*) AS n_clusters FROM csizes
        |GROUP BY sz ORDER BY sz""".stripMargin
 
+  // q191 — dedup impact report: per source, docs and characters kept vs
+  // dropped by the keep-best pass (q49) — the before/after table a
+  // curation run prints. One join of the memoized keep-flags with doc
+  // metadata + one rollup; exact integer ppm.
+  private def q191(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val kept = q49(s, d).select($"doc_id", $"keep")
+    Tables.documents(s, d).select($"doc_id", $"source", $"n_chars")
+      .join(kept, "doc_id")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"keep".cast(LongType)).as("n_kept"),
+        sum($"n_chars").as("chars_total"),
+        sum(when($"keep" === 1, $"n_chars").otherwise(0L)).as("chars_kept"))
+      .withColumn("kept_ppm",
+        expr("chars_kept * 1000000 DIV chars_total").cast(LongType))
+      .orderBy($"source")
+  }
+  private val q191Sql =
+    s"""WITH RECURSIVE $closureCtes,
+       |assigned AS (
+       |  SELECT d.doc_id, d.source, d.n_chars,
+       |    coalesce(c.lbl, d.doc_id) AS canonical_id
+       |  FROM documents d LEFT OUTER JOIN comp c ON d.doc_id = c.n),
+       |flagged AS (SELECT doc_id, source, n_chars,
+       |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY canonical_id
+       |      ORDER BY n_chars DESC, doc_id ASC) = 1 THEN 1 ELSE 0 END AS keep
+       |  FROM assigned)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(keep) AS BIGINT) AS n_kept,
+       |  CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+       |  CAST(SUM(CASE WHEN keep = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept,
+       |  CAST(SUM(CASE WHEN keep = 1 THEN n_chars ELSE 0 END) * 1000000
+       |    // SUM(n_chars) AS BIGINT) AS kept_ppm
+       |FROM flagged GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_dedup_impact" -> q191,
     "q182_cluster_sizes" -> q182,
     "q177_lsh_recall" -> q177,
     "q178_threshold_sweep" -> q178,
@@ -955,6 +992,7 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    "q191_dedup_impact" -> q191Sql,
     "q182_cluster_sizes" -> q182Sql,
     "q177_lsh_recall" -> q177Sql,
     "q178_threshold_sweep" -> q178Sql,
