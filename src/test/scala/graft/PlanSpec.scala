@@ -316,4 +316,37 @@ class PlanSpec extends AnyFunSuite {
       s"argmax must combine map-side:\n$p")
     assert(!p.contains("Window"), s"no corpus-keyed window:\n$p")
   }
+
+  test("q156/q173: target-encoding stats broadcast back; no window, map-side partials") {
+    for (q <- Seq("q156_target_encode_loo", "q173_mestimate_encode")) {
+      val p = planOf(q)
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"$q: category stats must broadcast:\n$p")
+      assert(p.contains("partial_"), s"$q: stats combine map-side:\n$p")
+      assert(!p.contains("Window"), s"$q: no window anywhere:\n$p")
+    }
+  }
+
+  test("q184: decay attribution is windowless combiner aggregates") {
+    val p = planOf("q184_attribution_decay")
+    assert(!p.contains("Window"), s"no window anywhere:\n$p")
+    assert(p.contains("partial_"), s"credit sums combine map-side:\n$p")
+  }
+
+  test("q185: pareto prefix sum windows are bin-partitioned, never global over entities") {
+    val p = planOf("q185_pareto_take")
+    // the big within-bin window must carry the __bin partition key; the
+    // only unpartitioned window is the ≤bins-row offset frame
+    assert(p.contains("windowspecdefinition(__bin"),
+      s"within-bin window must partition by __bin:\n$p")
+  }
+
+  test("q163/q169: chi-square cells collapse map-side; joins are broadcasts") {
+    for (q <- Seq("q163_chi_square", "q169_ab_test")) {
+      val p = planOf(q)
+      assert(p.contains("partial_"), s"$q: cell counts combine map-side:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q: tiny stat frames must broadcast, not SMJ:\n$p")
+    }
+  }
 }
