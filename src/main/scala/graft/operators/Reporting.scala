@@ -690,7 +690,45 @@ object Reporting {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
       |FROM cells ORDER BY cohort_ym, age_months""".stripMargin
 
+  // q194 — right-to-be-forgotten cascade audit: for a deletion request
+  // set (customers with custkey ≡ 0 mod 97 here; a real run passes the
+  // request table), how many rows each table in the FK cascade
+  // customer → orders → lineitem would purge. Every hop is a left-semi
+  // join carrying only keys — the probe the purge job itself would run,
+  // with counts instead of deletes.
+  private def q194(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val victims = Tables.customer(s, d)
+      .filter($"c_custkey" % 97 === 0).select($"c_custkey")
+    val custN = victims.agg(count(lit(1)).as("n_purged"))
+      .withColumn("table_name", lit("customer"))
+    val orders = Tables.orders(s, d)
+      .join(victims, $"o_custkey" === $"c_custkey", "left_semi")
+    val orderN = orders.agg(count(lit(1)).as("n_purged"))
+      .withColumn("table_name", lit("orders"))
+    val lineN = Tables.lineitem(s, d)
+      .join(orders.select($"o_orderkey"), $"l_orderkey" === $"o_orderkey",
+        "left_semi")
+      .agg(count(lit(1)).as("n_purged"))
+      .withColumn("table_name", lit("lineitem"))
+    custN.unionByName(orderN).unionByName(lineN)
+      .select($"table_name", $"n_purged")
+      .orderBy($"table_name")
+  }
+  private val q194Sql =
+    """WITH v AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+      |o AS (SELECT o_orderkey FROM orders
+      |  WHERE EXISTS (SELECT 1 FROM v WHERE v.c_custkey = o_custkey))
+      |SELECT 'customer' AS table_name, COUNT(*) AS n_purged FROM v
+      |UNION ALL
+      |SELECT 'orders', COUNT(*) FROM o
+      |UNION ALL
+      |SELECT 'lineitem', COUNT(*) FROM lineitem
+      |  WHERE EXISTS (SELECT 1 FROM o WHERE o.o_orderkey = l_orderkey)
+      |ORDER BY table_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q194_purge_audit" -> q194,
     "q188_sla_percentiles" -> q188,
     "q189_interpurchase_gaps" -> q189,
     "q190_ltv_curve" -> q190,
@@ -714,6 +752,7 @@ object Reporting {
   )
 
   val oracles: Map[String, String] = Map(
+    "q194_purge_audit" -> q194Sql,
     "q188_sla_percentiles" -> q188Sql,
     "q189_interpurchase_gaps" -> q189Sql,
     "q190_ltv_curve" -> q190Sql,

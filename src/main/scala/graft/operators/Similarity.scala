@@ -1053,7 +1053,41 @@ object Similarity {
        |ORDER BY c.vec_id, neg_rank""".stripMargin
   }
 
+  // q193 — embedding-quality audit per label: vector count, mean squared
+  // norm, and the ppm of near-zero vectors (norm² < 0.01 — dead/failed
+  // encodes). Norms are the engine's exact scaled-integer kernel
+  // (Σ floor(x²·10¹⁵), the codegen'd ScaledDotProduct — order-independent
+  // longs), summed in DECIMAL; one final fixed division tree.
+  private def q193(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val Dz = DecimalType(38, 0)
+    Tables.embeddings(s, d)
+      .withColumn("norm_s",
+        graft.plans.ScaledDotProduct($"embedding", $"embedding"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum($"norm_s".cast(Dz)).as("__sum_s"),
+        sum(when($"norm_s" < 10000000000000L, 1L).otherwise(0L)).as("__tiny"))
+      .select($"label", $"n_vecs",
+        ($"__sum_s".cast(DoubleType) / $"n_vecs" / lit(1e15)).as("mean_norm2"),
+        expr("__tiny * 1000000 DIV n_vecs").cast(LongType).as("tiny_ppm"))
+      .orderBy($"label")
+  }
+  private val q193Sql =
+    """WITH norms AS (
+      |  SELECT label,
+      |    (SELECT CAST(SUM(CAST(floor(embedding[i]::DOUBLE * embedding[i]::DOUBLE * 1e15) AS BIGINT)) AS BIGINT)
+      |     FROM unnest(range(1, len(embedding)+1)) u(i)) AS norm_s
+      |  FROM embeddings)
+      |SELECT label, COUNT(*) AS n_vecs,
+      |  CAST(SUM(CAST(norm_s AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*) / 1e15
+      |    AS mean_norm2,
+      |  CAST(SUM(CASE WHEN norm_s < 10000000000000 THEN 1 ELSE 0 END) * 1000000
+      |    // COUNT(*) AS BIGINT) AS tiny_ppm
+      |FROM norms GROUP BY label ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q193_embedding_quality" -> q193,
     "q100_negative_sample" -> q100,
     "q92_mmr_rerank" -> q92,
     "q37_ann_brute" -> q37,
@@ -1072,6 +1106,7 @@ object Similarity {
   /** q38/q41/q67 are approximate by design → no SQL oracle (driver
     * rows-only check); their accuracy is asserted in PipelineOpsSpec. */
   val oracles: Map[String, String] = Map(
+    "q193_embedding_quality" -> q193Sql,
     "q100_negative_sample" -> q100Sql,
     "q92_mmr_rerank" -> q92Sql,
     "q37_ann_brute" -> q37Sql,
