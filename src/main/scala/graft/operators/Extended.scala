@@ -549,6 +549,60 @@ object Extended {
       .drop("__bin", "__cum", "__N")
   }
 
+  /** Grouped percentile-rank normalization: [[percentileRank]] with the
+    * bin histogram, cum-window, and totals all keyed by `groupCols` — the
+    * per-language / per-source feature scaler. The cum-window is
+    * (group)-partitioned over ≤ bins rows per group; the bin map joins
+    * back on (group, bin) — AQE picks broadcast while #groups×bins stays
+    * small and a shuffle join beyond. Never a data-keyed rank window. */
+  def percentileRankByGroup(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, lo: Double, width: Double, bins: Int,
+      outCol: String = "rank_ppm"): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(bins > 0, "bins must be positive")
+    val binEx = least(greatest(
+      floor((col(valueCol).cast(DoubleType) - lit(lo)) / lit(width)),
+      lit(0.0)), lit((bins - 1).toDouble)).cast(IntegerType)
+    val binned = df.withColumn("__bin", binEx)
+    val keys = groupCols.map(col) :+ col("__bin")
+    val counts = binned.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("__cum", sum(col("__n")).over(w))
+      .select(keys :+ col("__cum"): _*)
+    val tot = df.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("__N"))
+    binned.join(cum, groupCols :+ "__bin")
+      .join(tot, groupCols)
+      .withColumn(outCol, expr("__cum * 1000000L div __N"))
+      .drop("__bin", "__cum", "__N")
+  }
+
+  // q195 — price percentile rank WITHIN each return flag.
+  private def q195(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    percentileRankByGroup(Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_linenumber", $"l_returnflag", $"l_extendedprice"),
+        Seq("l_returnflag"), "l_extendedprice",
+        lo = 900.0, width = 13.0, bins = 8192)
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+  private val q195Sql =
+    """WITH b AS (SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+      |    CAST(least(greatest(floor((CAST(l_extendedprice AS DOUBLE)
+      |      - CAST(900.0 AS DOUBLE)) / CAST(13.0 AS DOUBLE)), CAST(0 AS DOUBLE)),
+      |      CAST(8191 AS DOUBLE)) AS INTEGER) AS bin
+      |  FROM lineitem),
+      |c AS (SELECT l_returnflag, bin, COUNT(*) AS n FROM b GROUP BY 1, 2),
+      |cum AS (SELECT l_returnflag, bin, SUM(n) OVER (PARTITION BY l_returnflag
+      |    ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM c),
+      |t AS (SELECT l_returnflag, COUNT(*) AS nn FROM lineitem GROUP BY 1)
+      |SELECT b.l_orderkey, b.l_linenumber, b.l_returnflag, b.l_extendedprice,
+      |  CAST(cum * 1000000 // nn AS BIGINT) AS rank_ppm
+      |FROM b JOIN cum ON b.l_returnflag = cum.l_returnflag AND b.bin = cum.bin
+      |JOIN t ON b.l_returnflag = t.l_returnflag
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   // q127 — price percentile-rank feature on the q76/q105 grid.
   private def q127(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -2138,6 +2192,7 @@ object Extended {
       |FROM t""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q195_percentile_rank_grouped" -> q195,
     "q185_pareto_take" -> q185,
     "q172_weighted_median" -> q172,
     "q173_mestimate_encode" -> q173,
@@ -2187,6 +2242,7 @@ object Extended {
   )
 
   val oracles: Map[String, String] = Map(
+    "q195_percentile_rank_grouped" -> q195Sql,
     "q185_pareto_take" -> q185Sql,
     "q172_weighted_median" -> q172Sql,
     "q173_mestimate_encode" -> q173Sql,
