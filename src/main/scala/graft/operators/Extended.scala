@@ -2191,7 +2191,117 @@ object Extended {
       |  CAST((SELECT SUM(v) FROM inc) * 1000000 // t.tot AS BIGINT) AS top_share_ppm
       |FROM t""".stripMargin
 
+  /** Tukey-fence (boxplot) outlier counts per group: values beyond
+    * Q1 − 1.5·IQR / Q3 + 1.5·IQR. The robust-outlier triple completes
+    * z-score (q82, σ-based) and MAD (q116, median-based) with the
+    * quartile convention BI tools plot. Fences are exact-percentile
+    * doubles built by the identical interpolation formula in both
+    * engines, and every comparison uses those same doubles — no
+    * per-engine rounding can flip a row.
+    *
+    * Scale: one exact-percentile aggregate per group (swap in the q73
+    * sketch past exact-percentile scale) + broadcast join-back; one
+    * conditional rollup. */
+  def tukeyOutliers(df: DataFrame, valueCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val fences = df.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"percentile($valueCol, 0.25)").as("__q1"),
+        expr(s"percentile($valueCol, 0.75)").as("__q3"))
+      .withColumn("__lo", col("__q1") - (col("__q3") - col("__q1")) * 1.5)
+      .withColumn("__hi", col("__q3") + (col("__q3") - col("__q1")) * 1.5)
+    df.join(broadcast(fences), groupCols)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(valueCol) < col("__lo") || col(valueCol) > col("__hi"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .withColumn("outlier_ppm",
+        expr("n_outliers * 1000000 DIV n").cast(LongType))
+  }
+
+  // q196 — boxplot outliers of order value per priority.
+  private def q196(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    tukeyOutliers(Tables.orders(s, d), "o_totalprice", Seq("o_orderpriority"))
+      .orderBy($"o_orderpriority")
+  }
+  private val q196Sql =
+    """WITH f AS (SELECT o_orderpriority,
+      |    quantile_cont(o_totalprice, 0.25) AS q1,
+      |    quantile_cont(o_totalprice, 0.75) AS q3
+      |  FROM orders GROUP BY 1),
+      |f2 AS (SELECT o_orderpriority, q1 - (q3 - q1) * 1.5 AS lo,
+      |    q3 + (q3 - q1) * 1.5 AS hi FROM f)
+      |SELECT o.o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN o_totalprice < lo OR o_totalprice > hi
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  CAST(SUM(CASE WHEN o_totalprice < lo OR o_totalprice > hi
+      |    THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS outlier_ppm
+      |FROM orders o JOIN f2 ON o.o_orderpriority = f2.o_orderpriority
+      |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin
+
+  /** Primary-key uniqueness audit across a catalog: per table, row count,
+    * distinct key count, and duplicate rows — the PK half of the
+    * data-contract suite (q141 covers row predicates + FK orphans). Each
+    * table costs one count + one COUNT(DISTINCT) pass (Spark's two-phase
+    * expand, map-side partials); the union is #tables 1-row frames. */
+  def pkAudit(tables: Seq[(String, DataFrame, Seq[String])]): DataFrame = {
+    require(tables.nonEmpty, "need at least one table")
+    tables.map { case (name, df, keyCols) =>
+      df.agg(count(lit(1)).as("n_rows"),
+          count_distinct(struct(keyCols.map(col): _*)).as("n_distinct_keys"))
+        .withColumn("table_name", lit(name))
+        .withColumn("dup_rows", col("n_rows") - col("n_distinct_keys"))
+        .select(col("table_name"), col("n_rows"),
+          col("n_distinct_keys"), col("dup_rows"))
+    }.reduce(_ unionByName _)
+  }
+
+  // q197 — PK audit over the whole catalog (lineitem's key is composite).
+  private def q197(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    pkAudit(Seq(
+      ("customer", Tables.customer(s, d), Seq("c_custkey")),
+      ("orders", Tables.orders(s, d), Seq("o_orderkey")),
+      ("lineitem", Tables.lineitem(s, d), Seq("l_orderkey", "l_linenumber")),
+      ("part", Tables.part(s, d), Seq("p_partkey")),
+      ("supplier", Tables.supplier(s, d), Seq("s_suppkey")),
+      ("nation", Tables.nation(s, d), Seq("n_nationkey")),
+      ("region", Tables.region(s, d), Seq("r_regionkey")),
+      ("events", Tables.events(s, d), Seq("event_id")),
+      ("documents", Tables.documents(s, d), Seq("doc_id")),
+      ("embeddings", Tables.embeddings(s, d), Seq("vec_id"))))
+      .orderBy($"table_name")
+  }
+  private val q197Sql =
+    """SELECT * FROM (
+      |  SELECT 'customer' AS table_name, COUNT(*) AS n_rows,
+      |    COUNT(DISTINCT c_custkey) AS n_distinct_keys,
+      |    COUNT(*) - COUNT(DISTINCT c_custkey) AS dup_rows FROM customer
+      |  UNION ALL SELECT 'orders', COUNT(*), COUNT(DISTINCT o_orderkey),
+      |    COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders
+      |  UNION ALL SELECT 'lineitem', COUNT(*),
+      |    COUNT(DISTINCT (l_orderkey, l_linenumber)),
+      |    COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem
+      |  UNION ALL SELECT 'part', COUNT(*), COUNT(DISTINCT p_partkey),
+      |    COUNT(*) - COUNT(DISTINCT p_partkey) FROM part
+      |  UNION ALL SELECT 'supplier', COUNT(*), COUNT(DISTINCT s_suppkey),
+      |    COUNT(*) - COUNT(DISTINCT s_suppkey) FROM supplier
+      |  UNION ALL SELECT 'nation', COUNT(*), COUNT(DISTINCT n_nationkey),
+      |    COUNT(*) - COUNT(DISTINCT n_nationkey) FROM nation
+      |  UNION ALL SELECT 'region', COUNT(*), COUNT(DISTINCT r_regionkey),
+      |    COUNT(*) - COUNT(DISTINCT r_regionkey) FROM region
+      |  UNION ALL SELECT 'events', COUNT(*), COUNT(DISTINCT event_id),
+      |    COUNT(*) - COUNT(DISTINCT event_id) FROM events
+      |  UNION ALL SELECT 'documents', COUNT(*), COUNT(DISTINCT doc_id),
+      |    COUNT(*) - COUNT(DISTINCT doc_id) FROM documents
+      |  UNION ALL SELECT 'embeddings', COUNT(*), COUNT(DISTINCT vec_id),
+      |    COUNT(*) - COUNT(DISTINCT vec_id) FROM embeddings)
+      |ORDER BY table_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q197_pk_audit" -> q197,
+    "q196_tukey_outliers" -> q196,
     "q195_percentile_rank_grouped" -> q195,
     "q185_pareto_take" -> q185,
     "q172_weighted_median" -> q172,
@@ -2242,6 +2352,8 @@ object Extended {
   )
 
   val oracles: Map[String, String] = Map(
+    "q197_pk_audit" -> q197Sql,
+    "q196_tukey_outliers" -> q196Sql,
     "q195_percentile_rank_grouped" -> q195Sql,
     "q185_pareto_take" -> q185Sql,
     "q172_weighted_median" -> q172Sql,
