@@ -858,7 +858,64 @@ object Curation {
        |GROUP BY 1, 2
        |ORDER BY split, lang""".stripMargin
 
+  // q200 — pipeline report card: the one-row certificate a curation run
+  // prints at the end — corpus size, near-dup share (q47's clusters),
+  // benchmark contamination (q65's probe), and the train/val/test split —
+  // every number produced by the engine's own memoized stages, joined as
+  // 1-row broadcast frames.
+  private def q200(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val base = docs.agg(count(lit(1)).as("n_docs"),
+      sum($"n_chars").as("total_chars"))
+    val dups = Text.queries("q47_dedup_clusters")(s, d)
+      .agg(sum($"is_dup".cast(LongType)).as("n_dups"))
+    val ref = docs.filter($"doc_id" % 20 === 0)
+    val cont = graft.operators.Dedup
+      .exactAgainst(docs, "doc_id", "text", ref, "text")
+      .agg(sum($"in_ref".cast(LongType)).as("n_contaminated"))
+    val splits = splitAssign(docs, "doc_id")
+      .agg(sum(when($"split" === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when($"split" === "val", 1L).otherwise(0L)).as("n_val"),
+        sum(when($"split" === "test", 1L).otherwise(0L)).as("n_test"))
+    base.join(broadcast(dups)).join(broadcast(cont)).join(broadcast(splits))
+      .select($"n_docs", $"total_chars", $"n_dups",
+        expr("n_dups * 1000000 DIV n_docs").cast(LongType).as("dup_ppm"),
+        $"n_contaminated",
+        expr("n_contaminated * 1000000 DIV n_docs").cast(LongType)
+          .as("contaminated_ppm"),
+        $"n_train", $"n_val", $"n_test")
+  }
+  private val q200Sql =
+    s"""WITH RECURSIVE ${Text.closureCtes},
+       |dup AS (SELECT CAST(SUM(CASE WHEN coalesce(c.lbl, d.doc_id) <> d.doc_id
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dups
+       |  FROM documents d LEFT OUTER JOIN comp c ON d.doc_id = c.n),
+       |ref AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 20 = 0),
+       |cont AS (SELECT CAST(SUM(CASE WHEN r.h IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_contaminated
+       |  FROM documents d LEFT JOIN ref r ON md5(d.text) = r.h),
+       |sp AS (SELECT
+       |    SUM(CASE WHEN ${md5LongSql("'split:' || doc_id")} % 100 < 80
+       |      THEN 1 ELSE 0 END) AS n_train,
+       |    SUM(CASE WHEN ${md5LongSql("'split:' || doc_id")} % 100 >= 80
+       |      AND ${md5LongSql("'split:' || doc_id")} % 100 < 90
+       |      THEN 1 ELSE 0 END) AS n_val,
+       |    SUM(CASE WHEN ${md5LongSql("'split:' || doc_id")} % 100 >= 90
+       |      THEN 1 ELSE 0 END) AS n_test
+       |  FROM documents),
+       |base AS (SELECT COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT)
+       |    AS total_chars FROM documents)
+       |SELECT n_docs, total_chars, n_dups,
+       |  CAST(n_dups * 1000000 // n_docs AS BIGINT) AS dup_ppm,
+       |  n_contaminated,
+       |  CAST(n_contaminated * 1000000 // n_docs AS BIGINT) AS contaminated_ppm,
+       |  CAST(n_train AS BIGINT) AS n_train, CAST(n_val AS BIGINT) AS n_val,
+       |  CAST(n_test AS BIGINT) AS n_test
+       |FROM base CROSS JOIN dup CROSS JOIN cont CROSS JOIN sp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q200_report_card" -> q200,
     "q158_split_assign" -> q158,
     "q133_corpus_diff" -> q133,
     "q134_token_budget" -> q134,
@@ -877,6 +934,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q200_report_card" -> q200Sql,
     "q158_split_assign" -> q158Sql,
     "q133_corpus_diff" -> q133Sql,
     "q134_token_budget" -> q134Sql,

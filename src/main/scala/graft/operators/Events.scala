@@ -1580,7 +1580,65 @@ object Events {
       |FROM tc JOIN tw USING (user_id)
       |GROUP BY event_type ORDER BY touch_type""".stripMargin
 
+  // q198 — calendar-gap detector: days inside the data's span with NO
+  // events (pipeline-outage / ingest-hole check). The day calendar comes
+  // from a 1-row min/max broadcast exploded map-side (bounded by the span
+  // in days, not the data); observed days anti-join it away.
+  private def q198(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // hour granularity keeps the check non-vacuous at small SF; the
+    // summary row still reports even when coverage is complete
+    val hours = Tables.events(s, d)
+      .select(expr("ts DIV 3600000000000").as("hr")).distinct()
+    val span = hours.agg(min($"hr").as("lo"), max($"hr").as("hi"))
+    val calendar = span.select(explode(expr("sequence(lo, hi)")).as("hr"))
+    val gaps = calendar.join(hours, Seq("hr"), "left_anti")
+    gaps.agg(count(lit(1)).as("gap_hours"),
+        coalesce(min($"hr"), lit(null).cast(LongType)).as("first_gap_hr"))
+      .join(broadcast(span))
+      .select((($"hi" - $"lo") + 1).cast(LongType).as("span_hours"),
+        $"gap_hours", $"first_gap_hr")
+  }
+  private val q198Sql =
+    """WITH hrs AS (SELECT DISTINCT epoch_ns(ts) // 3600000000000 AS hr
+      |  FROM events),
+      |span AS (SELECT MIN(hr) AS lo, MAX(hr) AS hi FROM hrs),
+      |cal AS (SELECT unnest(range(lo, hi + 1)) AS hr FROM span),
+      |gaps AS (SELECT cal.hr FROM cal
+      |  WHERE NOT EXISTS (SELECT 1 FROM hrs WHERE hrs.hr = cal.hr))
+      |SELECT CAST(hi - lo + 1 AS BIGINT) AS span_hours,
+      |  (SELECT COUNT(*) FROM gaps) AS gap_hours,
+      |  (SELECT CAST(MIN(hr) AS BIGINT) FROM gaps) AS first_gap_hr
+      |FROM span""".stripMargin
+
+  // q199 — peak hour per day: the hour-of-day with the most events for
+  // every day (argmax via min_by on (-n, hod) — combiner-friendly, ties
+  // to the earliest hour; never a day-keyed rank window).
+  private def q199(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .withColumn("day", expr("ts DIV 86400000000000").cast(LongType))
+      .withColumn("hod", expr("(ts DIV 3600000000000) % 24").cast(LongType))
+      .groupBy($"day", $"hod").agg(count(lit(1)).as("n"))
+      .groupBy($"day")
+      .agg(min_by(struct($"hod", $"n"), struct((-$"n").as("nn"), $"hod".as("h")))
+        .as("__p"))
+      .select($"day", $"__p.hod".as("peak_hour"), $"__p.n".as("peak_events"))
+      .orderBy($"day")
+  }
+  private val q199Sql =
+    """WITH c AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+      |    (epoch_ns(ts) // 3600000000000) % 24 AS hod, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT day, hod, n, ROW_NUMBER() OVER (PARTITION BY day
+      |    ORDER BY n DESC, hod ASC) AS rn FROM c)
+      |SELECT CAST(day AS BIGINT) AS day, CAST(hod AS BIGINT) AS peak_hour,
+      |  n AS peak_events
+      |FROM r WHERE rn = 1 ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q198_calendar_gaps" -> q198,
+    "q199_peak_hours" -> q199,
     "q183_seasonal_anomaly" -> q183,
     "q184_attribution_decay" -> q184,
     "q179_diff_in_diff" -> q179,
@@ -1617,6 +1675,8 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q198_calendar_gaps" -> q198Sql,
+    "q199_peak_hours" -> q199Sql,
     "q183_seasonal_anomaly" -> q183Sql,
     "q184_attribution_decay" -> q184Sql,
     "q179_diff_in_diff" -> q179Sql,

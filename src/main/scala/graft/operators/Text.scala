@@ -480,7 +480,7 @@ object Text {
   }
   /** Shared CTE chain: shingles → Jaccard≥0.8 pairs → symmetric edges →
     * transitive closure → per-node component label. Used by q47 and q49. */
-  private val closureCtes =
+  private[operators] val closureCtes =
     s"""$cappedShingleRowsSql,
        |sizes AS (SELECT doc_id, count(*) n FROM shc GROUP BY doc_id),
        |pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) shared
