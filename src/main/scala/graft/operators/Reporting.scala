@@ -727,7 +727,310 @@ object Reporting {
       |  WHERE EXISTS (SELECT 1 FROM o WHERE o.o_orderkey = l_orderkey)
       |ORDER BY table_name""".stripMargin
 
+  // q201 — forecast revenue change (TPC-H Q6): the canonical scan-filter-
+  // aggregate. Every predicate reaches the parquet scan as a pushed filter
+  // (PushedFilters on l_shipdate/l_discount/l_quantity), the projection
+  // prunes to three columns, and the 1-row aggregate is a map-side combine
+  // — at 100 TB this query is I/O-bound on exactly the bytes it needs.
+  private def q201(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .filter($"l_shipdate" >= lit("1997-01-01").cast(TimestampType) &&
+        $"l_shipdate" < lit("1998-01-01").cast(TimestampType) &&
+        $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24.0)
+      .agg(dsum($"l_extendedprice" * $"l_discount").as("revenue"))
+  }
+  private val q201Sql =
+    s"""SELECT ${dsumSql("l_extendedprice * l_discount")} AS revenue
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+       |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  // q202 — min-cost supplier per part (TPC-H Q2 shape, adapted: the
+  // testdata has no partsupp, so supply cost = the minimum unit price
+  // (l_extendedprice / l_quantity) the supplier ever charged for the part).
+  // The per-(part,supplier) rollup is one combiner aggregate; the per-part
+  // min joins back on exact-equal doubles (both sides minimize over the
+  // same IEEE values, so equality is deterministic); nation/region
+  // broadcast. No correlated subquery ever materializes per row.
+  private def q202(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val unit = Tables.lineitem(s, d)
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(min($"l_extendedprice" / $"l_quantity").as("supplycost"))
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d).filter($"r_name" === "EUROPE")
+    val eligible = unit
+      .join(Tables.supplier(s, d), $"l_suppkey" === $"s_suppkey") // scaling dim: AQE decides
+      .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+    val best = eligible.groupBy($"l_partkey".as("pk"))
+      .agg(min($"supplycost").as("best_cost"))
+    val p = Tables.part(s, d).filter($"p_size" <= 15 && $"p_type" === "LARGE")
+    eligible
+      .join(best, $"l_partkey" === $"pk" && $"supplycost" === $"best_cost")
+      .join(p, $"l_partkey" === p("p_partkey")) // scaling dim: AQE decides
+      .select($"s_acctbal", $"s_name", $"n_name", $"p_partkey", $"supplycost")
+      .orderBy($"s_acctbal".desc, $"n_name", $"s_name", $"p_partkey")
+      .limit(100)
+  }
+  private val q202Sql =
+    """WITH unit AS (
+      |  SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS supplycost
+      |  FROM lineitem GROUP BY 1, 2),
+      |eligible AS (
+      |  SELECT l_partkey, l_suppkey, supplycost, s_acctbal, s_name, n_name
+      |  FROM unit
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'EUROPE')
+      |SELECT s_acctbal, s_name, n_name, p_partkey, supplycost
+      |FROM eligible
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE p_size <= 15 AND p_type = 'LARGE'
+      |  AND supplycost = (SELECT MIN(e2.supplycost) FROM eligible e2
+      |                    WHERE e2.l_partkey = eligible.l_partkey)
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin
+
+  // q203 — product-type profit (TPC-H Q9 shape, adapted: no partsupp, so
+  // supply cost = half the part's retail price). Profit per supplier
+  // nation per order year; the amount stays one double expression with
+  // identical shape on both engines, summed DECIMAL-exact by dsum.
+  private def q203(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val p = Tables.part(s, d).filter($"p_name".like("red%"))
+    val li = Tables.lineitem(s, d)
+    val amount = $"l_extendedprice" * (lit(1.0) - $"l_discount") -
+      $"p_retailprice" * lit(0.5) * $"l_quantity"
+    li.join(p, li("l_partkey") === p("p_partkey")) // scaling dim: AQE decides
+      .join(Tables.supplier(s, d), li("l_suppkey") === $"s_suppkey") // scaling dim: AQE decides
+      .join(Tables.orders(s, d), li("l_orderkey") === $"o_orderkey")
+      .join(broadcast(Tables.nation(s, d)), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name".as("nation"), year($"o_orderdate").as("o_year"))
+      .agg(dsum(amount).as("sum_profit"))
+      .orderBy($"nation", $"o_year".desc)
+  }
+  private val q203Sql =
+    s"""SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+       | ${dsumSql("l_extendedprice * (1.0 - l_discount) - p_retailprice * 0.5 * l_quantity")} AS sum_profit
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |WHERE p_name LIKE 'red%'
+       |GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+       |ORDER BY nation, o_year DESC""".stripMargin
+
+  // q204 — important stock value share (TPC-H Q11 shape, adapted: a part's
+  // "stock value" = total extended price × quantity shipped by NATION_1
+  // suppliers). The global total is a 1-row broadcast back over the
+  // per-part rollup; the 0.01%-share threshold compares DECIMAL-exact sums
+  // (value·10⁴ > total — no division, no rounding to flip a boundary row).
+  private def q204(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val D = DecimalType(30, 6)
+    val n = Tables.nation(s, d).filter($"n_name" === "NATION_1")
+    val perPart = Tables.lineitem(s, d)
+      .join(Tables.supplier(s, d), $"l_suppkey" === $"s_suppkey") // scaling dim: AQE decides
+      .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"l_partkey")
+      .agg(sum(($"l_extendedprice" * $"l_quantity").cast(D)).as("value_d"))
+    val total = perPart.agg(sum($"value_d").as("total_d"))
+    perPart.join(broadcast(total))
+      .filter($"value_d" * 10000 > $"total_d")
+      .select($"l_partkey", $"value_d".cast(DoubleType).as("value"))
+      .orderBy($"value".desc, $"l_partkey")
+  }
+  private val q204Sql =
+    """WITH pp AS (
+      |  SELECT l_partkey,
+      |    SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,6))) AS value_d
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE n_name = 'NATION_1'
+      |  GROUP BY l_partkey)
+      |SELECT l_partkey, CAST(value_d AS DOUBLE) AS value
+      |FROM pp
+      |WHERE value_d * 10000 > (SELECT SUM(value_d) FROM pp)
+      |ORDER BY value DESC, l_partkey""".stripMargin
+
+  // q205 — customer order-count distribution (TPC-H Q13): LEFT OUTER join
+  // so zero-order customers land in the c_count=0 bucket, then two cascaded
+  // integer aggregates — no doubles anywhere, exact on any engine.
+  private def q205(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d).filter($"o_orderpriority" =!= "4-NOT SPECIFIED")
+    Tables.customer(s, d)
+      .join(o, $"c_custkey" === $"o_custkey", "left_outer")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+  private val q205Sql =
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |      FROM customer LEFT OUTER JOIN orders
+      |        ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+      |      GROUP BY c_custkey) t
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // q206 — supplier relationship counts (TPC-H Q16 shape, adapted: observed
+  // part→supplier pairs come from lineitem; "complaint" suppliers =
+  // negative account balance, excluded via broadcast anti-join — the NOT IN
+  // never rewrites to a null-prone anti-condition because s_suppkey is a
+  // key). COUNT(DISTINCT) shuffles once on the group keys.
+  private def q206(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val p = Tables.part(s, d)
+      .filter($"p_brand" =!= "Brand#23" && $"p_type" =!= "PROMO" &&
+        $"p_size".isin(1, 4, 9, 14, 19, 23, 36, 45))
+    val bad = Tables.supplier(s, d).filter($"s_acctbal" < 0.0).select($"s_suppkey")
+    Tables.lineitem(s, d)
+      .join(p, $"l_partkey" === p("p_partkey")) // scaling dim: AQE decides
+      .join(broadcast(bad), $"l_suppkey" === $"s_suppkey", "left_anti")
+      .groupBy($"p_brand", $"p_type", $"p_size")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+  }
+  private val q206Sql =
+    """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#23' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  // q207 — disjunctive promo revenue (TPC-H Q19): one OR-of-ANDs predicate
+  // over the part join — Catalyst pushes the l_quantity bounds and the
+  // p_brand/p_size disjunction down to the respective scans and evaluates
+  // the cross-table residual post-join.
+  private def q207(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val p = Tables.part(s, d)
+    li.join(p, li("l_partkey") === p("p_partkey")) // scaling dim: AQE decides
+      .filter(
+        ($"p_brand" === "Brand#12" && $"p_size".between(1, 5) &&
+          $"l_quantity".between(1.0, 11.0)) ||
+        ($"p_brand" === "Brand#23" && $"p_size".between(1, 10) &&
+          $"l_quantity".between(10.0, 20.0)) ||
+        ($"p_brand" === "Brand#15" && $"p_size".between(1, 15) &&
+          $"l_quantity".between(20.0, 30.0)))
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+  }
+  private val q207Sql =
+    s"""SELECT ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       |        AND l_quantity BETWEEN 1 AND 11)
+       |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       |        AND l_quantity BETWEEN 10 AND 20)
+       |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+       |        AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  // q208 — concentrated shippers (TPC-H Q20 shape, adapted: no partsupp
+  // availability, so a supplier qualifies when over half its lifetime
+  // volume of some red part shipped in 1997). The nested aggregate is one
+  // combiner pass; qualification is a DECIMAL-exact comparison (q97·2 >
+  // qall, no division); the supplier list filters via left-semi join.
+  private def q208(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val D = DecimalType(30, 6)
+    val red = Tables.part(s, d).filter($"p_name".like("red%"))
+    val vol = Tables.lineitem(s, d)
+      .join(red, $"l_partkey" === $"p_partkey") // scaling dim: AQE decides
+      .groupBy($"l_suppkey", $"l_partkey")
+      .agg(sum(when(year($"l_shipdate") === 1997, $"l_quantity")
+          .otherwise(0.0).cast(D)).as("q97"),
+        sum($"l_quantity".cast(D)).as("qall"))
+    val qualified = vol.filter($"q97" * 2 > $"qall").select($"l_suppkey").distinct()
+    val me = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d).filter($"r_name" === "MIDDLE EAST")),
+        $"n_regionkey" === $"r_regionkey")
+    Tables.supplier(s, d)
+      .join(broadcast(me), $"s_nationkey" === $"n_nationkey")
+      .join(qualified, $"s_suppkey" === $"l_suppkey", "left_semi")
+      .select($"s_suppkey", $"s_name")
+      .orderBy($"s_suppkey")
+  }
+  private val q208Sql =
+    """WITH vol AS (
+      |  SELECT l_suppkey, l_partkey,
+      |    SUM(CAST(CASE WHEN EXTRACT(year FROM l_shipdate) = 1997
+      |          THEN l_quantity ELSE 0.0 END AS DECIMAL(30,6))) AS q97,
+      |    SUM(CAST(l_quantity AS DECIMAL(30,6))) AS qall
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_name LIKE 'red%' GROUP BY 1, 2)
+      |SELECT s_suppkey, s_name
+      |FROM supplier
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'MIDDLE EAST'
+      |  AND s_suppkey IN (SELECT l_suppkey FROM vol WHERE q97 * 2 > qall)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // q209 — suppliers who kept orders waiting (TPC-H Q21 shape, adapted: a
+  // line is "late" when it ships >90 days after the order date). The
+  // classic double-EXISTS collapses into one grouped pass per order —
+  // distinct-supplier count, distinct-late-supplier count, and the lone
+  // late supplier via MIN — then a count per supplier. No correlated
+  // subquery, no self-join storm: two shuffles total on keys that scale.
+  private def q209(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d).filter($"o_orderstatus" === "F")
+    val lines = Tables.lineitem(s, d)
+      .join(o, $"l_orderkey" === $"o_orderkey")
+      .withColumn("is_late",
+        (datediff($"l_shipdate", $"o_orderdate") > 90).cast("int"))
+    val perOrder = lines.groupBy($"l_orderkey")
+      .agg(countDistinct($"l_suppkey").as("n_supp"),
+        countDistinct(when($"is_late" === 1, $"l_suppkey")).as("n_late_supp"),
+        min(when($"is_late" === 1, $"l_suppkey")).as("late_supp"))
+    perOrder.filter($"n_supp" >= 2 && $"n_late_supp" === 1)
+      .groupBy($"late_supp")
+      .agg(count(lit(1)).as("numwait"))
+      .join(Tables.supplier(s, d), $"late_supp" === $"s_suppkey") // scaling dim: AQE decides
+      .select($"s_name", $"numwait")
+      .orderBy($"numwait".desc, $"s_name")
+      .limit(20)
+  }
+  private val q209Sql =
+    """WITH lines AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |    CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90
+      |      THEN 1 ELSE 0 END AS is_late
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'F'),
+      |po AS (
+      |  SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_supp,
+      |    COUNT(DISTINCT CASE WHEN is_late = 1 THEN l_suppkey END) AS n_late_supp,
+      |    MIN(CASE WHEN is_late = 1 THEN l_suppkey END) AS late_supp
+      |  FROM lines GROUP BY 1)
+      |SELECT s_name, COUNT(*) AS numwait
+      |FROM po JOIN supplier ON late_supp = s_suppkey
+      |WHERE n_supp >= 2 AND n_late_supp = 1
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_tpch6_forecast_revenue" -> q201,
+    "q202_tpch2_min_cost_supplier" -> q202,
+    "q203_tpch9_product_profit" -> q203,
+    "q204_tpch11_important_stock" -> q204,
+    "q205_tpch13_order_distribution" -> q205,
+    "q206_tpch16_supplier_counts" -> q206,
+    "q207_tpch19_disjunct_revenue" -> q207,
+    "q208_tpch20_concentrated_shippers" -> q208,
+    "q209_tpch21_waiting_suppliers" -> q209,
     "q194_purge_audit" -> q194,
     "q188_sla_percentiles" -> q188,
     "q189_interpurchase_gaps" -> q189,
@@ -752,6 +1055,15 @@ object Reporting {
   )
 
   val oracles: Map[String, String] = Map(
+    "q201_tpch6_forecast_revenue" -> q201Sql,
+    "q202_tpch2_min_cost_supplier" -> q202Sql,
+    "q203_tpch9_product_profit" -> q203Sql,
+    "q204_tpch11_important_stock" -> q204Sql,
+    "q205_tpch13_order_distribution" -> q205Sql,
+    "q206_tpch16_supplier_counts" -> q206Sql,
+    "q207_tpch19_disjunct_revenue" -> q207Sql,
+    "q208_tpch20_concentrated_shippers" -> q208Sql,
+    "q209_tpch21_waiting_suppliers" -> q209Sql,
     "q194_purge_audit" -> q194Sql,
     "q188_sla_percentiles" -> q188Sql,
     "q189_interpurchase_gaps" -> q189Sql,

@@ -341,6 +341,45 @@ class PlanSpec extends AnyFunSuite {
       s"within-bin window must partition by __bin:\n$p")
   }
 
+  test("q201: Q6 predicates all reach the scan; projection prunes to 4 columns") {
+    val e = explained("q201_tpch6_forecast_revenue")
+    assert(e.contains("PushedFilters"), "expected PushedFilters section")
+    assert(e.contains("GreaterThanOrEqual(l_discount,0.05"),
+      "discount lower bound must reach the scan")
+    assert(e.contains("LessThan(l_quantity,24"),
+      "quantity bound must reach the scan")
+    val readSchema = e.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"), s"unneeded column read: $readSchema")
+    val p = planOf("q201_tpch6_forecast_revenue")
+    assert(p.contains("partial_sum"), "expected map-side partial aggregation")
+  }
+
+  test("q202/q209: Q2 min-cost join-back and Q21 lone-late pass are all equi-joins, no windows") {
+    Seq("q202_tpch2_min_cost_supplier", "q209_tpch21_waiting_suppliers").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian product in plan")
+      assert(!p.contains("Window"), s"$q: expected aggregate formulation, not a window")
+    }
+    // Q21's final top-20 must not globally sort the full supplier set
+    assert(planOf("q209_tpch21_waiting_suppliers").contains("TakeOrderedAndProject"),
+      "q209 limit must plan as TakeOrderedAndProject")
+  }
+
+  test("q204: Q11 share threshold is a 1-row broadcast over the part rollup") {
+    val p = planOf("q204_tpch11_important_stock")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "global total must broadcast back")
+    assert(!p.contains("CartesianProduct"), "no cartesian: total side is broadcast")
+  }
+
+  test("q207: Q19 pushes the brand/size disjunction into the part scan") {
+    val e = explained("q207_tpch19_disjunct_revenue")
+    assert(e.contains("And(EqualTo(p_brand,Brand#12)"),
+      "OR-of-brand/size conjunctions must reach the part scan as a pushed filter")
+    assert(e.contains("And(GreaterThanOrEqual(l_quantity,1.0)"),
+      "the quantity disjunction must reach the lineitem scan too")
+  }
+
   test("q163/q169: chi-square cells collapse map-side; joins are broadcasts") {
     for (q <- Seq("q163_chi_square", "q169_ab_test")) {
       val p = planOf(q)
