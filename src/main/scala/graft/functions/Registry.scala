@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 
-import graft.plans.ScaledDotProduct
+import graft.plans.{JaroWinkler, ScaledDotProduct}
 
 /** SQL function registry — the UDF/extension surface the reference lacks
   * entirely (SURVEY.md §2.A.3: "no UDF/UDAF/UDTF registration surface").
@@ -13,5 +13,7 @@ object Registry {
   def install(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "scaled_dot", exprs => ScaledDotProduct(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaro_winkler", exprs => JaroWinkler(exprs.head, exprs(1)), "built-in")
   }
 }

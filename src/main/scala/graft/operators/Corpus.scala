@@ -381,6 +381,27 @@ object Corpus {
       |WHERE levenshtein(a.text, c.text) <= 30
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // q210 — fuzzy customer-directory self-match (record linkage): pairs of
+  // customer names at Jaro-Winkler ≥ 0.96, blocked sorted-neighborhood
+  // style on the all-but-last-2-chars prefix. The scorer is the native
+  // codegen'd JaroWinkler expression — DuckDB-variant bit-exact, so the
+  // sim doubles hash-match the oracle with no rounding shim.
+  private def q210(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.jaroWinklerPairs(Tables.customer(s, d), "c_custkey", "c_name",
+        expr("substring(c_name, 1, length(c_name)-2)"), minSim = 0.96)
+      .orderBy($"id_a", $"id_b")
+  }
+  private val q210Sql =
+    """WITH b AS (SELECT c_custkey, c_name,
+      |             substring(c_name, 1, length(c_name)-2) AS blk
+      |           FROM customer)
+      |SELECT a.c_custkey AS id_a, c.c_custkey AS id_b,
+      |  jaro_winkler_similarity(a.c_name, c.c_name) AS sim
+      |FROM b a JOIN b c ON a.blk = c.blk AND a.c_custkey < c.c_custkey
+      |WHERE jaro_winkler_similarity(a.c_name, c.c_name) >= 0.96
+      |ORDER BY id_a, id_b""".stripMargin
+
   // q94 — per-language heavy hitters: terms at ≥ 2% of EACH language's
   // own token stream, through the grouped sketch-then-recount path
   // (k = 60 ⇒ 20000·61 ppm > 1e6, so the per-group bar holds).
@@ -527,6 +548,7 @@ object Corpus {
     "q130_bpe_encode" -> q130,
     "q95_decontaminate_bloom" -> q95,
     "q96_dedup_edit_distance" -> q96,
+    "q210_fuzzy_name_match" -> q210,
     "q103_bigram_stats" -> q103,
     "q104_tfidf_cosine_pairs" -> q104,
     "q94_heavy_hitters_grouped" -> q94,
@@ -545,6 +567,7 @@ object Corpus {
     "q126_lm_quality" -> q126Sql,
     "q95_decontaminate_bloom" -> q65Sql, // identical semantics by design
     "q96_dedup_edit_distance" -> q96Sql,
+    "q210_fuzzy_name_match" -> q210Sql,
     "q103_bigram_stats" -> q103Sql,
     "q104_tfidf_cosine_pairs" -> q104Sql,
     "q94_heavy_hitters_grouped" -> q94Sql,

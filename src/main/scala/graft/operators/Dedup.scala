@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -246,6 +246,46 @@ object Dedup {
         levenshtein($"__ta", $"__tb", maxDist).as("dist"))
       // the banded kernel reports "above threshold" as -1: keep [0, maxDist]
       .filter($"dist" >= 0 && $"dist" <= maxDist)
+  }
+
+  /** Blocked Jaro-Winkler fuzzy-match pairs (record linkage / entity
+    * resolution on short identifying fields — names, codes — where
+    * token shingles are too coarse and edit distance over-penalizes
+    * transpositions). Candidates share the caller's deterministic
+    * `blockKey` (Hernández-Stolfo blocking: an equi-join, never
+    * all-pairs); within a block every a<b pair is scored by the native
+    * codegen'd [[graft.plans.JaroWinkler]] kernel — DuckDB-variant
+    * bit-exact — and kept at `sim >= minSim`. Output: (id_a, id_b, sim).
+    *
+    * Scale: fan-out is Σ blockSize² — pick a blockKey whose blocks stay
+    * small (zip code, name initial + length band, phonetic key), and
+    * `maxBlockSize` ENFORCES the hot-block cap (same aggregate-count +
+    * join-back skeleton as [[editDistancePairs]]; pairs inside a dropped
+    * mega-block are sacrificed recall — rerun with a second independent
+    * blocking pass to recover, as LSH runs multiple bands). */
+  def jaroWinklerPairs(df: DataFrame, idCol: String, nameCol: String,
+      blockKey: Column, minSim: Double,
+      maxBlockSize: Option[Long] = None): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    require(minSim >= 0.0 && minSim <= 1.0, "minSim must be in [0, 1]")
+    require(maxBlockSize.forall(_ >= 2), "maxBlockSize must be >= 2")
+    val b0 = df.select(col(idCol).cast(LongType).as("__id"),
+      col(nameCol).as("__name"), blockKey.as("__blk"))
+    val b = maxBlockSize match {
+      case None => b0
+      case Some(cap) =>
+        val kept = b0.groupBy($"__blk").agg(count(lit(1)).as("__bn"))
+          .filter($"__bn" <= cap).select($"__blk")
+        b0.join(kept, Seq("__blk"))
+    }
+    val a = b.select($"__id".as("id_a"), $"__name".as("__na"), $"__blk")
+    val c = b.select($"__id".as("id_b"), $"__name".as("__nb"), $"__blk")
+    a.join(c, Seq("__blk"))
+      .filter($"id_a" < $"id_b")
+      .withColumn("sim", graft.plans.JaroWinkler($"__na", $"__nb"))
+      .filter($"sim" >= minSim)
+      .select($"id_a", $"id_b", $"sim")
   }
 
   /** Keep-best selection: within each cluster keep the row with the highest

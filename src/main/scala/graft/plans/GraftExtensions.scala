@@ -19,6 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("scaled_dot"),
       new ExpressionInfo(classOf[ScaledDotProduct].getName, "scaled_dot"),
       (exprs: Seq[Expression]) => ScaledDotProduct(exprs.head, exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (exprs: Seq[Expression]) => JaroWinkler(exprs.head, exprs(1))))
     // metadata-only count/min/max over manifest-backed scans
     ext.injectOptimizerRule(ManifestAggregates)
     // rollup-mode serving: aggregates over registered raw tables rewritten
