@@ -17,6 +17,15 @@ import graft.functions.Ops._
   * `events.ts` is TIMESTAMP(NANOS) parquet; our sessions read it as an
   * epoch-nano long (spark.sql.legacy.parquet.nanosAsLong), so all time math
   * below is exact integer arithmetic (DuckDB side: epoch_ns // divisor).
+  *
+  * Pre-epoch caveat: Spark's `DIV` truncates toward zero while DuckDB's
+  * `//` floors, so the two keys diverge on NEGATIVE (pre-1970) nanos —
+  * ts = −1 buckets to second 0 here but second −1 there. Every operator in
+  * this file therefore assumes ts ≥ 0 (true of any event stream this
+  * engine ingests; the reference's DATETIME parse has the same floor). If
+  * a corpus with pre-epoch timestamps ever appears, swap the DIV sites for
+  * floor-division on longs (`ts - pmod(ts, d)) / d` — NOT `floor(ts/d)`,
+  * which routes through doubles and loses ns precision at 1e18).
   */
 object Events {
 
@@ -692,6 +701,57 @@ object Events {
         "user_id", "ts_us", "event_type", tieCols = Seq("event_id"))
       .orderBy($"user_id", $"version")
   }
+
+  // q211 — point-in-time SCD2 enrichment: each purchase event looks up the
+  // state version (q99's change history) valid at its instant — the
+  // slowly-changing-dimension lookup every warehouse serves, composed from
+  // two library operators: changeHistory builds the versions,
+  // AsOf.joinBackward performs the lookup (one shuffle on the entity key).
+  // Versions tying on valid_from (two change events in the same µs)
+  // collapse to the max-version row first: zero-duration versions are
+  // invisible at any lookup instant, and the collapse makes valid_from
+  // unique per user, so the as-of result is deterministic without relying
+  // on AsOf's hash tiebreak (which DuckDB could not replicate).
+  private def q211(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d).withColumn("ts_us", expr("ts DIV 1000"))
+    val dim = changeHistory(ev, "user_id", "ts_us", "event_type",
+        tieCols = Seq("event_id"))
+      .groupBy($"user_id", $"valid_from")
+      .agg(max_by(struct($"event_type", $"version"), $"version").as("__v"))
+      .select($"user_id".as("uid"), $"valid_from",
+        $"__v.event_type".as("state_at"), $"__v.version".as("state_version"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id".as("uid"), $"ts_us")
+    AsOf.joinBackward(purchases, dim, keys = Seq("uid"),
+        leftTime = "ts_us", rightTime = "valid_from",
+        valueCols = Seq("state_at", "state_version"))
+      .select($"event_id", $"uid".as("user_id"), $"ts_us",
+        $"state_at", $"state_version")
+      .orderBy($"event_id")
+  }
+  private val q211Sql =
+    """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id, event_type
+      |           FROM events),
+      |m AS (SELECT user_id, ts_us, event_id, event_type,
+      |        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev,
+      |        row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS rn
+      |      FROM e),
+      |runs AS (SELECT user_id, ts_us, event_id, event_type FROM m
+      |         WHERE rn = 1 OR prev <> event_type),
+      |ch AS (SELECT user_id, event_type, ts_us AS valid_from,
+      |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+      |           AS INTEGER) AS version
+      |       FROM runs),
+      |dim AS (SELECT user_id, valid_from, max_by(event_type, version) AS state_at,
+      |          MAX(version) AS state_version
+      |        FROM ch GROUP BY 1, 2),
+      |p AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, p.ts_us, d.state_at, d.state_version
+      |FROM p ASOF LEFT JOIN dim d
+      |  ON p.user_id = d.user_id AND p.ts_us >= d.valid_from
+      |ORDER BY p.event_id""".stripMargin
   private val q99Sql =
     """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id, event_type
       |           FROM events),
@@ -1659,6 +1719,7 @@ object Events {
     "q123_session_paths" -> q123,
     "q124_attribution" -> q124,
     "q99_change_history" -> q99,
+    "q211_scd2_point_in_time" -> q211,
     "q107_funnel_windowed" -> q107,
     "q109_session_metrics" -> q109,
     "q110_event_transitions" -> q110,
@@ -1697,6 +1758,7 @@ object Events {
     "q123_session_paths" -> q123Sql,
     "q124_attribution" -> q124Sql,
     "q99_change_history" -> q99Sql,
+    "q211_scd2_point_in_time" -> q211Sql,
     "q107_funnel_windowed" -> q107Sql,
     "q109_session_metrics" -> q109Sql,
     "q110_event_transitions" -> q110Sql,

@@ -2257,6 +2257,52 @@ object Extended {
     }.reduce(_ unionByName _)
   }
 
+  // q213 — Benford first-digit audit (fraud/fabrication screen on a money
+  // column): observed first-significant-digit shares vs Benford's law.
+  // Amounts become exact integer cents (the q167 decimal route), the digit
+  // comes from the integer's decimal rendering (identical across engines —
+  // no float formatting), shares are integer ppm, and the expected ppm
+  // values are hard literals on both sides so no libm log10 enters the
+  // comparison. Two combiner aggregates + two 1-row/9-row broadcasts.
+  private val benfordPpm = Seq(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+    4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L,
+    9 -> 45757L)
+  private def q213(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cents = Tables.orders(s, d)
+      .select(($"o_totalprice".cast(DecimalType(30, 6)) * 100)
+        .cast(LongType).as("c"))
+      .filter($"c" > 0)
+    val tot = cents.agg(count(lit(1)).as("total"))
+    val exp = benfordPpm.toDF("digit", "benford_ppm")
+    cents.select(substring($"c".cast(StringType), 1, 1)
+        .cast(IntegerType).as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n"))
+      .join(broadcast(tot))
+      .withColumn("share_ppm", expr("n * 1000000 DIV total"))
+      .join(broadcast(exp), Seq("digit"))
+      .withColumn("dev_ppm", $"share_ppm" - $"benford_ppm")
+      .select($"digit", $"n", $"share_ppm", $"benford_ppm", $"dev_ppm")
+      .orderBy($"digit")
+  }
+  private val q213Sql = {
+    val vals = benfordPpm.map { case (dg, p) => s"($dg, $p)" }.mkString(", ")
+    s"""WITH cents AS (
+       |  SELECT CAST(CAST(o_totalprice AS DECIMAL(30,6)) * 100 AS BIGINT) AS c
+       |  FROM orders),
+       |dg AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+       |         COUNT(*) AS n
+       |       FROM cents WHERE c > 0 GROUP BY 1),
+       |tot AS (SELECT SUM(n) AS total FROM dg),
+       |ex AS (SELECT * FROM (VALUES $vals) AS t(digit, benford_ppm))
+       |SELECT dg.digit, dg.n,
+       |  CAST(dg.n * 1000000 // (SELECT total FROM tot) AS BIGINT) AS share_ppm,
+       |  CAST(benford_ppm AS BIGINT) AS benford_ppm,
+       |  CAST(dg.n * 1000000 // (SELECT total FROM tot) - benford_ppm AS BIGINT) AS dev_ppm
+       |FROM dg JOIN ex USING (digit)
+       |ORDER BY dg.digit""".stripMargin
+  }
+
   // q197 — PK audit over the whole catalog (lineitem's key is composite).
   private def q197(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -2301,6 +2347,7 @@ object Extended {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q197_pk_audit" -> q197,
+    "q213_benford_audit" -> q213,
     "q196_tukey_outliers" -> q196,
     "q195_percentile_rank_grouped" -> q195,
     "q185_pareto_take" -> q185,
@@ -2353,6 +2400,7 @@ object Extended {
 
   val oracles: Map[String, String] = Map(
     "q197_pk_audit" -> q197Sql,
+    "q213_benford_audit" -> q213Sql,
     "q196_tukey_outliers" -> q196Sql,
     "q195_percentile_rank_grouped" -> q195Sql,
     "q185_pareto_take" -> q185Sql,

@@ -1021,7 +1021,42 @@ object Reporting {
       |ORDER BY numwait DESC, s_name
       |LIMIT 20""".stripMargin
 
+  // q212 — seasonal-naive forecast backtest: forecast(day) = revenue(day−7),
+  // scored per day in exact integer cents (abs error + APE ppm via integer
+  // DIV — truncation identical on both engines for the non-negative
+  // operands). The join is the daily rollup against its own 7-day shift —
+  // an equi-join on the day, #days rows on both sides, so the backtest
+  // costs two combiner aggregates regardless of order volume.
+  private def q212(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, d)
+      .groupBy($"o_orderdate".cast(DateType).as("day"))
+      .agg((sum($"o_totalprice".cast(DecimalType(30, 6))) * 100)
+        .cast(LongType).as("rev_cents"))
+    val fc = daily.select(date_add($"day", 7).as("day"),
+      $"rev_cents".as("forecast_cents"))
+    daily.join(fc, Seq("day"))
+      .withColumn("abs_err_cents", abs($"rev_cents" - $"forecast_cents"))
+      .withColumn("ape_ppm", expr("abs_err_cents * 1000000 DIV rev_cents"))
+      .select($"day".cast(StringType).as("day"),
+        $"rev_cents".as("actual_cents"), $"forecast_cents",
+        $"abs_err_cents", $"ape_ppm")
+      .orderBy($"day")
+  }
+  private val q212Sql =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) * 100 AS BIGINT) AS rev_cents
+      |  FROM orders GROUP BY 1)
+      |SELECT CAST(a.day AS VARCHAR) AS day, a.rev_cents AS actual_cents,
+      |  f.rev_cents AS forecast_cents,
+      |  abs(a.rev_cents - f.rev_cents) AS abs_err_cents,
+      |  CAST(abs(a.rev_cents - f.rev_cents) * 1000000 // a.rev_cents AS BIGINT) AS ape_ppm
+      |FROM daily a JOIN daily f ON a.day = f.day + 7
+      |ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q212_seasonal_backtest" -> q212,
     "q201_tpch6_forecast_revenue" -> q201,
     "q202_tpch2_min_cost_supplier" -> q202,
     "q203_tpch9_product_profit" -> q203,
@@ -1055,6 +1090,7 @@ object Reporting {
   )
 
   val oracles: Map[String, String] = Map(
+    "q212_seasonal_backtest" -> q212Sql,
     "q201_tpch6_forecast_revenue" -> q201Sql,
     "q202_tpch2_min_cost_supplier" -> q202Sql,
     "q203_tpch9_product_profit" -> q203Sql,
