@@ -582,6 +582,39 @@ object Similarity {
     topKPerKey(scored, Seq(queryIdCol), idCol, "cosine_pq", k)
   }
 
+  /** Two-stage PQ serving with exact refine: ADC shortlists `shortlist`
+    * candidates per query ([[pqTopK]]), then re-scores ONLY the shortlist
+    * against the full-precision vectors in `exact` (columns idCol +
+    * vecCol) and returns the exact-cosine top `k` — the standard
+    * shortlist-then-refine retrieval pattern. Quantization error then
+    * affects only WHICH candidates enter the refine, never their final
+    * order or scores; at shortlist = |base| the output EQUALS [[annTopK]]
+    * row-for-row (spec-locked in PipelineOpsSpec).
+    *
+    * Scale: the ADC pass stays map-only over the 32×-compressed codes;
+    * the refine touches queries×shortlist rows fetched by an equi-join on
+    * id (point lookups riding the id-bucketed vector layout — never a
+    * second scan of the full vector corpus); scoring reuses the codegen'd
+    * ScaledDotProduct kernel and the k-bounded [[topKPerKey]] aggregate. */
+  def pqTopKRefined(codes: DataFrame, idCol: String, exact: DataFrame,
+      vecCol: String, queries: DataFrame, queryIdCol: String,
+      queryVecCol: String, codebook: DataFrame, k: Int, shortlist: Int,
+      pairFilter: Column = lit(true)): DataFrame = {
+    require(shortlist >= k, "shortlist must be at least k")
+    val cand = pqTopK(codes, idCol, queries, queryIdCol, queryVecCol,
+        codebook, k = shortlist, pairFilter = pairFilter)
+      .select(col(queryIdCol), col(idCol))
+    val b = exact.select(col(idCol), col(vecCol).as("__bv"))
+      .withColumn("__bn", normScaled("__bv"))
+    val q = queries.select(col(queryIdCol), col(queryVecCol).as("__qv"))
+      .withColumn("__qn", normScaled("__qv"))
+    val scored = cand.join(b, idCol :: Nil)
+      .join(broadcast(q), queryIdCol :: Nil)
+      .select(col(queryIdCol), col(idCol),
+        cosine(dotScaled("__qv", "__bv"), col("__qn"), col("__bn")).as("cosine"))
+    topKPerKey(scored, Seq(queryIdCol), idCol, "cosine", k)
+  }
+
   // q83 — PQ ANN (m=4 subspaces × ksub=8 centroids → 4096 effective cells
   // from 32 stored sub-centroids): fit + encode are memoized per (session,
   // dir) like the IVF quantizer (train once, serve many); the query path is
@@ -596,6 +629,25 @@ object Similarity {
       val cb = pqFit(base, "vec_id", "embedding", m = 4, ksub = 8, iters = 2)
       (cb, pqEncode(base, "vec_id", "embedding", cb).persist())
     })
+  // q214 — PQ shortlist + exact refine: q83's ADC pass widened to a
+  // 50-candidate shortlist, re-scored exactly against the full-precision
+  // vectors, final k = 10. Approximate candidate set (quantization) → no
+  // SQL oracle; the shortlist=N ≡ annTopK equivalence and the
+  // recall-dominates-plain-PQ property are spec-asserted.
+  def q214(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (cb, codes) = fittedPq(s, d)
+    val e = Tables.embeddings(s, d)
+    pqTopKRefined(
+      codes.select($"vec_id".as("neighbor_id"), $"codes", $"rn"), "neighbor_id",
+      e.select($"vec_id".as("neighbor_id"), $"embedding"), "embedding",
+      e.filter($"vec_id" < 5).select($"vec_id".as("query_id"), $"embedding".as("qemb")),
+      "query_id", "qemb", cb, k = 10, shortlist = 50,
+      pairFilter = $"neighbor_id" =!= $"query_id")
+      .select($"query_id", $"neighbor_id", $"rank", $"cosine")
+      .orderBy($"query_id", $"rank")
+  }
+
   def q83(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val (cb, codes) = fittedPq(s, d)
@@ -1100,6 +1152,7 @@ object Similarity {
     "q67_semantic_dedup" -> q67,
     "q121_semantic_against" -> q121,
     "q83_ann_pq" -> (q83(_, _)),
+    "q214_ann_pq_refined" -> (q214(_, _)),
     "q85_ann_ivfpq" -> (q85(_, _)),
   )
 

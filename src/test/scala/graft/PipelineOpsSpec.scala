@@ -362,6 +362,45 @@ class PipelineOpsSpec extends AnyFunSuite {
         r.getSeq[Int](1).toList, r.getLong(2))).toSet)
   }
 
+  test("pqTopKRefined at shortlist = N equals brute-force annTopK; refine lifts recall") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val centers = (0 until 5).map(_ => Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    val rows = for (c <- 0 until 5; i <- 0 until 20) yield
+      ((c * 100 + i).toLong, centers(c).map(v => v + (rnd.nextFloat() - 0.5f) * 0.05f))
+    val emb = rows.toDF("vec_id", "embedding")
+    val cb = operators.Similarity.pqFit(emb, "vec_id", "embedding",
+      m = 4, ksub = 8, iters = 2)
+    val codes = operators.Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+      .withColumnRenamed("vec_id", "nid")
+    val exact = emb.select($"vec_id".as("nid"), $"embedding")
+    val queries = emb.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qemb"))
+    def rows3(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"),
+        r.getAs[Int]("rank"), r.getAs[Double]("cosine"))).toSet
+    val brute = rows3(operators.Similarity.annTopK(
+      exact.select($"nid", $"embedding"), "nid", "embedding",
+      queries, "qid", "qemb", k = 5, pairFilter = col("nid") =!= col("qid")))
+    val fullRefine = rows3(operators.Similarity.pqTopKRefined(
+      codes, "nid", exact, "embedding", queries, "qid", "qemb", cb,
+      k = 5, shortlist = 100, pairFilter = col("nid") =!= col("qid")))
+    assert(fullRefine == brute,
+      "shortlist covering the base must reproduce brute force exactly")
+    // practical shortlist: refined top-5 ⊆ exact scores, recall ≥ plain PQ
+    val ref20 = operators.Similarity.pqTopKRefined(
+      codes, "nid", exact, "embedding", queries, "qid", "qemb", cb,
+      k = 5, shortlist = 20, pairFilter = col("nid") =!= col("qid"))
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val bruteIds = brute.map(t => (t._1, t._2))
+    val pq5 = operators.Similarity.pqTopK(codes, "nid",
+      queries, "qid", "qemb", cb, k = 5,
+      pairFilter = col("nid") =!= col("qid"))
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    assert(ref20.intersect(bruteIds).size >= pq5.intersect(bruteIds).size,
+      "exact refine must not lower recall vs plain ADC ranking")
+  }
+
   test("ivfPqTopK with nprobe = nlist is EXACTLY pqTopK; fewer probes prune") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
