@@ -22,7 +22,8 @@ object SparkEntry {
       operators.Events.queries ++ operators.Text.queries ++
       operators.Similarity.queries ++ operators.Reporting.queries ++
       operators.Curation.queries ++ operators.Corpus.queries ++
-      operators.Ranges.queries ++ operators.Graphs.queries
+      operators.Ranges.queries ++ operators.Graphs.queries ++
+      operators.Inference.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
       operators.Events.oracles ++ operators.Text.oracles ++
       operators.Similarity.oracles ++ operators.Reporting.oracles ++
       operators.Curation.oracles ++ operators.Corpus.oracles ++
-      operators.Ranges.oracles ++ operators.Graphs.oracles
+      operators.Ranges.oracles ++ operators.Graphs.oracles ++
+      operators.Inference.oracles
 }
