@@ -2303,6 +2303,56 @@ object Extended {
        |ORDER BY dg.digit""".stripMargin
   }
 
+  // q217 — referential-integrity audit: orphan counts along every FK edge
+  // of the star schema (the q197 PK audit's complement). Each edge is a
+  // key-only left-anti join — the child side moves only its FK column, the
+  // parent side only its key, so the audit costs one column scan per edge
+  // at any scale; dims broadcast. One row per edge even when clean (the
+  // summary is never vacuous).
+  private def q217(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def edge(name: String, child: DataFrame, fk: String,
+        parent: DataFrame, pk: String): DataFrame = {
+      val c = child.select(col(fk))
+      val orphans = c.join(parent.select(col(pk)), col(fk) === col(pk), "left_anti")
+      c.agg(count(lit(1)).as("n_child"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(name).as("fk_edge"), $"n_child", $"n_orphans")
+    }
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    Seq(
+      edge("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+      edge("lineitem.l_partkey->part", li, "l_partkey", Tables.part(s, d), "p_partkey"),
+      edge("lineitem.l_suppkey->supplier", li, "l_suppkey", Tables.supplier(s, d), "s_suppkey"),
+      edge("orders.o_custkey->customer", o, "o_custkey", Tables.customer(s, d), "c_custkey"),
+      edge("customer.c_nationkey->nation", Tables.customer(s, d), "c_nationkey",
+        Tables.nation(s, d), "n_nationkey"),
+      edge("supplier.s_nationkey->nation", Tables.supplier(s, d), "s_nationkey",
+        Tables.nation(s, d), "n_nationkey"),
+      edge("nation.n_regionkey->region", Tables.nation(s, d), "n_regionkey",
+        Tables.region(s, d), "r_regionkey"))
+      .reduce(_ unionByName _)
+      .orderBy($"fk_edge")
+  }
+  private val q217Sql = {
+    def e(name: String, child: String, fk: String, parent: String, pk: String) =
+      s"""SELECT '$name' AS fk_edge, COUNT(*) AS n_child,
+         |  CAST(SUM(CASE WHEN NOT EXISTS
+         |    (SELECT 1 FROM $parent WHERE $pk = c.$fk) THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_orphans
+         |FROM $child c""".stripMargin
+    Seq(
+      e("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      e("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      e("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      e("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      e("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      e("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+      e("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY fk_edge")
+  }
+
   // q197 — PK audit over the whole catalog (lineitem's key is composite).
   private def q197(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -2348,6 +2398,7 @@ object Extended {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q197_pk_audit" -> q197,
     "q213_benford_audit" -> q213,
+    "q217_fk_orphan_audit" -> q217,
     "q196_tukey_outliers" -> q196,
     "q195_percentile_rank_grouped" -> q195,
     "q185_pareto_take" -> q185,
@@ -2401,6 +2452,7 @@ object Extended {
   val oracles: Map[String, String] = Map(
     "q197_pk_audit" -> q197Sql,
     "q213_benford_audit" -> q213Sql,
+    "q217_fk_orphan_audit" -> q217Sql,
     "q196_tukey_outliers" -> q196Sql,
     "q195_percentile_rank_grouped" -> q195Sql,
     "q185_pareto_take" -> q185Sql,

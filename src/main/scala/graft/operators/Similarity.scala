@@ -582,6 +582,51 @@ object Similarity {
     topKPerKey(scored, Seq(queryIdCol), idCol, "cosine_pq", k)
   }
 
+  /** Per-group embedding centroids in exact fixed-point: each component
+    * becomes floor(v·10⁹) (a long — identical in any engine), sums and
+    * counts are exact integer aggregates, and the mean is ONE final IEEE
+    * division of exact operands. Output rows (groupCols…, dim, n,
+    * sum_scaled, centroid) — the long layout downstream joins and oracles
+    * consume without array-ordering pitfalls; `zip` back with
+    * `array_sort(collect_list(struct(dim, centroid)))` when an array is
+    * needed.
+    *
+    * Scale: posexplode is map-only (×dims rows, pruned to group+vec
+    * columns); the aggregate shuffles (groups×dims) keys with map-side
+    * partials. The class-mean primitive behind SemDeDup cluster centers,
+    * label prototypes, and drift monitoring. */
+  def groupCentroids(emb: DataFrame, groupCols: Seq[String],
+      vecCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val exploded = emb.select(groupCols.map(col) :+
+        posexplode(col(vecCol)).as(Seq("dim", "__v")): _*)
+      .withColumn("__sv",
+        expr("CAST(floor(CAST(__v AS DOUBLE) * 1000000000) AS BIGINT)"))
+    exploded.groupBy((groupCols.map(col) :+ col("dim")): _*)
+      .agg(count(lit(1)).as("n"), sum(col("__sv")).as("sum_scaled"))
+      .withColumn("centroid",
+        col("sum_scaled").cast(DoubleType) / col("n").cast(DoubleType) / 1e9)
+  }
+
+  // q216 — label prototypes: per-label per-dimension centroid of the
+  // embeddings table through the exact fixed-point route — every value
+  // (counts, scaled sums, the final double division of exact integers)
+  // reproduces bit-for-bit on any engine.
+  private def q216(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    groupCentroids(Tables.embeddings(s, d), Seq("label"), "embedding")
+      .orderBy($"label", $"dim")
+  }
+  private val q216Sql =
+    """WITH x AS (SELECT label, unnest(range(len(embedding))) AS dim,
+      |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000000) AS BIGINT) AS sv
+      |  FROM embeddings)
+      |SELECT label, CAST(dim AS INTEGER) AS dim, COUNT(*) AS n,
+      |  CAST(SUM(sv) AS BIGINT) AS sum_scaled,
+      |  CAST(CAST(SUM(sv) AS BIGINT) AS DOUBLE) / COUNT(*) / 1e9 AS centroid
+      |FROM x GROUP BY label, dim
+      |ORDER BY label, dim""".stripMargin
+
   /** Two-stage PQ serving with exact refine: ADC shortlists `shortlist`
     * candidates per query ([[pqTopK]]), then re-scores ONLY the shortlist
     * against the full-precision vectors in `exact` (columns idCol +
@@ -1140,6 +1185,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q193_embedding_quality" -> q193,
+    "q216_group_centroids" -> q216,
     "q100_negative_sample" -> q100,
     "q92_mmr_rerank" -> q92,
     "q37_ann_brute" -> q37,
@@ -1160,6 +1206,7 @@ object Similarity {
     * rows-only check); their accuracy is asserted in PipelineOpsSpec. */
   val oracles: Map[String, String] = Map(
     "q193_embedding_quality" -> q193Sql,
+    "q216_group_centroids" -> q216Sql,
     "q100_negative_sample" -> q100Sql,
     "q92_mmr_rerank" -> q92Sql,
     "q37_ann_brute" -> q37Sql,
