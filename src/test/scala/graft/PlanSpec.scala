@@ -380,6 +380,19 @@ class PlanSpec extends AnyFunSuite {
       "the quantity disjunction must reach the lineitem scan too")
   }
 
+  test("q211/q216/q217: SCD2 as-of is one keyed pass; centroids aggregate map-side; FK audit anti-joins broadcast") {
+    val asOf = planOf("q211_scd2_point_in_time")
+    assert(!asOf.contains("CartesianProduct"), "q211: cartesian in plan")
+    val cent = planOf("q216_group_centroids")
+    assert(!cent.contains("Window") && !cent.contains("Join"),
+      s"q216 must be explode → aggregate only:\n$cent")
+    assert(cent.contains("partial_count") || cent.contains("partial_sum"),
+      "q216: expected map-side partial aggregation")
+    val fk = planOf("q217_fk_orphan_audit")
+    assert(!fk.contains("SortMergeJoin"),
+      s"q217: key-only audits must broadcast, not shuffle:\n$fk")
+  }
+
   test("q163/q169: chi-square cells collapse map-side; joins are broadcasts") {
     for (q <- Seq("q163_chi_square", "q169_ab_test")) {
       val p = planOf(q)
