@@ -402,6 +402,26 @@ object Corpus {
       |WHERE jaro_winkler_similarity(a.c_name, c.c_name) >= 0.96
       |ORDER BY id_a, id_b""".stripMargin
 
+  // q218 — positional phrase search: documents containing the exact
+  // consecutive sequence "hash value", with occurrence counts — the
+  // positional complement of the bag-of-words q86 postings / q69 BM25.
+  private def q218(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    TextStats.phraseMatch(Tables.documents(s, d), "doc_id", "text",
+        Seq("hash", "value"))
+      .orderBy($"doc_id")
+  }
+  private val q218Sql =
+    """WITH tok AS (SELECT doc_id,
+      |    unnest(range(len(string_split_regex(trim(text), '\s+')))) AS pos,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents)
+      |SELECT a.doc_id, COUNT(*) AS n_matches
+      |FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      |WHERE a.term = 'hash' AND b.term = 'value'
+      |GROUP BY a.doc_id
+      |ORDER BY a.doc_id""".stripMargin
+
   // q94 — per-language heavy hitters: terms at ≥ 2% of EACH language's
   // own token stream, through the grouped sketch-then-recount path
   // (k = 60 ⇒ 20000·61 ppm > 1e6, so the per-group bar holds).
@@ -549,6 +569,7 @@ object Corpus {
     "q95_decontaminate_bloom" -> q95,
     "q96_dedup_edit_distance" -> q96,
     "q210_fuzzy_name_match" -> q210,
+    "q218_phrase_match" -> q218,
     "q103_bigram_stats" -> q103,
     "q104_tfidf_cosine_pairs" -> q104,
     "q94_heavy_hitters_grouped" -> q94,
@@ -568,6 +589,7 @@ object Corpus {
     "q95_decontaminate_bloom" -> q65Sql, // identical semantics by design
     "q96_dedup_edit_distance" -> q96Sql,
     "q210_fuzzy_name_match" -> q210Sql,
+    "q218_phrase_match" -> q218Sql,
     "q103_bigram_stats" -> q103Sql,
     "q104_tfidf_cosine_pairs" -> q104Sql,
     "q94_heavy_hitters_grouped" -> q94Sql,

@@ -176,13 +176,74 @@ object Ranges {
       |FROM w JOIN e ON sec >= lo AND sec < hi
       |GROUP BY 1 ORDER BY window_id""".stripMargin
 
+  /** Concurrency step-curve over an integer-tick interval relation
+    * [lo, hi): how many intervals are open at each tick where the count
+    * CHANGES — the open-orders / concurrent-sessions / usage-metering
+    * curve. Between change points the count is constant, so the step
+    * representation is lossless and needs no gap fill.
+    *
+    * Scale: delta decomposition — each interval emits exactly two rows
+    * (+1 at lo, −1 at hi) regardless of span (never an explode), deltas
+    * collapse in a combiner aggregate to ≤ #distinct-ticks rows, and the
+    * running sum is ONE global window over that bounded change-point
+    * frame (ticks are calendar-grain in practice — days/hours — so the
+    * frame is bounded by the calendar, not the data; re-bucket upstream
+    * if your ticks are event-grain). Output: (tick, open), delta ≠ 0
+    * rows only, empty intervals (hi ≤ lo) dropped. */
+  def concurrency(intervals: DataFrame, loCol: String,
+      hiCol: String): DataFrame = {
+    val live = intervals.filter(col(hiCol) > col(loCol))
+    val deltas = live.select(col(loCol).cast("long").as("tick"), lit(1L).as("d"))
+      .unionAll(live.select(col(hiCol).cast("long").as("tick"), lit(-1L).as("d")))
+      .groupBy(col("tick")).agg(sum(col("d")).as("delta"))
+      .filter(col("delta") =!= 0)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("tick"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    deltas.withColumn("open", sum(col("delta")).over(w))
+      .select(col("tick"), col("delta"), col("open"))
+  }
+
+  // q219 — open orders per day: each order is open from its order day
+  // until its last shipment day (exclusive bound = last ship day + 1);
+  // the step curve counts concurrently open orders at every change day.
+  // Day ticks are exact integer day-diffs from the epoch on both engines.
+  private def q219(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val epoch = lit("1970-01-01").cast(org.apache.spark.sql.types.DateType)
+    val lastShip = Tables.lineitem(s, d)
+      .groupBy($"l_orderkey").agg(max($"l_shipdate").as("last_ship"))
+    val iv = Tables.orders(s, d)
+      .join(lastShip, $"o_orderkey" === $"l_orderkey")
+      .select(datediff($"o_orderdate".cast(org.apache.spark.sql.types.DateType), epoch).as("lo"),
+        (datediff($"last_ship".cast(org.apache.spark.sql.types.DateType), epoch) + 1).as("hi"))
+    concurrency(iv, "lo", "hi").orderBy($"tick")
+  }
+  private val q219Sql =
+    """WITH iv AS (
+      |  SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS lo,
+      |    CAST(MAX(l_shipdate) AS DATE) - DATE '1970-01-01' + 1 AS hi
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  GROUP BY o_orderkey, o_orderdate),
+      |deltas AS (
+      |  SELECT tick, CAST(SUM(d) AS BIGINT) AS delta FROM (
+      |    SELECT lo AS tick, 1 AS d FROM iv WHERE hi > lo
+      |    UNION ALL
+      |    SELECT hi AS tick, -1 AS d FROM iv WHERE hi > lo)
+      |  GROUP BY tick HAVING SUM(d) <> 0)
+      |SELECT CAST(tick AS BIGINT) AS tick, delta,
+      |  CAST(SUM(delta) OVER (ORDER BY tick
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS open
+      |FROM deltas ORDER BY tick""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q74_range_join" -> q74,
     "q75_interval_overlap" -> q75,
+    "q219_open_orders_curve" -> q219,
   )
 
   val oracles: Map[String, String] = Map(
     "q74_range_join" -> q74Sql,
     "q75_interval_overlap" -> q75Sql,
+    "q219_open_orders_curve" -> q219Sql,
   )
 }

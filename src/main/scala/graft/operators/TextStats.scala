@@ -181,6 +181,34 @@ object TextStats {
       .agg(concat_ws(",", expr("array_sort(collect_list(doc_id))")).as("postings"))
   }
 
+  /** Positional phrase search: documents containing the exact consecutive
+    * token sequence `phrase`, with occurrence counts — the positional
+    * complement of the bag-of-words [[postings]]/[[bm25TopK]] retrieval
+    * path. Output: (doc_id, n_matches), docs with ≥ 1 occurrence.
+    *
+    * Scale: the (doc, pos, term) relation filters MAP-ONLY to just the
+    * phrase's terms before any join (|phrase| posting-list reads, never a
+    * corpus-wide shuffle); term i then meets term 0 by the (doc_id,
+    * pos − i) equi-join, so candidates shrink monotonically with each
+    * join. Lead with the phrase as given — reordering by rarity is the
+    * caller's optimization (join order does not change the result). */
+  def phraseMatch(df: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase needs at least one term")
+    val tp = normalized(df, idCol, textCol)
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "term")))
+    val t0 = tp.filter(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    val matched = phrase.zipWithIndex.drop(1).foldLeft(t0) {
+      case (acc, (t, i)) =>
+        val ti = tp.filter(col("term") === t)
+          .select(col("doc_id").as("__d"), (col("pos") - i).as("__p"))
+        acc.join(ti, acc("doc_id") === col("__d") && acc("pos") === col("__p"))
+          .drop("__d", "__p")
+    }
+    matched.groupBy(col("doc_id")).agg(count(lit(1)).as("n_matches"))
+  }
+
   /** Exact heavy hitters in two bounded passes: a Misra–Gries sketch pass
     * (≤ `k` counters per partition, k×#partitions rows shuffled — never
     * the full #distinct keyspace) proposes candidates, then a recount
