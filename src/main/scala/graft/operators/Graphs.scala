@@ -669,6 +669,85 @@ object Graphs {
     dist
   }
 
+  /** Per-seed BFS hop distances — [[bfsDistances]] with the seed identity
+    * carried through, so every (seed, node) pair gets the seed's OWN
+    * distance instead of the min over all seeds. Output: (seed_id, id,
+    * hops). The frontier keys by (seed, node): each pair expands exactly
+    * once, so total work is O(|seeds|·E) — bound the seed set, which at
+    * scale IS the estimator (landmark/pivot sampling, Eppstein–Wang). */
+  def bfsDistancesPerSeed(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, maxHops: Int, directed: Boolean = false): DataFrame = {
+    require(maxHops >= 0, "maxHops must be non-negative")
+    val e0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a") =!= col("b"))
+    val adj = (if (directed) e0
+      else e0.union(e0.select(col("b").as("a"), col("a").as("b"))))
+      .distinct().persist()
+    var dist = seeds.select(col(seeds.columns.head).as("seed_id")).distinct()
+      .select(col("seed_id"), col("seed_id").as("id"), lit(0L).as("hops"))
+      .localCheckpoint()
+    var frontier = dist
+    for (h <- 1 to maxHops) {
+      val cand = adj.join(frontier.select(col("seed_id"), col("id").as("__f")),
+          col("a") === col("__f"))
+        .select(col("seed_id"), col("b").as("id")).distinct()
+      val fresh = cand.join(dist.select(col("seed_id"), col("id")),
+          Seq("seed_id", "id"), "left_anti")
+        .select(col("seed_id"), col("id"), lit(h.toLong).as("hops"))
+      dist = dist.union(fresh).localCheckpoint()
+      frontier = fresh
+    }
+    adj.unpersist(blocking = false)
+    dist
+  }
+
+  /** Landmark harmonic closeness: Σ 10⁶ div hops over the nodes a seed
+    * reaches within `maxHops` (hops ≥ 1) — exact integer arithmetic, the
+    * centrality variant that is well-defined on disconnected graphs.
+    * Output: (seed_id, n_reached, closeness_scaled). */
+  def harmonicCloseness(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, maxHops: Int, directed: Boolean = false): DataFrame =
+    bfsDistancesPerSeed(edges, srcCol, dstCol, seeds, maxHops, directed)
+      .filter(col("hops") > 0)
+      .groupBy(col("seed_id"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("1000000 DIV hops")).as("closeness_scaled"))
+
+  // q220 — landmark harmonic closeness on the purchase graph: every 200th
+  // customer as a landmark, 3-hop cut — "how central is this account in
+  // the buying network", the crawl-frontier prioritization signal. Oracle:
+  // the q131 unrolled-CTE BFS with the seed carried through each round.
+  private def q220(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val edges = purchaseEdges(s, d)
+    val seeds = edges.select($"src".as("seed_id")).distinct()
+      .filter(($"seed_id" - custBase) % 200 === 0)
+    harmonicCloseness(edges, "src", "dst", seeds, maxHops = 3)
+      .orderBy($"seed_id")
+  }
+  private val q220Sql = {
+    def round(prev: String, n: Int): String =
+      s"""f$n AS (SELECT DISTINCT n${n - 1}.seed_id, und.b AS id
+         |  FROM und JOIN n${n - 1} ON und.a = n${n - 1}.id),
+         |n$n AS (SELECT f$n.seed_id, f$n.id, $n AS hops FROM f$n
+         |  LEFT JOIN $prev ON f$n.seed_id = $prev.seed_id AND f$n.id = $prev.id
+         |  WHERE $prev.id IS NULL),
+         |d$n AS (SELECT * FROM $prev UNION ALL SELECT * FROM n$n)""".stripMargin
+    s"""WITH $edgesSql,
+       |und AS (SELECT src AS a, dst AS b FROM edges
+       |        UNION SELECT dst, src FROM edges),
+       |n0 AS (SELECT DISTINCT src AS seed_id, src AS id, 0 AS hops FROM edges
+       |  WHERE (src - $custBase) % 200 = 0),
+       |d0 AS (SELECT * FROM n0),
+       |${round("d0", 1)},
+       |${round("d1", 2)},
+       |${round("d2", 3)}
+       |SELECT seed_id, COUNT(*) AS n_reached,
+       |  CAST(SUM(1000000 // hops) AS BIGINT) AS closeness_scaled
+       |FROM d3 WHERE hops > 0
+       |GROUP BY seed_id ORDER BY seed_id""".stripMargin
+  }
+
   /** Common-neighbor link prediction over an undirected graph: for every
     * non-adjacent pair (u, w) sharing at least `minCommon` neighbors,
     * the shared-neighbor count and the neighborhood Jaccard
@@ -931,6 +1010,7 @@ object Graphs {
     "q168_shortest_path" -> q168,
     "q155_connected_components" -> q155,
     "q131_bfs_distance" -> q131,
+    "q220_harmonic_closeness" -> q220,
     "q132_link_predict" -> q132,
     "q125_kcore" -> q125,
     "q101_label_propagation" -> q101,
@@ -945,6 +1025,7 @@ object Graphs {
     "q168_shortest_path" -> q168Sql,
     "q155_connected_components" -> q155Sql,
     "q131_bfs_distance" -> q131Sql,
+    "q220_harmonic_closeness" -> q220Sql,
     "q132_link_predict" -> q132Sql,
     "q125_kcore" -> q125Sql,
     "q101_label_propagation" -> q101Sql,

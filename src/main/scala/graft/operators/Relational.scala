@@ -274,7 +274,43 @@ object Relational {
       |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
       |LIMIT 25""".stripMargin
 
+  // q221 — the pure-SQL client path end-to-end: tables registered as temp
+  // views, graft's native functions installed (Registry), and the report
+  // written as ONE SQL string through spark.sql — including the
+  // jaro_winkler native expression in the WHERE, proving the registered
+  // function surface works from SQL text (the reference's embedded-engine
+  // usage mode; SURVEY §2.A). Views are graft_-prefixed so the
+  // registration cannot collide with other operators' names.
+  private def q221(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Registry.install(s)
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem")
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders")
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer")
+    Tables.nation(s, d).createOrReplaceTempView("graft_nation")
+    s.sql("""
+      SELECT n_name, COUNT(*) AS n_lines,
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6)))
+          AS DOUBLE) AS revenue
+      FROM graft_lineitem
+      JOIN graft_orders ON l_orderkey = o_orderkey
+      JOIN graft_customer ON o_custkey = c_custkey
+      JOIN graft_nation ON c_nationkey = n_nationkey
+      WHERE jaro_winkler(n_name, 'NATION_2') >= 0.85
+      GROUP BY n_name ORDER BY n_name""")
+  }
+  private val q221Sql =
+    """SELECT n_name, COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6)))
+      |    AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE jaro_winkler_similarity(n_name, 'NATION_2') >= 0.85
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q221_sql_surface_fuzzy_report" -> q221,
     "q01_project_arith" -> q01,
     "q02_filter_bool" -> q02,
     "q03_agg_tpch1" -> (q03(_, _)),
@@ -290,6 +326,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q221_sql_surface_fuzzy_report" -> q221Sql,
     "q01_project_arith" -> q01Sql,
     "q02_filter_bool" -> q02Sql,
     "q03_agg_tpch1" -> q03Sql,
