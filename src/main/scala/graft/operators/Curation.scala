@@ -840,6 +840,22 @@ object Curation {
         .otherwise("test"))
   }
 
+  /** Leakage-safe split: [[splitAssign]] keyed by the near-dup CLUSTER
+    * (canonical_id from [[Dedup.clusters]]) instead of the document, so
+    * near-duplicates can never straddle train/test — the classic
+    * eval-contamination trap a doc-keyed split walks into (a test doc's
+    * near-copy trains the model). Same map-only hash semantics; the only
+    * added cost is the id→canonical join, and the cluster frame is the
+    * pipeline's existing dedup artifact. Output: df columns + canonical_id
+    * + split. */
+  def splitByCluster(df: DataFrame, idCol: String, clustersDf: DataFrame,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val withC = df.join(
+      clustersDf.select(col("doc_id").as("__did"), col("canonical_id")),
+      col(idCol) === col("__did")).drop("__did")
+    splitAssign(withC, "canonical_id", trainPct, valPct)
+  }
+
   // q158 — split the corpus 80/10/10 and report per-(split, lang) volume:
   // the sanity table every training run prints before it starts.
   private def q158(s: SparkSession, d: String): DataFrame = {

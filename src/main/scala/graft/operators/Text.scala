@@ -179,6 +179,70 @@ object Text {
       |FROM documents ORDER BY doc_id""".stripMargin.format(counts)
   }
 
+  // q222 — lang-ID confusion matrix: gold label × prediction counts from
+  // the q31 heuristic — the eval table that tells you WHERE the classifier
+  // fails, not just how often. One combiner aggregate over the scored
+  // relation.
+  private def q222(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    TextStats.langId(docs, "doc_id", "text", langMarkers)
+      .join(docs.select($"doc_id", $"lang"), "doc_id")
+      .groupBy($"lang", $"predicted")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"lang", $"predicted")
+  }
+  private val q222Sql = {
+    val counts = langMarkers.map { case (l, re) =>
+      s"CAST(length(regexp_extract_all(text, '$re')) AS INTEGER) AS c_$l"
+    }.mkString(",\n ")
+    """WITH scored AS (SELECT lang, %s FROM documents),
+      |p AS (SELECT lang,
+      |  CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en > 0 THEN 'en'
+      |       WHEN c_de >= c_es AND c_de >= c_fr AND c_de > 0 THEN 'de'
+      |       WHEN c_es >= c_fr AND c_es > 0 THEN 'es'
+      |       WHEN c_fr > 0 THEN 'fr'
+      |       ELSE 'unknown' END AS predicted
+      |  FROM scored)
+      |SELECT lang, predicted, COUNT(*) AS n_docs
+      |FROM p GROUP BY lang, predicted
+      |ORDER BY lang, predicted""".stripMargin.format(counts)
+  }
+
+  // q223 — leakage-safe train/val/test split: assignment keyed by the
+  // near-dup cluster (q47's canonical labels), so near-duplicates can
+  // never straddle splits — by construction, which the n_clusters sums
+  // across splits confirm (Σ n_clusters = total distinct clusters only
+  // when no cluster repeats per split pair).
+  private def q223(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val labels = clusterLabels(s, d)
+    val clustersDf = Tables.documents(s, d)
+      .join(labels, $"doc_id" === $"n", "left_outer")
+      .select($"doc_id", coalesce($"lbl", $"doc_id").as("canonical_id"))
+    Curation.splitByCluster(
+        Tables.documents(s, d).select($"doc_id", $"n_chars"), "doc_id", clustersDf)
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"canonical_id").as("n_clusters"),
+        sum($"n_chars").as("sum_chars"))
+      .orderBy($"split")
+  }
+  private lazy val q223Sql =
+    s"""WITH RECURSIVE $closureCtes,
+       |canon AS (SELECT d.doc_id, coalesce(c.lbl, d.doc_id) AS canonical_id,
+       |    d.n_chars
+       |  FROM documents d LEFT OUTER JOIN comp c ON d.doc_id = c.n),
+       |sp AS (SELECT *,
+       |    CASE WHEN ${graft.functions.Ops.md5LongSql("'split:' || canonical_id")} % 100 < 80 THEN 'train'
+       |         WHEN ${graft.functions.Ops.md5LongSql("'split:' || canonical_id")} % 100 < 90 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM canon)
+       |SELECT split, COUNT(*) AS n_docs,
+       |  COUNT(DISTINCT canonical_id) AS n_clusters,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+       |FROM sp GROUP BY split ORDER BY split""".stripMargin
+
   // q32 — document fingerprinting: md5 of the normalized text + a positional
   // polynomial bag hash over tokens (rolling-hash style, exact integers).
   private def q32(s: SparkSession, d: String): DataFrame = {
@@ -983,6 +1047,8 @@ object Text {
     "q29_text_tokens" -> q29,
     "q30_text_quality" -> q30,
     "q31_lang_id" -> q31,
+    "q222_langid_confusion" -> q222,
+    "q223_leakage_safe_split" -> q223,
     "q32_fingerprint" -> q32,
     "q33_dedup_exact" -> q33,
     "q34_dedup_ngram_jaccard" -> q34,
@@ -1008,6 +1074,8 @@ object Text {
     "q29_text_tokens" -> q29Sql,
     "q30_text_quality" -> q30Sql,
     "q31_lang_id" -> q31Sql,
+    "q222_langid_confusion" -> q222Sql,
+    "q223_leakage_safe_split" -> q223Sql,
     "q32_fingerprint" -> q32Sql,
     "q33_dedup_exact" -> q33Sql,
     "q34_dedup_ngram_jaccard" -> q34Sql,
