@@ -685,6 +685,63 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("Ranges.concurrency equals the naive stab-count at every change tick") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    for (trial <- 1 to 4) {
+      val iv = Seq.fill(40)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .map { case (a, b) => (a, a + (b % 8)) } // mix of empty + short spans
+      val got = operators.Ranges.concurrency(iv.toDF("lo", "hi"), "lo", "hi")
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      // naive model: open(t) = #{[lo,hi) : lo <= t < hi} at each change tick
+      def open(t: Long) = iv.count { case (lo, hi) => lo <= t && t < hi }.toLong
+      got.foreach { case (t, o) =>
+        assert(o == open(t), s"trial $trial tick $t")
+      }
+      // change ticks are exactly where the naive curve changes value
+      val ticks = iv.filter(p => p._2 > p._1).flatMap(p => Seq(p._1, p._2)).distinct.sorted
+      val expectTicks = ticks.filter(t => open(t) != open(t - 1))
+      assert(got.keySet == expectTicks.toSet, s"trial $trial ticks")
+    }
+  }
+
+  test("phraseMatch equals a naive sliding-window model on random token docs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(59)
+    val vocab = Vector("a", "b", "c", "d")
+    for (trial <- 1 to 3) {
+      val docs = (1L to 30L).map(i =>
+        (i, Seq.fill(5 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      val phrase = Seq.fill(2 + rnd.nextInt(2))(vocab(rnd.nextInt(vocab.size)))
+      val got = operators.TextStats.phraseMatch(
+          docs.toDF("doc_id", "text"), "doc_id", "text", phrase)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = docs.map { case (id, t) =>
+        id -> t.split("\\s+").toSeq.sliding(phrase.length)
+          .count(_ == phrase).toLong
+      }.filter(_._2 > 0).toMap
+      assert(got == want, s"trial $trial phrase=$phrase")
+    }
+  }
+
+  test("jaroWinklerPairs equals brute force within blocks (random names)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    val names = (1L to 25L).map(i =>
+      (i, Seq.fill(3 + rnd.nextInt(6))(('a' + rnd.nextInt(4)).toChar).mkString))
+    val df = names.toDF("id", "name")
+    val t = 0.7
+    val got = operators.Dedup.jaroWinklerPairs(
+        df, "id", "name", substring(col("name"), 1, 1), t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = (for {
+      (i, a) <- names; (j, b) <- names
+      if i < j && a.head == b.head
+      s = graft.plans.JaroWinkler.simStr(a, b) if s >= t
+    } yield (i, j, s)).toSet
+    assert(got == want)
+  }
+
   test("linkPredict equals a naive common-neighbor model on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(47)
