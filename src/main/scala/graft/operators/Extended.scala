@@ -2353,6 +2353,70 @@ object Extended {
       .mkString("", "\nUNION ALL\n", "\nORDER BY fk_edge")
   }
 
+  // q225 — ABC-XYZ inventory grid: every part classified by revenue
+  // weight (A ≥ 2× mean part revenue, B ≥ 0.5× mean, C below — the
+  // mean-threshold variant that needs only a 1-row broadcast, no global
+  // value-ordered window; see q185's paretoTake for the cumulative-share
+  // variant) × demand variability over monthly quantities (X: cv² ≤ 0.1,
+  // Y: cv² ≤ 0.25, Z above). Quantities are integral, so S1/S2 are exact
+  // longs and every class boundary is an exact integer cross-multiply —
+  // n·S2−S1² vs S1² — with no division or sqrt anywhere.
+  private def q225(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val D = DecimalType(30, 6)
+    val monthly = Tables.lineitem(s, d)
+      .groupBy($"l_partkey", date_format($"l_shipdate", "yyyy-MM").as("m"))
+      .agg(sum($"l_quantity".cast(LongType)).as("q"))
+    val varia = monthly.groupBy($"l_partkey")
+      .agg(count(lit(1)).as("n"), sum($"q").as("s1"), sum($"q" * $"q").as("s2"))
+      .withColumn("num", $"n" * $"s2" - $"s1" * $"s1")
+      .withColumn("xyz",
+        when($"num" * 10 <= $"s1" * $"s1", "X")
+          .when($"num" * 4 <= $"s1" * $"s1", "Y")
+          .otherwise("Z"))
+      .select($"l_partkey".as("pk"), $"xyz")
+    val rev = Tables.lineitem(s, d)
+      .groupBy($"l_partkey")
+      .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(D)).as("rev"))
+    val tot = rev.agg(sum($"rev").as("tot"), count(lit(1)).as("np"))
+    val abc = rev.join(broadcast(tot))
+      .withColumn("abc",
+        when($"rev" * $"np" >= $"tot" * 2, "A")
+          .when($"rev" * $"np" * 2 >= $"tot", "B")
+          .otherwise("C"))
+    abc.join(varia, $"l_partkey" === $"pk")
+      .groupBy($"abc", $"xyz")
+      .agg(count(lit(1)).as("n_parts"),
+        sum($"rev").cast(DoubleType).as("revenue"))
+      .orderBy($"abc", $"xyz")
+  }
+  private val q225Sql =
+    """WITH monthly AS (
+      |  SELECT l_partkey, strftime(l_shipdate, '%Y-%m') AS m,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+      |  FROM lineitem GROUP BY 1, 2),
+      |varia AS (
+      |  SELECT l_partkey,
+      |    CASE WHEN (n * s2 - s1 * s1) * 10 <= s1 * s1 THEN 'X'
+      |         WHEN (n * s2 - s1 * s1) * 4 <= s1 * s1 THEN 'Y'
+      |         ELSE 'Z' END AS xyz
+      |  FROM (SELECT l_partkey, COUNT(*) AS n, CAST(SUM(q) AS BIGINT) AS s1,
+      |          CAST(SUM(q * q) AS BIGINT) AS s2
+      |        FROM monthly GROUP BY 1)),
+      |rev AS (SELECT l_partkey,
+      |    SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |tot AS (SELECT SUM(rev) AS tot, COUNT(*) AS np FROM rev),
+      |abc AS (SELECT l_partkey, rev,
+      |    CASE WHEN rev * (SELECT np FROM tot) >= (SELECT tot FROM tot) * 2 THEN 'A'
+      |         WHEN rev * (SELECT np FROM tot) * 2 >= (SELECT tot FROM tot) THEN 'B'
+      |         ELSE 'C' END AS abc
+      |  FROM rev)
+      |SELECT abc.abc, varia.xyz, COUNT(*) AS n_parts,
+      |  CAST(SUM(abc.rev) AS DOUBLE) AS revenue
+      |FROM abc JOIN varia ON abc.l_partkey = varia.l_partkey
+      |GROUP BY 1, 2 ORDER BY abc, xyz""".stripMargin
+
   // q197 — PK audit over the whole catalog (lineitem's key is composite).
   private def q197(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -2399,6 +2463,7 @@ object Extended {
     "q197_pk_audit" -> q197,
     "q213_benford_audit" -> q213,
     "q217_fk_orphan_audit" -> q217,
+    "q225_abc_xyz_grid" -> q225,
     "q196_tukey_outliers" -> q196,
     "q195_percentile_rank_grouped" -> q195,
     "q185_pareto_take" -> q185,
@@ -2453,6 +2518,7 @@ object Extended {
     "q197_pk_audit" -> q197Sql,
     "q213_benford_audit" -> q213Sql,
     "q217_fk_orphan_audit" -> q217Sql,
+    "q225_abc_xyz_grid" -> q225Sql,
     "q196_tukey_outliers" -> q196Sql,
     "q195_percentile_rank_grouped" -> q195Sql,
     "q185_pareto_take" -> q185Sql,

@@ -1055,7 +1055,60 @@ object Reporting {
       |FROM daily a JOIN daily f ON a.day = f.day + 7
       |ORDER BY day""".stripMargin
 
+  // q224 — order-total reconciliation: recompute each order's total from
+  // its lines (exact DECIMAL cents) and bucket the header-vs-detail
+  // discrepancy — the cross-table consistency audit that catches partial
+  // loads and double-applied discounts. One combiner aggregate below the
+  // join (the q45/q50 aggregate-below-join shape), then a 4-way bucket
+  // rollup; headers with no lines surface as their own bucket, never
+  // silently vanish.
+  private def q224(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val D = DecimalType(30, 6)
+    val recalc = Tables.lineitem(s, d)
+      .groupBy($"l_orderkey")
+      .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount") *
+        (lit(1.0) + $"l_tax")).cast(D)).as("recalc"))
+    // micro-units: the scale-6 decimal diff × 10⁶ is exactly integral, so
+    // the long cast cannot round — a cents cast (×100) would leave 4
+    // fractional digits and truncate-vs-round differently across engines
+    Tables.orders(s, d)
+      .join(recalc, $"o_orderkey" === $"l_orderkey", "left_outer")
+      .withColumn("diff_micros",
+        (($"o_totalprice".cast(D) - coalesce($"recalc", lit(0).cast(D))) * 1000000)
+          .cast(LongType))
+      .withColumn("bucket",
+        when($"recalc".isNull, "no_lines")
+          .when($"diff_micros" === 0L, "exact")
+          .when(abs($"diff_micros") <= 100000000L, "within_100")
+          .otherwise("over_100"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_orders"),
+        min($"diff_micros").as("min_diff_micros"),
+        max($"diff_micros").as("max_diff_micros"))
+      .orderBy($"bucket")
+  }
+  private val q224Sql =
+    """WITH recalc AS (
+      |  SELECT l_orderkey,
+      |    SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+      |      AS DECIMAL(30,6))) AS recalc
+      |  FROM lineitem GROUP BY 1),
+      |j AS (SELECT o_orderkey, recalc,
+      |    CAST((CAST(o_totalprice AS DECIMAL(30,6)) - coalesce(recalc, 0)) * 1000000
+      |      AS BIGINT) AS diff_micros
+      |  FROM orders LEFT OUTER JOIN recalc ON o_orderkey = l_orderkey)
+      |SELECT CASE WHEN recalc IS NULL THEN 'no_lines'
+      |            WHEN diff_micros = 0 THEN 'exact'
+      |            WHEN abs(diff_micros) <= 100000000 THEN 'within_100'
+      |            ELSE 'over_100' END AS bucket,
+      |  COUNT(*) AS n_orders,
+      |  MIN(diff_micros) AS min_diff_micros,
+      |  MAX(diff_micros) AS max_diff_micros
+      |FROM j GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q224_order_reconciliation" -> q224,
     "q212_seasonal_backtest" -> q212,
     "q201_tpch6_forecast_revenue" -> q201,
     "q202_tpch2_min_cost_supplier" -> q202,
@@ -1091,6 +1144,7 @@ object Reporting {
 
   val oracles: Map[String, String] = Map(
     "q212_seasonal_backtest" -> q212Sql,
+    "q224_order_reconciliation" -> q224Sql,
     "q201_tpch6_forecast_revenue" -> q201Sql,
     "q202_tpch2_min_cost_supplier" -> q202Sql,
     "q203_tpch9_product_profit" -> q203Sql,
