@@ -57,6 +57,7 @@ object Bench {
       "q115_cooccurrence_pmi", // cold = the co-occurrence table mine
       "q125_kcore", // cold = the iterative core strip
       "q131_bfs_distance", // cold = the frontier walk build
+      "q220_harmonic_closeness", // cold = the per-seed frontier walk build
       "q155_connected_components", // cold = the label-propagation fixpoint
       "q168_shortest_path", // cold = the Bellman-Ford fixpoint walk
       "q132_link_predict", // cold = the wedge-join candidate build
