@@ -427,4 +427,41 @@ class PipelineE2ESpec extends AnyFunSuite {
     assert(Extended.zscoreOutliers(filled, "n", Seq("user_id"), 1.5)
       .collect().toSet == flagged.collect().toSet)
   }
+
+  test("training-prep chain: cluster -> leakage-safe split -> batched inference scoring") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // two near-dup families + singletons: near-dups MUST co-locate in a split
+    val docs = Seq(
+      (1L, base), (2L, base + " mu"), // family A
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, "one two three four five six seven eight nine ten eleven"), // family B
+      (5L, "lonely standalone document with entirely unrelated words here now"),
+      (6L, "another independent text that shares nothing with the other documents"))
+      .toDF("doc_id", "text")
+    val clusters = graft.operators.Dedup.clusters(docs, "doc_id", "text",
+      n = 3, threshold = 0.5)
+    val split = graft.operators.Curation.splitByCluster(docs, "doc_id", clusters)
+    // leakage check: every cluster lands in exactly one split
+    val spansSplits = split.groupBy($"canonical_id")
+      .agg(countDistinct($"split").as("ns")).filter($"ns" > 1)
+    assert(spansSplits.count() == 0, "a near-dup cluster straddles splits")
+    // family members share the assignment
+    val byDoc = split.select($"doc_id", $"split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byDoc(1L) == byDoc(2L) && byDoc(3L) == byDoc(4L))
+    // batched inference over the split corpus: scores are a pure function
+    // of features, unchanged by the split-induced partitioning
+    val feats = split.withColumn("n_tokens",
+      size(split_part_tokens($"text")).cast("double"))
+    val scorer = new graft.operators.Inference.LinearScorer(Array(0.25), -1.0)
+    val scored = graft.operators.Inference.scoreBatched(
+      feats, "doc_id", Seq("n_tokens"), scorer, batchSize = 2)
+    val got = scored.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == -1.0 + 0.25 * 10 && got(2L) == -1.0 + 0.25 * 11)
+  }
+
+  private def split_part_tokens(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.split(
+      org.apache.spark.sql.functions.trim(c), "\\s+")
 }
