@@ -1644,6 +1644,39 @@ object Events {
   // events (pipeline-outage / ingest-hole check). The day calendar comes
   // from a 1-row min/max broadcast exploded map-side (bounded by the span
   // in days, not the data); observed days anti-join it away.
+  // q226 — ingestion freshness report: per event type, the last-seen
+  // instant, its lag behind the corpus frontier, and today-vs-yesterday
+  // volumes relative to that frontier — the staleness dashboard every
+  // ingest pipeline watches. Two combiner aggregates + a 1-row frontier
+  // broadcast; exact integer seconds throughout.
+  private def q226(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d).withColumn("sec", expr("ts DIV 1000000000"))
+    val frontier = ev.agg(max($"sec").as("fsec"))
+    ev.join(broadcast(frontier))
+      .groupBy($"event_type")
+      .agg(max($"sec").as("last_sec"),
+        max($"fsec").as("frontier_sec"),
+        sum(when($"sec" >= $"fsec" - 86400L, 1L).otherwise(0L)).as("n_last_day"),
+        sum(when($"sec" >= $"fsec" - 172800L && $"sec" < $"fsec" - 86400L, 1L)
+          .otherwise(0L)).as("n_prior_day"))
+      .withColumn("lag_sec", $"frontier_sec" - $"last_sec")
+      .select($"event_type", $"last_sec", $"lag_sec", $"n_last_day", $"n_prior_day")
+      .orderBy($"event_type")
+  }
+  private val q226Sql =
+    """WITH e AS (SELECT event_type, epoch_ns(ts) // 1000000000 AS sec FROM events),
+      |f AS (SELECT MAX(sec) AS fsec FROM e)
+      |SELECT event_type, MAX(sec) AS last_sec,
+      |  (SELECT fsec FROM f) - MAX(sec) AS lag_sec,
+      |  CAST(SUM(CASE WHEN sec >= (SELECT fsec FROM f) - 86400 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_last_day,
+      |  CAST(SUM(CASE WHEN sec >= (SELECT fsec FROM f) - 172800
+      |      AND sec < (SELECT fsec FROM f) - 86400 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_prior_day
+      |FROM e GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   private def q198(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // hour granularity keeps the check non-vacuous at small SF; the
@@ -1698,6 +1731,7 @@ object Events {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q198_calendar_gaps" -> q198,
+    "q226_ingest_freshness" -> q226,
     "q199_peak_hours" -> q199,
     "q183_seasonal_anomaly" -> q183,
     "q184_attribution_decay" -> q184,
@@ -1737,6 +1771,7 @@ object Events {
 
   val oracles: Map[String, String] = Map(
     "q198_calendar_gaps" -> q198Sql,
+    "q226_ingest_freshness" -> q226Sql,
     "q199_peak_hours" -> q199Sql,
     "q183_seasonal_anomaly" -> q183Sql,
     "q184_attribution_decay" -> q184Sql,

@@ -457,6 +457,44 @@ object Text {
     import s.implicits._
     minhashPairsFrom(minhashSigs(s, d), K, bands = 2).orderBy($"doc_a", $"doc_b")
   }
+
+  // q227 — fuzzy-vs-exact near-miss audit: the q35 candidate pairs split
+  // into byte-identical content (exact dedup already handles these) vs
+  // TRUE near-misses — the review queue that justifies running fuzzy
+  // dedup at all. One md5 join-back onto the memoized pair frame; no
+  // re-shingling.
+  private def q227(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = minhashPairsFrom(minhashSigs(s, d), K, bands = 2)
+    val h = Tables.documents(s, d).select($"doc_id", md5($"text").as("__h"))
+    pairs
+      .join(h.select($"doc_id".as("doc_a"), $"__h".as("__ha")), "doc_a")
+      .join(h.select($"doc_id".as("doc_b"), $"__h".as("__hb")), "doc_b")
+      .withColumn("same_content", when($"__ha" === $"__hb", 1).otherwise(0))
+      .select($"doc_a", $"doc_b", $"est_sim", $"same_content")
+      .orderBy($"doc_a", $"doc_b")
+  }
+  private val q227Sql = {
+    val mins = (0 until K).map(i =>
+      s"min(${md5LongSql(s"concat('s$i:', s)")}) AS h$i").mkString(",\n  ")
+    val matches = (0 until K).map(i =>
+      s"CASE WHEN x.h$i = y.h$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $shingleRowsSql,
+       |sigs AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, 0 AS band, concat_ws(',', h0, h1, h2, h3) AS bkey FROM sigs
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, concat_ws(',', h4, h5, h6, h7) AS bkey FROM sigs),
+       |cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+       |         FROM banded a JOIN banded b
+       |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |hh AS (SELECT doc_id, md5(text) AS h FROM documents)
+       |SELECT doc_a, doc_b, CAST($matches AS DOUBLE) / $K AS est_sim,
+       |  CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END AS same_content
+       |FROM cand JOIN sigs x ON doc_a = x.doc_id JOIN sigs y ON doc_b = y.doc_id
+       |JOIN hh ha ON doc_a = ha.doc_id JOIN hh hb ON doc_b = hb.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
   private val q35Sql = {
     val mins = (0 until K).map(i =>
       s"min(${md5LongSql(s"concat('s$i:', s)")}) AS h$i").mkString(",\n  ")
@@ -1048,6 +1086,7 @@ object Text {
     "q30_text_quality" -> q30,
     "q31_lang_id" -> q31,
     "q222_langid_confusion" -> q222,
+    "q227_near_miss_audit" -> q227,
     "q223_leakage_safe_split" -> q223,
     "q32_fingerprint" -> q32,
     "q33_dedup_exact" -> q33,
@@ -1075,6 +1114,7 @@ object Text {
     "q30_text_quality" -> q30Sql,
     "q31_lang_id" -> q31Sql,
     "q222_langid_confusion" -> q222Sql,
+    "q227_near_miss_audit" -> q227Sql,
     "q223_leakage_safe_split" -> q223Sql,
     "q32_fingerprint" -> q32Sql,
     "q33_dedup_exact" -> q33Sql,
