@@ -8,8 +8,13 @@ object Verify {
     // optional 3rd arg: comma-separated query-name prefixes to dump (dev
     // loop — the driver always calls with two args = everything)
     val Array(sfDir, outDir) = args.take(2)
+    // "--sql-only" dumps just oracle_sql.json (for tools/lint_oracles.py)
+    // without executing any query; otherwise an optional comma-separated
+    // list of query-name prefixes filters what runs (dev loop).
+    val sqlOnly = args.length > 2 && args(2) == "--sql-only"
     val only: Option[Seq[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSeq) else None
+      if (sqlOnly) Some(Seq.empty)
+      else if (args.length > 2) Some(args(2).split(",").toSeq) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -621,10 +621,10 @@ object Extended {
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM c),
       |tot AS (SELECT COUNT(*) AS total FROM lineitem)
       |SELECT l_orderkey, l_linenumber, l_extendedprice,
-      |  (SELECT cum FROM cum WHERE bin = CAST(least(greatest(
+      |  CAST((SELECT cum FROM cum WHERE bin = CAST(least(greatest(
       |     floor((CAST(l_extendedprice AS DOUBLE) - CAST(900.0 AS DOUBLE))
       |       / CAST(13.0 AS DOUBLE)), CAST(0 AS DOUBLE)), CAST(8191 AS DOUBLE)) AS INTEGER))
-      |   * 1000000 // (SELECT total FROM tot) AS rank_ppm
+      |   * 1000000 // (SELECT total FROM tot) AS BIGINT) AS rank_ppm
       |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
 
   /** Per-group ordinary-least-squares line fit (slope + intercept) from
