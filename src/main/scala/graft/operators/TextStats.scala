@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import scala.collection.mutable
 
 /** Public text-analysis API over ANY DataFrame (caller-named id/text
   * columns) — the library form of the q29–q32 operators. All are map-only
@@ -338,51 +339,104 @@ object TextStats {
     * artifact a tokenizer ships. Symbols are plain strings (merged pair
     * = concatenation), the standard text-BPE simplification.
     *
-    * Scale: the trainer never touches the corpus after ONE word-count
-    * aggregate — all rounds operate on the DISTINCT-WORD vocabulary
-    * (combiner-friendly count, orders of magnitude smaller than the
-    * corpus). Per round: one map-side pair explode + sum aggregate over
-    * the vocab, ONE 1-row argmax collect (bounded by numMerges — the
-    * k-means-iteration driver-action class), one map-only greedy
-    * left-to-right rewrite of the symbol arrays, localCheckpoint to keep
-    * lineage round-sized. */
-  def bpeFit(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    * Scale: the trainer touches the corpus EXACTLY ONCE — one
+    * combiner-friendly word-count aggregate, capped to the `maxVocab`
+    * most frequent word types (deterministic freq-desc / word-asc
+    * tie-break; `minFreq` prunes the junk-token tail first). The capped
+    * vocabulary is bounded by construction (≤ maxVocab rows of short
+    * strings — the fast-tokenizer memoization every production trainer
+    * uses), so the merge rounds run LOCALLY on the collected word table
+    * with an incremental pair index: each round is an in-memory argmax +
+    * a rewrite of only the words containing the merged pair — no
+    * per-merge Spark job, no driver-paced job storm. A real 32K-merge
+    * fit costs one Spark aggregate plus seconds of local work, instead
+    * of 32K sequential job round-trips. */
+  def bpeFit(df: DataFrame, textCol: String, numMerges: Int,
+      minFreq: Long = 1L, maxVocab: Int = 1 << 20): DataFrame = {
     require(numMerges >= 1, "numMerges must be positive")
+    require(minFreq >= 1, "minFreq must be positive")
+    require(maxVocab >= 1 && maxVocab <= (1 << 22),
+      s"maxVocab must be in [1, ${1 << 22}] — it bounds the driver-side vocabulary")
     val s = df.sparkSession
     import s.implicits._
-    var vocab = df.select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+    // the ONE corpus pass: word-type counts, junk tail pruned, capped to
+    // the maxVocab most frequent types (TakeOrdered — bounded by k)
+    val vocabRows = df.select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
       .filter(length($"w") > 0)
       .groupBy($"w").agg(count(lit(1)).as("freq"))
-      .select($"freq", filter(split($"w", ""), c => length(c) > 0).as("syms"))
-      .localCheckpoint()
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    var r = 0
-    var done = false
-    while (r < numMerges && !done) {
-      val best = vocab.filter(size($"syms") >= 2)
-        .select($"freq", explode(expr(
-          "transform(sequence(0, size(syms) - 2), i -> struct(syms[i] AS l, syms[i+1] AS r))"))
-          .as("p"))
-        .groupBy($"p.l".as("l"), $"p.r".as("r"))
-        .agg(sum($"freq").as("cnt"))
-        .orderBy($"cnt".desc, $"l".asc, $"r".asc)
-        .limit(1).collect()
-      if (best.isEmpty) done = true
-      else {
-        val (l, rr, cnt) =
-          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += ((r + 1, l, rr, cnt))
-        // greedy left-to-right merge of (l, rr) in every word — a fold,
-        // so overlapping runs ("aaa" under (a,a)) merge exactly once
-        vocab = vocab.withColumn("syms",
-          aggregate($"syms", array().cast("array<string>"), (acc, x) =>
-            when(size(acc) > 0 &&
-                element_at(acc, -1) === lit(l) && x === lit(rr),
-              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + rr))))
-            .otherwise(concat(acc, array(x)))))
-          .localCheckpoint()
-        r += 1
+      .filter($"freq" >= minFreq)
+      .orderBy($"freq".desc, $"w".asc)
+      .limit(maxVocab)
+      .collect()
+    // split to code points (parity with split(w, "") on the Spark side)
+    def codePoints(w: String): mutable.ArrayBuffer[String] = {
+      val buf = new mutable.ArrayBuffer[String](w.length)
+      var i = 0
+      while (i < w.length) {
+        val n = Character.charCount(w.codePointAt(i))
+        buf += w.substring(i, i + n); i += n
       }
+      buf
+    }
+    val words = vocabRows.map(r => codePoints(r.getString(0)))
+    val freqs = vocabRows.map(_.getLong(1))
+    // incremental pair index (Sennrich et al. 2016 trainer): corpus-wide
+    // weighted adjacent-pair counts + which words contain each pair, so a
+    // merge re-counts only the affected words
+    val pairCounts = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    def addPairs(i: Int, sign: Long): Unit = {
+      val syms = words(i); val f = freqs(i) * sign
+      var j = 0
+      while (j < syms.length - 1) {
+        val p = (syms(j), syms(j + 1))
+        val c = pairCounts.getOrElse(p, 0L) + f
+        if (c == 0L) pairCounts.remove(p) else pairCounts(p) = c
+        if (sign > 0) pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += i
+        j += 1
+      }
+    }
+    var i = 0
+    while (i < words.length) { addPairs(i, 1L); i += 1 }
+    // greedy left-to-right merge of (l, r) in one word — a fold, so
+    // overlapping runs ("aaa" under (a,a)) merge exactly once
+    def mergeWord(syms: mutable.ArrayBuffer[String], l: String,
+        r: String): mutable.ArrayBuffer[String] = {
+      val out = new mutable.ArrayBuffer[String](syms.length)
+      syms.foreach { x =>
+        if (out.nonEmpty && out.last == l && x == r)
+          out(out.length - 1) = l + r
+        else out += x
+      }
+      out
+    }
+    val merges = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var round = 0
+    while (round < numMerges && pairCounts.nonEmpty) {
+      // argmax: count desc, then (left, right) asc — explicit comparison,
+      // never map-iteration order
+      var bl: String = null; var br: String = null; var bc = -1L
+      pairCounts.foreach { case ((l, r), c) =>
+        if (c > bc || (c == bc &&
+            (l < bl || (l == bl && r < br)))) { bl = l; br = r; bc = c }
+      }
+      merges += ((round + 1, bl, br, bc))
+      val members = pairWords.getOrElse((bl, br), mutable.BitSet.empty).toArray
+      pairWords.remove((bl, br))
+      members.foreach { w =>
+        // membership sets are add-only (stale after rewrites) — re-check
+        val syms = words(w)
+        var hit = false; var j = 0
+        while (!hit && j < syms.length - 1) {
+          hit = syms(j) == bl && syms(j + 1) == br; j += 1
+        }
+        if (hit) {
+          addPairs(w, -1L)
+          words(w) = mergeWord(syms, bl, br)
+          addPairs(w, 1L)
+        }
+      }
+      round += 1
     }
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
   }

@@ -142,6 +142,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(totalSub < totalChars, "merges must compress below char count")
   }
 
+  test("bpeFit at 256 merges runs a constant number of Spark jobs (local merge loop)") {
+    import spark.implicits._
+    // a real tokenizer fit is thousands of merges; the trainer must pay
+    // ONE corpus aggregate, not one Spark job per merge round
+    val rnd = new scala.util.Random(7)
+    val docs = Seq.fill(400)(
+      Seq.fill(12)(Seq.fill(10)("abcdefgh"(rnd.nextInt(8))).mkString)
+        .mkString(" "))
+      .toDF("text")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val t0 = System.nanoTime()
+      val m = operators.TextStats.bpeFit(docs, "text", numMerges = 256)
+      val nMerges = m.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1500) // listener events deliver async
+      assert(nMerges > 0)
+      assert(jobs.get() <= 8,
+        s"bpeFit(256) ran ${jobs.get()} Spark jobs — merge loop is driver-paced again")
+      assert(secs < 60.0, s"bpeFit(256) took ${secs}s")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("semanticAgainst is exactly top-1 ANN with the reference as queries") {
     import spark.implicits._
     // the decontam argmax must agree with the ANN kernel: for each corpus
