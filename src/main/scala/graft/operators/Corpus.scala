@@ -389,12 +389,12 @@ object Corpus {
   private def q210(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Dedup.jaroWinklerPairs(Tables.customer(s, d), "c_custkey", "c_name",
-        expr("substring(c_name, 1, length(c_name)-2)"), minSim = 0.96)
+        expr("substring(c_name, 1, greatest(length(c_name)-2, 0))"), minSim = 0.96)
       .orderBy($"id_a", $"id_b")
   }
   private val q210Sql =
     """WITH b AS (SELECT c_custkey, c_name,
-      |             substring(c_name, 1, length(c_name)-2) AS blk
+      |             substring(c_name, 1, greatest(length(c_name)-2, 0)) AS blk
       |           FROM customer)
       |SELECT a.c_custkey AS id_a, c.c_custkey AS id_b,
       |  jaro_winkler_similarity(a.c_name, c.c_name) AS sim

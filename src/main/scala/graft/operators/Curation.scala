@@ -846,13 +846,17 @@ object Curation {
     * eval-contamination trap a doc-keyed split walks into (a test doc's
     * near-copy trains the model). Same map-only hash semantics; the only
     * added cost is the id→canonical join, and the cluster frame is the
-    * pipeline's existing dedup artifact. Output: df columns + canonical_id
-    * + split. */
+    * pipeline's existing dedup artifact. `clustersDf` need not cover every
+    * row: docs absent from it (singletons — [[Dedup.clusters]] only emits
+    * near-dup members) become their own canonical, so no row is silently
+    * dropped. Output: df columns + canonical_id + split. */
   def splitByCluster(df: DataFrame, idCol: String, clustersDf: DataFrame,
       trainPct: Int = 80, valPct: Int = 10): DataFrame = {
     val withC = df.join(
-      clustersDf.select(col("doc_id").as("__did"), col("canonical_id")),
-      col(idCol) === col("__did")).drop("__did")
+      clustersDf.select(col("doc_id").as("__did"), col("canonical_id").as("__cid")),
+      col(idCol) === col("__did"), "left_outer")
+      .withColumn("canonical_id", coalesce(col("__cid"), col(idCol)))
+      .drop("__did", "__cid")
     splitAssign(withC, "canonical_id", trainPct, valPct)
   }
 

@@ -1017,7 +1017,7 @@ object Reporting {
       |SELECT s_name, COUNT(*) AS numwait
       |FROM po JOIN supplier ON late_supp = s_suppkey
       |WHERE n_supp >= 2 AND n_late_supp = 1
-      |GROUP BY s_name
+      |GROUP BY s_suppkey, s_name
       |ORDER BY numwait DESC, s_name
       |LIMIT 20""".stripMargin
 

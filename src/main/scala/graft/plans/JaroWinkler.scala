@@ -63,8 +63,11 @@ object JaroWinkler {
   def simStr(s1: String, s2: String): Double = {
     val l1 = s1.length
     val l2 = s2.length
-    if (l1 == 0 || l2 == 0) return 0.0
+    // equality FIRST: two empty strings are identical — DuckDB's
+    // rapidfuzz-derived jaro_winkler_similarity returns 1.0 there, and
+    // the bit-exact contract must agree
     if (s1 == s2) return 1.0
+    if (l1 == 0 || l2 == 0) return 0.0
     val win = math.max(math.max(l1, l2) / 2 - 1, 0)
     val m1 = new Array[Boolean](l1)
     val m2 = new Array[Boolean](l2)

@@ -21,6 +21,7 @@ class JaroWinklerSpec extends AnyFunSuite {
     ("dcbbceb", "dacdbeeaa", 0.671957671957672),
     ("ABC", "ABC", 1.0),
     ("", "ABC", 0.0),
+    ("", "", 1.0), // rapidfuzz/DuckDB: two empty strings are identical
     ("a", "b", 0.0))
 
   test("kernel matches the textbook fixtures exactly") {
