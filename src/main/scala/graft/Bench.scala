@@ -65,13 +65,21 @@ object Bench {
       "q130_bpe_encode", // cold = the vocab segmentation replay
       "q66_term_rarity", "q69_bm25_topk") // cold = the memoized corpus-stats pass
       .filter(SparkEntry.queries.contains)
-    val cold = coldNames.map { name =>
+    // two cold passes, min per query (mirrors the warm min-of-3): a single
+    // cold sample is hostage to driver contention — r8 reported q84 cold at
+    // 13.4s where an isolated run measures 2.8s. The per-query max is kept
+    // in the detail file so a contended run is self-evident, not silent.
+    def coldPass(): Seq[(String, Double)] = coldNames.map { name =>
       graft.operators.Text.invalidateCaches(spark, sfDir)
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val coldPasses = Seq(coldPass(), coldPass())
+    val coldByName = coldPasses.map(_.toMap)
+    val cold = coldNames.map(n => n -> coldByName.map(_(n)).min)
+    val coldMax = coldNames.map(n => n -> coldByName.map(_(n)).max)
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def f2(v: Double): String =
@@ -81,6 +89,14 @@ object Bench {
     val total = results.map(_._2).sum
     val coldTotal = cold.map(_._2).sum
     val passTotals = passes.map(_.values.sum).map(f3).mkString("[", ",", "]")
+    val coldPassTotals = coldPasses.map(_.map(_._2).sum).map(f3)
+      .mkString("[", ",", "]")
+    // warm-pass max/min ratio: >~1.3 means a contended run — read the
+    // per-pass totals before believing any regression
+    val passSpread = {
+      val ts = passes.map(_.values.sum)
+      f3(ts.max / math.max(ts.min, 1e-9))
+    }
     // The driver captures only the LAST 2000 chars of stdout and parses the
     // JSON line out of that tail — rounds 6/7 overflowed it (parsed: null)
     // once the query map passed ~100 entries. Full-precision detail goes to a
@@ -88,7 +104,7 @@ object Bench {
     // ("q75_interval_overlap" -> "q75") and, if even that overflows, keeping
     // only the slowest entries.
     val detailPath = "BENCH_DETAIL.json"
-    val detail = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jmap(results, f3)},"cold":${jmap(cold, f3)},"pass_totals":$passTotals,"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jmap(results, f3)},"cold":${jmap(cold, f3)},"cold_max":${jmap(coldMax, f3)},"pass_totals":$passTotals,"cold_pass_totals":$coldPassTotals,"pass_spread":$passSpread,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
@@ -98,7 +114,7 @@ object Bench {
     }
     def line(qs: Seq[(String, Double)], omitted: Int): String = {
       val omit = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jmap(qs, f2)}$omit,"cold_total":${f3(coldTotal)},"pass_totals":$passTotals,"detail":"$detailPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jmap(qs, f2)}$omit,"cold_total":${f3(coldTotal)},"pass_totals":$passTotals,"cold_pass_totals":$coldPassTotals,"pass_spread":$passSpread,"detail":"$detailPath","sf":"$sfDir"}"""
     }
     val shortAll = results.map { case (k, v) => shortKey(k) -> v }
     val bySlow = shortAll.sortBy(-_._2)
