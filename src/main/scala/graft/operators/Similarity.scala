@@ -128,13 +128,15 @@ object Similarity {
       |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine
       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
-  // q38 — IVF ANN: coarse quantizer = LEARNED k-means centroids (Lloyd's,
-  // deterministic hash-spread init — no label column involved); each query
-  // probes its `nprobe` nearest centroids' clusters and scans only those.
-  // Approximate (no oracle — verified by recall-vs-brute in
-  // PipelineOpsSpec). On clustered data recall@k ≈ 1 with small nprobe; on
-  // uniform-random embeddings (this testdata — measured intra≈inter cosine)
-  // recall is bounded by ≈ nprobe/nlist, which the spec asserts.
+  // q38/q228 — IVF ANN: coarse quantizer = LEARNED k-means centroids
+  // (Lloyd's, deterministic hash-spread init — no label column involved);
+  // each query probes its `nprobe` nearest centroids' clusters and scans
+  // only those. q38 fixes nprobe = nlist (exhaustive ≡ brute force →
+  // hash-exact SQL oracle); q228 is the pruned serving config — rows-only
+  // by design, recall-vs-brute asserted in PipelineOpsSpec. On clustered
+  // data recall@k ≈ 1 with small nprobe; on uniform-random embeddings
+  // (this testdata — measured intra≈inter cosine) recall is bounded by
+  // ≈ nprobe/nlist, which the spec asserts.
   val nprobe = 3
   val nlist = 10
 
@@ -262,7 +264,15 @@ object Similarity {
     topKPerKey(scored, Seq(queryIdCol), idCol, "cosine", k)
   }
 
-  def q38(s: SparkSession, d: String): DataFrame = {
+  // q38 runs the IVF path EXHAUSTIVELY (nprobe = nlist — every cluster
+  // scanned), where ivfTopK ≡ annTopK row-for-row regardless of the
+  // learned quantizer, so the whole IVF code path (assignment join, probe
+  // ranking, bounded top-k) gets a hash-exact brute-force SQL oracle. The
+  // pruned serving config (nprobe < nlist) is q228 — rows-only by design,
+  // recall-gated in PipelineOpsSpec.
+  def q38(s: SparkSession, d: String): DataFrame = ivfQuery(s, d, nprobe = nlist)
+  def q228(s: SparkSession, d: String): DataFrame = ivfQuery(s, d, nprobe = nprobe)
+  private def ivfQuery(s: SparkSession, d: String, nprobe: Int): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, d)
     ivfTopK(
@@ -649,6 +659,16 @@ object Similarity {
     val cand = pqTopK(codes, idCol, queries, queryIdCol, queryVecCol,
         codebook, k = shortlist, pairFilter = pairFilter)
       .select(col(queryIdCol), col(idCol))
+    exactRefine(cand, idCol, exact, vecCol, queries, queryIdCol, queryVecCol, k)
+  }
+
+  /** The shared exact-refine stage: re-score a (queryIdCol, idCol)
+    * candidate frame against full-precision vectors and keep the exact
+    * cosine top k — identical scoring expression (and therefore bit
+    * pattern) to [[annTopK]]. */
+  private def exactRefine(cand: DataFrame, idCol: String, exact: DataFrame,
+      vecCol: String, queries: DataFrame, queryIdCol: String,
+      queryVecCol: String, k: Int): DataFrame = {
     val b = exact.select(col(idCol), col(vecCol).as("__bv"))
       .withColumn("__bn", normScaled("__bv"))
     val q = queries.select(col(queryIdCol), col(queryVecCol).as("__qv"))
@@ -658,6 +678,31 @@ object Similarity {
       .select(col(queryIdCol), col(idCol),
         cosine(dotScaled("__qv", "__bv"), col("__qn"), col("__bn")).as("cosine"))
     topKPerKey(scored, Seq(queryIdCol), idCol, "cosine", k)
+  }
+
+  /** Two-stage IVF-PQ with exact refine — the production billion-vector
+    * stack end-to-end: IVF cluster pruning × PQ-ADC shortlisting
+    * ([[ivfPqTopK]]), then exact re-scoring of ONLY the shortlist against
+    * the full-precision vectors. Quantization affects WHICH candidates
+    * reach the refine, never their final order or scores; at
+    * nprobe = nlist and shortlist ≥ |base| the output EQUALS [[annTopK]]
+    * row-for-row (the oracled q85 configuration — hash-exact vs the
+    * brute-force SQL oracle).
+    *
+    * Scale: the [[ivfPqTopK]] and [[pqTopKRefined]] notes compose — the
+    * ADC pass scans nprobe/nlist of the 32×-compressed codes, and the
+    * refine's equi-join on id rides the id-bucketed vector layout (point
+    * lookups, never a second full scan). */
+  def ivfPqTopKRefined(codes: DataFrame, idCol: String, exact: DataFrame,
+      vecCol: String, queries: DataFrame, queryIdCol: String,
+      queryVecCol: String, centroids: DataFrame, codebook: DataFrame,
+      nprobe: Int, k: Int, shortlist: Int,
+      pairFilter: Column = lit(true)): DataFrame = {
+    require(shortlist >= k, "shortlist must be at least k")
+    val cand = ivfPqTopK(codes, idCol, queries, queryIdCol, queryVecCol,
+        centroids, codebook, nprobe, k = shortlist, pairFilter = pairFilter)
+      .select(col(queryIdCol), col(idCol))
+    exactRefine(cand, idCol, exact, vecCol, queries, queryIdCol, queryVecCol, k)
   }
 
   // q83 — PQ ANN (m=4 subspaces × ksub=8 centroids → 4096 effective cells
@@ -674,12 +719,19 @@ object Similarity {
       val cb = pqFit(base, "vec_id", "embedding", m = 4, ksub = 8, iters = 2)
       (cb, pqEncode(base, "vec_id", "embedding", cb).persist())
     })
-  // q214 — PQ shortlist + exact refine: q83's ADC pass widened to a
-  // 50-candidate shortlist, re-scored exactly against the full-precision
-  // vectors, final k = 10. Approximate candidate set (quantization) → no
-  // SQL oracle; the shortlist=N ≡ annTopK equivalence and the
-  // recall-dominates-plain-PQ property are spec-asserted.
-  def q214(s: SparkSession, d: String): DataFrame = {
+  // q214/q229 — PQ shortlist + exact refine: q83's ADC pass widened to a
+  // shortlist, re-scored exactly against the full-precision vectors,
+  // final k = 10. q214 fixes shortlist ≥ |base| — there the refine sees
+  // every candidate and the output ≡ annTopK row-for-row regardless of
+  // the codebook, so the whole shortlist-then-refine path gets a
+  // hash-exact brute-force SQL oracle. q229 is the pruned serving config
+  // (shortlist = 50) — rows-only by design; recall-dominates-plain-PQ is
+  // spec-asserted.
+  def q214(s: SparkSession, d: String): DataFrame =
+    pqRefineQuery(s, d, shortlist = 1 << 20)
+  def q229(s: SparkSession, d: String): DataFrame =
+    pqRefineQuery(s, d, shortlist = 50)
+  private def pqRefineQuery(s: SparkSession, d: String, shortlist: Int): DataFrame = {
     import s.implicits._
     val (cb, codes) = fittedPq(s, d)
     val e = Tables.embeddings(s, d)
@@ -687,7 +739,7 @@ object Similarity {
       codes.select($"vec_id".as("neighbor_id"), $"codes", $"rn"), "neighbor_id",
       e.select($"vec_id".as("neighbor_id"), $"embedding"), "embedding",
       e.filter($"vec_id" < 5).select($"vec_id".as("query_id"), $"embedding".as("qemb")),
-      "query_id", "qemb", cb, k = 10, shortlist = 50,
+      "query_id", "qemb", cb, k = 10, shortlist = shortlist,
       pairFilter = $"neighbor_id" =!= $"query_id")
       .select($"query_id", $"neighbor_id", $"rank", $"cosine")
       .orderBy($"query_id", $"rank")
@@ -705,30 +757,51 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
-  // q85 — IVF-PQ ANN: the composed billion-vector serving stack, reusing
-  // BOTH memoized fits (the IVF coarse quantizer from q38/q67 and the PQ
-  // codebook from q83 — exactly how a real deployment shares them). codes
-  // gain their cid by one build-time join with the IVF assignment.
-  // Approximate by design → no SQL oracle; ≡-pqTopK-at-full-probe and
-  // planted-cluster recall are spec-asserted in PipelineOpsSpec.
+  // q85/q230 — IVF-PQ ANN: the composed billion-vector serving stack,
+  // reusing BOTH memoized fits (the IVF coarse quantizer from q38/q67 and
+  // the PQ codebook from q83 — exactly how a real deployment shares
+  // them). codes gain their cid by one build-time join with the IVF
+  // assignment. q85 runs the full composed stack WITH exact refine at the
+  // exhaustive config (nprobe = nlist, shortlist ≥ |base|) — there the
+  // output ≡ annTopK regardless of either fit, so the IVF×PQ×refine
+  // composition gets a hash-exact brute-force SQL oracle. q230 is the
+  // pruned ADC serving config (nprobe < nlist, no refine) — rows-only by
+  // design; ≡-pqTopK-at-full-probe and planted-cluster recall are
+  // spec-asserted in PipelineOpsSpec.
   // the cid-attached code table is BUILD-time state (a deployment stores
   // codes partitioned by cid) — memoized so the query path is scan +
   // broadcast only, not a per-query codes⋈assignment join
   private val ivfPqCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
-  def q85(s: SparkSession, d: String): DataFrame = {
+  private def fittedIvfPqCodes(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val (cent, _) = fittedIvf(s, d)
-    val (cb, _) = fittedPq(s, d)
-    val withCid = ivfPqCache.getOrElseUpdate((s, d), {
+    ivfPqCache.getOrElseUpdate((s, d), {
       val (_, assign) = fittedIvf(s, d)
       val (_, codes) = fittedPq(s, d)
       codes.join(assign, "vec_id")
         .select($"vec_id".as("neighbor_id"), $"codes", $"rn", $"cid")
         .persist()
     })
+  }
+  def q85(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (cent, _) = fittedIvf(s, d)
+    val (cb, _) = fittedPq(s, d)
     val e = Tables.embeddings(s, d)
-    ivfPqTopK(withCid, "neighbor_id",
+    ivfPqTopKRefined(fittedIvfPqCodes(s, d), "neighbor_id",
+      e.select($"vec_id".as("neighbor_id"), $"embedding"), "embedding",
+      e.filter($"vec_id" < 5).select($"vec_id".as("query_id"), $"embedding".as("qemb")),
+      "query_id", "qemb", cent, cb, nprobe = nlist, k = 10, shortlist = 1 << 20,
+      pairFilter = $"neighbor_id" =!= $"query_id")
+      .select($"query_id", $"neighbor_id", $"rank", $"cosine")
+      .orderBy($"query_id", $"rank")
+  }
+  def q230(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (cent, _) = fittedIvf(s, d)
+    val (cb, _) = fittedPq(s, d)
+    val e = Tables.embeddings(s, d)
+    ivfPqTopK(fittedIvfPqCodes(s, d), "neighbor_id",
       e.filter($"vec_id" < 5).select($"vec_id".as("query_id"), $"embedding".as("qemb")),
       "query_id", "qemb", cent, cb, nprobe = nprobe, k = 10,
       pairFilter = $"neighbor_id" =!= $"query_id")
@@ -1200,16 +1273,27 @@ object Similarity {
     "q83_ann_pq" -> (q83(_, _)),
     "q214_ann_pq_refined" -> (q214(_, _)),
     "q85_ann_ivfpq" -> (q85(_, _)),
+    "q228_ann_ivf_pruned" -> (q228(_, _)),
+    "q229_ann_pq_refined_pruned" -> (q229(_, _)),
+    "q230_ann_ivfpq_pruned" -> (q230(_, _)),
   )
 
-  /** q38/q41/q67 are approximate by design → no SQL oracle (driver
-    * rows-only check); their accuracy is asserted in PipelineOpsSpec. */
+  /** q38/q214/q85 run their ANN paths at the exhaustive configuration
+    * (nprobe = nlist / shortlist ≥ |base|), where each is spec-locked ≡
+    * annTopK — so all three share the brute-force SQL oracle and the
+    * whole code path hash-matches it. The pruned serving configs
+    * (q228/q229/q230) and q41/q67/q83 are approximate by design → no SQL
+    * oracle (driver rows-only check); accuracy is asserted in
+    * PipelineOpsSpec. */
   val oracles: Map[String, String] = Map(
     "q193_embedding_quality" -> q193Sql,
     "q216_group_centroids" -> q216Sql,
     "q100_negative_sample" -> q100Sql,
     "q92_mmr_rerank" -> q92Sql,
     "q37_ann_brute" -> q37Sql,
+    "q38_ann_ivf" -> q37Sql,
+    "q214_ann_pq_refined" -> q37Sql,
+    "q85_ann_ivfpq" -> q37Sql,
     "q121_semantic_against" -> q121Sql,
     "q61_embed_quantize_int8" -> q61Sql,
     "q39_multimodal_binary" -> q39Sql,
