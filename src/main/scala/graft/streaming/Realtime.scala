@@ -141,6 +141,109 @@ object Realtime {
     df.groupBy(r.dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  // ---------------------------------------------------------------------
+  // Pure-SQL ingest surface — the reference configures realtime ingest as
+  // TEXT (table spec JSON with SQL-ish agg schema, TableSchema.java:17-69),
+  // so a client that can only submit SQL strings must be able to run the
+  // same decode→rollup pipeline. The generators below emit Spark SQL from
+  // the SAME IngestSpec/RollupSpec objects that drive decode/rollupBatch;
+  // run the text with spark.sql over a registered view — including a
+  // STREAMING temp view (spark.sql on a streaming view yields a streaming
+  // frame; hand it to writeStream). Equivalence with the programmatic path
+  // is spec-asserted in StreamingSpec, batch and stream.
+  // ---------------------------------------------------------------------
+
+  private def sqlLit(v: Any): String = v match {
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case d: Double => s"CAST($d AS DOUBLE)"
+    case f: Float => s"CAST($f AS DOUBLE)"
+    case other => String.valueOf(other)
+  }
+
+  /** Decode SQL for `spec` over the view `rawView`: from_json against the
+    * spec schema's DDL, defaults as coalesce, tag filter and ignore-empty
+    * as WHERE, aliases as AS — the SQL twin of [[decode]]. `passthrough`
+    * lists raw-view columns to carry alongside the parsed ones (decode's
+    * `col("*")`; pure SQL must name them). */
+  def decodeSql(spec: IngestSpec, jsonCol: String, rawView: String,
+      passthrough: Seq[String] = Nil): String = {
+    val ddl = spec.schema.toDDL.replace("'", "''")
+    // defaulted value of a parsed column (pre-alias name), as decode
+    // computes it — the tag filter and ignore-empty run on these too
+    def valOf(c: String): String = spec.defaults.get(c) match {
+      case Some(v) => s"coalesce(__p.`$c`, ${sqlLit(v)})"
+      case None => s"__p.`$c`"
+    }
+    val outCols = passthrough.map(c => s"`$c`") ++ spec.schema.fieldNames.map {
+      c => s"${valOf(c)} AS `${spec.aliases.getOrElse(c, c)}`"
+    }
+    val tagCond = spec.tagField.filter(_ => spec.acceptTags.nonEmpty).map { tf =>
+      val tags = spec.acceptTags.toSeq.sorted.map(sqlLit).mkString(", ")
+      s"size(array_intersect(split(${valOf(tf)}, ','), array($tags))) > 0"
+    }
+    val emptyCond =
+      if (!spec.ignoreEmpty) None
+      else {
+        val metricCols = spec.schema.fieldNames.filterNot(c =>
+          spec.rollup.exists(_.dims.contains(c)) || spec.tagField.contains(c))
+        if (metricCols.isEmpty) None
+        else Some(metricCols.map(c => s"${valOf(c)} IS NOT NULL")
+          .mkString("(", " OR ", ")"))
+      }
+    val where = (tagCond.toSeq ++ emptyCond.toSeq) match {
+      case Nil => ""
+      case cs => "\nWHERE " + cs.mkString(" AND ")
+    }
+    s"""SELECT ${outCols.mkString(",\n  ")}
+       |FROM (SELECT *, from_json(`$jsonCol`, '$ddl') AS __p FROM $rawView)$where""".stripMargin
+  }
+
+  /** Rollup SQL for `r` over `from` (a view name or parenthesized
+    * subquery) — the SQL twin of [[rollupBatch]]: float/double SUMs travel
+    * as DECIMAL(30,6), FIRST/LAST are MIN_BY/MAX_BY plus their arrival
+    * anchors. `schema` resolves metric types (pass the decoded frame's
+    * schema, as rollupBatch reads it off the frame). */
+  def rollupSql(r: RollupSpec, schema: StructType, from: String): String = {
+    def isFp(m: String): Boolean = schema.find(_.name == m)
+      .exists(f => f.dataType == DoubleType || f.dataType == FloatType)
+    val aggs = r.metrics.flatMap {
+      case (m, Sum) if isFp(m) =>
+        Seq(s"SUM(CAST(`$m` AS DECIMAL(30,6))) AS `$m`")
+      case (m, Sum) => Seq(s"SUM(`$m`) AS `$m`")
+      case (m, Cnt) => Seq(s"COUNT(`$m`) AS `$m`")
+      case (m, Min) => Seq(s"MIN(`$m`) AS `$m`")
+      case (m, Max) => Seq(s"MAX(`$m`) AS `$m`")
+      case (m, First) => Seq(
+        s"MIN_BY(`$m`, `${r.arrival}`) AS `$m`",
+        s"MIN(`${r.arrival}`) AS `${arrCol(m, First)}`")
+      case (m, Last) => Seq(
+        s"MAX_BY(`$m`, `${r.arrival}`) AS `$m`",
+        s"MAX(`${r.arrival}`) AS `${arrCol(m, Last)}`")
+    }
+    val dims = r.dims.map(c => s"`$c`")
+    s"""SELECT ${(dims ++ aggs).mkString(",\n  ")}
+       |FROM $from
+       |GROUP BY ${dims.mkString(", ")}""".stripMargin
+  }
+
+  /** The full SQL-text ingest: decode, then the spec's rollup if any —
+    * submit the returned string via spark.sql against a (batch or
+    * streaming) view registered as `rawView`. Rollup metrics must be
+    * parsed columns here (a code-level pipeline can enrich between the
+    * stages; a pure-SQL client edits the generated text instead). */
+  def ingestSql(spec: IngestSpec, jsonCol: String, rawView: String,
+      passthrough: Seq[String] = Nil): String = {
+    val dec = decodeSql(spec, jsonCol, rawView, passthrough)
+    spec.rollup match {
+      case None => dec
+      case Some(r) =>
+        // resolve metric types post-alias, as the decoded frame carries them
+        val decoded = StructType(spec.schema.fields.map(f =>
+          f.copy(name = spec.aliases.getOrElse(f.name, f.name))))
+        rollupSql(r, decoded, s"(\n$dec\n)")
+    }
+  }
+
   /** Start the ingest query: decode → per-batch rollup → dim-sorted parquet
     * append into `tableDir/batch=<id>` (idempotent per batchId — replayed
     * batches overwrite their own dir, commitlog-replay parity). */

@@ -53,6 +53,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(b.getAs[Long]("cnt") == 0L) // alias applied + default
   }
 
+  test("generated decode SQL equals programmatic decode (pure-SQL surface)") {
+    import spark.implicits._
+    val raw = Seq(
+      """{"ev_id":1,"dim":"a","tag":"keep","v":2.5,"n":1}""",
+      """{"ev_id":2,"dim":"a","tag":"drop","v":9.9,"n":1}""",
+      """{"ev_id":3,"dim":"b","tag":"vip,extra"}""").toDF("json")
+    raw.createOrReplaceTempView("raw_decode_sql")
+    def keyed(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      r.getAs[Long]("ev_id") ->
+        ((r.getAs[String]("dim"), r.getAs[Double]("v"), r.getAs[Long]("cnt")))).toMap
+    val viaSql = keyed(
+      spark.sql(Realtime.decodeSql(spec, "json", "raw_decode_sql")).collect())
+    val viaApi = keyed(Realtime.decode(raw, "json", spec).collect())
+    assert(viaSql == viaApi && viaSql.size == 2)
+  }
+
+  test("pure-SQL streaming ingest: decode+rollup SQL over a streaming view = batch rollup") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // a spec whose rollup uses only parsed columns (the pure-SQL contract);
+    // w -> Last exercises the MAX_BY + arrival-anchor generation
+    val sqlSchema = StructType(Seq(
+      StructField("ev_id", LongType), StructField("dim", StringType),
+      StructField("tag", StringType), StructField("v", DoubleType),
+      StructField("n", LongType), StructField("w", DoubleType)))
+    val sqlSpec = IngestSpec(
+      schema = sqlSchema,
+      defaults = Map("v" -> 0.0, "n" -> 0L),
+      aliases = Map("n" -> "cnt"),
+      tagField = Some("tag"), acceptTags = Set("keep", "vip"),
+      rollup = Some(RollupSpec(dims = Seq("dim"),
+        metrics = Seq("v" -> Sum, "cnt" -> Sum, "w" -> Last),
+        arrival = "ev_id")))
+    val lines = Seq(
+      """{"ev_id":1,"dim":"a","tag":"keep","v":2.5,"n":1,"w":10.0}""",
+      """{"ev_id":2,"dim":"a","tag":"vip","v":1.5,"n":2,"w":20.0}""",
+      """{"ev_id":3,"dim":"a","tag":"drop","v":9.9,"n":9,"w":30.0}""",
+      """{"ev_id":4,"dim":"b","tag":"keep","w":5.0}""")
+    val mem = MemoryStream[String]
+    mem.toDF().toDF("value").createOrReplaceTempView("raw_stream_sql")
+    val q = spark.sql(Realtime.ingestSql(sqlSpec, "value", "raw_stream_sql"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("sqlingest").start()
+    try {
+      mem.addData(lines: _*)
+      q.processAllAvailable()
+      def keyed(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+        r.getAs[String]("dim") -> ((r.getAs[java.math.BigDecimal]("v").toString,
+          r.getAs[Long]("cnt"), r.getAs[Double]("w"),
+          r.getAs[Long](Realtime.arrCol("w", Last))))).toMap
+      val got = keyed(spark.table("sqlingest"))
+      val want = keyed(Realtime.rollupBatch(
+        Realtime.decode(lines.toDF("value"), "value", sqlSpec),
+        sqlSpec.rollup.get))
+      assert(got == want && got.contains("a") && got.contains("b"))
+      // the Last anchor resolved to the latest arrival in dim a
+      assert(got("a")._3 == 20.0 && got("a")._4 == 2L)
+    } finally q.stop()
+  }
+
   test("streaming ingest -> batch dumps -> compaction merges rollup state") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
