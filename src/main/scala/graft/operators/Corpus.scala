@@ -444,9 +444,14 @@ object Corpus {
 
   // q129 — BPE vocabulary fit over the corpus (40 merges). The merge
   // table is a build-once deploy artifact — memoized like the quantizer
-  // fits. Iterative argmax (k-means class) → no SQL oracle; driver
-  // records the rows-only check; the trainer's exact semantics are
-  // pinned by the naive-model equivalence spec.
+  // fits. The trainer is deterministic integer/string work, so the SQL
+  // oracle UNROLLS the 40 merge rounds as generated materialized CTEs
+  // (the pageRank-oracle technique): per round, the weighted pair argmax
+  // (ties → lexicographic) and the greedy left-to-right rewrite — the
+  // rewrite's "merge non-overlapping matches from the left" is the
+  // gaps-and-islands pattern (consecutive match positions form a run;
+  // keep the odd positions of each run). The naive-model equivalence
+  // spec pins the same semantics engine-side.
   private val bpeCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def fittedBpe(s: SparkSession, d: String): DataFrame =
@@ -472,6 +477,73 @@ object Corpus {
     TextStats.bpeEncodeWith(Tables.documents(s, d), "doc_id", "text", segs)
       .orderBy($"doc_id")
   }
+
+  // Generated CTE chain for the BPE oracles: v0 = the corpus word-type
+  // vocabulary (freq-desc/word-asc capped, bpeFit's default maxVocab —
+  // the cap and minFreq=1 never bind at gate scale, where the vocab is
+  // far under 2^20 word types, so fit vocab = encode vocab = distinct
+  // words); then per round n: b_n = best pair, c_n = greedily chosen
+  // match positions (odd members of each consecutive-match run), v_n =
+  // the rewritten vocabulary. ASCII corpus: DuckDB's binary string order
+  // and char split agree with the engine's UTF-16 order / code-point
+  // split on every value involved.
+  private val bpeRounds = 40
+  private def bpeFitCtes(rounds: Int): String = {
+    val v0 =
+      s"""v0 AS MATERIALIZED (
+         |  SELECT w, freq, string_split(w, '') AS syms FROM (
+         |    SELECT w, COUNT(*) AS freq FROM (
+         |      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents)
+         |    WHERE len(w) > 0 GROUP BY w
+         |    ORDER BY freq DESC, w LIMIT ${1 << 20}))""".stripMargin
+    val rounds_ = (1 to rounds).map { n =>
+      val p = n - 1
+      s"""b$n AS MATERIALIZED (
+         |  SELECT l, r, cnt FROM (
+         |    SELECT syms[j] AS l, syms[j+1] AS r, SUM(freq) AS cnt
+         |    FROM v$p, unnest(range(1, len(syms))) u(j)
+         |    GROUP BY 1, 2)
+         |  ORDER BY cnt DESC, l, r LIMIT 1),
+         |c$n AS MATERIALIZED (
+         |  SELECT w, j FROM (
+         |    SELECT w, j, ROW_NUMBER() OVER (PARTITION BY w, j - rn ORDER BY j) AS k
+         |    FROM (
+         |      SELECT v.w, u.j, ROW_NUMBER() OVER (PARTITION BY v.w ORDER BY u.j) AS rn
+         |      FROM v$p v, unnest(range(1, len(v.syms))) u(j), b$n b
+         |      WHERE v.syms[j] = b.l AND v.syms[j+1] = b.r))
+         |  WHERE k % 2 = 1),
+         |v$n AS MATERIALIZED (
+         |  SELECT x.w, any_value(x.freq) AS freq,
+         |    list(CASE WHEN c.j IS NOT NULL THEN (SELECT l || r FROM b$n) ELSE x.sym END
+         |      ORDER BY x.j) AS syms
+         |  FROM (SELECT w, freq, u.j, syms[u.j] AS sym
+         |        FROM v$p, unnest(range(1, len(syms) + 1)) u(j)) x
+         |  LEFT JOIN c$n c ON c.w = x.w AND c.j = x.j
+         |  LEFT JOIN c$n pr ON pr.w = x.w AND pr.j = x.j - 1
+         |  WHERE pr.j IS NULL
+         |  GROUP BY x.w)""".stripMargin
+    }
+    (v0 +: rounds_).mkString(",\n")
+  }
+  private lazy val q129Sql = {
+    val union = (1 to bpeRounds).map(n =>
+      s"""SELECT CAST($n AS INTEGER) AS rank, l AS "left", r AS "right",
+         |  CAST(cnt AS BIGINT) AS pair_count FROM b$n""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${bpeFitCtes(bpeRounds)}
+       |SELECT * FROM (
+       |$union
+       |) ORDER BY rank""".stripMargin
+  }
+  private lazy val q130Sql =
+    s"""WITH ${bpeFitCtes(bpeRounds)},
+       |tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |        FROM documents)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, COUNT(*) AS n_words,
+       |  CAST(SUM(coalesce(len(v.syms), len(tok.w))) AS BIGINT) AS n_subwords
+       |FROM tok LEFT JOIN v$bpeRounds v USING (w)
+       |WHERE len(tok.w) > 0
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // q126 — bigram-LM quality score per document (surprisal proxy): mean
   // corpus conditional probability of each doc's transitions, exact
@@ -585,6 +657,8 @@ object Corpus {
   val oracles: Map[String, String] = Map(
     "q192_contamination_rate" -> q192Sql,
     "q115_cooccurrence_pmi" -> q115Sql,
+    "q129_bpe_fit" -> q129Sql,
+    "q130_bpe_encode" -> q130Sql,
     "q126_lm_quality" -> q126Sql,
     "q95_decontaminate_bloom" -> q65Sql, // identical semantics by design
     "q96_dedup_edit_distance" -> q96Sql,
