@@ -461,28 +461,19 @@ object TextStats {
   /** Segment a corpus's distinct-word vocabulary with a [[bpeFit]] merge
     * table: (w, syms) — the memoizable half of [[bpeEncode]] (a deploy
     * artifact like the fit itself: segment each unique word once, reuse
-    * across every encode pass and micro-batch). Each merge replays as a
-    * map-only rewrite on the vocab-sized frame, localCheckpoint'd so the
-    * fold stays one merge deep. */
+    * across every encode pass and micro-batch). The whole merge replay is
+    * ONE map-only pass via the native [[graft.plans.BpeSegment]]
+    * expression (the merge table rides along as a broadcast-sized
+    * literal) — numMerges×len scalar work per distinct word inside the
+    * task, never a plan layer or eager checkpoint per merge (the round-8
+    * form paid one Spark job per merge round). */
   def bpeSegmentVocab(df: DataFrame, textCol: String,
       mergesDf: DataFrame): DataFrame = {
     val merges = mergesDf.select(col("rank"), col("left"), col("right"))
-      .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2)))
-    var vocab = df
-      .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    df.select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
       .filter(length(col("w")) > 0).distinct()
-      .select(col("w"), filter(split(col("w"), ""), c => length(c) > 0).as("syms"))
-      .localCheckpoint()
-    merges.foreach { case (l, r) =>
-      vocab = vocab.withColumn("syms",
-        aggregate(col("syms"), array().cast("array<string>"), (acc, x) =>
-          when(size(acc) > 0 &&
-              element_at(acc, -1) === lit(l) && x === lit(r),
-            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-          .otherwise(concat(acc, array(x)))))
-        .localCheckpoint()
-    }
-    vocab
+      .select(col("w"), graft.plans.BpeSegment(col("w"), merges).as("syms"))
   }
 
   /** [[bpeEncode]] against a precomputed [[bpeSegmentVocab]] frame: one
