@@ -327,17 +327,45 @@ object Similarity {
   }
 
   // q67 — SemDeDup on the embeddings table, reusing the memoized IVF
-  // quantizer fit (the same clustering serves search and dedup). tau=0.9:
-  // this testdata is uniform-random (max pairwise cosine ≈ 0.51), so every
-  // vector is its own canonical here — the planted-duplicate semantics are
-  // proven in PipelineOpsSpec. Approximate by design (k-means) → no SQL
-  // oracle; driver records the rows-only check.
+  // quantizer fit (the same clustering serves search and dedup). The SQL
+  // oracle computes EXACT SemDeDup (all-pairs cosine ≥ tau → transitive
+  // closure → min-id canonical, the q47 recursive-CTE machinery); the
+  // engine prunes candidate pairs to within-cluster, and the two agree
+  // whenever the clustering splits no ≥tau pair — guaranteed a fortiori
+  // at tau=0.9 on this corpus, where NO pair reaches tau at all (uniform
+  // -random embeddings, max pairwise cosine ≈ 0.513 measured via the same
+  // scaled-integer kernel). The clustered path's planted-duplicate
+  // detection is separately spec-proven in PipelineOpsSpec.
   private def q67(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val (_, assign) = fittedIvf(s, d)
     val base = Tables.embeddings(s, d).select($"vec_id", $"embedding".as("ve"))
     semanticDedupFrom(base, assign, tau = 0.9).orderBy($"vec_id")
   }
+  private val q67Sql =
+    """WITH RECURSIVE norms AS (
+      |  SELECT vec_id, embedding,
+      |    (SELECT CAST(SUM(CAST(floor(embedding[i]::DOUBLE * embedding[i]::DOUBLE * 1e15) AS BIGINT)) AS BIGINT)
+      |     FROM unnest(range(1, len(embedding)+1)) u(i)) AS norm
+      |  FROM embeddings),
+      |close AS (
+      |  SELECT a.vec_id AS va, b.vec_id AS vb
+      |  FROM norms a JOIN norms b ON a.vec_id < b.vec_id
+      |  WHERE CAST((SELECT CAST(SUM(CAST(floor(a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE * 1e15) AS BIGINT)) AS BIGINT)
+      |      FROM unnest(range(1, len(a.embedding)+1)) u(i)) AS DOUBLE)
+      |    / (sqrt(CAST(a.norm AS DOUBLE)) * sqrt(CAST(b.norm AS DOUBLE))) >= 0.9),
+      |edges AS (SELECT va AS src, vb AS dst FROM close
+      |          UNION ALL SELECT vb, va FROM close),
+      |reach(n, m) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.n, e.dst FROM reach r JOIN edges e ON r.m = e.src),
+      |comp AS (SELECT n, least(n, min(m)) AS lbl FROM reach GROUP BY n)
+      |SELECT e.vec_id,
+      |  coalesce(c.lbl, e.vec_id) AS canonical_id,
+      |  CASE WHEN coalesce(c.lbl, e.vec_id) <> e.vec_id THEN 1 ELSE 0 END AS is_dup
+      |FROM embeddings e LEFT OUTER JOIN comp c ON e.vec_id = c.n
+      |ORDER BY e.vec_id""".stripMargin
 
   /** Cross-corpus semantic decontamination — the embedding-space member
     * of the decontam family (exact hash [[Dedup.exactAgainst]] → bloom →
@@ -1281,10 +1309,12 @@ object Similarity {
   /** q38/q214/q85 run their ANN paths at the exhaustive configuration
     * (nprobe = nlist / shortlist ≥ |base|), where each is spec-locked ≡
     * annTopK — so all three share the brute-force SQL oracle and the
-    * whole code path hash-matches it. The pruned serving configs
-    * (q228/q229/q230) and q41/q67/q83 are approximate by design → no SQL
-    * oracle (driver rows-only check); accuracy is asserted in
-    * PipelineOpsSpec. */
+    * whole code path hash-matches it. q67 is oracled by exact SemDeDup
+    * (all-pairs closure — agrees with the clustered engine whenever no
+    * ≥tau pair is cluster-split; trivially true here, see q67's note).
+    * The pruned serving configs (q228/q229/q230), q41 (HLL) and q83
+    * (pure ADC scores) are approximate by design → no SQL oracle (driver
+    * rows-only check); accuracy is asserted in PipelineOpsSpec. */
   val oracles: Map[String, String] = Map(
     "q193_embedding_quality" -> q193Sql,
     "q216_group_centroids" -> q216Sql,
@@ -1294,6 +1324,7 @@ object Similarity {
     "q38_ann_ivf" -> q37Sql,
     "q214_ann_pq_refined" -> q37Sql,
     "q85_ann_ivfpq" -> q37Sql,
+    "q67_semantic_dedup" -> q67Sql,
     "q121_semantic_against" -> q121Sql,
     "q61_embed_quantize_int8" -> q61Sql,
     "q39_multimodal_binary" -> q39Sql,
