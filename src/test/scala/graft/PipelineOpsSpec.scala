@@ -468,6 +468,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfPqTopKRefined at the exhaustive config equals brute-force annTopK") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val centers = (0 until 5).map(_ => Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    val rows = for (c <- 0 until 5; i <- 0 until 20) yield
+      ((c * 100 + i).toLong, centers(c).map(v => v + (rnd.nextFloat() - 0.5f) * 0.05f))
+    val emb = rows.toDF("vec_id", "embedding")
+    val (cent, assign) = operators.Similarity.kmeansFit(emb, "embedding",
+      nlist = 5, iters = 3)
+    val cb = operators.Similarity.pqFit(emb, "vec_id", "embedding",
+      m = 4, ksub = 8, iters = 2)
+    val withCid = operators.Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+      .join(assign, "vec_id")
+      .select($"vec_id".as("nid"), $"codes", $"rn", $"cid")
+    val exact = emb.select($"vec_id".as("nid"), $"embedding")
+    val queries = emb.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qemb"))
+    def rows3(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"),
+        r.getAs[Int]("rank"), r.getAs[Double]("cosine"))).toSet
+    val brute = rows3(operators.Similarity.annTopK(
+      exact, "nid", "embedding", queries, "qid", "qemb", k = 5,
+      pairFilter = col("nid") =!= col("qid")))
+    val refined = rows3(operators.Similarity.ivfPqTopKRefined(
+      withCid, "nid", exact, "embedding", queries, "qid", "qemb", cent, cb,
+      nprobe = 5, k = 5, shortlist = 100,
+      pairFilter = col("nid") =!= col("qid")))
+    assert(refined == brute,
+      "exhaustive IVF-PQ + refine must reproduce brute force exactly (the q85 oracle argument)")
+    // pruned probes: a subset of exact-scored rows, never exceeding brute size
+    val pruned = rows3(operators.Similarity.ivfPqTopKRefined(
+      withCid, "nid", exact, "embedding", queries, "qid", "qemb", cent, cb,
+      nprobe = 2, k = 5, shortlist = 20,
+      pairFilter = col("nid") =!= col("qid")))
+    assert(pruned.size <= brute.size)
+  }
+
   test("PQ ADC scoring is map-only over the codes (no join/shuffle on the base)") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
