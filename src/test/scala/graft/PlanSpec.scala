@@ -23,6 +23,22 @@ class PlanSpec extends AnyFunSuite {
       org.apache.spark.sql.execution.FormattedMode)
   }
 
+  test("sweep: no registered query ever plans a CartesianProduct") {
+    // crossJoin(broadcast(...)) plans as BroadcastNestedLoopJoin (fine: a
+    // 1-row total / tiny centroid frame); a true CartesianProduct means a
+    // candidate generator lost its equi-key — the classic 100 TB killer.
+    // Planning every query also smoke-tests construction end to end.
+    val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val plan =
+        try SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString()
+        catch { case e: Throwable => s"CONSTRUCTION FAILED: ${e.getMessage}" }
+      if (plan.contains("CartesianProduct") || plan.startsWith("CONSTRUCTION FAILED"))
+        Some(name -> plan.linesIterator.take(3).mkString(" | "))
+      else None
+    }
+    assert(bad.isEmpty, bad.map { case (n, p) => s"$n: $p" }.mkString("\n"))
+  }
+
   test("q03: filter is pushed to the parquet scan and aggregation is codegen'd") {
     val e = explained("q03_agg_tpch1")
     assert(e.contains("PushedFilters"), "expected PushedFilters section")
