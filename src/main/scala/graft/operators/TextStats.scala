@@ -382,9 +382,27 @@ object TextStats {
     val freqs = vocabRows.map(_.getLong(1))
     // incremental pair index (Sennrich et al. 2016 trainer): corpus-wide
     // weighted adjacent-pair counts + which words contain each pair, so a
-    // merge re-counts only the affected words
+    // merge re-counts only the affected words. The argmax is a
+    // lazy-invalidation priority queue — every count CHANGE pushes a
+    // fresh (count, pair) entry and pops discard entries whose count no
+    // longer matches the live table — so each round costs
+    // O(affected-pairs·log) instead of a full scan of the pair table
+    // (a 32K-merge fit over a 10⁷-word vocab would otherwise pay
+    // merges×|pairs| comparisons). Same total order (count desc, then
+    // (left, right) asc), so results are unchanged.
     val pairCounts = mutable.HashMap.empty[(String, String), Long]
     val pairWords = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    val heapOrd = new Ordering[(Long, String, String)] {
+      def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) c
+        else {
+          val l = b._2.compareTo(a._2) // reversed: smaller left wins ties
+          if (l != 0) l else b._3.compareTo(a._3)
+        }
+      }
+    }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](heapOrd)
     def addPairs(i: Int, sign: Long): Unit = {
       val syms = words(i); val f = freqs(i) * sign
       var j = 0
@@ -392,6 +410,7 @@ object TextStats {
         val p = (syms(j), syms(j + 1))
         val c = pairCounts.getOrElse(p, 0L) + f
         if (c == 0L) pairCounts.remove(p) else pairCounts(p) = c
+        if (c > 0L) heap.enqueue((c, p._1, p._2))
         if (sign > 0) pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += i
         j += 1
       }
@@ -413,12 +432,14 @@ object TextStats {
     val merges = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var round = 0
     while (round < numMerges && pairCounts.nonEmpty) {
-      // argmax: count desc, then (left, right) asc — explicit comparison,
-      // never map-iteration order
+      // argmax: pop stale heap entries (count no longer live) until the
+      // top reflects the table — count desc, then (left, right) asc
       var bl: String = null; var br: String = null; var bc = -1L
-      pairCounts.foreach { case ((l, r), c) =>
-        if (c > bc || (c == bc &&
-            (l < bl || (l == bl && r < br)))) { bl = l; br = r; bc = c }
+      while (bl == null) {
+        if (heap.isEmpty) // defensive: every live count was pushed, but refill beats a crash
+          pairCounts.foreach { case ((l, r), c) => heap.enqueue((c, l, r)) }
+        val (c, l, r) = heap.dequeue()
+        if (pairCounts.get((l, r)).contains(c)) { bl = l; br = r; bc = c }
       }
       merges += ((round + 1, bl, br, bc))
       val members = pairWords.getOrElse((bl, br), mutable.BitSet.empty).toArray
