@@ -143,11 +143,15 @@ object Similarity {
   /** Deterministic Lloyd's k-means over an embedding column.
     * Returns (centroids (cid, ce, cn), assignment (vec_id, cid)).
     *
-    *  - init: deterministic farthest-point (maximin) seeding — first seed
-    *    by md5(vec_id) rank, each next seed the vector least similar to
-    *    every chosen seed (ties → lowest vec_id). No RNG, replicates across
-    *    engines/reruns, and one seed lands in each well-separated cluster
-    *    (random seeding's split-cluster local optimum can't happen);
+    *  - init: deterministic, no RNG, replicates across engines/reruns.
+    *    nlist ≤ [[maximinSeedCap]]: farthest-point (maximin) seeding —
+    *    first seed by md5(vec_id) rank, each next seed the vector least
+    *    similar to every chosen seed (ties → lowest vec_id); one seed
+    *    lands in each well-separated cluster (random seeding's
+    *    split-cluster local optimum can't happen). nlist beyond the cap
+    *    (the 50k-cluster SemDeDup regime): the nlist md5-rank-lowest
+    *    train vectors in ONE TakeOrdered job — maximin's job-per-seed
+    *    driver pacing must not scale with nlist;
     *  - assign: nearest centroid by cosine, computed as a broadcast
     *    cross-join (centroids are tiny) + map-side-combinable min_by — each
     *    vector's nlist candidate rows collapse to one BEFORE the shuffle,
@@ -160,6 +164,10 @@ object Similarity {
     * (standard IVF practice: fit the quantizer on a sample, then one
     * map-only labeling pass over everything) — at 100 TB pass 1-5; the
     * final assignment always covers every vector. */
+  /** Above this list size, [[kmeansFit]] seeding switches from exact
+    * maximin (one job per seed) to the one-job md5-rank spread. */
+  val maximinSeedCap = 64
+
   def kmeansFit(emb: DataFrame, vecCol: String, nlist: Int, iters: Int,
       trainPct: Int = 100): (DataFrame, DataFrame) = {
     val s = emb.sparkSession
@@ -179,18 +187,35 @@ object Similarity {
             $"cid").as("key"))
         .groupBy($"vec_id").agg(min($"key").as("k"))
         .select($"vec_id", $"k.cid".as("cid"))
-    val first = train
-      .orderBy(graft.functions.Ops.md5Long(concat(lit("km:"), $"vec_id".cast("string"))), $"vec_id")
-      .select($"ve").head().getSeq[Float](0).toArray
-    var cent: Seq[(Int, Array[Float])] = Seq(0 -> first)
-    while (cent.size < nlist) {
-      val next = train.crossJoin(centDf(cent))
-        .groupBy($"vec_id")
-        .agg(max(cosine(dotScaled("ve", "ce"), $"vn", $"cn")).as("maxcos"))
-        .orderBy($"maxcos".asc, $"vec_id".asc).limit(1)
-        .join(vecs, "vec_id").select($"ve").head().getSeq[Float](0).toArray
-      cent = cent :+ (cent.size -> next)
-    }
+    // Seeding — two regimes, both deterministic (no RNG, engine-replicable):
+    //  - nlist ≤ maximinSeedCap: exact farthest-point (maximin) — one
+    //    Spark job per seed, the quality choice for serving-sized lists
+    //    (a split-cluster local optimum can't happen);
+    //  - nlist > maximinSeedCap: md5-rank spread — the nlist hash-lowest
+    //    train vectors in ONE job (TakeOrdered, bounded by k). A 50k-
+    //    cluster SemDeDup fit must not pay 50k sequential seeding jobs
+    //    (the bpeFit driver-pacing class); the hash spread is the
+    //    k-means||-style scale path, and Lloyd iterations repair seed
+    //    quality where clusters are real.
+    var cent: Seq[(Int, Array[Float])] =
+      if (nlist <= maximinSeedCap) {
+        val first = train
+          .orderBy(graft.functions.Ops.md5Long(concat(lit("km:"), $"vec_id".cast("string"))), $"vec_id")
+          .select($"ve").head().getSeq[Float](0).toArray
+        var c: Seq[(Int, Array[Float])] = Seq(0 -> first)
+        while (c.size < nlist) {
+          val next = train.crossJoin(centDf(c))
+            .groupBy($"vec_id")
+            .agg(max(cosine(dotScaled("ve", "ce"), $"vn", $"cn")).as("maxcos"))
+            .orderBy($"maxcos".asc, $"vec_id".asc).limit(1)
+            .join(vecs, "vec_id").select($"ve").head().getSeq[Float](0).toArray
+          c = c :+ (c.size -> next)
+        }
+        c
+      } else train
+        .orderBy(graft.functions.Ops.md5Long(concat(lit("km:"), $"vec_id".cast("string"))), $"vec_id")
+        .select($"ve").limit(nlist).collect()
+        .zipWithIndex.map { case (r, i) => i -> r.getSeq[Float](0).toArray }.toSeq
     for (_ <- 0 until iters) {
       val means = train.join(assign(centDf(cent), train), "vec_id")
         .select($"cid", posexplode($"ve").as(Seq("pos", "v")))

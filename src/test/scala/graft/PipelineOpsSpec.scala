@@ -468,6 +468,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeansFit beyond the maximin cap seeds in O(1) jobs and still covers every vector") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val emb = Seq.tabulate(400)(i =>
+        (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val nlist = operators.Similarity.maximinSeedCap + 36
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val (cent, assignA) = operators.Similarity.kmeansFit(
+        emb, "embedding", nlist = nlist, iters = 1)
+      val a = assignA.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      Thread.sleep(1500) // listener events deliver async
+      assert(a.size == 400, "assignment must cover every vector")
+      assert(cent.count() == nlist)
+      // seeding must not pay one job per seed: generous fixed budget,
+      // far under the nlist-proportional count the maximin loop would run
+      assert(jobs.get() <= 20,
+        s"kmeansFit(nlist=$nlist) ran ${jobs.get()} jobs — seeding is per-seed again")
+      // determinism across reruns
+      val (_, assignB) = operators.Similarity.kmeansFit(
+        emb, "embedding", nlist = nlist, iters = 1)
+      assert(assignB.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap == a)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("ivfPqTopKRefined at the exhaustive config equals brute-force annTopK") {
     import spark.implicits._
     val rnd = new scala.util.Random(41)
