@@ -69,6 +69,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(viaSql == viaApi && viaSql.size == 2)
   }
 
+  test("decodeSql escapes quotes in defaults and tags") {
+    import spark.implicits._
+    val schema2 = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("tag", StringType)))
+    val spec2 = IngestSpec(
+      schema = schema2,
+      defaults = Map("name" -> "o'brien"),
+      tagField = Some("tag"), acceptTags = Set("it's", "ok"))
+    val raw = Seq(
+      """{"id":1,"tag":"it's"}""",
+      """{"id":2,"name":"x","tag":"drop"}""",
+      """{"id":3,"name":"d'arcy","tag":"ok"}""").toDF("json")
+    raw.createOrReplaceTempView("raw_quote_sql")
+    val got = spark.sql(Realtime.decodeSql(spec2, "json", "raw_quote_sql"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("name")).toMap
+    assert(got == Map(1L -> "o'brien", 3L -> "d'arcy"))
+  }
+
   test("pure-SQL streaming ingest: decode+rollup SQL over a streaming view = batch rollup") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
