@@ -790,7 +790,15 @@ object Graphs {
     val adj = und.select(col("x").as("v"), col("y").as("n"))
       .union(und.select(col("y").as("v"), col("x").as("n")))
     val okBrokers = deg.filter(col("deg") <= maxBrokerDeg).select(col("id").as("v"))
-    val cadj = adj.join(okBrokers, Seq("v"), "left_semi")
+    // repartition(v) pins the broker key's partitioning explicitly: the
+    // wedge self-join below then REUSES one exchange for both sides
+    // (instead of exchanging n1 and n2 separately), and it sidesteps a
+    // Spark 4.1 planner fault where the semi-join pushed into the union
+    // branches leaves Union claiming the children's hash(v) partitioning
+    // while physically holding the concatenated partition count — the
+    // downstream join then zips mismatched RDDs and fails when AQE is off
+    // ("Can't zip RDDs with unequal numbers of partitions").
+    val cadj = adj.join(okBrokers, Seq("v"), "left_semi").repartition(col("v"))
     val n1 = cadj.select(col("v"), col("n").as("u"))
     val n2 = cadj.select(col("v"), col("n").as("w"))
     val cn = n1.join(n2, Seq("v")).filter(col("u") < col("w"))

@@ -23,20 +23,51 @@ class PlanSpec extends AnyFunSuite {
       org.apache.spark.sql.execution.FormattedMode)
   }
 
-  test("sweep: no registered query ever plans a CartesianProduct") {
+  test("sweep: no CartesianProduct anywhere; global windows only where bounded by construction") {
     // crossJoin(broadcast(...)) plans as BroadcastNestedLoopJoin (fine: a
     // 1-row total / tiny centroid frame); a true CartesianProduct means a
     // candidate generator lost its equi-key — the classic 100 TB killer.
+    // A partition-less Window funnels its input into ONE task, so it is
+    // allowed only where the input is bounded by construction (≤ bins /
+    // buckets / months / k-row lists — the audited whitelist below); a
+    // new query windowing a fact relation globally must fail here.
     // Planning every query also smoke-tests construction end to end.
-    val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
-      val plan =
-        try SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString()
-        catch { case e: Throwable => s"CONSTRUCTION FAILED: ${e.getMessage}" }
-      if (plan.contains("CartesianProduct") || plan.startsWith("CONSTRUCTION FAILED"))
-        Some(name -> plan.linesIterator.take(3).mkString(" | "))
-      else None
-    }
-    assert(bad.isEmpty, bad.map { case (n, p) => s"$n: $p" }.mkString("\n"))
+    // the audited bounded-input global windows (≤ bins / buckets / months
+    // / boundary events / k-row ranked lists by construction)
+    val globalWindowOk = Set(
+      "q73_quantile_sketch", "q77_quantile_sketch_auto", // ≤ bins histogram rows
+      "q105_quantile_bucket", "q127_percentile_rank", // ≤ bins cum table
+      "q106_skyline", // ≤ bucket suffix-max rows
+      "q164_ks_test", // ≤ merged-bin CDF grid
+      "q167_mom_growth", // ≤ #months
+      "q185_pareto_take", // ≤ bins cum table (ABC boundary)
+      "q219_open_orders_curve", // ≤ boundary-event rows
+      "q80_hybrid_rrf" // ≤ k-row ranked lists
+    )
+    // AQE's AdaptiveSparkPlanExec hides the real operators until runtime —
+    // disable it so the collect actually sees joins/windows (planOf's rule).
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val offenders =
+      try SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+        try {
+          val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+          val cartesian = plan.collectWithSubqueries {
+            case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+          }.nonEmpty
+          val globalWin = plan.collectWithSubqueries {
+            case w: org.apache.spark.sql.execution.window.WindowExec
+                if w.partitionSpec.isEmpty => w
+          }.nonEmpty
+          (if (cartesian) Seq(s"$name: CartesianProduct") else Nil) ++
+            (if (globalWin && !globalWindowOk(name))
+              Seq(s"$name: partition-less Window outside the bounded whitelist")
+            else Nil)
+        } catch {
+          case e: Throwable => Seq(s"$name: CONSTRUCTION FAILED: ${e.getMessage}")
+        }
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
   test("q03: filter is pushed to the parquet scan and aggregation is codegen'd") {
