@@ -56,6 +56,60 @@ object Realtime {
   def rollupFromSpec(spec: graft.model.TableSpec, arrival: String): RollupSpec =
     RollupSpec(spec.dims, spec.metrics.map { case (n, a) => (n, aggType(a)) }, arrival)
 
+  /** Parse the reference-shaped realtime config JSON
+    * (RealtimeConfig.java:50-78, TagSetting.java:7-15) into an
+    * [[IngestSpec]] over a table spec — the config-as-text surface: a
+    * table's schema JSON plus this realtime JSON (plus, for SQL-only
+    * clients, the generated [[ingestSql]] text) fully describe the
+    * pipeline with no code. Recognized keys: `dims`, `metrics`
+    * `[{name, agg}]`, `name.alias` (column → event-field alias; events
+    * parse under alias names and rename to column names, the reference's
+    * direction), `tag.setting` (`tag.field`, `accept.tags`),
+    * `ignoreStrategy` (`IGNORE_EMPTY`). Missing-field defaults come from
+    * the table spec's column defaults (reference no-null +
+    * number.empty.as.zero semantics), keyed by the parse-time (alias)
+    * name since decode fills before renaming. */
+  def ingestFromJson(spec: graft.model.TableSpec, json: String,
+      arrival: String): IngestSpec = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmt: Formats = DefaultFormats
+    val j = JsonMethods.parse(json)
+    val name2alias =
+      (j \ "name.alias").extractOpt[Map[String, String]].getOrElse(Map.empty)
+    val parseSchema = StructType(spec.structType.fields.map(f =>
+      f.copy(name = name2alias.getOrElse(f.name, f.name))))
+    val aliases = name2alias.map { case (colName, alias) => alias -> colName }
+    val tagField = (j \ "tag.setting" \ "tag.field").extractOpt[String]
+    val acceptTags = (j \ "tag.setting" \ "accept.tags")
+      .extractOpt[Seq[String]].getOrElse(Nil).toSet
+    val ignoreEmpty = (j \ "ignoreStrategy").extractOpt[String]
+      .exists(_.equalsIgnoreCase("IGNORE_EMPTY"))
+    val dims = (j \ "dims").extractOpt[Seq[String]].getOrElse(spec.dims)
+    val metrics = (j \ "metrics").children.map(m =>
+      ((m \ "name").extract[String], aggType((m \ "agg").extract[String])))
+    val rollup =
+      if (dims.nonEmpty && metrics.nonEmpty) Some(RollupSpec(dims, metrics, arrival))
+      else None
+    // typed defaults for the numeric/string types (number.empty.as.zero
+    // parity); date/time columns keep Spark-native nulls at decode and can
+    // be default-filled post-decode via TableSpec.applyDefaults
+    val defaults = spec.columns.flatMap { c =>
+      val raw = c.default.getOrElse(graft.model.ColumnSpec.zeroOf(c.sqlType))
+      val key = name2alias.getOrElse(c.name, c.name)
+      c.sqlType.toLowerCase match {
+        case "int" => Some(key -> raw.toInt)
+        case "bigint" | "long" => Some(key -> raw.toLong)
+        case "float" => Some(key -> raw.toFloat)
+        case "double" => Some(key -> raw.toDouble)
+        case "varchar" | "string" => Some(key -> raw)
+        case _ => None
+      }
+    }.toMap
+    IngestSpec(parseSchema, defaults, aliases, tagField, acceptTags,
+      ignoreEmpty, rollup)
+  }
+
   /** Ingest spec: RealtimeSetting parity. */
   case class IngestSpec(
       schema: StructType,

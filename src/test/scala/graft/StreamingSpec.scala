@@ -69,6 +69,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(viaSql == viaApi && viaSql.size == 2)
   }
 
+  test("ingestFromJson: the reference-shaped realtime JSON stands up the whole pipeline") {
+    import spark.implicits._
+    // table spec (schema JSON layer) + realtime config JSON = no code
+    val tspec = graft.model.TableSpec(
+      name = "ev",
+      columns = Seq(
+        graft.model.ColumnSpec("ev_id", "bigint"),
+        graft.model.ColumnSpec("dim", "varchar"),
+        graft.model.ColumnSpec("tag", "varchar"),
+        graft.model.ColumnSpec("v", "double", default = Some("1.5")),
+        graft.model.ColumnSpec("cnt", "bigint")),
+      dims = Seq("dim"), metrics = Seq("v" -> "sum", "cnt" -> "sum"))
+    val rtJson =
+      """{"dims": ["dim"],
+        |"metrics": [{"name": "v", "agg": "sum"}, {"name": "cnt", "agg": "sum"}],
+        |"name.alias": {"cnt": "n"},
+        |"tag.setting": {"tag.field": "tag", "accept.tags": ["keep", "vip"]},
+        |"ignoreStrategy": "NO_IGNORE"}""".stripMargin
+    val ispec = Realtime.ingestFromJson(tspec, rtJson, arrival = "ev_id")
+    assert(ispec.aliases == Map("n" -> "cnt"))
+    assert(ispec.schema.fieldNames.contains("n") && !ispec.schema.fieldNames.contains("cnt"))
+    assert(ispec.defaults("v") == 1.5 && ispec.defaults("n") == 0L)
+    assert(ispec.tagField.contains("tag") && ispec.acceptTags == Set("keep", "vip"))
+    assert(!ispec.ignoreEmpty)
+    val r = ispec.rollup.get
+    assert(r.dims == Seq("dim") && r.metrics == Seq("v" -> Sum, "cnt" -> Sum))
+    // and it decodes + rolls up real events end to end (alias + default live)
+    val raw = Seq(
+      """{"ev_id":1,"dim":"a","tag":"keep","n":2}""",
+      """{"ev_id":2,"dim":"a","tag":"vip","v":2.5,"n":1}""",
+      """{"ev_id":3,"dim":"a","tag":"drop","v":9.9,"n":9}""").toDF("json")
+    val rolled = Realtime.rollupBatch(Realtime.decode(raw, "json", ispec), r)
+      .collect()
+    assert(rolled.length == 1)
+    val row = rolled.head
+    assert(row.getAs[String]("dim") == "a")
+    assert(row.getAs[java.math.BigDecimal]("v").doubleValue() == 4.0) // 1.5 default + 2.5
+    assert(row.getAs[Long]("cnt") == 3L)
+  }
+
   test("decodeSql escapes quotes in defaults and tags") {
     import spark.implicits._
     val schema2 = StructType(Seq(
