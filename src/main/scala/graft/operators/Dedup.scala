@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -335,4 +336,160 @@ object Dedup {
   def hashSample(df: DataFrame, textCol: String, keepPct: Int,
       tag: String = "smp:"): DataFrame =
     df.filter(md5Long(concat(lit(tag), col(textCol))) % 100L < keepPct)
+
+  // ---------------------------------------------------------------------
+  // Repeated-span (ExactSubstr-style) dedup family. Token-level exact
+  // substring dedup after Lee et al. 2021 ("Deduplicating Training Data
+  // Makes Language Models Better"): remove every verbatim ≥k-token span
+  // that occurs elsewhere in the corpus, keeping the globally first
+  // occurrence. The paper builds a corpus suffix array on one machine;
+  // the distributed re-expression keys every k-token window by md5 and
+  // turns "repeated substring" into a gram-keyed aggregate + join-back —
+  // the same equi-join discipline as the shingle pipeline, so it scales
+  // the same way.
+  // ---------------------------------------------------------------------
+
+  /** (doc_id, pos) → single orderable key for the global first-occurrence
+    * tiebreak. Order-preserving for any long doc_id while pos < 2^20 —
+    * i.e. docs up to ~1M tokens, far beyond a web-document corpus; longer
+    * sequences should be chunked upstream (see Curation.chunkTokens). */
+  private val PosEnc = 1L << 20
+
+  /** Duplicated k-token window starts, one row per NON-first instance:
+    * (doc_id, pos). Internal base for the span family: one doc_id shuffle
+    * (gram stitching), one combiner-friendly groupBy on the 128-bit gram
+    * key, one join back. Never a gram-keyed window — a boilerplate gram
+    * repeated millions of times shrinks map-side to #partitions rows. */
+  private def dupStarts(docs: DataFrame, k: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val g = Text.gramPosRows(docs, k)
+      .select($"doc_id", $"pos", md5($"gram").as("h"))
+    val stats = g.groupBy($"h").agg(count(lit(1)).as("cnt"),
+      min($"doc_id" * PosEnc + $"pos").as("firstk"))
+    g.join(stats, "h")
+      .filter($"cnt" > 1 && ($"doc_id" * PosEnc + $"pos") =!= $"firstk")
+      .select($"doc_id", $"pos")
+  }
+
+  /** Maximal repeated spans: every k-token window that occurs verbatim
+    * elsewhere in the corpus (and is not the globally first occurrence —
+    * first = min (doc_id, pos)) marks its start; overlapping or adjacent
+    * duplicated windows merge into maximal token spans per document.
+    * Output: (doc_id, span_start, span_len, n_dup_grams) — 0-based token
+    * offsets, ordered. `k` is the minimum duplicated length detected
+    * (the paper uses 50 tokens).
+    *
+    * Scale: the island merge is the only window, partitioned by doc_id and
+    * bounded by document length; everything corpus-wide is a combiner
+    * aggregate or an equi-join on the md5 gram key (128-bit — collision-free
+    * far past 10^12 windows, where a 64-bit key would already collide). */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 50): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val byDoc = Window.partitionBy($"doc_id").orderBy($"pos")
+    dupStarts(normalized(df, idCol, textCol), k)
+      .withColumn("__prev", lag($"pos", 1).over(byDoc))
+      .withColumn("__new",
+        when($"__prev".isNull || $"pos" - $"__prev" > k, 1L).otherwise(0L))
+      .withColumn("__island", sum($"__new").over(byDoc))
+      .groupBy($"doc_id", $"__island")
+      .agg(min($"pos").cast(LongType).as("span_start"),
+        (max($"pos") + lit(k.toLong) - min($"pos")).cast(LongType).as("span_len"),
+        count(lit(1)).as("n_dup_grams"))
+      .select($"doc_id", $"span_start", $"span_len", $"n_dup_grams")
+  }
+
+  /** Span-level dedup: drop every token covered by a [[repeatedSpans]]
+    * span and reassemble the surviving text. A document that is entirely
+    * repeated content (e.g. a verbatim copy of an earlier document) comes
+    * back with empty clean_text — downstream length filters drop it.
+    * Output: (doc_id, n_toks, n_removed, clean_text).
+    *
+    * The removal itself is a per-document range anti-join (spans per doc
+    * are few and bounded by doc length / k) followed by one doc_id
+    * aggregate; order restoration is an in-group array_sort, never a
+    * corpus-wide sort. */
+  def dropRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 50): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val docs = normalized(df, idCol, textCol)
+    val spans = repeatedSpans(df, idCol, textCol, k)
+      .select($"doc_id".as("__sid"), $"span_start", $"span_len")
+    val tokRows = docs.withColumn("toks", Text.toks)
+      .select(Seq($"doc_id",
+        posexplode($"toks").as(Seq("pos", "tok")): Column): _*)
+    val kept = tokRows.join(spans,
+        tokRows("doc_id") === spans("__sid") &&
+          $"pos" >= $"span_start" && $"pos" < $"span_start" + $"span_len",
+        "left_anti")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct($"pos", $"tok"))),
+          x => x.getField("tok"))).as("clean_text"))
+    docs.select($"doc_id", size(Text.toks).cast(LongType).as("n_toks"))
+      .join(kept, Seq("doc_id"), "left_outer")
+      .select($"doc_id", $"n_toks",
+        ($"n_toks" - coalesce($"n_kept", lit(0L))).as("n_removed"),
+        coalesce($"clean_text", lit("")).as("clean_text"))
+  }
+
+  /** Per-document novelty: the fraction (ppm) of a document's k-token
+    * windows whose content first occurs in THIS window — the corpus-growth
+    * audit ("how much of the new crawl is actually new?"). Documents
+    * shorter than k tokens have no windows and are omitted.
+    * Output: (doc_id, n_grams, n_dup, novelty_ppm), exact integer ppm. */
+  def noveltyScores(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 50): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val docs = normalized(df, idCol, textCol)
+    val dup = dupStarts(docs, k)
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_dup"))
+    Text.gramPosRows(docs, k)
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+      .join(dup, Seq("doc_id"), "left_outer")
+      .select($"doc_id", $"n_grams",
+        coalesce($"n_dup", lit(0L)).as("n_dup"),
+        expr("(n_grams - coalesce(n_dup, 0L)) * 1000000 DIV n_grams")
+          .cast(LongType).as("novelty_ppm"))
+  }
+
+  /** Directional k-gram containment between document groups (sources,
+    * snapshots, pipeline stages): for every ordered pair (a, b), the share
+    * (ppm) of a's DISTINCT k-grams that also occur in b — the
+    * cross-corpus redundancy matrix behind dedup-before-mixing decisions.
+    * Asymmetric by design (a subset corpus is fully contained in its
+    * superset, not vice versa). Output: (group_a, group_b, grams_a,
+    * shared_grams, containment_ppm).
+    *
+    * Scale: the corpus collapses ONCE to the distinct (group, gram-key)
+    * relation; the gram-keyed self-join fans out at most #groups² rows per
+    * gram — bounded by the group count, not the corpus (q166's vocab
+    * pattern, lifted from unigrams to k-grams). */
+  def crossGroupContainment(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, k: Int = 50): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val grams = Text.gramPosRows(
+        df.select(col(idCol).cast(LongType).as("doc_id"),
+          col(textCol).as("text"), col(groupCol).as("grp")), k)
+      .join(df.select(col(idCol).cast(LongType).as("doc_id"),
+        col(groupCol).as("grp")), "doc_id")
+      .select($"grp", md5($"gram").as("h")).distinct()
+    val sizes = grams.groupBy($"grp").agg(count(lit(1)).as("ng"))
+    val shared = grams.select($"grp".as("ga"), $"h")
+      .join(grams.select($"grp".as("gb"), $"h"), Seq("h"))
+      .filter($"ga" =!= $"gb")
+      .groupBy($"ga", $"gb").agg(count(lit(1)).as("shared_grams"))
+    shared
+      .join(broadcast(sizes.select($"grp".as("ga"), $"ng".as("grams_a"))), Seq("ga"))
+      .select($"ga".as("group_a"), $"gb".as("group_b"), $"grams_a",
+        $"shared_grams",
+        expr("shared_grams * 1000000 DIV grams_a").cast(LongType)
+          .as("containment_ppm"))
+  }
 }

@@ -19,7 +19,7 @@ import graft.functions.Ops._
 object Text {
 
   /** whitespace tokenization; `\s+` split of trimmed text. */
-  private val toks: Column = split(trim(col("text")), "\\s+")
+  private[operators] val toks: Column = split(trim(col("text")), "\\s+")
 
   /** word n-gram rows (doc_id, gram), one row per gram INSTANCE, built
     * codegen-friendly: posexplode tokens, stitch each gram with window
@@ -41,6 +41,24 @@ object Text {
       .withColumn("gram", concat_ws(" ", parts: _*))
       .filter($"pos" <= $"n_toks" - n)
       .select($"doc_id" +: $"gram" +: carryCols.map(col): _*)
+  }
+
+  /** Positioned word n-gram rows (doc_id, pos, gram) — gramRows keeping the
+    * 0-based start position of each gram instance. The layout the
+    * repeated-span (ExactSubstr-style) dedup family builds on: span
+    * detection needs to know WHERE a duplicated window sits, not just that
+    * it exists. Same single doc_id-shuffle as gramRows. */
+  private[operators] def gramPosRows(docs: DataFrame, n: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val byDoc = Window.partitionBy($"doc_id").orderBy($"pos")
+    val parts = $"tok" +: (1 until n).map(i => lead($"tok", i).over(byDoc))
+    docs.withColumn("toks", toks)
+      .select(Seq($"doc_id", size($"toks").as("n_toks"),
+        posexplode($"toks").as(Seq("pos", "tok")): Column): _*)
+      .withColumn("gram", concat_ws(" ", parts: _*))
+      .filter($"pos" <= $"n_toks" - n)
+      .select($"doc_id", $"pos", $"gram")
   }
 
   /** (doc_id, s) distinct 4-gram shingle pairs — the inverted-index layout.
@@ -513,6 +531,124 @@ object Text {
        |FROM cand JOIN sigs x ON doc_a = x.doc_id JOIN sigs y ON doc_b = y.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // q231–q234 — repeated-span (ExactSubstr-style) dedup family: exact
+  // token-level substring dedup re-expressed as gram-keyed aggregates
+  // (Dedup.repeatedSpans and friends). Gate k=5 so the synthetic corpus
+  // exposes partial-overlap spans, not only whole-document copies; the
+  // public API defaults to the paper's 50.
+  // ------------------------------------------------------------------
+  private val SpanK = 5
+
+  /** Shared oracle CTE prefix: positioned k-gram md5 keys + global
+    * occurrence stats. DuckDB slices 1-based; p0 re-bases to the engine's
+    * 0-based token offsets, and the first-occurrence key uses the same
+    * doc_id*2^20+pos encoding as Dedup.PosEnc. */
+  private def gramStatsSql(k: Int): String =
+    s"""toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') t FROM documents),
+       |starts AS (SELECT doc_id, t,
+       |    unnest(range(1, greatest(len(t)-$k+2, 1))) AS pos FROM toks),
+       |g AS (SELECT doc_id, pos - 1 AS p0,
+       |    md5(array_to_string(t[pos:pos+$k-1], ' ')) AS h FROM starts),
+       |stats AS (SELECT h, COUNT(*) AS cnt,
+       |    MIN(doc_id*1048576 + p0) AS firstk FROM g GROUP BY h),
+       |dup AS (SELECT doc_id, p0 FROM g JOIN stats USING(h)
+       |        WHERE cnt > 1 AND doc_id*1048576 + p0 <> firstk)""".stripMargin
+
+  private def spansSql(k: Int): String =
+    s"""${gramStatsSql(k)},
+       |lagd AS (SELECT doc_id, p0,
+       |    lag(p0) OVER (PARTITION BY doc_id ORDER BY p0) AS prev FROM dup),
+       |isl AS (SELECT doc_id, p0,
+       |    SUM(CASE WHEN prev IS NULL OR p0 - prev > $k THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY p0 ROWS UNBOUNDED PRECEDING)
+       |      AS island FROM lagd),
+       |spans AS (SELECT doc_id, CAST(MIN(p0) AS BIGINT) AS span_start,
+       |    CAST(MAX(p0) + $k - MIN(p0) AS BIGINT) AS span_len,
+       |    CAST(COUNT(*) AS BIGINT) AS n_dup_grams
+       |  FROM isl GROUP BY doc_id, island)""".stripMargin
+
+  // q231 — maximal repeated spans (the removal plan exact-substring dedup
+  // executes): every 5-token window occurring verbatim elsewhere, merged
+  // into maximal per-doc spans, globally-first occurrence kept.
+  private def q231(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.repeatedSpans(Tables.documents(s, d), "doc_id", "text", SpanK)
+      .orderBy($"doc_id", $"span_start")
+  }
+  private val q231Sql =
+    s"""WITH ${spansSql(SpanK)}
+       |SELECT doc_id, span_start, span_len, n_dup_grams FROM spans
+       |ORDER BY doc_id, span_start""".stripMargin
+
+  // q232 — span-level dedup applied: corpus with every repeated span's
+  // tokens dropped (whole-copy docs come back empty), plus removal counts.
+  private def q232(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.dropRepeatedSpans(Tables.documents(s, d), "doc_id", "text", SpanK)
+      .orderBy($"doc_id")
+  }
+  private val q232Sql =
+    s"""WITH ${spansSql(SpanK)},
+       |tok_rows AS (SELECT doc_id, unnest(t) AS tok,
+       |    unnest(range(1, len(t)+1)) - 1 AS p0 FROM toks),
+       |kept AS (SELECT r.doc_id, r.tok, r.p0 FROM tok_rows r
+       |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+       |    WHERE sp.doc_id = r.doc_id AND r.p0 >= sp.span_start
+       |      AND r.p0 < sp.span_start + sp.span_len)),
+       |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       |    string_agg(tok, ' ' ORDER BY p0) AS clean_text
+       |  FROM kept GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_toks,
+       |  CAST(len(t.t) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+       |  coalesce(a.clean_text, '') AS clean_text
+       |FROM toks t LEFT OUTER JOIN agg a ON t.doc_id = a.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
+  // q233 — directional cross-source k-gram containment matrix: the
+  // cross-corpus redundancy readout behind dedup-before-mixing decisions
+  // (q166's vocab-overlap pattern lifted from unigrams to 5-grams, made
+  // asymmetric because containment is).
+  private def q233(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.crossGroupContainment(Tables.documents(s, d), "doc_id", "text",
+        "source", SpanK)
+      .orderBy($"group_a", $"group_b")
+  }
+  private val q233Sql =
+    s"""WITH ${gramStatsSql(SpanK)},
+       |sg AS (SELECT DISTINCT dd.source AS grp, g.h
+       |  FROM g JOIN documents dd ON g.doc_id = dd.doc_id),
+       |sizes AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS ng FROM sg GROUP BY grp),
+       |sh AS (SELECT a.grp AS group_a, b.grp AS group_b,
+       |    CAST(COUNT(*) AS BIGINT) AS shared_grams
+       |  FROM sg a JOIN sg b ON a.h = b.h AND a.grp <> b.grp
+       |  GROUP BY 1, 2)
+       |SELECT group_a, group_b, x.ng AS grams_a, shared_grams,
+       |  CAST(shared_grams * 1000000 // x.ng AS BIGINT) AS containment_ppm
+       |FROM sh JOIN sizes x ON group_a = x.grp
+       |ORDER BY group_a, group_b""".stripMargin
+
+  // q234 — per-document novelty ppm: the corpus-growth audit ("how much of
+  // this crawl is genuinely new content?"); a doc scoring 0 is pure
+  // repetition of earlier material.
+  private def q234(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.noveltyScores(Tables.documents(s, d), "doc_id", "text", SpanK)
+      .orderBy($"doc_id")
+  }
+  private val q234Sql =
+    s"""WITH ${gramStatsSql(SpanK)},
+       |per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+       |  FROM g GROUP BY doc_id),
+       |dd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup
+       |  FROM dup GROUP BY doc_id)
+       |SELECT p.doc_id, p.n_grams, CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup,
+       |  CAST((p.n_grams - coalesce(d.n_dup, 0)) * 1000000 // p.n_grams
+       |    AS BIGINT) AS novelty_ppm
+       |FROM per p LEFT OUTER JOIN dd d ON p.doc_id = d.doc_id
+       |ORDER BY p.doc_id""".stripMargin
 
   // q36 — SimHash (16-bit) per document: per-bit majority vote over token
   // hashes; near-dup docs land within small hamming distance.
@@ -1094,6 +1230,10 @@ object Text {
     "q111_containment_pairs" -> q111,
     "q35_dedup_minhash_lsh" -> q35,
     "q36_dedup_simhash" -> q36,
+    "q231_repeated_spans" -> q231,
+    "q232_span_dedup" -> q232,
+    "q233_source_containment" -> q233,
+    "q234_doc_novelty" -> q234,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1122,5 +1262,9 @@ object Text {
     "q111_containment_pairs" -> q111Sql,
     "q35_dedup_minhash_lsh" -> q35Sql,
     "q36_dedup_simhash" -> q36Sql,
+    "q231_repeated_spans" -> q231Sql,
+    "q232_span_dedup" -> q232Sql,
+    "q233_source_containment" -> q233Sql,
+    "q234_doc_novelty" -> q234Sql,
   )
 }

@@ -207,6 +207,63 @@ class DedupApiSpec extends AnyFunSuite {
     assert(before == after)
   }
 
+  test("repeatedSpans family: hand-computed spans, cleanup, novelty, containment") {
+    // k=3. doc 1 is the original; doc 2 quotes tokens 2..6 of it; doc 3 is
+    // a verbatim copy; doc 4 self-repeats its own 4-token phrase; doc 5
+    // quotes "a b c" twice with a >k gap between the quotes.
+    val corpus = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x y a b c d e q r s"),
+      (3L, "a b c d e f g h"),
+      (4L, "p q r s p q r s p q r"),
+      (5L, "a b c z1 z2 z3 z4 a b c")
+    ).toDF("my_id", "body")
+
+    val spans = Dedup.repeatedSpans(corpus, "my_id", "body", k = 3)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_len"), r.getAs[Long]("n_dup_grams"))).toSet
+    assert(spans == Set(
+      (2L, 2L, 5L, 3L),   // the 5-token quote: dup 3-grams start at 2,3,4
+      (3L, 0L, 8L, 6L),   // whole-copy doc: one full-cover span
+      // self-repetition AND a cross-doc hit: "q r s"@1 first occurs in doc
+      // 2 (pos 7), so doc 4 keeps only its opening "p" token
+      (4L, 1L, 10L, 6L),
+      (5L, 0L, 3L, 1L), (5L, 7L, 3L, 1L) // >k gap -> two islands
+    ), s"got $spans")
+
+    val clean = Dedup.dropRepeatedSpans(corpus, "my_id", "body", k = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_removed"), r.getAs[String]("clean_text")))).toMap
+    assert(clean(1L) == ((0L, "a b c d e f g h")), s"got ${clean(1L)}")
+    assert(clean(2L) == ((5L, "x y q r s")), s"got ${clean(2L)}")
+    assert(clean(3L) == ((8L, "")), "verbatim copy comes back empty")
+    assert(clean(4L) == ((10L, "p")), s"got ${clean(4L)}")
+    assert(clean(5L) == ((6L, "z1 z2 z3 z4")), s"got ${clean(5L)}")
+
+    val nov = Dedup.noveltyScores(corpus, "my_id", "body", k = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("novelty_ppm")).toMap
+    assert(nov == Map(1L -> 1000000L, 2L -> 625000L, 3L -> 0L,
+      4L -> 333333L, 5L -> 750000L), s"got $nov")
+
+    // containment is directional: the small corpus (6 distinct grams, 3
+    // shared) is half-contained in the big one; the big one (11 distinct)
+    // much less so in the small
+    val grouped = Seq(
+      (1L, "a b c d e f g h", "s1"), (3L, "a b c d e f g h", "s1"),
+      (2L, "x y a b c d e q r s", "s2"), (4L, "p q r s p q r s p q r", "s2")
+    ).toDF("my_id", "body", "src")
+    val cont = Dedup.crossGroupContainment(grouped, "my_id", "body", "src",
+        k = 3)
+      .collect().map(r => (r.getAs[String]("group_a"), r.getAs[String]("group_b"),
+        r.getAs[Long]("grams_a"), r.getAs[Long]("shared_grams"),
+        r.getAs[Long]("containment_ppm"))).toSet
+    assert(cont == Set(
+      ("s1", "s2", 6L, 3L, 500000L),
+      ("s2", "s1", 11L, 3L, 272727L)
+    ), s"got $cont")
+  }
+
   test("hashSample is deterministic and respects the rate") {
     val big = spark.range(2000).select($"id".as("k"),
       concat(lit("doc "), $"id").as("body"))
