@@ -934,7 +934,78 @@ object Curation {
        |  CAST(n_test AS BIGINT) AS n_test
        |FROM base CROSS JOIN dup CROSS JOIN cont CROSS JOIN sp""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Global total-order rank + contiguous shard assignment — curriculum
+  // ordering ("train on short/clean docs first") and contiguous training
+  // shards cut from a corpus-wide sort. The naive formulation is
+  // `row_number() OVER (ORDER BY score)`: one partition-less window that
+  // funnels 100 TB through a single task. This is the scalable
+  // re-expression: range-bucket by score, rank within buckets, add
+  // broadcast bucket offsets.
+
+  /** Global 0-based rank of every row by (`scoreCol`, `idCol`) — the id
+    * breaks ties, making the order total and the result deterministic —
+    * plus contiguous shards of `shardSize` rows cut along that order.
+    * Output: input id + score columns + (rank, shard_id, row_in_shard).
+    *
+    * Plan: `approxQuantile` yields ~`buckets` score cut points (a bounded
+    * driver collect — the sketch, not the data); each row buckets map-only
+    * against the broadcast thresholds; rank = per-BUCKET window (bounded
+    * ≈ n/buckets rows, never the whole relation) + cumulative bucket
+    * offsets (a `buckets`-row frame). Result is invariant to the sampled
+    * thresholds: buckets are ordered and disjoint, so offset + local rank
+    * is THE global rank whatever the boundaries sampled. Size `buckets`
+    * ≈ cluster parallelism at scale; a near-constant score column
+    * degenerates to few buckets — rank by a discriminating score. */
+  def rankAndShard(df: DataFrame, idCol: String, scoreCol: String,
+      shardSize: Long = 10000L, buckets: Int = 32): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val th = df.select(col(scoreCol).cast(DoubleType).as("__s"))
+      .stat.approxQuantile("__s", probs, 0.001).distinct.sorted
+    val bucketOf = th.foldLeft(lit(0)) { (acc, t) =>
+      acc + when(col(scoreCol).cast(DoubleType) > t, 1).otherwise(0)
+    }
+    val wb = Window.partitionBy($"__bucket")
+      .orderBy(col(scoreCol), col(idCol))
+    val local = df.withColumn("__bucket", bucketOf)
+      .withColumn("__local", row_number().over(wb).cast(LongType))
+    // bucket offsets: a <=buckets-row frame; the global orderBy window on
+    // it is bounded by construction (audited pattern)
+    val offsets = local.groupBy($"__bucket").agg(count(lit(1)).as("__n"))
+      .withColumn("__offset", coalesce(sum($"__n").over(
+        Window.orderBy($"__bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"__bucket", $"__offset")
+    local.join(broadcast(offsets), "__bucket")
+      .withColumn("rank", $"__offset" + $"__local" - 1L)
+      .withColumn("shard_id", expr(s"rank DIV ${shardSize}L"))
+      .withColumn("row_in_shard", expr(s"rank % ${shardSize}L"))
+      .drop("__bucket", "__local", "__offset")
+  }
+
+  // q235 — curriculum shards: corpus ranked by length (short-first
+  // curriculum), cut into contiguous 50-doc shards. The oracle is the
+  // single-window formulation the operator refuses to run.
+  private def q235(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    rankAndShard(Tables.documents(s, d).select($"doc_id", $"n_chars"),
+        "doc_id", "n_chars", shardSize = 50L, buckets = 8)
+      .select($"doc_id", $"n_chars", $"rank", $"shard_id", $"row_in_shard")
+      .orderBy($"rank")
+  }
+  private val q235Sql =
+    """WITH ranked AS (SELECT doc_id, n_chars,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1 AS BIGINT) AS rank
+      |  FROM documents)
+      |SELECT doc_id, n_chars, rank,
+      |  CAST(rank // 50 AS BIGINT) AS shard_id,
+      |  CAST(rank % 50 AS BIGINT) AS row_in_shard
+      |FROM ranked ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q235_curriculum_shards" -> q235,
     "q200_report_card" -> q200,
     "q158_split_assign" -> q158,
     "q133_corpus_diff" -> q133,
@@ -954,6 +1025,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q235_curriculum_shards" -> q235Sql,
     "q200_report_card" -> q200Sql,
     "q158_split_assign" -> q158Sql,
     "q133_corpus_diff" -> q133Sql,

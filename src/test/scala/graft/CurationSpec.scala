@@ -261,6 +261,37 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("rankAndShard equals the single-window formulation under ties and any partitioning") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    // heavy ties (scores drawn from just 7 values) force the id tiebreak
+    // and concentrate range buckets; ids shuffled so input order is no help
+    val rows = rnd.shuffle((0 until 400).toVector)
+      .map(i => (i.toLong, (rnd.nextInt(7) * 10).toLong))
+    val df = rows.toDF("id", "score").repartition(13)
+    val got = Curation.rankAndShard(df, "id", "score", shardSize = 32L,
+        buckets = 8)
+      .collect().map(r => r.getAs[Long]("id") -> ((r.getAs[Long]("rank"),
+        r.getAs[Long]("shard_id"), r.getAs[Long]("row_in_shard")))).toMap
+    val want = rows.sortBy(r => (r._2, r._1)).zipWithIndex.map {
+      case ((id, _), rk) => id -> ((rk.toLong, rk / 32L, rk % 32L))
+    }.toMap
+    assert(got == want)
+    // rerun determinism (approxQuantile thresholds may differ; ranks must not)
+    val again = Curation.rankAndShard(df, "id", "score", shardSize = 32L,
+        buckets = 8).collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[Long]("rank")).toMap
+    assert(again == want.view.mapValues(_._1).toMap)
+    // the data-sized window is bucket-keyed; only the <=buckets-row offset
+    // frame windows globally
+    val plan = Curation.rankAndShard(df, "id", "score", 32L, 8)
+      .queryExecution.executedPlan.toString
+    val winLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.exists(_.contains("__bucket")),
+      s"expected a __bucket-keyed window:\n${winLines.mkString("\n")}")
+  }
+
   test("takeTokenBudget: the only unbounded-side window partitions by (source, bucket)") {
     val s = spark
     import s.implicits._

@@ -192,6 +192,57 @@ class PropertySpec extends AnyFunSuite {
     assert(out == expected)
   }
 
+  test("repeatedSpans equals a naive all-occurrence model on random corpora") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("u", "v", "w", "x")   // tiny vocab -> dense repeats
+    for (trial <- 0 until 4; k <- Seq(2, 3)) {
+      val docs = (0 until 25).map { i =>
+        val n = 1 + rnd.nextInt(16)          // includes docs shorter than k
+        (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val tokss = docs.map { case (id, t) => id -> t.trim.split("\\s+").toVector }
+      val grams = for ((id, ts) <- tokss; p <- 0 to ts.size - k)
+        yield (id, p, ts.slice(p, p + k).mkString(" "))
+      val byGram = grams.groupBy(_._3)
+      val dup = grams.filter { g =>
+        val occ = byGram(g._3)
+        occ.size > 1 && occ.minBy(o => (o._1, o._2)) != g
+      }
+      val expected = dup.groupBy(_._1).toSeq.flatMap { case (id, xs) =>
+        val islands = xs.map(_._2).sorted
+          .foldLeft(Vector.empty[Vector[Int]]) { (acc, p) =>
+            if (acc.nonEmpty && p - acc.last.last <= k)
+              acc.init :+ (acc.last :+ p)
+            else acc :+ Vector(p)
+          }
+        islands.map(is => (id, is.head.toLong, (is.last + k - is.head).toLong,
+          is.size.toLong))
+      }.toSet
+      // odd partitioning must not change the result
+      val df = docs.toDF("id", "body").repartition(7)
+      val got = graft.operators.Dedup.repeatedSpans(df, "id", "body", k)
+        .collect().map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[Long]("span_start"), r.getAs[Long]("span_len"),
+          r.getAs[Long]("n_dup_grams"))).toSet
+      assert(got == expected, s"trial=$trial k=$k")
+      // cleanup consistency: kept tokens are exactly the uncovered positions
+      val covered = expected.groupBy(_._1).view.mapValues(
+        _.flatMap(sp => sp._2 until (sp._2 + sp._3)).toSet).toMap
+      val expectedClean = tokss.map { case (id, ts) =>
+        val cov = covered.getOrElse(id, Set.empty[Long])
+        val keptToks = ts.zipWithIndex.collect {
+          case (t, p) if !cov.contains(p.toLong) => t }
+        id -> ((cov.size.toLong, keptToks.mkString(" ")))
+      }.toMap
+      val gotClean = graft.operators.Dedup.dropRepeatedSpans(df, "id", "body", k)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_removed"), r.getAs[String]("clean_text")))).toMap
+      assert(gotClean == expectedClean, s"trial=$trial k=$k")
+    }
+  }
+
   test("TIME codec round-trips random seconds of day") {
     samples(Gen.chooseNum(0, 86399), 300).foreach { sec =>
       assert(graft.model.TimeCodec.parse(graft.model.TimeCodec.format(sec)) == sec)
