@@ -545,6 +545,47 @@ object Corpus {
        |WHERE len(tok.w) > 0
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // q236 — tokenizer-aware sequence packing: q59's concatenate-then-chunk
+  // packing driven by the REAL learned-BPE subword counts (q130's encode)
+  // instead of the whitespace approximation — the budget boundary a
+  // training run actually sees. Composition of the two memoized deploy
+  // artifacts (fit + segmented vocab); the pack itself stays map-only
+  // hashing + one per-shard window cumsum.
+  private def q236(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val segs = bpeSegCache.getOrElseUpdate((s, d),
+      TextStats.bpeSegmentVocab(Tables.documents(s, d), "text",
+        fittedBpe(s, d)).persist())
+    val counts = TextStats.bpeEncodeWith(Tables.documents(s, d), "doc_id",
+      "text", segs).select($"doc_id", $"n_subwords")
+    Curation.packSequencesByCount(counts, "doc_id", "n_subwords",
+        budget = 128, shards = 4)
+      .orderBy($"doc_id")
+  }
+  private lazy val q236Sql =
+    s"""WITH ${bpeFitCtes(bpeRounds)},
+       |tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |        FROM documents),
+       |cnts AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |    CAST(SUM(coalesce(len(v.syms), len(tok.w))) AS BIGINT) AS n_tokens
+       |  FROM tok LEFT JOIN v$bpeRounds v USING (w)
+       |  WHERE len(tok.w) > 0 GROUP BY doc_id),
+       |base AS (SELECT doc_id, n_tokens,
+       |    ${md5LongSql("'shard:' || doc_id")} % 4 AS shard,
+       |    md5('pack:' || doc_id) AS ord
+       |  FROM cnts),
+       |off AS (SELECT doc_id, shard, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+       |      ORDER BY ord, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS tok_offset
+       |  FROM base)
+       |SELECT doc_id, shard, n_tokens, tok_offset,
+       |  CAST(tok_offset // 128 AS BIGINT) AS pack_id,
+       |  CAST(((tok_offset + n_tokens - 1) // 128 > tok_offset // 128) AS INT)
+       |    AS spans_packs
+       |FROM off ORDER BY doc_id""".stripMargin
+
   // q126 — bigram-LM quality score per document (surprisal proxy): mean
   // corpus conditional probability of each doc's transitions, exact
   // integers end to end; unseen transitions (below the q103 minCount=3
@@ -638,6 +679,7 @@ object Corpus {
     "q126_lm_quality" -> q126,
     "q129_bpe_fit" -> q129,
     "q130_bpe_encode" -> q130,
+    "q236_bpe_pack" -> q236,
     "q95_decontaminate_bloom" -> q95,
     "q96_dedup_edit_distance" -> q96,
     "q210_fuzzy_name_match" -> q210,
@@ -659,6 +701,7 @@ object Corpus {
     "q115_cooccurrence_pmi" -> q115Sql,
     "q129_bpe_fit" -> q129Sql,
     "q130_bpe_encode" -> q130Sql,
+    "q236_bpe_pack" -> q236Sql,
     "q126_lm_quality" -> q126Sql,
     "q95_decontaminate_bloom" -> q65Sql, // identical semantics by design
     "q96_dedup_edit_distance" -> q96Sql,

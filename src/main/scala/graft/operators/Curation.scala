@@ -195,10 +195,25 @@ object Curation {
       budget: Int = 128, shards: Int = 4): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
-    val base = normalized(df, idCol, textCol)
-      .select($"doc_id", size(toks).as("n_tokens"),
-        (md5Long(concat(lit("shard:"), $"doc_id".cast(StringType))) % shards).as("shard"),
-        md5(concat(lit("pack:"), $"doc_id".cast(StringType))).as("ord"))
+    packSequencesByCount(
+      normalized(df, idCol, textCol).select($"doc_id", size(toks).as("__n")),
+      "doc_id", "__n", budget, shards)
+  }
+
+  /** [[packSequences]] over PRE-COMPUTED per-document token counts — the
+    * tokenizer-aware variant: feed it `TextStats.bpeEncodeWith` subword
+    * counts (or any model tokenizer's) instead of the whitespace
+    * approximation, and packs cut on REAL sequence-budget boundaries.
+    * Same plan shape: map-only hashing + one per-shard window cumsum. */
+  def packSequencesByCount(df: DataFrame, idCol: String, nTokensCol: String,
+      budget: Int = 128, shards: Int = 4): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val base = df.select(col(idCol).cast(LongType).as("doc_id"),
+        col(nTokensCol).as("n_tokens"))
+      .withColumn("shard",
+        md5Long(concat(lit("shard:"), $"doc_id".cast(StringType))) % shards)
+      .withColumn("ord", md5(concat(lit("pack:"), $"doc_id".cast(StringType))))
     val w = Window.partitionBy($"shard").orderBy($"ord", $"doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     base

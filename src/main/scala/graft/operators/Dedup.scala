@@ -412,11 +412,13 @@ object Dedup {
     * aggregate; order restoration is an in-group array_sort, never a
     * corpus-wide sort. */
   def dropRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 50): DataFrame = {
+      k: Int = 50, spansDf: Option[DataFrame] = None): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
     val docs = normalized(df, idCol, textCol)
-    val spans = repeatedSpans(df, idCol, textCol, k)
+    // spansDf: a persisted [[repeatedSpans]] output to reuse (the audit →
+    // removal pipeline computes spans once); None recomputes.
+    val spans = spansDf.getOrElse(repeatedSpans(df, idCol, textCol, k))
       .select($"doc_id".as("__sid"), $"span_start", $"span_len")
     val tokRows = docs.withColumn("toks", Text.toks)
       .select(Seq($"doc_id",

@@ -109,7 +109,8 @@ object Text {
     * re-ingesting/compacting the documents table in a long-lived session so
     * the pipeline rebuilds from the new files. */
   def invalidateCaches(s: SparkSession, d: String): Unit = {
-    Seq(shCache, cappedShCache, pairCache, labelCache, sigCache).foreach { c =>
+    Seq(shCache, cappedShCache, pairCache, labelCache, sigCache, spanCache)
+      .foreach { c =>
       c.remove((s, d)).foreach(_.unpersist(blocking = false))
     }
     Curation.invalidateCaches(s, d)
@@ -571,11 +572,19 @@ object Text {
 
   // q231 — maximal repeated spans (the removal plan exact-substring dedup
   // executes): every 5-token window occurring verbatim elsewhere, merged
-  // into maximal per-doc spans, globally-first occurrence kept.
+  // into maximal per-doc spans, globally-first occurrence kept. The span
+  // frame is the natural materialization boundary of the audit → removal
+  // pipeline (tiny: one row per maximal span) — memoized so q232's
+  // cleanup reuses it instead of recomputing the gram aggregate.
+  private val spanCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def spansOf(s: SparkSession, d: String): DataFrame =
+    spanCache.getOrElseUpdate((s, d),
+      Dedup.repeatedSpans(Tables.documents(s, d), "doc_id", "text", SpanK)
+        .persist())
   private def q231(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Dedup.repeatedSpans(Tables.documents(s, d), "doc_id", "text", SpanK)
-      .orderBy($"doc_id", $"span_start")
+    spansOf(s, d).orderBy($"doc_id", $"span_start")
   }
   private val q231Sql =
     s"""WITH ${spansSql(SpanK)}
@@ -586,7 +595,8 @@ object Text {
   // tokens dropped (whole-copy docs come back empty), plus removal counts.
   private def q232(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Dedup.dropRepeatedSpans(Tables.documents(s, d), "doc_id", "text", SpanK)
+    Dedup.dropRepeatedSpans(Tables.documents(s, d), "doc_id", "text", SpanK,
+        spansDf = Some(spansOf(s, d)))
       .orderBy($"doc_id")
   }
   private val q232Sql =

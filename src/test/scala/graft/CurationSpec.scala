@@ -178,6 +178,39 @@ class CurationSpec extends AnyFunSuite {
     assert(out.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
+  test("packSequencesByCount: explicit counts drive the cut; whitespace path delegates") {
+    val s = spark
+    import s.implicits._
+    // explicit counts: same hash order as packSequences, offsets cumsum the
+    // GIVEN counts — pack boundaries move with the tokenizer, not whitespace
+    val counts = Seq((100L, 7L), (101L, 9L), (102L, 4L), (103L, 12L), (104L, 3L))
+      .toDF("my_id", "n_bpe")
+    val out = Curation.packSequencesByCount(counts, "my_id", "n_bpe",
+      budget = 10, shards = 2).collect()
+    val byShard = out.groupBy(_.getAs[Long]("shard"))
+    byShard.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("tok_offset"))
+      assert(sorted.head.getAs[Long]("tok_offset") == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("tok_offset") ==
+            a.getAs[Long]("tok_offset") + a.getAs[Long]("n_tokens"))
+        case _ =>
+      }
+    }
+    // the whitespace packSequences IS packSequencesByCount over size(toks)
+    val viaCounts = Curation.packSequencesByCount(
+      docs.select($"my_id", size(split(trim($"body"), "\\s+")).as("c")),
+      "my_id", "c", budget = 10, shards = 2)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"),
+        r.getAs[Long]("tok_offset"), r.getAs[Long]("pack_id"))).toSet
+    val direct = Curation.packSequences(docs, "my_id", "body",
+        budget = 10, shards = 2)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"),
+        r.getAs[Long]("tok_offset"), r.getAs[Long]("pack_id"))).toSet
+    assert(viaCounts == direct)
+  }
+
   test("filterByQuantile keeps ~pct of rows, complement on keepBelow=false") {
     val s = spark
     import s.implicits._

@@ -243,6 +243,54 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("noveltyScores and crossGroupContainment match naive models on random corpora") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(29)
+    val vocab = Vector("p", "q", "r", "s", "t")
+    val k = 3
+    val docs = (0 until 30).map { i =>
+      val n = 2 + rnd.nextInt(14)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "),
+        s"g${i % 3}")
+    }
+    val tokss = docs.map { case (id, t, g) =>
+      (id, t.trim.split("\\s+").toVector, g) }
+    val grams = for ((id, ts, g) <- tokss; p <- 0 to ts.size - k)
+      yield (id, p, ts.slice(p, p + k).mkString(" "), g)
+    val byGram = grams.groupBy(_._3)
+
+    val expNov = grams.groupBy(_._1).map { case (id, xs) =>
+      val nd = xs.count { x =>
+        val occ = byGram(x._3)
+        occ.size > 1 && occ.minBy(o => (o._1, o._2)) != x
+      }
+      id -> ((xs.size.toLong, nd.toLong,
+        (xs.size - nd) * 1000000L / xs.size))
+    }
+    val gotNov = graft.operators.Dedup.noveltyScores(
+        docs.toDF("id", "body", "src").repartition(5), "id", "body", k)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_dup"),
+          r.getAs[Long]("novelty_ppm")))).toMap
+    assert(gotNov == expNov)
+
+    val byGroup = grams.groupBy(_._4).view
+      .mapValues(_.map(_._3).toSet).toMap
+    val expCont = (for {
+      (ga, sa) <- byGroup; (gb, sb) <- byGroup if ga != gb
+      shared = (sa intersect sb).size.toLong
+      if shared > 0
+    } yield (ga, gb, sa.size.toLong, shared,
+        shared * 1000000L / sa.size)).toSet
+    val gotCont = graft.operators.Dedup.crossGroupContainment(
+        docs.toDF("id", "body", "src").repartition(5), "id", "body", "src", k)
+      .collect().map(r => (r.getAs[String]("group_a"),
+        r.getAs[String]("group_b"), r.getAs[Long]("grams_a"),
+        r.getAs[Long]("shared_grams"), r.getAs[Long]("containment_ppm"))).toSet
+    assert(gotCont == expCont)
+  }
+
   test("TIME codec round-trips random seconds of day") {
     samples(Gen.chooseNum(0, 86399), 300).foreach { sec =>
       assert(graft.model.TimeCodec.parse(graft.model.TimeCodec.format(sec)) == sec)
