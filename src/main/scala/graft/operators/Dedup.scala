@@ -483,8 +483,14 @@ object Dedup {
         col(groupCol).as("grp")), "doc_id")
       .select($"grp", md5($"gram").as("h")).distinct()
     val sizes = grams.groupBy($"grp").agg(count(lit(1)).as("ng"))
-    val shared = grams.select($"grp".as("ga"), $"h")
-      .join(grams.select($"grp".as("gb"), $"h"), Seq("h"))
+    // one combiner aggregate collapses each gram to its ≤#groups member
+    // set; the ordered-pair expansion is a map-only double explode bounded
+    // by #groups² per gram — cheaper than self-joining the distinct
+    // relation on h (which shuffles it twice and rebuilds a hash table the
+    // size of the corpus gram set)
+    val shared = grams.groupBy($"h").agg(collect_set($"grp").as("__gs"))
+      .select(explode($"__gs").as("ga"), $"__gs")
+      .select($"ga", explode($"__gs").as("gb"))
       .filter($"ga" =!= $"gb")
       .groupBy($"ga", $"gb").agg(count(lit(1)).as("shared_grams"))
     shared

@@ -121,6 +121,33 @@ class ModelStorageSpec extends AnyFunSuite {
     assert(idx.exists(_.isInstanceOf[graft.plans.ManifestFileIndex]))
   }
 
+  test("SQL DDL: CREATE TABLE ... USING graft serves the manifest-pruned relation") {
+    // the reference's SQL-first table surface: a pure-SQL session defines
+    // the table by format name + location and never touches the Scala API
+    val dir = Files.createTempDirectory("graft-ddl").toString + "/li"
+    val li = Tables.lineitem(spark, sf)
+    Segments.write(li, dir, sortCols = Seq("l_orderkey"),
+      indexedCols = Seq("l_orderkey"), numSegments = 8)
+    spark.sql("DROP TABLE IF EXISTS li_ddl")
+    spark.sql(s"CREATE TABLE li_ddl USING graft OPTIONS (path '$dir')")
+    try {
+      val n = spark.sql("SELECT count(*) AS n FROM li_ddl").head().getLong(0)
+      assert(n == li.count())
+      assert(spark.sql("SELECT count(*) FROM li_ddl WHERE l_orderkey <= 50")
+        .head().getLong(0) ==
+        spark.read.parquet(dir).filter(col("l_orderkey") <= 50L).count())
+      // still the manifest-backed relation, not a plain parquet scan
+      val idx = spark.table("li_ddl").queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location
+          }
+      }
+      assert(idx.exists(_.isInstanceOf[graft.plans.ManifestFileIndex]))
+    } finally spark.sql("DROP TABLE IF EXISTS li_ddl")
+  }
+
   test("ManifestAggregates answers count/min/max from metadata, no scan") {
     import graft.plans.{ManifestAggregates, ManifestFileIndex}
     val dir = Files.createTempDirectory("graft-magg").toString + "/li"
