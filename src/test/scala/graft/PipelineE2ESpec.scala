@@ -464,4 +464,37 @@ class PipelineE2ESpec extends AnyFunSuite {
   private def split_part_tokens(c: org.apache.spark.sql.Column) =
     org.apache.spark.sql.functions.split(
       org.apache.spark.sql.functions.trim(c), "\\s+")
+
+  test("round-9 chain: span audit -> reuse-spans removal -> BPE-budget repack") {
+    import spark.implicits._
+    import graft.operators.{Curation, Dedup, TextStats}
+    val docs = Tables.documents(spark, sf)
+    // 1. audit: compute the repeated-span frame ONCE (the materialization
+    // boundary), reuse it for the removal — no recompute of the gram agg
+    val spans = Dedup.repeatedSpans(docs, "doc_id", "text", k = 5).persist()
+    val clean = Dedup.dropRepeatedSpans(docs, "doc_id", "text", k = 5,
+      spansDf = Some(spans))
+    // token accounting: removed + kept == original, per doc
+    val bad = clean.withColumn("kept",
+        when(length(trim($"clean_text")) === 0, lit(0))
+          .otherwise(size(split_part_tokens($"clean_text"))))
+      .filter($"kept" + $"n_removed" =!= $"n_toks")
+    assert(bad.count() == 0, "span removal must conserve tokens")
+    // whole-copy docs empty out; survivors re-enter the pipeline
+    val survivors = clean.filter(length(trim($"clean_text")) > 0)
+      .select($"doc_id", $"clean_text".as("text"))
+    assert(survivors.count() > 0 && survivors.count() <= docs.count())
+    // 2. tokenizer-aware packing over the CLEANED corpus: subword counts
+    // from a fresh BPE fit on the survivors, packs cut on those budgets
+    val merges = TextStats.bpeFit(survivors, "text", numMerges = 16)
+    val segs = TextStats.bpeSegmentVocab(survivors, "text", merges)
+    val counts = TextStats.bpeEncodeWith(survivors, "doc_id", "text", segs)
+    val packed = Curation.packSequencesByCount(counts, "doc_id", "n_subwords",
+      budget = 64, shards = 2)
+    assert(packed.count() == survivors.count(), "every survivor packed")
+    val subIn = counts.select(sum($"n_subwords")).head().getLong(0)
+    val subOut = packed.select(sum($"n_tokens")).head().getLong(0)
+    assert(subIn == subOut, s"subword count conserved: $subIn != $subOut")
+    spans.unpersist()
+  }
 }
