@@ -384,12 +384,14 @@ object Dedup {
     * bounded by document length; everything corpus-wide is a combiner
     * aggregate or an equi-join on the md5 gram key (128-bit — collision-free
     * far past 10^12 windows, where a 64-bit key would already collide). */
-  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 50): DataFrame = {
-    val s = df.sparkSession
+  /** Merge flagged k-window starts (doc_id, pos) into maximal spans —
+    * overlapping/adjacent windows coalesce. The only window here is
+    * per-document (bounded by doc length). */
+  private def spansFromStarts(starts: DataFrame, k: Int): DataFrame = {
+    val s = starts.sparkSession
     import s.implicits._
     val byDoc = Window.partitionBy($"doc_id").orderBy($"pos")
-    dupStarts(normalized(df, idCol, textCol), k)
+    starts
       .withColumn("__prev", lag($"pos", 1).over(byDoc))
       .withColumn("__new",
         when($"__prev".isNull || $"pos" - $"__prev" > k, 1L).otherwise(0L))
@@ -399,6 +401,39 @@ object Dedup {
         (max($"pos") + lit(k.toLong) - min($"pos")).cast(LongType).as("span_len"),
         count(lit(1)).as("n_dup_grams"))
       .select($"doc_id", $"span_start", $"span_len", $"n_dup_grams")
+  }
+
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 50): DataFrame =
+    spansFromStarts(dupStarts(normalized(df, idCol, textCol), k), k)
+
+  /** Span-level cross-corpus decontamination: maximal spans of `df` whose
+    * k-token windows occur verbatim ANYWHERE in `ref` (the held-out
+    * benchmark / eval corpus) — the n-gram-collision removal plan the
+    * big-model training reports describe (GPT-3 used 13-gram collisions),
+    * as spans rather than whole-document drops. Feed the result to
+    * [[dropRepeatedSpans]]'s `spansDf` to cut the quotes out while keeping
+    * the surrounding document. Output: (doc_id, span_start, span_len,
+    * n_dup_grams) over df's ids.
+    *
+    * Scale: ref collapses to its DISTINCT gram-key set once (combiner
+    * aggregate); flagging is a left-semi equi-join on the 128-bit key —
+    * a benchmark is tiny next to a training corpus, so the semi-join
+    * builds on the small side; the island merge is per-document. */
+  def spansAgainst(df: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refIdCol: String, refTextCol: String,
+      k: Int = 50): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    // ref keeps its own ids: gram stitching windows per doc_id, so a
+    // collapsed id would interleave tokens across reference documents
+    val refGrams = Text.gramPosRows(normalized(ref, refIdCol, refTextCol), k)
+      .select(md5($"gram").as("h")).distinct()
+    val starts = Text.gramPosRows(normalized(df, idCol, textCol), k)
+      .select($"doc_id", $"pos", md5($"gram").as("h"))
+      .join(refGrams, Seq("h"), "left_semi")
+      .select($"doc_id", $"pos")
+    spansFromStarts(starts, k)
   }
 
   /** Span-level dedup: drop every token covered by a [[repeatedSpans]]

@@ -109,8 +109,8 @@ object Text {
     * re-ingesting/compacting the documents table in a long-lived session so
     * the pipeline rebuilds from the new files. */
   def invalidateCaches(s: SparkSession, d: String): Unit = {
-    Seq(shCache, cappedShCache, pairCache, labelCache, sigCache, spanCache)
-      .foreach { c =>
+    Seq(shCache, cappedShCache, pairCache, labelCache, sigCache, spanCache,
+      decontamSpanCache).foreach { c =>
       c.remove((s, d)).foreach(_.unpersist(blocking = false))
     }
     Curation.invalidateCaches(s, d)
@@ -659,6 +659,78 @@ object Text {
        |    AS BIGINT) AS novelty_ppm
        |FROM per p LEFT OUTER JOIN dd d ON p.doc_id = d.doc_id
        |ORDER BY p.doc_id""".stripMargin
+
+  // q237/q238 — span-level benchmark decontamination: spans of the
+  // training split (source <> src0) whose 5-token windows occur verbatim
+  // in the held-out benchmark (src0) — the n-gram-collision removal the
+  // big-model training reports describe, as spans instead of q60's
+  // whole-document drops — and the cleaned corpus with those quotes cut.
+  private val decontamSpanCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def decontamSpansOf(s: SparkSession, d: String): DataFrame =
+    decontamSpanCache.getOrElseUpdate((s, d), {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      Dedup.spansAgainst(docs.filter($"source" =!= "src0"), "doc_id", "text",
+        docs.filter($"source" === "src0"), "doc_id", "text", SpanK).persist()
+    })
+  private def q237(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    decontamSpansOf(s, d).orderBy($"doc_id", $"span_start")
+  }
+  private def decontamGramsSql(k: Int): String =
+    s"""toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') t
+       |  FROM documents WHERE source <> 'src0'),
+       |reft AS (SELECT string_split_regex(trim(text), '\\s+') t
+       |  FROM documents WHERE source = 'src0'),
+       |refg AS (SELECT DISTINCT md5(array_to_string(t[pos:pos+$k-1], ' ')) AS h
+       |  FROM (SELECT t, unnest(range(1, greatest(len(t)-$k+2, 1))) AS pos
+       |        FROM reft)),
+       |starts AS (SELECT doc_id, t,
+       |    unnest(range(1, greatest(len(t)-$k+2, 1))) AS pos FROM toks),
+       |g AS (SELECT doc_id, pos - 1 AS p0,
+       |    md5(array_to_string(t[pos:pos+$k-1], ' ')) AS h FROM starts),
+       |dup AS (SELECT doc_id, p0 FROM g
+       |        WHERE EXISTS (SELECT 1 FROM refg WHERE refg.h = g.h))""".stripMargin
+  private def decontamSpansSql(k: Int): String =
+    s"""${decontamGramsSql(k)},
+       |lagd AS (SELECT doc_id, p0,
+       |    lag(p0) OVER (PARTITION BY doc_id ORDER BY p0) AS prev FROM dup),
+       |isl AS (SELECT doc_id, p0,
+       |    SUM(CASE WHEN prev IS NULL OR p0 - prev > $k THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY p0 ROWS UNBOUNDED PRECEDING)
+       |      AS island FROM lagd),
+       |spans AS (SELECT doc_id, CAST(MIN(p0) AS BIGINT) AS span_start,
+       |    CAST(MAX(p0) + $k - MIN(p0) AS BIGINT) AS span_len,
+       |    CAST(COUNT(*) AS BIGINT) AS n_dup_grams
+       |  FROM isl GROUP BY doc_id, island)""".stripMargin
+  private val q237Sql =
+    s"""WITH ${decontamSpansSql(SpanK)}
+       |SELECT doc_id, span_start, span_len, n_dup_grams FROM spans
+       |ORDER BY doc_id, span_start""".stripMargin
+
+  private def q238(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.dropRepeatedSpans(Tables.documents(s, d).filter($"source" =!= "src0"),
+        "doc_id", "text", SpanK, spansDf = Some(decontamSpansOf(s, d)))
+      .orderBy($"doc_id")
+  }
+  private val q238Sql =
+    s"""WITH ${decontamSpansSql(SpanK)},
+       |tok_rows AS (SELECT doc_id, unnest(t) AS tok,
+       |    unnest(range(1, len(t)+1)) - 1 AS p0 FROM toks),
+       |kept AS (SELECT r.doc_id, r.tok, r.p0 FROM tok_rows r
+       |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+       |    WHERE sp.doc_id = r.doc_id AND r.p0 >= sp.span_start
+       |      AND r.p0 < sp.span_start + sp.span_len)),
+       |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       |    string_agg(tok, ' ' ORDER BY p0) AS clean_text
+       |  FROM kept GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_toks,
+       |  CAST(len(t.t) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+       |  coalesce(a.clean_text, '') AS clean_text
+       |FROM toks t LEFT OUTER JOIN agg a ON t.doc_id = a.doc_id
+       |ORDER BY t.doc_id""".stripMargin
 
   // q36 — SimHash (16-bit) per document: per-bit majority vote over token
   // hashes; near-dup docs land within small hamming distance.
@@ -1244,6 +1316,8 @@ object Text {
     "q232_span_dedup" -> q232,
     "q233_source_containment" -> q233,
     "q234_doc_novelty" -> q234,
+    "q237_decontam_spans" -> q237,
+    "q238_decontam_clean" -> q238,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1276,5 +1350,7 @@ object Text {
     "q232_span_dedup" -> q232Sql,
     "q233_source_containment" -> q233Sql,
     "q234_doc_novelty" -> q234Sql,
+    "q237_decontam_spans" -> q237Sql,
+    "q238_decontam_clean" -> q238Sql,
   )
 }

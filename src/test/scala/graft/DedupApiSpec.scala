@@ -264,6 +264,32 @@ class DedupApiSpec extends AnyFunSuite {
     ), s"got $cont")
   }
 
+  test("spansAgainst flags only true benchmark quotes, never ref-boundary phantoms") {
+    // k=3 against a two-doc benchmark: a corpus gram spanning the END of
+    // ref doc 1 and the START of ref doc 2 exists in neither and must NOT
+    // match (the bug a collapsed ref id would introduce by stitching
+    // grams across reference documents)
+    val ref = Seq((1L, "a b c"), (2L, "d e f")).toDF("rid", "rtext")
+    val corpus = Seq(
+      (10L, "x a b c y"),   // quotes ref1 verbatim at pos 1
+      (11L, "c d e f"),     // "c d e" is a boundary phantom; "d e f" real
+      (12L, "b c d e")      // both grams are boundary phantoms -> clean
+    ).toDF("my_id", "body")
+    val spans = Dedup.spansAgainst(corpus, "my_id", "body", ref, "rid",
+        "rtext", k = 3)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_len"), r.getAs[Long]("n_dup_grams"))).toSet
+    assert(spans == Set((10L, 1L, 3L, 1L), (11L, 1L, 3L, 1L)), s"got $spans")
+    // removal keeps the surrounding document, unlike whole-doc decontam
+    val clean = Dedup.dropRepeatedSpans(corpus, "my_id", "body", k = 3,
+        spansDf = Some(Dedup.spansAgainst(corpus, "my_id", "body", ref,
+          "rid", "rtext", k = 3)))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("clean_text")).toMap
+    assert(clean == Map(10L -> "x y", 11L -> "c", 12L -> "b c d e"),
+      s"got $clean")
+  }
+
   test("hashSample is deterministic and respects the rate") {
     val big = spark.range(2000).select($"id".as("k"),
       concat(lit("doc "), $"id").as("body"))
