@@ -207,6 +207,8 @@ object Curation {
     * Same plan shape: map-only hashing + one per-shard window cumsum. */
   def packSequencesByCount(df: DataFrame, idCol: String, nTokensCol: String,
       budget: Int = 128, shards: Int = 4): DataFrame = {
+    require(budget >= 1 && shards >= 1,
+      s"need budget >= 1 and shards >= 1, got $budget/$shards")
     val s = df.sparkSession
     import s.implicits._
     val base = df.select(col(idCol).cast(LongType).as("doc_id"),
@@ -974,6 +976,8 @@ object Curation {
     * degenerates to few buckets — rank by a discriminating score. */
   def rankAndShard(df: DataFrame, idCol: String, scoreCol: String,
       shardSize: Long = 10000L, buckets: Int = 32): DataFrame = {
+    require(shardSize >= 1L && buckets >= 1,
+      s"need shardSize >= 1 and buckets >= 1, got $shardSize/$buckets")
     val s = df.sparkSession
     import s.implicits._
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray

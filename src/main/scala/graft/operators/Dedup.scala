@@ -361,6 +361,7 @@ object Dedup {
     * key, one join back. Never a gram-keyed window — a boilerplate gram
     * repeated millions of times shrinks map-side to #partitions rows. */
   private def dupStarts(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"span window k must be >= 1 token, got $k")
     val s = docs.sparkSession
     import s.implicits._
     val g = Text.gramPosRows(docs, k)
@@ -423,6 +424,7 @@ object Dedup {
   def spansAgainst(df: DataFrame, idCol: String, textCol: String,
       ref: DataFrame, refIdCol: String, refTextCol: String,
       k: Int = 50): DataFrame = {
+    require(k >= 1, s"span window k must be >= 1 token, got $k")
     val s = df.sparkSession
     import s.implicits._
     // ref keeps its own ids: gram stitching windows per doc_id, so a
