@@ -952,6 +952,93 @@ object Curation {
        |FROM base CROSS JOIN dup CROSS JOIN cont CROSS JOIN sp""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Target-domain affinity scoring — data selection by hashed n-gram
+  // bucket statistics: how much does each document look like the target
+  // domain, relative to the corpus at large? The exact-integer counterpart
+  // of classifier/importance-based selection (hashed features as in DSIR,
+  // Xie et al. 2023 — but scored with integer ppm count ratios rather than
+  // a float log-likelihood product, so results replicate bit-for-bit and
+  // oracle in SQL).
+
+  /** Per-document target-affinity score: n-grams hash into `buckets`
+    * md5-derived feature buckets; each bucket's affinity is the
+    * add-one-smoothed ppm ratio of its target-corpus instance share vs its
+    * whole-corpus share, scaled so a bucket distributed like the corpus
+    * scores ~1e6; a document scores the gram-count-weighted mean of its
+    * buckets' affinities. Select top-n by score (or threshold) to enrich
+    * toward the target domain. `isTargetCol` is any 0/1 (or boolean-castable)
+    * column marking the target exemplars. Output: (doc_id, n_grams,
+    * affinity_ppm) for every document with at least one gram.
+    *
+    * Plan: ONE corpus pass to bucket counts (two tiny aggregates —
+    * `buckets` rows each — broadcast back), then a map-side bucket lookup +
+    * one doc aggregate. No joins that scale with the corpus; the LUT is
+    * bucket-sized. Exact integers end to end. */
+  def targetAffinity(df: DataFrame, idCol: String, textCol: String,
+      isTargetCol: String, n: Int = 2, buckets: Int = 64): DataFrame = {
+    require(n >= 1 && buckets >= 1,
+      s"need n >= 1 and buckets >= 1, got $n/$buckets")
+    val s = df.sparkSession
+    import s.implicits._
+    val grams = Text.gramRows(
+        df.select(col(idCol).cast(LongType).as("doc_id"),
+          col(textCol).as("text"),
+          col(isTargetCol).cast(IntegerType).as("__tgt")),
+        n, carryCols = Seq("__tgt"))
+      .withColumn("__b", pmod(md5Long($"gram"), lit(buckets.toLong)))
+    val stats = grams.groupBy($"__b").agg(
+      sum($"__tgt".cast(LongType)).as("__t"),
+      count(lit(1)).as("__c"))
+    val tot = stats.agg(sum($"__t").as("__tt"), sum($"__c").as("__ct"))
+    // affinity_ppm(b) = share-of-target ppm over share-of-corpus, add-one
+    // smoothed: ((t_b+1) * (ct+buckets) * 1e6) DIV ((c_b+1) * (tt+buckets)).
+    // DECIMAL(19,0) operands keep the cross-multiplies exact to ~1e15 gram
+    // instances (a LONG product wraps past ~9e12) and match DuckDB's
+    // HUGEINT widening bit-for-bit.
+    val lut = stats.crossJoin(broadcast(tot))
+      .select($"__b",
+        expr(s"(CAST(__t + 1 AS DECIMAL(19,0)) * CAST(__ct + $buckets AS DECIMAL(19,0)) * 1000000)" +
+          s" DIV (CAST(__c + 1 AS DECIMAL(19,0)) * CAST(__tt + $buckets AS DECIMAL(19,0)))")
+          .cast(LongType).as("__aff"))
+    grams.join(broadcast(lut), "__b")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum($"__aff").as("__sum"))
+      .select($"doc_id", $"n_grams",
+        expr("__sum DIV n_grams").cast(LongType).as("affinity_ppm"))
+  }
+
+  // q239 — target-domain selection scores: src0 as the target exemplar
+  // set, bigram buckets; high scorers are the docs to up-sample when
+  // enriching a mix toward the target domain.
+  private def q239(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    targetAffinity(Tables.documents(s, d)
+        .withColumn("is_tgt", when($"source" === "src0", 1).otherwise(0)),
+        "doc_id", "text", "is_tgt", n = 2, buckets = 64)
+      .orderBy($"doc_id")
+  }
+  private val q239Sql = {
+    val b = 64
+    s"""WITH toks AS (SELECT doc_id, source,
+       |    string_split_regex(trim(text), '\\s+') t FROM documents),
+       |g AS (SELECT doc_id,
+       |    CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS tgt,
+       |    ${md5LongSql(s"array_to_string(t[i:i+1], ' ')")} % $b AS bkt
+       |  FROM toks, unnest(range(1, len(t))) u(i)),
+       |stats AS (SELECT bkt, CAST(SUM(tgt) AS BIGINT) AS tb,
+       |    COUNT(*) AS cb FROM g GROUP BY bkt),
+       |tot AS (SELECT SUM(tb) AS tt, SUM(cb) AS ct FROM stats),
+       |lut AS (SELECT bkt,
+       |    CAST(((tb + 1) * (ct + $b) * 1000000) // ((cb + 1) * (tt + $b))
+       |      AS BIGINT) AS aff
+       |  FROM stats CROSS JOIN tot)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |  CAST(SUM(aff) // COUNT(*) AS BIGINT) AS affinity_ppm
+       |FROM g JOIN lut USING (bkt)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // Global total-order rank + contiguous shard assignment — curriculum
   // ordering ("train on short/clean docs first") and contiguous training
   // shards cut from a corpus-wide sort. The naive formulation is
@@ -1024,6 +1111,7 @@ object Curation {
       |FROM ranked ORDER BY rank""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q239_target_affinity" -> q239,
     "q235_curriculum_shards" -> q235,
     "q200_report_card" -> q200,
     "q158_split_assign" -> q158,
@@ -1044,6 +1132,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q239_target_affinity" -> q239Sql,
     "q235_curriculum_shards" -> q235Sql,
     "q200_report_card" -> q200Sql,
     "q158_split_assign" -> q158Sql,

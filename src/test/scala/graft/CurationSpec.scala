@@ -294,6 +294,30 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("targetAffinity separates target-vocabulary docs and is partitioning-invariant") {
+    val s = spark
+    import s.implicits._
+    // targets speak {ta tb tc}, the rest {xa xb xc}; doc 30 is half-half
+    val docs = ((0 until 10).map(i => (i.toLong, "ta tb tc ta tb tc ta tb", 1)) ++
+      (10 until 30).map(i => (i.toLong, "xa xb xc xa xb xc xa xb", 0)) :+
+      ((30L, "ta tb tc ta xa xb xc xa", 0))).toDF("id", "body", "is_tgt")
+    val score = Curation.targetAffinity(docs, "id", "body", "is_tgt",
+        n = 2, buckets = 4096)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("affinity_ppm")).toMap
+    val tgt = (0 until 10).map(i => score(i.toLong)).distinct
+    val oth = (10 until 30).map(i => score(i.toLong)).distinct
+    assert(tgt.size == 1 && oth.size == 1, "uniform docs score uniformly")
+    assert(tgt.head > score(30L) && score(30L) > oth.head,
+      s"expected target ${tgt.head} > mixed ${score(30L)} > other ${oth.head}")
+    // repartitioning must not move a single score (exact integer path)
+    val again = Curation.targetAffinity(docs.repartition(7), "id", "body",
+        "is_tgt", n = 2, buckets = 4096)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("affinity_ppm")).toMap
+    assert(again == score)
+  }
+
   test("rankAndShard equals the single-window formulation under ties and any partitioning") {
     val s = spark
     import s.implicits._
