@@ -465,6 +465,34 @@ class PipelineE2ESpec extends AnyFunSuite {
     org.apache.spark.sql.functions.split(
       org.apache.spark.sql.functions.trim(c), "\\s+")
 
+  test("selection chain: target affinity -> curriculum rank -> top-shard take -> pack") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val docs = Tables.documents(spark, sf)
+      .withColumn("is_tgt", when($"source" === "src0", 1).otherwise(0))
+    // 1. score every doc by target-domain affinity
+    val scored = Curation.targetAffinity(docs, "doc_id", "text", "is_tgt",
+      n = 2, buckets = 256)
+    // 2. rank by affinity DESC (negate: rankAndShard ranks ascending),
+    // cut contiguous 100-doc shards along that order
+    val ranked = Curation.rankAndShard(
+      scored.withColumn("neg_aff", -$"affinity_ppm"), "doc_id", "neg_aff",
+      shardSize = 100L, buckets = 8)
+    // shard 0 is the most-target-like slice: its mean affinity must beat
+    // the corpus mean (src0 exemplars exist, so separation is real)
+    val top = ranked.filter($"shard_id" === 0).select($"doc_id")
+    val meanTop = scored.join(top, "doc_id")
+      .agg(avg($"affinity_ppm")).head().getDouble(0)
+    val meanAll = scored.agg(avg($"affinity_ppm")).head().getDouble(0)
+    assert(meanTop > meanAll,
+      s"top shard mean $meanTop must exceed corpus mean $meanAll")
+    // 3. pack ONLY the selected slice; every selected doc lands in a pack
+    val packed = Curation.packSequences(
+      docs.join(top, "doc_id").select($"doc_id", $"text"),
+      "doc_id", "text", budget = 256, shards = 2)
+    assert(packed.count() == top.count())
+  }
+
   test("round-9 chain: span audit -> reuse-spans removal -> BPE-budget repack") {
     import spark.implicits._
     import graft.operators.{Curation, Dedup, TextStats}
