@@ -16,9 +16,13 @@ object Verify {
       if (sqlOnly) Some(Seq.empty)
       else if (args.length > 2) Some(args(2).split(",").toSeq) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_AQE=false re-runs the whole gate with adaptive execution
+    // off — the robustness sweep that caught q132's AQE-off planner fault
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 otherwise
