@@ -402,6 +402,32 @@ object Corpus {
       |WHERE jaro_winkler_similarity(a.c_name, c.c_name) >= 0.96
       |ORDER BY id_a, id_b""".stripMargin
 
+  // q240 — multi-field weighted record linkage over the part catalog:
+  // candidates blocked on (type, size), scored 0.6·jw(name) + 0.4·jw(brand)
+  // — q210's single-field match lifted to the Fellegi-Sunter composite
+  // shape. Both jw sims ride the native bit-exact expression, and the
+  // weighted sum is the same left-to-right IEEE double chain DuckDB
+  // evaluates, so the score doubles hash-match with no rounding shim.
+  private def q240(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.linkRecords(Tables.part(s, d), "p_partkey",
+        expr("concat(p_type, '|', p_size)"),
+        Seq("p_name" -> 0.6, "p_brand" -> 0.4), minScore = 0.93)
+      .orderBy($"id_a", $"id_b")
+  }
+  private val q240Sql =
+    """WITH b AS (SELECT p_partkey, p_name, p_brand,
+      |             p_type || '|' || p_size AS blk FROM part)
+      |SELECT a.p_partkey AS id_a, c.p_partkey AS id_b,
+      |  jaro_winkler_similarity(a.p_name, c.p_name) AS sim_p_name,
+      |  jaro_winkler_similarity(a.p_brand, c.p_brand) AS sim_p_brand,
+      |  0.6 * jaro_winkler_similarity(a.p_name, c.p_name)
+      |    + 0.4 * jaro_winkler_similarity(a.p_brand, c.p_brand) AS score
+      |FROM b a JOIN b c ON a.blk = c.blk AND a.p_partkey < c.p_partkey
+      |WHERE 0.6 * jaro_winkler_similarity(a.p_name, c.p_name)
+      |    + 0.4 * jaro_winkler_similarity(a.p_brand, c.p_brand) >= 0.93
+      |ORDER BY id_a, id_b""".stripMargin
+
   // q218 — positional phrase search: documents containing the exact
   // consecutive sequence "hash value", with occurrence counts — the
   // positional complement of the bag-of-words q86 postings / q69 BM25.
@@ -683,6 +709,7 @@ object Corpus {
     "q95_decontaminate_bloom" -> q95,
     "q96_dedup_edit_distance" -> q96,
     "q210_fuzzy_name_match" -> q210,
+    "q240_multifield_linkage" -> q240,
     "q218_phrase_match" -> q218,
     "q103_bigram_stats" -> q103,
     "q104_tfidf_cosine_pairs" -> q104,
@@ -706,6 +733,7 @@ object Corpus {
     "q95_decontaminate_bloom" -> q65Sql, // identical semantics by design
     "q96_dedup_edit_distance" -> q96Sql,
     "q210_fuzzy_name_match" -> q210Sql,
+    "q240_multifield_linkage" -> q240Sql,
     "q218_phrase_match" -> q218Sql,
     "q103_bigram_stats" -> q103Sql,
     "q104_tfidf_cosine_pairs" -> q104Sql,

@@ -289,6 +289,47 @@ object Dedup {
       .select($"id_a", $"id_b", $"sim")
   }
 
+  /** Multi-field weighted record linkage (Fellegi-Sunter-style composite
+    * scoring, deterministic-weight variant): candidate pairs from an
+    * equi-join on `blockKey`, each scored field-by-field with the native
+    * bit-exact [[graft.plans.JaroWinkler]] expression and combined as the
+    * caller-weighted sum Σ wᵢ·simᵢ evaluated left-to-right — IEEE-double
+    * deterministic, so scores replicate across engines and reruns. Output:
+    * (id_a, id_b, sim_<field>..., score), pairs with score ≥ minScore.
+    *
+    * Scale: q210's linkage discipline — candidates never leave the block
+    * equi-join (size the key so blocks stay person-scale; `maxBlockSize`
+    * ENFORCES a cap by dropping over-sized blocks, the skew guard), and
+    * scoring is map-only post-join. */
+  def linkRecords(df: DataFrame, idCol: String, blockKey: Column,
+      fields: Seq[(String, Double)], minScore: Double,
+      maxBlockSize: Option[Long] = None): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    require(fields.nonEmpty, "need at least one (field, weight)")
+    require(minScore >= 0.0, "minScore must be >= 0")
+    require(maxBlockSize.forall(_ >= 2), "maxBlockSize must be >= 2")
+    val b0 = df.select((col(idCol).cast(LongType).as("__id") +:
+      blockKey.as("__blk") +: fields.map { case (f, _) => col(f) }): _*)
+    val b = maxBlockSize match {
+      case None => b0
+      case Some(cap) =>
+        val kept = b0.groupBy($"__blk").agg(count(lit(1)).as("__bn"))
+          .filter($"__bn" <= cap).select($"__blk")
+        b0.join(kept, Seq("__blk"))
+    }
+    val a = b.toDF(("id_a" +: "__blk" +: fields.map(f => s"__a_${f._1}")): _*)
+    val c = b.toDF(("id_b" +: "__blk" +: fields.map(f => s"__b_${f._1}")): _*)
+    val sims = fields.map { case (f, _) =>
+      graft.plans.JaroWinkler(col(s"__a_$f"), col(s"__b_$f")).as(s"sim_$f") }
+    a.join(c, Seq("__blk"))
+      .filter($"id_a" < $"id_b")
+      .select(($"id_a" +: $"id_b" +: sims): _*)
+      .withColumn("score",
+        fields.map { case (f, w) => lit(w) * col(s"sim_$f") }.reduce(_ + _))
+      .filter($"score" >= minScore)
+  }
+
   /** Keep-best selection: within each cluster keep the row with the highest
     * `quality` (ties → lowest id). Output: input ids + (canonical_id, keep).
     * `clustersDf` is the output of [[clusters]] (or any (doc_id,

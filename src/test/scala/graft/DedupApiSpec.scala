@@ -264,6 +264,29 @@ class DedupApiSpec extends AnyFunSuite {
     ), s"got $cont")
   }
 
+  test("linkRecords: weighted multi-field scores, block cap enforced") {
+    val recs = Seq(
+      (1L, "jon smith", "acme corp", "b1"),
+      (2L, "john smith", "acme corp", "b1"),   // near name, exact org
+      (3L, "jane doe", "other inc", "b1"),     // same block, far
+      (4L, "jon smith", "acme corp", "b2")     // twin of 1 but blocked away
+    ).toDF("rid", "nm", "org", "blk")
+    val got = Dedup.linkRecords(recs, "rid", col("blk"),
+        Seq("nm" -> 0.7, "org" -> 0.3), minScore = 0.9)
+      .collect()
+    assert(got.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+      == Set((1L, 2L)), s"got ${got.toSeq}")
+    val r = got.head
+    // score is exactly the left-to-right weighted sum of the field sims
+    assert(r.getAs[Double]("score") ==
+      0.7 * r.getAs[Double]("sim_nm") + 0.3 * r.getAs[Double]("sim_org"))
+    assert(r.getAs[Double]("sim_org") == 1.0)
+    // maxBlockSize drops the whole oversized block (b1 has 3 members)
+    val capped = Dedup.linkRecords(recs, "rid", col("blk"),
+      Seq("nm" -> 0.7, "org" -> 0.3), minScore = 0.0, maxBlockSize = Some(2L))
+    assert(capped.count() == 0, "b1 over cap, b2 is a singleton")
+  }
+
   test("spansAgainst flags only true benchmark quotes, never ref-boundary phantoms") {
     // k=3 against a two-doc benchmark: a corpus gram spanning the END of
     // ref doc 1 and the START of ref doc 2 exists in neither and must NOT
