@@ -211,8 +211,13 @@ object Curation {
       s"need budget >= 1 and shards >= 1, got $budget/$shards")
     val s = df.sparkSession
     import s.implicits._
+    // caller-supplied counts: a null or negative (e.g. from a lossy join)
+    // would silently overlap pack offsets — fail fast instead
     val base = df.select(col(idCol).cast(LongType).as("doc_id"),
-        col(nTokensCol).as("n_tokens"))
+        when(col(nTokensCol).isNotNull && col(nTokensCol) >= 0, col(nTokensCol))
+          .otherwise(raise_error(concat(
+            lit(s"packSequencesByCount: null/negative $nTokensCol for doc "),
+            col(idCol).cast(StringType)))).as("n_tokens"))
       .withColumn("shard",
         md5Long(concat(lit("shard:"), $"doc_id".cast(StringType))) % shards)
       .withColumn("ord", md5(concat(lit("pack:"), $"doc_id".cast(StringType))))

@@ -218,6 +218,22 @@ object Dedup {
     * inside a dropped mega-block are sacrificed recall, exactly like a
     * capped hot shingle — raise the cap or add a second blocking pass to
     * recover them. */
+  /** Enforced hot-block cap shared by the blocked-linkage family: drop
+    * every block larger than `cap` (aggregate count + join-back — never a
+    * block-keyed window). The using-column join moves "__blk" first in the
+    * output, so the ORIGINAL column order is restored by name — positional
+    * renames downstream stay valid. */
+  private def capBlocks(b0: DataFrame, cap: Option[Long]): DataFrame =
+    cap match {
+      case None => b0
+      case Some(c) =>
+        val s = b0.sparkSession
+        import s.implicits._
+        val kept = b0.groupBy($"__blk").agg(count(lit(1)).as("__bn"))
+          .filter($"__bn" <= c).select($"__blk")
+        b0.join(kept, Seq("__blk")).select(b0.columns.map(col): _*)
+    }
+
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int, blockPrefix: Int = 12,
       maxBlockSize: Option[Long] = None): DataFrame = {
@@ -230,13 +246,7 @@ object Dedup {
       .select($"doc_id", $"text",
         substring(lower(trim($"text")), 1, blockPrefix).as("__blk"),
         length($"text").as("__len"))
-    val b = maxBlockSize match {
-      case None => b0
-      case Some(cap) =>
-        val kept = b0.groupBy($"__blk").agg(count(lit(1)).as("__bn"))
-          .filter($"__bn" <= cap).select($"__blk")
-        b0.join(kept, Seq("__blk"))
-    }
+    val b = capBlocks(b0, maxBlockSize)
     val a = b.select($"doc_id".as("doc_a"), $"text".as("__ta"),
       $"__blk", $"__len".as("__la"))
     val c = b.select($"doc_id".as("doc_b"), $"text".as("__tb"),
@@ -273,13 +283,7 @@ object Dedup {
     require(maxBlockSize.forall(_ >= 2), "maxBlockSize must be >= 2")
     val b0 = df.select(col(idCol).cast(LongType).as("__id"),
       col(nameCol).as("__name"), blockKey.as("__blk"))
-    val b = maxBlockSize match {
-      case None => b0
-      case Some(cap) =>
-        val kept = b0.groupBy($"__blk").agg(count(lit(1)).as("__bn"))
-          .filter($"__bn" <= cap).select($"__blk")
-        b0.join(kept, Seq("__blk"))
-    }
+    val b = capBlocks(b0, maxBlockSize)
     val a = b.select($"__id".as("id_a"), $"__name".as("__na"), $"__blk")
     val c = b.select($"__id".as("id_b"), $"__name".as("__nb"), $"__blk")
     a.join(c, Seq("__blk"))
@@ -311,13 +315,7 @@ object Dedup {
     require(maxBlockSize.forall(_ >= 2), "maxBlockSize must be >= 2")
     val b0 = df.select((col(idCol).cast(LongType).as("__id") +:
       blockKey.as("__blk") +: fields.map { case (f, _) => col(f) }): _*)
-    val b = maxBlockSize match {
-      case None => b0
-      case Some(cap) =>
-        val kept = b0.groupBy($"__blk").agg(count(lit(1)).as("__bn"))
-          .filter($"__bn" <= cap).select($"__blk")
-        b0.join(kept, Seq("__blk"))
-    }
+    val b = capBlocks(b0, maxBlockSize)
     val a = b.toDF(("id_a" +: "__blk" +: fields.map(f => s"__a_${f._1}")): _*)
     val c = b.toDF(("id_b" +: "__blk" +: fields.map(f => s"__b_${f._1}")): _*)
     val sims = fields.map { case (f, _) =>
@@ -554,11 +552,12 @@ object Dedup {
       groupCol: String, k: Int = 50): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
-    val grams = Text.gramPosRows(
+    // the group rides the gram shuffle (carryCols) — no second
+    // corpus-sized join to recover it
+    val grams = Text.gramRows(
         df.select(col(idCol).cast(LongType).as("doc_id"),
-          col(textCol).as("text"), col(groupCol).as("grp")), k)
-      .join(df.select(col(idCol).cast(LongType).as("doc_id"),
-        col(groupCol).as("grp")), "doc_id")
+          col(textCol).as("text"), col(groupCol).as("grp")), k,
+        carryCols = Seq("grp"))
       .select($"grp", md5($"gram").as("h")).distinct()
     val sizes = grams.groupBy($"grp").agg(count(lit(1)).as("ng"))
     // one combiner aggregate collapses each gram to its ≤#groups member

@@ -21,14 +21,16 @@ object Text {
   /** whitespace tokenization; `\s+` split of trimmed text. */
   private[operators] val toks: Column = split(trim(col("text")), "\\s+")
 
-  /** word n-gram rows (doc_id, gram), one row per gram INSTANCE, built
-    * codegen-friendly: posexplode tokens, stitch each gram with window
-    * lead()s, keep positions that fit. A `transform(sequence, …)` array
-    * expression is interpreted (higher-order functions don't codegen) and
-    * re-evaluates per explode output row — measured 8× slower at sf0.1.
-    * Cost: one shuffle on doc_id (window sort by pos); docs ≫ partitions so
-    * it scales evenly. */
-  private[operators] def gramRows(docs: DataFrame, n: Int,
+  /** Positioned word n-gram rows (doc_id, pos, gram, carry...), one row per
+    * gram INSTANCE with its 0-based start position, built codegen-friendly:
+    * posexplode tokens, stitch each gram with window lead()s, keep
+    * positions that fit. A `transform(sequence, …)` array expression is
+    * interpreted (higher-order functions don't codegen) and re-evaluates
+    * per explode output row — measured 8× slower at sf0.1. Cost: one
+    * shuffle on doc_id (window sort by pos); docs ≫ partitions so it
+    * scales evenly. The single body behind both the shingle family
+    * (positions dropped) and the repeated-span family (positions kept). */
+  private[operators] def gramPosRows(docs: DataFrame, n: Int,
       carryCols: Seq[String] = Nil): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
@@ -40,25 +42,17 @@ object Text {
         carryCols.map(col): _*)
       .withColumn("gram", concat_ws(" ", parts: _*))
       .filter($"pos" <= $"n_toks" - n)
-      .select($"doc_id" +: $"gram" +: carryCols.map(col): _*)
+      .select($"doc_id" +: $"pos" +: $"gram" +: carryCols.map(col): _*)
   }
 
-  /** Positioned word n-gram rows (doc_id, pos, gram) — gramRows keeping the
-    * 0-based start position of each gram instance. The layout the
-    * repeated-span (ExactSubstr-style) dedup family builds on: span
-    * detection needs to know WHERE a duplicated window sits, not just that
-    * it exists. Same single doc_id-shuffle as gramRows. */
-  private[operators] def gramPosRows(docs: DataFrame, n: Int): DataFrame = {
+  /** word n-gram rows (doc_id, gram, carry...) — [[gramPosRows]] with the
+    * position dropped (the shingle-family layout). */
+  private[operators] def gramRows(docs: DataFrame, n: Int,
+      carryCols: Seq[String] = Nil): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val byDoc = Window.partitionBy($"doc_id").orderBy($"pos")
-    val parts = $"tok" +: (1 until n).map(i => lead($"tok", i).over(byDoc))
-    docs.withColumn("toks", toks)
-      .select(Seq($"doc_id", size($"toks").as("n_toks"),
-        posexplode($"toks").as(Seq("pos", "tok")): Column): _*)
-      .withColumn("gram", concat_ws(" ", parts: _*))
-      .filter($"pos" <= $"n_toks" - n)
-      .select($"doc_id", $"pos", $"gram")
+    gramPosRows(docs, n, carryCols)
+      .select($"doc_id" +: $"gram" +: carryCols.map(col): _*)
   }
 
   /** (doc_id, s) distinct 4-gram shingle pairs — the inverted-index layout.
@@ -557,9 +551,11 @@ object Text {
        |dup AS (SELECT doc_id, p0 FROM g JOIN stats USING(h)
        |        WHERE cnt > 1 AND doc_id*1048576 + p0 <> firstk)""".stripMargin
 
-  private def spansSql(k: Int): String =
-    s"""${gramStatsSql(k)},
-       |lagd AS (SELECT doc_id, p0,
+  /** Shared island-merge CTE block: a `dup` CTE of (doc_id, p0) flagged
+    * window starts in, a `spans` CTE of maximal spans out — the one SQL
+    * mirror of Dedup.spansFromStarts for BOTH span families. */
+  private def islandMergeSql(k: Int): String =
+    s"""lagd AS (SELECT doc_id, p0,
        |    lag(p0) OVER (PARTITION BY doc_id ORDER BY p0) AS prev FROM dup),
        |isl AS (SELECT doc_id, p0,
        |    SUM(CASE WHEN prev IS NULL OR p0 - prev > $k THEN 1 ELSE 0 END)
@@ -569,6 +565,29 @@ object Text {
        |    CAST(MAX(p0) + $k - MIN(p0) AS BIGINT) AS span_len,
        |    CAST(COUNT(*) AS BIGINT) AS n_dup_grams
        |  FROM isl GROUP BY doc_id, island)""".stripMargin
+
+  /** Shared removal suffix: `toks` + `spans` CTEs in, the span-removed
+    * corpus (doc_id, n_toks, n_removed, clean_text) out — the SQL mirror
+    * of Dedup.dropRepeatedSpans for both span families. */
+  private val spanRemovalSql: String =
+    """tok_rows AS (SELECT doc_id, unnest(t) AS tok,
+      |    unnest(range(1, len(t)+1)) - 1 AS p0 FROM toks),
+      |kept AS (SELECT r.doc_id, r.tok, r.p0 FROM tok_rows r
+      |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+      |    WHERE sp.doc_id = r.doc_id AND r.p0 >= sp.span_start
+      |      AND r.p0 < sp.span_start + sp.span_len)),
+      |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |    string_agg(tok, ' ' ORDER BY p0) AS clean_text
+      |  FROM kept GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_toks,
+      |  CAST(len(t.t) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+      |  coalesce(a.clean_text, '') AS clean_text
+      |FROM toks t LEFT OUTER JOIN agg a ON t.doc_id = a.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
+  private def spansSql(k: Int): String =
+    s"""${gramStatsSql(k)},
+       |${islandMergeSql(k)}""".stripMargin
 
   // q231 — maximal repeated spans (the removal plan exact-substring dedup
   // executes): every 5-token window occurring verbatim elsewhere, merged
@@ -601,20 +620,7 @@ object Text {
   }
   private val q232Sql =
     s"""WITH ${spansSql(SpanK)},
-       |tok_rows AS (SELECT doc_id, unnest(t) AS tok,
-       |    unnest(range(1, len(t)+1)) - 1 AS p0 FROM toks),
-       |kept AS (SELECT r.doc_id, r.tok, r.p0 FROM tok_rows r
-       |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
-       |    WHERE sp.doc_id = r.doc_id AND r.p0 >= sp.span_start
-       |      AND r.p0 < sp.span_start + sp.span_len)),
-       |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
-       |    string_agg(tok, ' ' ORDER BY p0) AS clean_text
-       |  FROM kept GROUP BY doc_id)
-       |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_toks,
-       |  CAST(len(t.t) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
-       |  coalesce(a.clean_text, '') AS clean_text
-       |FROM toks t LEFT OUTER JOIN agg a ON t.doc_id = a.doc_id
-       |ORDER BY t.doc_id""".stripMargin
+       |$spanRemovalSql""".stripMargin
 
   // q233 — directional cross-source k-gram containment matrix: the
   // cross-corpus redundancy readout behind dedup-before-mixing decisions
@@ -694,16 +700,7 @@ object Text {
        |        WHERE EXISTS (SELECT 1 FROM refg WHERE refg.h = g.h))""".stripMargin
   private def decontamSpansSql(k: Int): String =
     s"""${decontamGramsSql(k)},
-       |lagd AS (SELECT doc_id, p0,
-       |    lag(p0) OVER (PARTITION BY doc_id ORDER BY p0) AS prev FROM dup),
-       |isl AS (SELECT doc_id, p0,
-       |    SUM(CASE WHEN prev IS NULL OR p0 - prev > $k THEN 1 ELSE 0 END)
-       |      OVER (PARTITION BY doc_id ORDER BY p0 ROWS UNBOUNDED PRECEDING)
-       |      AS island FROM lagd),
-       |spans AS (SELECT doc_id, CAST(MIN(p0) AS BIGINT) AS span_start,
-       |    CAST(MAX(p0) + $k - MIN(p0) AS BIGINT) AS span_len,
-       |    CAST(COUNT(*) AS BIGINT) AS n_dup_grams
-       |  FROM isl GROUP BY doc_id, island)""".stripMargin
+       |${islandMergeSql(k)}""".stripMargin
   private val q237Sql =
     s"""WITH ${decontamSpansSql(SpanK)}
        |SELECT doc_id, span_start, span_len, n_dup_grams FROM spans
@@ -717,20 +714,7 @@ object Text {
   }
   private val q238Sql =
     s"""WITH ${decontamSpansSql(SpanK)},
-       |tok_rows AS (SELECT doc_id, unnest(t) AS tok,
-       |    unnest(range(1, len(t)+1)) - 1 AS p0 FROM toks),
-       |kept AS (SELECT r.doc_id, r.tok, r.p0 FROM tok_rows r
-       |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
-       |    WHERE sp.doc_id = r.doc_id AND r.p0 >= sp.span_start
-       |      AND r.p0 < sp.span_start + sp.span_len)),
-       |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
-       |    string_agg(tok, ' ' ORDER BY p0) AS clean_text
-       |  FROM kept GROUP BY doc_id)
-       |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_toks,
-       |  CAST(len(t.t) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
-       |  coalesce(a.clean_text, '') AS clean_text
-       |FROM toks t LEFT OUTER JOIN agg a ON t.doc_id = a.doc_id
-       |ORDER BY t.doc_id""".stripMargin
+       |$spanRemovalSql""".stripMargin
 
   // q36 — SimHash (16-bit) per document: per-bit majority vote over token
   // hashes; near-dup docs land within small hamming distance.

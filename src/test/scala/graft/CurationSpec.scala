@@ -198,6 +198,15 @@ class CurationSpec extends AnyFunSuite {
         case _ =>
       }
     }
+    // null counts (e.g. from a lossy join) must fail fast, not silently
+    // overlap pack offsets
+    val withNull = Seq((1L, Some(5L)), (2L, None)).toDF("my_id", "n_bpe")
+    val err = intercept[Exception] {
+      Curation.packSequencesByCount(withNull, "my_id", "n_bpe",
+        budget = 10, shards = 1).collect()
+    }
+    assert(err.getMessage.contains("packSequencesByCount"), err.getMessage)
+
     // the whitespace packSequences IS packSequencesByCount over size(toks)
     val viaCounts = Curation.packSequencesByCount(
       docs.select($"my_id", size(split(trim($"body"), "\\s+")).as("c")),

@@ -285,6 +285,15 @@ class DedupApiSpec extends AnyFunSuite {
     val capped = Dedup.linkRecords(recs, "rid", col("blk"),
       Seq("nm" -> 0.7, "org" -> 0.3), minScore = 0.0, maxBlockSize = Some(2L))
     assert(capped.count() == 0, "b1 over cap, b2 is a singleton")
+    // under-cap blocks still link WITH the cap active (regression: the cap
+    // join reorders columns; a positional rename downstream would swap the
+    // id and block key and silently return nothing)
+    val recs2 = recs.union(Seq((5L, "jon smyth", "acme corp", "b2"))
+      .toDF("rid", "nm", "org", "blk"))
+    val underCap = Dedup.linkRecords(recs2, "rid", col("blk"),
+        Seq("nm" -> 0.7, "org" -> 0.3), minScore = 0.9, maxBlockSize = Some(3L))
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(underCap == Set((1L, 2L), (4L, 5L)), s"got $underCap")
   }
 
   test("spansAgainst flags only true benchmark quotes, never ref-boundary phantoms") {

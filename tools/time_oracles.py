@@ -3,7 +3,7 @@
 proxy-benchmark methodology (min-of-N warm, 32 threads, same parquet) —
 and compare against BENCH_DETAIL.json warm Spark times.
 
-Usage: python3 tools/time_oracles.py <sfDir> <oracle_sql.json> [minutes_cap_per_query]
+Usage: python3 tools/time_oracles.py <sfDir> <oracle_sql.json> [seconds_cap_per_query]
 Writes tools/duckdb_times.json: {"times": {name: sec}, "dnf": [...]}.
 """
 import sys, json, time, threading
