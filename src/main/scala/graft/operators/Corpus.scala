@@ -428,6 +428,37 @@ object Corpus {
       |    + 0.4 * jaro_winkler_similarity(a.p_brand, c.p_brand) >= 0.93
       |ORDER BY id_a, id_b""".stripMargin
 
+  // q241 — sorted-neighborhood linkage over the part catalog: candidates
+  // from the rank-window pass (Hernández-Stolfo's second blocking
+  // strategy — catches near-matches whose equi-block key itself differs),
+  // scored with the bit-exact Jaro-Winkler native. The oracle is the
+  // single-window ROW_NUMBER formulation the operator's prefix-bucket
+  // rank deliberately avoids.
+  private def q241(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val part = Tables.part(s, d)
+    val cands = Dedup.sortedNeighborPairs(part, "p_partkey", "p_name",
+      window = 3, prefixLen = 2)
+    val nm = part.select($"p_partkey", $"p_name")
+    cands
+      .join(nm.select($"p_partkey".as("id_a"), $"p_name".as("__na")), "id_a")
+      .join(nm.select($"p_partkey".as("id_b"), $"p_name".as("__nb")), "id_b")
+      .withColumn("sim", graft.plans.JaroWinkler($"__na", $"__nb"))
+      .filter($"sim" >= 0.9)
+      .select($"id_a", $"id_b", $"rank_dist", $"sim")
+      .orderBy($"id_a", $"id_b")
+  }
+  private val q241Sql =
+    """WITH ranked AS (SELECT p_partkey, p_name,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY p_name, p_partkey) - 1 AS BIGINT)
+      |      AS rnk FROM part)
+      |SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+      |  CAST(b.rnk - a.rnk AS BIGINT) AS rank_dist,
+      |  jaro_winkler_similarity(a.p_name, b.p_name) AS sim
+      |FROM ranked a JOIN ranked b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 3
+      |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9
+      |ORDER BY id_a, id_b""".stripMargin
+
   // q218 — positional phrase search: documents containing the exact
   // consecutive sequence "hash value", with occurrence counts — the
   // positional complement of the bag-of-words q86 postings / q69 BM25.
@@ -710,6 +741,7 @@ object Corpus {
     "q96_dedup_edit_distance" -> q96,
     "q210_fuzzy_name_match" -> q210,
     "q240_multifield_linkage" -> q240,
+    "q241_sorted_neighborhood" -> q241,
     "q218_phrase_match" -> q218,
     "q103_bigram_stats" -> q103,
     "q104_tfidf_cosine_pairs" -> q104,
@@ -734,6 +766,7 @@ object Corpus {
     "q96_dedup_edit_distance" -> q96Sql,
     "q210_fuzzy_name_match" -> q210Sql,
     "q240_multifield_linkage" -> q240Sql,
+    "q241_sorted_neighborhood" -> q241Sql,
     "q218_phrase_match" -> q218Sql,
     "q103_bigram_stats" -> q103Sql,
     "q104_tfidf_cosine_pairs" -> q104Sql,

@@ -293,6 +293,58 @@ object Dedup {
       .select($"id_a", $"id_b", $"sim")
   }
 
+  /** Sorted-neighborhood candidate pairs (Hernández-Stolfo's second
+    * blocking strategy, complementing the equi-key blocking above): rows
+    * sort globally by (`sortCol`, id) and every pair within `window` ranks
+    * links as a candidate — catches near-matches that differ in the
+    * equi-block key itself (a typo in the first characters).
+    * Output: (id_a, id_b, rank_a, rank_b, rank_dist), 0 < rank_dist ≤
+    * window, id_a/id_b in rank order.
+    *
+    * Scale: the global sort rank uses ORDER-ALIGNED prefix buckets
+    * (substring of the sort key) — per-bucket `row_number` windows plus
+    * cumulative bucket offsets over a ≤#buckets frame, the q235 skeleton
+    * with deterministic boundaries; candidates come from a band equi-join
+    * (band = rank div window, each row probes its own and the next band) —
+    * never a full cross. Caveat: prefix buckets are bounded by data
+    * distribution, not construction — size `prefixLen` so no single
+    * prefix dominates (lengthen it for name-like keys). */
+  def sortedNeighborPairs(df: DataFrame, idCol: String, sortCol: String,
+      window: Int, prefixLen: Int = 1): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    require(window >= 1, "window must be >= 1")
+    require(prefixLen >= 1, "prefixLen must be >= 1")
+    // the bucket MUST be order-aligned with the sort key: a raw prefix is
+    // monotone wrt lexicographic order (lower()/trim() would break the
+    // alignment for mixed-case keys and split ranks across buckets)
+    val base = df.select(col(idCol).cast(LongType).as("__id"),
+      col(sortCol).as("__srt"),
+      substring(col(sortCol), 1, prefixLen).as("__bucket"))
+    val wb = Window.partitionBy($"__bucket").orderBy($"__srt", $"__id")
+    val local = base.withColumn("__local", row_number().over(wb).cast(LongType))
+    val offsets = local.groupBy($"__bucket").agg(count(lit(1)).as("__n"))
+      .withColumn("__offset", coalesce(sum($"__n").over(
+        Window.orderBy($"__bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"__bucket", $"__offset")
+    val ranked = local.join(broadcast(offsets), "__bucket")
+      .select($"__id", ($"__offset" + $"__local" - 1L).as("__rank"))
+    // band join: |ra - rb| <= window ⇒ the pair shares a band or sits in
+    // adjacent ones; each left row probes band and band+1
+    val bandOf = expr(s"__rank div $window")
+    val a = ranked.select($"__id".as("id_a"), $"__rank".as("rank_a"),
+      explode(array(bandOf, bandOf + 1L)).as("__band"))
+    val b = ranked.select($"__id".as("id_b"), $"__rank".as("rank_b"),
+      bandOf.as("__band"))
+    // a pair matches in exactly one of the two probed bands (b's band is
+    // fixed), so no distinct is needed
+    a.join(b, Seq("__band"))
+      .filter($"rank_b" > $"rank_a" && $"rank_b" - $"rank_a" <= window)
+      .select($"id_a", $"id_b", $"rank_a", $"rank_b",
+        ($"rank_b" - $"rank_a").as("rank_dist"))
+  }
+
   /** Multi-field weighted record linkage (Fellegi-Sunter-style composite
     * scoring, deterministic-weight variant): candidate pairs from an
     * equi-join on `blockKey`, each scored field-by-field with the native

@@ -296,6 +296,26 @@ class DedupApiSpec extends AnyFunSuite {
     assert(underCap == Set((1L, 2L), (4L, 5L)), s"got $underCap")
   }
 
+  test("sortedNeighborPairs: rank-window candidates cross prefix-bucket boundaries") {
+    // global sort order: az1(0) azz(1) ba1(2) bb9(3) zz z(4). The (azz,
+    // ba1) pair straddles the 2-char prefix buckets "az"|"ba" — the rank
+    // must be GLOBAL (bucket offsets), not per-bucket, for it to appear.
+    val recs = Seq((10L, "az1"), (11L, "azz"), (12L, "ba1"), (13L, "bb9"),
+      (14L, "zz z")).toDF("rid", "nm")
+    val got = Dedup.sortedNeighborPairs(recs, "rid", "nm", window = 1,
+        prefixLen = 2)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("rank_dist"))).toSet
+    assert(got == Set((10L, 11L, 1L), (11L, 12L, 1L), (12L, 13L, 1L),
+      (13L, 14L, 1L)), s"got $got")
+    // window widens symmetrically in rank space
+    val w2 = Dedup.sortedNeighborPairs(recs, "rid", "nm", window = 2,
+        prefixLen = 2)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(w2 == Set((10L, 11L), (10L, 12L), (11L, 12L), (11L, 13L),
+      (12L, 13L), (12L, 14L), (13L, 14L)), s"got $w2")
+  }
+
   test("spansAgainst flags only true benchmark quotes, never ref-boundary phantoms") {
     // k=3 against a two-doc benchmark: a corpus gram spanning the END of
     // ref doc 1 and the START of ref doc 2 exists in neither and must NOT

@@ -43,8 +43,9 @@ class PlanSpec extends AnyFunSuite {
       "q185_pareto_take", // ≤ bins cum table (ABC boundary)
       "q219_open_orders_curve", // ≤ boundary-event rows
       "q80_hybrid_rrf", // ≤ k-row ranked lists
-      "q235_curriculum_shards" // ≤ buckets bucket-offset rows (the data
+      "q235_curriculum_shards", // ≤ buckets bucket-offset rows (the data
         // relation itself windows per range-bucket, never globally)
+      "q241_sorted_neighborhood" // same skeleton: ≤ #prefix-bucket offset rows
     )
     // AQE's AdaptiveSparkPlanExec hides the real operators until runtime —
     // disable it so the collect actually sees joins/windows (planOf's rule).
