@@ -317,10 +317,15 @@ object Dedup {
     require(prefixLen >= 1, "prefixLen must be >= 1")
     // the bucket MUST be order-aligned with the sort key: a raw prefix is
     // monotone wrt lexicographic order (lower()/trim() would break the
-    // alignment for mixed-case keys and split ranks across buckets)
+    // alignment for mixed-case keys and split ranks across buckets).
+    // Null keys coalesce to '' (which ranks first, as nulls do in the
+    // orderBy): a null-derived bucket would never match the equi-join back
+    // to the offsets frame and those rows would silently vanish from every
+    // candidate pair while still shifting downstream bucket offsets.
+    val srt = coalesce(col(sortCol).cast(StringType), lit(""))
     val base = df.select(col(idCol).cast(LongType).as("__id"),
-      col(sortCol).as("__srt"),
-      substring(col(sortCol), 1, prefixLen).as("__bucket"))
+      srt.as("__srt"),
+      substring(srt, 1, prefixLen).as("__bucket"))
     val wb = Window.partitionBy($"__bucket").orderBy($"__srt", $"__id")
     val local = base.withColumn("__local", row_number().over(wb).cast(LongType))
     val offsets = local.groupBy($"__bucket").agg(count(lit(1)).as("__n"))
@@ -455,12 +460,21 @@ object Dedup {
     require(k >= 1, s"span window k must be >= 1 token, got $k")
     val s = docs.sparkSession
     import s.implicits._
+    // the encoding's documented precondition (0 ≤ doc_id, pos < 2^20) must
+    // fail LOUDLY: a silent wrap would corrupt which duplicate is "first"
+    // and the SQL oracle shares the encoding, so the gate couldn't see it
+    val enc = when($"pos" >= PosEnc || $"doc_id" < 0,
+        raise_error(concat(
+          lit(s"dupStarts: (doc_id, pos) outside PosEnc=$PosEnc encoding " +
+            "range (chunk docs over ~1M tokens upstream): doc_id="),
+          $"doc_id", lit(" pos="), $"pos")))
+      .otherwise($"doc_id" * PosEnc + $"pos")
     val g = Text.gramPosRows(docs, k)
-      .select($"doc_id", $"pos", md5($"gram").as("h"))
+      .select($"doc_id", $"pos", md5($"gram").as("h"), enc.as("__enc"))
     val stats = g.groupBy($"h").agg(count(lit(1)).as("cnt"),
-      min($"doc_id" * PosEnc + $"pos").as("firstk"))
+      min($"__enc").as("firstk"))
     g.join(stats, "h")
-      .filter($"cnt" > 1 && ($"doc_id" * PosEnc + $"pos") =!= $"firstk")
+      .filter($"cnt" > 1 && $"__enc" =!= $"firstk")
       .select($"doc_id", $"pos")
   }
 
@@ -626,7 +640,11 @@ object Dedup {
       .join(broadcast(sizes.select($"grp".as("ga"), $"ng".as("grams_a"))), Seq("ga"))
       .select($"ga".as("group_a"), $"gb".as("group_b"), $"grams_a",
         $"shared_grams",
-        expr("shared_grams * 1000000 DIV grams_a").cast(LongType)
-          .as("containment_ppm"))
+        // DECIMAL(19,0) before the ppm scale-up: shared_grams * 1000000
+        // wraps LONG past ~9.2e12 shared distinct grams — plausible at the
+        // corpus scales the scale notes target (same guard as
+        // Curation.targetAffinity; DuckDB's oracle side widens to HUGEINT)
+        expr("CAST(shared_grams AS DECIMAL(19,0)) * 1000000 DIV grams_a")
+          .cast(LongType).as("containment_ppm"))
   }
 }

@@ -86,8 +86,15 @@ object Realtime {
     val ignoreEmpty = (j \ "ignoreStrategy").extractOpt[String]
       .exists(_.equalsIgnoreCase("IGNORE_EMPTY"))
     val dims = (j \ "dims").extractOpt[Seq[String]].getOrElse(spec.dims)
-    val metrics = (j \ "metrics").children.map(m =>
+    // metrics fall back to the table spec's agg schema when the realtime
+    // JSON omits them — symmetric with the dims fallback above, and the
+    // reference's direction (it builds AggSchema from the table's own agg
+    // schema when the realtime config carries none)
+    val metricsJson = (j \ "metrics").children.map(m =>
       ((m \ "name").extract[String], aggType((m \ "agg").extract[String])))
+    val metrics =
+      if (metricsJson.nonEmpty || (j \ "metrics") != JNothing) metricsJson
+      else spec.metrics.map { case (n, a) => (n, aggType(a)) }
     val rollup =
       if (dims.nonEmpty && metrics.nonEmpty) Some(RollupSpec(dims, metrics, arrival))
       else None
@@ -120,6 +127,27 @@ object Realtime {
       ignoreEmpty: Boolean = false,
       rollup: Option[RollupSpec] = None)
 
+  /** Post-alias column name → its parse-time (alias) name. Decode's tag
+    * filter and IGNORE_EMPTY classification run BEFORE the alias rename,
+    * so rollup dims (and tag fields) expressed as column names must map
+    * back through spec.aliases — otherwise an aliased dim is counted as a
+    * metric and a row with all metrics null but that dim set would survive
+    * the IGNORE_EMPTY filter. Identity for names already parse-time. */
+  private def parseName(spec: IngestSpec, n: String): String =
+    spec.aliases.collectFirst { case (a, c) if c == n => a }.getOrElse(n)
+
+  /** Parse-time metric columns for the IGNORE_EMPTY filter: every parsed
+    * field that is neither a rollup dim nor the tag field, with dims and
+    * tag mapped into parse-time names (shared by decode and decodeSql so
+    * the SQL twin cannot drift). */
+  private def ignoreEmptyMetricCols(spec: IngestSpec): Seq[String] = {
+    val dimParse = spec.rollup.toSeq.flatMap(_.dims)
+      .map(parseName(spec, _)).toSet
+    val tagParse = spec.tagField.map(parseName(spec, _))
+    spec.schema.fieldNames.toSeq.filterNot(c =>
+      dimParse.contains(c) || tagParse.contains(c))
+  }
+
   /** JSON-lines column → typed rows with defaults/tags/aliases applied. */
   def decode(raw: DataFrame, jsonCol: String, spec: IngestSpec): DataFrame = {
     var df = raw
@@ -133,12 +161,12 @@ object Realtime {
     }
     spec.tagField.foreach { tf =>
       if (spec.acceptTags.nonEmpty)
-        df = df.filter(size(array_intersect(split(col(tf), ","),
+        df = df.filter(size(array_intersect(
+          split(col(parseName(spec, tf)), ","),
           lit(spec.acceptTags.toArray))) > 0)
     }
     if (spec.ignoreEmpty) {
-      val metricCols = spec.schema.fieldNames.filterNot(c =>
-        spec.rollup.exists(_.dims.contains(c)) || spec.tagField.contains(c))
+      val metricCols = ignoreEmptyMetricCols(spec)
       if (metricCols.nonEmpty)
         df = df.filter(metricCols.map(col(_).isNotNull).reduce(_ || _))
     }
@@ -233,13 +261,12 @@ object Realtime {
     }
     val tagCond = spec.tagField.filter(_ => spec.acceptTags.nonEmpty).map { tf =>
       val tags = spec.acceptTags.toSeq.sorted.map(sqlLit).mkString(", ")
-      s"size(array_intersect(split(${valOf(tf)}, ','), array($tags))) > 0"
+      s"size(array_intersect(split(${valOf(parseName(spec, tf))}, ','), array($tags))) > 0"
     }
     val emptyCond =
       if (!spec.ignoreEmpty) None
       else {
-        val metricCols = spec.schema.fieldNames.filterNot(c =>
-          spec.rollup.exists(_.dims.contains(c)) || spec.tagField.contains(c))
+        val metricCols = ignoreEmptyMetricCols(spec)
         if (metricCols.isEmpty) None
         else Some(metricCols.map(c => s"${valOf(c)} IS NOT NULL")
           .mkString("(", " OR ", ")"))

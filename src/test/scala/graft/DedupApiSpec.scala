@@ -316,6 +316,31 @@ class DedupApiSpec extends AnyFunSuite {
       (12L, 13L), (12L, 14L), (13L, 14L)), s"got $w2")
   }
 
+  test("sortedNeighborPairs: null sort keys rank first instead of vanishing") {
+    // a null key coalesces to '' (rank 0); before the fix its bucket never
+    // matched the offsets join and the row silently dropped from every
+    // candidate pair while still shifting downstream offsets
+    val recs = Seq((1L, null.asInstanceOf[String]), (2L, "aa"), (3L, "ab"))
+      .toDF("rid", "nm")
+    val got = Dedup.sortedNeighborPairs(recs, "rid", "nm", window = 1,
+        prefixLen = 1)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(got == Set((1L, 2L), (2L, 3L)), s"got $got")
+  }
+
+  test("repeatedSpans fails loudly on a doc_id outside the PosEnc encoding range") {
+    // the (doc_id, pos) tiebreak encodes as doc_id*2^20+pos; a negative id
+    // (or a ≥1M-token doc) must raise, not silently corrupt which
+    // duplicate is kept — the SQL oracle shares the encoding, so the gate
+    // could never catch a silent wrap
+    val bad = Seq((-1L, "a b c d e"), (2L, "a b c d e")).toDF("my_id", "body")
+    val e = intercept[Exception](
+      Dedup.repeatedSpans(bad, "my_id", "body", k = 3).collect())
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("PosEnc"), s"unexpected failure: $msgs")
+  }
+
   test("spansAgainst flags only true benchmark quotes, never ref-boundary phantoms") {
     // k=3 against a two-doc benchmark: a corpus gram spanning the END of
     // ref doc 1 and the START of ref doc 2 exists in neither and must NOT

@@ -109,6 +109,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(row.getAs[Long]("cnt") == 3L)
   }
 
+  test("ingestFromJson: omitted metrics fall back to the table spec's agg schema") {
+    // symmetric with the dims fallback — a dims-only realtime JSON must
+    // not silently yield rollup=None when the table spec carries metrics
+    val tspec = graft.model.TableSpec(
+      name = "ev2",
+      columns = Seq(
+        graft.model.ColumnSpec("ev_id", "bigint"),
+        graft.model.ColumnSpec("dim", "varchar"),
+        graft.model.ColumnSpec("v", "double"),
+        graft.model.ColumnSpec("cnt", "bigint")),
+      dims = Seq("dim"), metrics = Seq("v" -> "sum", "cnt" -> "max"))
+    val ispec = Realtime.ingestFromJson(tspec, """{"dims": ["dim"]}""",
+      arrival = "ev_id")
+    val r = ispec.rollup.getOrElse(fail("rollup must come from the table spec"))
+    assert(r.dims == Seq("dim") && r.metrics == Seq("v" -> Sum, "cnt" -> Max))
+    // an EXPLICIT empty metrics array still means "no rollup requested"
+    val none = Realtime.ingestFromJson(tspec,
+      """{"dims": ["dim"], "metrics": []}""", arrival = "ev_id")
+    assert(none.rollup.isEmpty)
+  }
+
+  test("IGNORE_EMPTY classifies an aliased dim as a dim, in decode and decodeSql") {
+    import spark.implicits._
+    // column "dim" parses under alias "d"; rollup dims are post-alias
+    // names, so the parse-time classification must map them back through
+    // the aliases or the dim counts as a metric and the all-metrics-null
+    // row below survives
+    val schema = StructType(Seq(
+      StructField("d", StringType), StructField("v", DoubleType)))
+    val spec = IngestSpec(
+      schema = schema, aliases = Map("d" -> "dim"), ignoreEmpty = true,
+      rollup = Some(RollupSpec(Seq("dim"), Seq("v" -> Sum), "dim")))
+    val raw = Seq(
+      """{"d":"a","v":2.5}""",
+      """{"d":"b"}""").toDF("json") // all metrics null -> drop
+    raw.createOrReplaceTempView("raw_aliased_dim")
+    val viaApi = Realtime.decode(raw, "json", spec)
+      .collect().map(_.getAs[String]("dim")).toSet
+    val viaSql = spark.sql(Realtime.decodeSql(spec, "json", "raw_aliased_dim"))
+      .collect().map(_.getAs[String]("dim")).toSet
+    assert(viaApi == Set("a"), s"decode kept $viaApi")
+    assert(viaSql == Set("a"), s"decodeSql kept $viaSql")
+  }
+
   test("decodeSql escapes quotes in defaults and tags") {
     import spark.implicits._
     val schema2 = StructType(Seq(
