@@ -104,6 +104,51 @@ object Corpus {
        |ORDER BY cand.doc_id, cand.ref_id""".stripMargin
   }
 
+  // q245 — incremental minhash dedup (Dedup.minhashIndex +
+  // Dedup.dedupIncremental): the append-only production pattern — the
+  // standing corpus (doc_id % 5 <> 0) is represented ONLY by its stored
+  // signature index; the new batch (doc_id % 5 = 0) shingles itself and
+  // band-joins against the index (vs='old') and itself (vs='new'). The
+  // full-corpus equivalence is spec-locked in DedupApiSpec.
+  private def q245(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val index = Dedup.minhashIndex(
+      docs.filter($"doc_id" % 5 =!= 0), "doc_id", "text")
+    Dedup.dedupIncremental(docs.filter($"doc_id" % 5 === 0), "doc_id",
+        "text", index, minSim = 0.5)
+      .orderBy($"doc_id", $"dup_id")
+  }
+  private val q245Sql = {
+    val K = 8
+    val mins = (0 until K).map(i =>
+      s"min(${md5LongSql(s"concat('s$i:', s)")}) AS h$i").mkString(",\n  ")
+    val matches = (0 until K).map(i =>
+      s"CASE WHEN x.h$i = y.h$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH ${Text.shingleRowsSql},
+       |sigs AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, 0 AS band, concat_ws(',', h0, h1, h2, h3) AS bkey FROM sigs
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, concat_ws(',', h4, h5, h6, h7) AS bkey FROM sigs),
+       |cand AS (
+       |  SELECT DISTINCT n.doc_id AS doc_id, o.doc_id AS dup_id, 'old' AS vs
+       |  FROM banded n JOIN banded o
+       |    ON n.band = o.band AND n.bkey = o.bkey
+       |   AND n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0
+       |  UNION ALL
+       |  SELECT DISTINCT a.doc_id, b.doc_id, 'new'
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |   AND a.doc_id % 5 = 0 AND b.doc_id % 5 = 0)
+       |SELECT cand.doc_id, cand.dup_id,
+       |  CAST($matches AS DOUBLE) / $K AS est_sim, cand.vs
+       |FROM cand JOIN sigs x ON cand.doc_id = x.doc_id
+       |          JOIN sigs y ON cand.dup_id = y.doc_id
+       |WHERE CAST($matches AS DOUBLE) / $K >= 0.5
+       |ORDER BY cand.doc_id, cand.dup_id""".stripMargin
+  }
+
   // q69 — BM25 top-k keyword retrieval (TextStats.bm25TopK): exact-integer
   // rational-idf BM25 over a fixed query term set; the corpus stats
   // (N docs, total tokens) are memoized per (session, dir) like q66's
@@ -750,6 +795,7 @@ object Corpus {
     "q65_exact_against" -> q65,
     "q66_term_rarity" -> q66,
     "q68_minhash_against" -> q68,
+    "q245_incremental_minhash" -> q245,
     "q69_bm25_topk" -> q69,
     "q80_hybrid_rrf" -> q80,
     "q86_postings" -> q86,
@@ -775,6 +821,7 @@ object Corpus {
     "q65_exact_against" -> q65Sql,
     "q66_term_rarity" -> q66Sql,
     "q68_minhash_against" -> q68Sql,
+    "q245_incremental_minhash" -> q245Sql,
     "q69_bm25_topk" -> q69Sql,
     "q80_hybrid_rrf" -> q80Sql,
     "q86_postings" -> q86Sql,

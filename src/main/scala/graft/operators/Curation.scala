@@ -827,6 +827,78 @@ object Curation {
       .select(col("doc_id"), col("source"), col("toks"), col("cum_tokens"))
   }
 
+  /** Training-mix epoch planner: per-source token totals → the sampling
+    * plan a weighted corpus mix implies under a total token budget and a
+    * repetition (epoch) cap — the sheet LLM data recipes are written on
+    * ("2 epochs of wiki, 0.3 of crawl"). Per source:
+    * `target_tokens` = budget·weight/1e6, `epochs_ppm` =
+    * min(maxEpochsPpm, target/tokens in ppm), `planned_tokens` =
+    * tokens·epochs/1e6 — the REALIZED size, exposing under-filled
+    * sources where the weight demands more repetition than the cap
+    * allows. Exact integer/ppm arithmetic (DECIMAL(19,0)
+    * cross-multiplies, the targetAffinity discipline) so the plan
+    * replicates bit-for-bit across engines and reruns. Plan shape: one
+    * combiner-friendly aggregate to #sources rows, then map-only
+    * arithmetic — nothing scales with the corpus but the first pass. */
+  def planEpochs(df: DataFrame, sourceCol: String, tokensCol: String,
+      weightsPpm: Map[String, Long], budgetTokens: Long,
+      maxEpochsPpm: Long = 4000000L): DataFrame = {
+    require(budgetTokens >= 0, "budgetTokens must be non-negative")
+    require(maxEpochsPpm >= 0, "maxEpochsPpm must be non-negative")
+    require(weightsPpm.values.forall(_ >= 0), "weights must be non-negative")
+    val s = df.sparkSession
+    import s.implicits._
+    val w = weightsPpm.toSeq.toDF("source", "weight_ppm")
+    df.select(col(sourceCol).as("source"),
+        col(tokensCol).cast(LongType).as("__t"))
+      .groupBy($"source").agg(sum($"__t").as("n_tokens"))
+      .join(broadcast(w), Seq("source"), "left_outer")
+      .withColumn("weight_ppm", coalesce($"weight_ppm", lit(0L)))
+      .withColumn("target_tokens", expr(
+        s"CAST(CAST($budgetTokens AS DECIMAL(19,0)) * weight_ppm" +
+          " DIV 1000000 AS BIGINT)"))
+      .withColumn("epochs_ppm", expr(
+        s"CAST(CASE WHEN n_tokens = 0 THEN 0 ELSE LEAST(" +
+          s"CAST($maxEpochsPpm AS DECIMAL(19,0))," +
+          " CAST(target_tokens AS DECIMAL(19,0)) * 1000000 DIV n_tokens)" +
+          " END AS BIGINT)"))
+      .withColumn("planned_tokens", expr(
+        "CAST(CAST(n_tokens AS DECIMAL(19,0)) * epochs_ppm" +
+          " DIV 1000000 AS BIGINT)"))
+  }
+
+  // q244 — the epoch plan over the document corpus: n_chars as the token
+  // unit, a fixed deterministic source-weight map (mirrored as a VALUES
+  // list in the oracle), 1M-char budget, 2.5-epoch cap.
+  private val epochWeights: Map[String, Long] =
+    (0 until 20).map(i => s"src$i" -> (((i % 7) + 1) * 30000L)).toMap
+  private def q244(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    planEpochs(Tables.documents(s, d), "source", "n_chars", epochWeights,
+        budgetTokens = 1000000L, maxEpochsPpm = 2500000L)
+      .orderBy($"source")
+  }
+  private val q244Sql = {
+    val values = epochWeights.toSeq.sorted
+      .map { case (src, w) => s"('$src', ${w}::BIGINT)" }.mkString(", ")
+    s"""WITH tot AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |w(source, weight_ppm) AS (VALUES $values)
+       |SELECT t.source, t.n_tokens,
+       |  CAST(COALESCE(w.weight_ppm, 0) AS BIGINT) AS weight_ppm,
+       |  CAST(1000000 * COALESCE(w.weight_ppm, 0) // 1000000 AS BIGINT)
+       |    AS target_tokens,
+       |  CAST(CASE WHEN t.n_tokens = 0 THEN 0 ELSE LEAST(2500000,
+       |      (1000000 * COALESCE(w.weight_ppm, 0) // 1000000) * 1000000
+       |        // t.n_tokens) END AS BIGINT) AS epochs_ppm,
+       |  CAST(t.n_tokens * (CASE WHEN t.n_tokens = 0 THEN 0 ELSE
+       |      LEAST(2500000, (1000000 * COALESCE(w.weight_ppm, 0) // 1000000)
+       |        * 1000000 // t.n_tokens) END) // 1000000 AS BIGINT)
+       |    AS planned_tokens
+       |FROM tot t LEFT OUTER JOIN w ON t.source = w.source
+       |ORDER BY t.source""".stripMargin
+  }
+
   // q134 — token-budget mixing: the first 4k chars of every source in
   // hash-priority order (n_chars as the token weight — the weight column
   // is the caller's choice). Output size is budget-bounded at ANY sf.
@@ -1117,6 +1189,7 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q239_target_affinity" -> q239,
+    "q244_epoch_plan" -> q244,
     "q235_curriculum_shards" -> q235,
     "q200_report_card" -> q200,
     "q158_split_assign" -> q158,
@@ -1137,6 +1210,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q244_epoch_plan" -> q244Sql,
     "q239_target_affinity" -> q239Sql,
     "q235_curriculum_shards" -> q235Sql,
     "q200_report_card" -> q200Sql,

@@ -418,6 +418,45 @@ object Dedup {
     Text.minhashPairsFrom(
       Text.minhashSigsFrom(shingles(df, idCol, textCol, n, maxDocFreq), k), k, bands)
 
+  /** Persistable MinHash signature index: (doc_id, h0..h{k-1}), one row
+    * per doc. Build ONCE over the standing corpus, write it out as a
+    * table (k longs per document — a 100 TB corpus indexes in ~100 GB),
+    * and dedup every future append against it with [[dedupIncremental]]
+    * without ever re-reading the old text. Signatures are pure functions
+    * of content (md5-derived min-hashes), so an index row never needs
+    * recomputation. */
+  def minhashIndex(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, k: Int = 8, maxDocFreq: Option[Long] = None): DataFrame =
+    Text.minhashSigsFrom(shingles(df, idCol, textCol, n, maxDocFreq), k)
+
+  /** Incremental near-dup detection for an append-only corpus: shingle
+    * and sign ONLY the new batch, then band-equi-join its signatures
+    * against the stored [[minhashIndex]] (new-vs-old) and against itself
+    * (new-vs-new). Output: (doc_id, dup_id, est_sim, vs) — doc_id always
+    * a new-batch doc; vs = 'old'|'new' says which side dup_id lives on;
+    * new-new pairs appear once (doc_id < dup_id). After the batch,
+    * append `minhashIndex(newDf, …)` rows to the stored index — the
+    * standing corpus is never reshuffled.
+    *
+    * Exactness: signatures are per-doc and band collisions are pairwise,
+    * so old∪new full-corpus LSH ≡ old-vs-old (already known) ∪ this
+    * call's output — the equivalence DedupApiSpec locks. `n`/`k`/`bands`
+    * must match the values the index was built with. */
+  def dedupIncremental(newDf: DataFrame, idCol: String, textCol: String,
+      index: DataFrame, n: Int = 4, k: Int = 8, bands: Int = 2,
+      minSim: Double = 0.0): DataFrame = {
+    val s = newDf.sparkSession
+    import s.implicits._
+    val newSigs = minhashIndex(newDf, idCol, textCol, n, k)
+    val vsOld = Text.minhashPairsAcross(newSigs, index, k, bands)
+      .select($"doc_id", $"ref_id".as("dup_id"), $"est_sim",
+        lit("old").as("vs"))
+    val vsNew = Text.minhashPairsFrom(newSigs, k, bands)
+      .select($"doc_a".as("doc_id"), $"doc_b".as("dup_id"), $"est_sim",
+        lit("new").as("vs"))
+    vsOld.unionByName(vsNew).filter($"est_sim" >= minSim)
+  }
+
   /** SimHash per document (per-bit majority vote of md5 token hashes);
     * near-dups land within small hamming distance of each other.
     * Output: (doc_id, simhash). */

@@ -666,6 +666,61 @@ object Text {
        |FROM per p LEFT OUTER JOIN dd d ON p.doc_id = d.doc_id
        |ORDER BY p.doc_id""".stripMargin
 
+  // q242/q243 — winnowing fingerprints (TextStats.winnow, the MOSS local
+  // fingerprinting algorithm): the bounded sub-document overlap index —
+  // any verbatim match of ≥ w+k-1 tokens is guaranteed a shared selected
+  // fingerprint while the index keeps ~2/(w+1) of the gram hashes. Gate
+  // k=4 (the shingle width) and w=4; q243 pairs docs on shared selected
+  // fingerprints under the standard df cap.
+  private val WinK = 4
+  private val WinW = 4
+
+  /** Shared oracle CTE chain ending in `pick` (doc_id, pos, fp): the SQL
+    * twin of TextStats.winnow — same md5 gram hash, same sortable
+    * rightmost-min key fp || lpad(9999999-pos). */
+  private def winnowSelSql(k: Int, w: Int): String =
+    s"""toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') t FROM documents),
+       |starts AS (SELECT doc_id, t,
+       |    unnest(range(1, greatest(len(t)-$k+2, 1))) AS pos FROM toks),
+       |gw AS (SELECT doc_id, pos - 1 AS p0,
+       |    md5(array_to_string(t[pos:pos+$k-1], ' ')) AS fp FROM starts),
+       |keyed AS (SELECT doc_id, p0,
+       |    fp || lpad(CAST(9999999 - p0 AS VARCHAR), 7, '0') AS key FROM gw),
+       |sel AS (SELECT doc_id, p0,
+       |    MIN(key) OVER (PARTITION BY doc_id ORDER BY p0
+       |      ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS sk,
+       |    COUNT(*) OVER (PARTITION BY doc_id) AS n FROM keyed),
+       |pick AS (SELECT DISTINCT doc_id,
+       |    CAST(9999999 - CAST(substr(sk, 33, 7) AS BIGINT) AS BIGINT) AS pos,
+       |    substr(sk, 1, 32) AS fp
+       |  FROM sel WHERE p0 >= $w - 1 OR (n < $w AND p0 = n - 1))""".stripMargin
+
+  private def q242(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    TextStats.winnow(Tables.documents(s, d), "doc_id", "text", WinK, WinW)
+      .orderBy($"doc_id", $"pos")
+  }
+  private val q242Sql =
+    s"""WITH ${winnowSelSql(WinK, WinW)}
+       |SELECT doc_id, pos, fp FROM pick ORDER BY doc_id, pos""".stripMargin
+
+  private def q243(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    TextStats.winnowOverlap(Tables.documents(s, d), "doc_id", "text",
+        WinK, WinW, maxDocFreq = Some(MaxDocFreq))
+      .orderBy($"doc_a", $"doc_b")
+  }
+  private val q243Sql =
+    s"""WITH ${winnowSelSql(WinK, WinW)},
+       |fps AS (SELECT DISTINCT doc_id, fp FROM pick),
+       |hot AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) > $MaxDocFreq),
+       |fpc AS (SELECT doc_id, fp FROM fps
+       |        WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.fp = fps.fp))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(COUNT(*) AS BIGINT) AS shared_fps
+       |FROM fpc a JOIN fpc b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
+
   // q237/q238 — span-level benchmark decontamination: spans of the
   // training split (source <> src0) whose 5-token windows occur verbatim
   // in the held-out benchmark (src0) — the n-gram-collision removal the
@@ -1302,6 +1357,8 @@ object Text {
     "q234_doc_novelty" -> q234,
     "q237_decontam_spans" -> q237,
     "q238_decontam_clean" -> q238,
+    "q242_winnow_fingerprints" -> q242,
+    "q243_winnow_overlap" -> q243,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1336,5 +1393,7 @@ object Text {
     "q234_doc_novelty" -> q234Sql,
     "q237_decontam_spans" -> q237Sql,
     "q238_decontam_clean" -> q238Sql,
+    "q242_winnow_fingerprints" -> q242Sql,
+    "q243_winnow_overlap" -> q243Sql,
   )
 }

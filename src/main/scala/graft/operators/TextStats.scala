@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import scala.collection.mutable
@@ -650,5 +651,78 @@ object TextStats {
       .agg(
         min(md5(col("norm"))).as("md5_fp"),
         sum((md5Long(col("tok")) % 1000003L) * ((col("pos") % 31) + 1)).as("bag_fp"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
+  // local fingerprinting algorithm). Guarantee: any verbatim token match
+  // of length ≥ w+k-1 between two documents shares at least one SELECTED
+  // fingerprint, while the index keeps only ~2/(w+1) of all k-gram
+  // hashes — the bounded-size sub-document overlap index that whole-doc
+  // hashing ([[fingerprint]]) and whole-doc MinHash dilute away.
+  // ---------------------------------------------------------------------
+
+  /** Largest token position the sortable window key encodes (7 digits).
+    * Longer docs are out of contract — chunk upstream (the span family's
+    * PosEnc bound at 2^20 is already far tighter) — and fail loudly. */
+  private val WinnowMaxPos = 9999999L
+
+  /** Selected winnowing fingerprints: md5 every k-token gram, slide a
+    * w-hash window over each document's gram sequence, keep the RIGHTMOST
+    * minimal hash per window, dedupe the picks. Docs with fewer than w
+    * grams emit their single overall minimum so every tokenizable doc is
+    * represented. Output: (doc_id, pos, fp) — 0-based token offset of the
+    * selected gram, one row per distinct pick.
+    *
+    * Scale: one map-side gram pass; the only window is doc-keyed (bounded
+    * by document length — the island-merge class, never corpus-keyed).
+    * Rightmost-min-on-ties rides a single window MIN over the sortable
+    * key `fp || lpad(maxPos-pos)` — no per-window argmin self-join; the
+    * SQL oracle shares the key encoding. */
+  def winnow(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4): DataFrame = {
+    require(k >= 1, s"gram size k must be >= 1, got $k")
+    require(w >= 1, s"window w must be >= 1, got $w")
+    val s = df.sparkSession
+    import s.implicits._
+    val g = Text.gramPosRows(normalized(df, idCol, textCol), k)
+      .select($"doc_id", $"pos", md5($"gram").as("fp"))
+    val posKey = when($"pos" > WinnowMaxPos,
+        raise_error(concat(lit(s"winnow: token position exceeds " +
+          s"$WinnowMaxPos (chunk docs upstream): doc_id="), $"doc_id",
+          lit(" pos="), $"pos")))
+      .otherwise(lit(WinnowMaxPos) - $"pos")
+    val sel = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(-(w - 1), 0)
+    val perDoc = Window.partitionBy($"doc_id")
+    g.withColumn("__key", concat($"fp", lpad(posKey.cast(StringType), 7, "0")))
+      .withColumn("__sel", min($"__key").over(sel))
+      .withColumn("__n", count(lit(1)).over(perDoc))
+      // a window's pick is read at its last row; short docs (< w grams)
+      // read the all-doc min at their final gram instead
+      .filter($"pos" >= w - 1 || ($"__n" < w && $"pos" === $"__n" - 1))
+      .select($"doc_id",
+        (lit(WinnowMaxPos) - substring($"__sel", 33, 7).cast(LongType)).as("pos"),
+        substring($"__sel", 1, 32).as("fp"))
+      .distinct()
+  }
+
+  /** Document pairs sharing selected winnowing fingerprints, with the
+    * shared count — sub-document overlap candidates (quote/plagiarism
+    * detection, where MinHash's whole-doc Jaccard dilutes a copied
+    * paragraph below any workable threshold). `maxDocFreq` drops
+    * fingerprints present in more than that many docs (boilerplate — the
+    * equi-join skew cap, same discipline and machinery as the shingle
+    * family). Output: (doc_a, doc_b, shared_fps), doc_a < doc_b. */
+  def winnowOverlap(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4, maxDocFreq: Option[Long] = None): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val fps0 = winnow(df, idCol, textCol, k, w)
+      .select($"doc_id", $"fp".as("s")).distinct()
+    val fps = maxDocFreq.map(Text.capShingles(fps0, _)).getOrElse(fps0)
+    fps.toDF("doc_a", "s")
+      .join(fps.toDF("doc_b", "s2"), $"s" === $"s2" && $"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("shared_fps"))
   }
 }

@@ -120,6 +120,61 @@ class CorpusSpec extends AnyFunSuite {
     assert(again == byId)
   }
 
+  test("winnow equals the naive MOSS model: full windows, short docs, ties") {
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def naive(text: String, k: Int, w: Int): Set[(Long, String)] = {
+      val toks = text.trim.split("\\s+").toVector
+      if (toks.size < k) return Set.empty
+      val hs = toks.sliding(k).map(g => md5hex(g.mkString(" "))).toVector
+      if (hs.size < w) {
+        val m = hs.min; Set((hs.lastIndexOf(m).toLong, m))
+      } else (0 to hs.size - w).map { j =>
+        val win = hs.slice(j, j + w)
+        val m = win.min
+        ((j + win.lastIndexOf(m)).toLong, m) // rightmost minimal hash
+      }.toSet
+    }
+    val texts = Seq(
+      1L -> "a b c d e f g h i j",   // full windows
+      2L -> "a b c",                 // exactly k tokens: 1 gram (< w) -> overall min
+      3L -> "x y x y x y x y",       // repeated grams: tie -> rightmost wins
+      4L -> "m n o p q",             // fewer grams than w
+      5L -> "solo")                  // under k tokens: no grams, no picks
+    val df = texts.toDF("my_id", "body")
+    val got = TextStats.winnow(df, "my_id", "body", k = 3, w = 4)
+      .collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rs) =>
+        id -> rs.map(r => (r.getAs[Long]("pos"), r.getAs[String]("fp"))).toSet }
+    val want = texts.map { case (id, t) => id -> naive(t, 3, 4) }
+      .filter(_._2.nonEmpty).toMap
+    assert(got == want, s"got $got\nwant $want")
+  }
+
+  test("winnowOverlap: a shared run of w+k-1 tokens guarantees a shared fingerprint") {
+    // k=4, w=4: any verbatim match of >= 7 tokens must surface; the two
+    // unrelated docs must not pair
+    val quote = "the five boxing wizards jump quickly tonight" // 7 tokens
+    val df = Seq(
+      (1L, s"alpha beta gamma $quote delta epsilon"),
+      (2L, s"$quote zeta eta theta iota kappa lambda mu"),
+      (3L, "entirely different words with no overlap at all whatsoever")
+    ).toDF("my_id", "body")
+    val pairs = TextStats.winnowOverlap(df, "my_id", "body", k = 4, w = 4)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("shared_fps"))).toList
+    assert(pairs.map(p => (p._1, p._2)) == List((1L, 2L)), s"got $pairs")
+    assert(pairs.head._3 >= 1L)
+    // the df cap drops a fingerprint shared by all three docs
+    val boiler = "terms of service apply here always and forever amen"
+    val df2 = Seq((1L, boiler), (2L, boiler), (3L, boiler)).toDF("my_id", "body")
+    val capped = TextStats.winnowOverlap(df2, "my_id", "body", k = 4, w = 4,
+      maxDocFreq = Some(2L))
+    assert(capped.count() == 0)
+  }
+
   test("q65/q66/q68 run on the test corpus with total output orderings") {
     val q65 = SparkEntry.queries("q65_exact_against")(spark, sf)
     assert(q65.count() > 0)

@@ -274,6 +274,26 @@ class CurationSpec extends AnyFunSuite {
 
   // ------------------------------------------- token budget take (q134)
 
+  test("planEpochs: targets, epoch cap, and zero-weight sources — exact ppm arithmetic") {
+    val df = Seq(("wiki", 100L), ("wiki", 100L), // 200 tokens
+      ("crawl", 5000L), ("code", 50L))           // code absent from weights
+      .toDF("src", "toks")
+    val plan = Curation.planEpochs(df, "src", "toks",
+        Map("wiki" -> 500000L, "crawl" -> 500000L),
+        budgetTokens = 2000L, maxEpochsPpm = 3000000L)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("weight_ppm"),
+          r.getAs[Long]("target_tokens"), r.getAs[Long]("epochs_ppm"),
+          r.getAs[Long]("planned_tokens")))).toMap
+    // wiki: target 1000 wants 5 epochs of its 200 tokens; the 3-epoch cap
+    // bites -> planned 600 < target (the under-fill the planner exposes)
+    assert(plan("wiki") == ((200L, 500000L, 1000L, 3000000L, 600L)))
+    // crawl: target 1000 over 5000 tokens = 0.2 epochs, uncapped
+    assert(plan("crawl") == ((5000L, 500000L, 1000L, 200000L, 1000L)))
+    // unweighted source: all zeros, but present in the plan
+    assert(plan("code") == ((50L, 0L, 0L, 0L, 0L)))
+  }
+
   test("takeTokenBudget equals the naive per-source window cumsum") {
     val s = spark
     import s.implicits._

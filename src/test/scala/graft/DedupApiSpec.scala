@@ -316,6 +316,42 @@ class DedupApiSpec extends AnyFunSuite {
       (12L, 13L), (12L, 14L), (13L, 14L)), s"got $w2")
   }
 
+  test("dedupIncremental over a split equals full-corpus minhash LSH") {
+    // old = even ids, new = odd ids; planted dups cross the boundary in
+    // every direction (old-old, old-new, new-new)
+    val all = Seq(
+      (2L, s"$boiler alpha beta gamma delta epsilon zeta eta theta"),
+      (4L, s"$boiler alpha beta gamma delta epsilon zeta eta theta"), // old-old dup
+      (3L, s"$boiler alpha beta gamma delta epsilon zeta eta theta"), // new dup of both
+      (6L, s"$boiler one two three four five six seven eight nine ten"),
+      (5L, s"$boiler one two three four five six seven eight nine ten"), // old-new dup
+      (7L, s"$boiler moon star cloud rain wind snow fog hail"),
+      (9L, s"$boiler moon star cloud rain wind snow fog hail")        // new-new dup
+    ).toDF("my_id", "body")
+    val oldDf = all.filter($"my_id" % 2 === 0)
+    val newDf = all.filter($"my_id" % 2 === 1)
+    val index = Dedup.minhashIndex(oldDf, "my_id", "body")
+    val inc = Dedup.dedupIncremental(newDf, "my_id", "body", index)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_id"),
+        r.getAs[Double]("est_sim"), r.getAs[String]("vs")))
+    // orientation + labels: doc_id is always new; vs names dup_id's side
+    assert(inc.forall { case (a, b, _, vs) =>
+      a % 2 == 1 && ((vs == "old" && b % 2 == 0) || (vs == "new" && b % 2 == 1)) })
+    def unordered(a: Long, b: Long, s: Double) =
+      (math.min(a, b), math.max(a, b), s)
+    val incPairs = inc.map { case (a, b, s, _) => unordered(a, b, s) }.toSet
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashPairs(df, "my_id", "body")
+        .collect().map(r => unordered(r.getAs[Long]("doc_a"),
+          r.getAs[Long]("doc_b"), r.getAs[Double]("est_sim"))).toSet
+    val full = pairsOf(all)
+    val oldOnly = pairsOf(oldDf)
+    // incremental output is EXACTLY the full-corpus pairs the old-only
+    // index run couldn't already know — nothing lost, nothing duplicated
+    assert(incPairs.union(oldOnly) == full, s"inc $incPairs old $oldOnly full $full")
+    assert(incPairs.intersect(oldOnly).isEmpty)
+  }
+
   test("sortedNeighborPairs: null sort keys rank first instead of vanishing") {
     // a null key coalesces to '' (rank 0); before the fix its bucket never
     // matched the offsets join and the row silently dropped from every
