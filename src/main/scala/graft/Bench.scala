@@ -65,6 +65,8 @@ object Bench {
       "q130_bpe_encode", // cold = the vocab segmentation replay
       "q231_repeated_spans", // cold = the span-frame build, hidden warm
       "q237_decontam_spans", // cold = the decontam span-frame build
+      "q242_winnow_fingerprints", // cold = the winnowed-index build
+      "q245_incremental_minhash", // cold = the standing-corpus index build
       "q66_term_rarity", "q69_bm25_topk") // cold = the memoized corpus-stats pass
       .filter(SparkEntry.queries.contains)
     // two cold passes, min per query (mirrors the warm min-of-3): a single

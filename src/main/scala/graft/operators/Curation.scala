@@ -867,6 +867,34 @@ object Curation {
           " DIV 1000000 AS BIGINT)"))
   }
 
+  /** Materialize an epoch plan ([[planEpochs]] output or any frame with
+    * (source, epochs_ppm)): every doc of a source is emitted
+    * ⌊epochs⌋ times, plus one more copy with probability frac(epochs)
+    * decided by a deterministic salted id hash — so realized per-source
+    * volume tracks `planned_tokens` while membership of the fractional
+    * epoch is a pure function of (salt, doc_id): reproducible at any
+    * scale, restartable, partitioning-invariant. Output: (doc_id,
+    * source, epoch) with epoch = 0-based copy index. Map-only after a
+    * broadcast of the #sources-row plan; sources absent from the plan
+    * emit nothing. */
+  def applyEpochPlan(df: DataFrame, idCol: String, sourceCol: String,
+      plan: DataFrame, salt: String = "ep"): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val p = plan.select($"source", $"epochs_ppm")
+    df.select(col(idCol).cast(LongType).as("doc_id"),
+        col(sourceCol).as("source"))
+      .join(broadcast(p), Seq("source"))
+      .withColumn("__full", expr("epochs_ppm DIV 1000000"))
+      .withColumn("epoch", explode(sequence(lit(0L), $"__full")))
+      // the sequence over-emits one row per doc; it survives only if the
+      // doc's hash falls inside the fractional epoch
+      .filter($"epoch" < $"__full" ||
+        md5Long(concat(lit(s"$salt:"), $"doc_id".cast(StringType)))
+          % 1000000L < expr("epochs_ppm % 1000000"))
+      .select($"doc_id", $"source", $"epoch")
+  }
+
   // q244 — the epoch plan over the document corpus: n_chars as the token
   // unit, a fixed deterministic source-weight map (mirrored as a VALUES
   // list in the oracle), 1M-char budget, 2.5-epoch cap.
@@ -878,13 +906,15 @@ object Curation {
         budgetTokens = 1000000L, maxEpochsPpm = 2500000L)
       .orderBy($"source")
   }
-  private val q244Sql = {
+  /** Shared oracle CTE chain ending in `plan` — the SQL twin of the q244
+    * planEpochs call, reused by q247's materialization oracle. */
+  private val epochPlanCte = {
     val values = epochWeights.toSeq.sorted
       .map { case (src, w) => s"('$src', ${w}::BIGINT)" }.mkString(", ")
-    s"""WITH tot AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS n_tokens
+    s"""tot AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS n_tokens
        |  FROM documents GROUP BY source),
-       |w(source, weight_ppm) AS (VALUES $values)
-       |SELECT t.source, t.n_tokens,
+       |w(source, weight_ppm) AS (VALUES $values),
+       |plan AS (SELECT t.source, t.n_tokens,
        |  CAST(COALESCE(w.weight_ppm, 0) AS BIGINT) AS weight_ppm,
        |  CAST(1000000 * COALESCE(w.weight_ppm, 0) // 1000000 AS BIGINT)
        |    AS target_tokens,
@@ -895,9 +925,41 @@ object Curation {
        |      LEAST(2500000, (1000000 * COALESCE(w.weight_ppm, 0) // 1000000)
        |        * 1000000 // t.n_tokens) END) // 1000000 AS BIGINT)
        |    AS planned_tokens
-       |FROM tot t LEFT OUTER JOIN w ON t.source = w.source
-       |ORDER BY t.source""".stripMargin
+       |FROM tot t LEFT OUTER JOIN w ON t.source = w.source)""".stripMargin
   }
+  private val q244Sql =
+    s"""WITH $epochPlanCte
+       |SELECT source, n_tokens, weight_ppm, target_tokens, epochs_ppm,
+       |  planned_tokens
+       |FROM plan ORDER BY source""".stripMargin
+
+  // q247 — the plan MATERIALIZED (Curation.applyEpochPlan): ⌊epochs⌋
+  // copies per doc plus a deterministic-hash fractional epoch; what the
+  // trainer actually reads.
+  private def q247(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val plan = planEpochs(docs, "source", "n_chars", epochWeights,
+      budgetTokens = 1000000L, maxEpochsPpm = 2500000L)
+    applyEpochPlan(docs, "doc_id", "source", plan)
+      .orderBy($"doc_id", $"epoch")
+  }
+  // (a range() table-function join, not unnest-in-SELECT: DuckDB 1.x hits
+  // an internal binder error when a WHERE references an unnest alias
+  // carried through a CTE; the cross-join form binds fine and the static
+  // bound is cap//1e6 + 1 epochs)
+  private val q247Sql =
+    s"""WITH $epochPlanCte,
+       |rep AS (SELECT d.doc_id, d.source, r.ep, p.epochs_ppm
+       |  FROM documents d JOIN plan p ON d.source = p.source
+       |  CROSS JOIN range(0, ${2500000L / 1000000L + 1}) r(ep)
+       |  WHERE r.ep <= p.epochs_ppm // 1000000)
+       |SELECT doc_id, source, CAST(ep AS BIGINT) AS epoch
+       |FROM rep
+       |WHERE ep < epochs_ppm // 1000000
+       |   OR ${md5LongSql("'ep:' || doc_id")} % 1000000
+       |        < epochs_ppm % 1000000
+       |ORDER BY doc_id, epoch""".stripMargin
 
   // q134 — token-budget mixing: the first 4k chars of every source in
   // hash-priority order (n_chars as the token weight — the weight column
@@ -1190,6 +1252,7 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q239_target_affinity" -> q239,
     "q244_epoch_plan" -> q244,
+    "q247_epoch_materialize" -> q247,
     "q235_curriculum_shards" -> q235,
     "q200_report_card" -> q200,
     "q158_split_assign" -> q158,
@@ -1211,6 +1274,7 @@ object Curation {
 
   val oracles: Map[String, String] = Map(
     "q244_epoch_plan" -> q244Sql,
+    "q247_epoch_materialize" -> q247Sql,
     "q239_target_affinity" -> q239Sql,
     "q235_curriculum_shards" -> q235Sql,
     "q200_report_card" -> q200Sql,

@@ -715,14 +715,48 @@ object TextStats {
     * equi-join skew cap, same discipline and machinery as the shingle
     * family). Output: (doc_a, doc_b, shared_fps), doc_a < doc_b. */
   def winnowOverlap(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 4, w: Int = 4, maxDocFreq: Option[Long] = None): DataFrame = {
-    val s = df.sparkSession
+      k: Int = 4, w: Int = 4, maxDocFreq: Option[Long] = None): DataFrame =
+    winnowOverlapFrom(winnow(df, idCol, textCol, k, w), maxDocFreq)
+
+  /** [[winnowOverlap]] over an already-built (possibly persisted) picks
+    * frame — the winnowed index is the REUSABLE artifact; pipelines build
+    * it once and run overlap/decontam passes from it. */
+  def winnowOverlapFrom(picks: DataFrame,
+      maxDocFreq: Option[Long] = None): DataFrame = {
+    val s = picks.sparkSession
     import s.implicits._
-    val fps0 = winnow(df, idCol, textCol, k, w)
-      .select($"doc_id", $"fp".as("s")).distinct()
+    val fps0 = picks.select($"doc_id", $"fp".as("s")).distinct()
     val fps = maxDocFreq.map(Text.capShingles(fps0, _)).getOrElse(fps0)
     fps.toDF("doc_a", "s")
       .join(fps.toDF("doc_b", "s2"), $"s" === $"s2" && $"doc_a" < $"doc_b")
       .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("shared_fps"))
+  }
+
+  /** Sub-document decontamination via winnowing: corpus docs sharing
+    * selected fingerprints with a benchmark/reference corpus — detects
+    * the same verbatim ≥ w+k-1-token quotes as the exact span family
+    * (Dedup.spansAgainst) from an index ~2/(w+1) the size of the full
+    * gram set, at the price of approximate span positions. `maxDocFreq`
+    * caps CORPUS-side fingerprint document frequency (boilerplate); the
+    * reference side is benchmark-sized and rides the equi-join as the
+    * build side. Output: (doc_id, ref_id, shared_fps). */
+  def winnowAgainst(corpus: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refIdCol: String, refTextCol: String,
+      k: Int = 4, w: Int = 4, maxDocFreq: Option[Long] = None): DataFrame =
+    winnowAgainstFrom(winnow(corpus, idCol, textCol, k, w),
+      winnow(ref, refIdCol, refTextCol, k, w), maxDocFreq)
+
+  /** [[winnowAgainst]] over already-built picks frames (winnow is a pure
+    * per-document function, so picks of a filtered corpus ≡ filtered
+    * picks of the corpus — build the index once, slice it per pass). */
+  def winnowAgainstFrom(corpusPicks: DataFrame, refPicks: DataFrame,
+      maxDocFreq: Option[Long] = None): DataFrame = {
+    val s = corpusPicks.sparkSession
+    import s.implicits._
+    val cfp0 = corpusPicks.select($"doc_id", $"fp".as("s")).distinct()
+    val cfp = maxDocFreq.map(Text.capShingles(cfp0, _)).getOrElse(cfp0)
+    val rfp = refPicks.select($"doc_id".as("ref_id"), $"fp".as("s")).distinct()
+    cfp.join(rfp, "s")
+      .groupBy($"doc_id", $"ref_id").agg(count(lit(1)).as("shared_fps"))
   }
 }

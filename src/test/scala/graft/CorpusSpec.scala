@@ -175,6 +175,20 @@ class CorpusSpec extends AnyFunSuite {
     assert(capped.count() == 0)
   }
 
+  test("winnowAgainst flags the quoting doc and only it") {
+    val ref = Seq((100L, "the five boxing wizards jump quickly tonight again"))
+      .toDF("rid", "rtext")
+    val cs = Seq(
+      (1L, "alpha beta the five boxing wizards jump quickly tonight gamma"),
+      (2L, "entirely different words with no overlap at all whatsoever")
+    ).toDF("cid", "ctext")
+    val got = TextStats.winnowAgainst(cs, "cid", "ctext", ref, "rid", "rtext",
+        k = 4, w = 4)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("ref_id")))
+      .toSet
+    assert(got == Set((1L, 100L)), s"got $got")
+  }
+
   test("q65/q66/q68 run on the test corpus with total output orderings") {
     val q65 = SparkEntry.queries("q65_exact_against")(spark, sf)
     assert(q65.count() > 0)

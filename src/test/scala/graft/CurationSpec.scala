@@ -294,6 +294,32 @@ class CurationSpec extends AnyFunSuite {
     assert(plan("code") == ((50L, 0L, 0L, 0L, 0L)))
   }
 
+  test("applyEpochPlan: full copies plus a deterministic fractional epoch") {
+    val docs = Seq((1L, "wiki"), (2L, "wiki"), (10L, "crawl"), (11L, "crawl"),
+      (12L, "crawl"), (20L, "code")).toDF("id", "src")
+    val plan = Seq(("wiki", 3000000L), ("crawl", 200000L))
+      .toDF("source", "epochs_ppm")
+    val out = Curation.applyEpochPlan(docs, "id", "src", plan)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("epoch")))
+    // wiki: exactly 3 whole epochs, no fraction
+    assert(out.filter(_._1 <= 2L).groupBy(_._1).view.mapValues(
+      _.map(_._2).sorted.toSeq).toMap == Map(1L -> Seq(0L, 1L, 2L),
+        2L -> Seq(0L, 1L, 2L)))
+    // code: not in the plan -> emits nothing
+    assert(!out.exists(_._1 == 20L))
+    // crawl: 0 whole epochs; the 0.2 fractional epoch keeps exactly the
+    // ids whose salted hash lands under 200000 — recomputed independently
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect = Seq(10L, 11L, 12L).filter(i =>
+      java.lang.Long.parseLong(md5hex(s"ep:$i").take(15), 16) % 1000000L
+        < 200000L)
+    assert(out.filter(_._1 >= 10L).map(_._1).sorted.toSeq == expect.sorted,
+      s"got ${out.toSeq} want frac ids $expect")
+    assert(out.filter(_._1 >= 10L).forall(_._2 == 0L))
+  }
+
   test("takeTokenBudget equals the naive per-source window cumsum") {
     val s = spark
     import s.implicits._

@@ -493,6 +493,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
   }
 
+  test("streamed incremental minhash dedup equals the all-batch LSH run") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.operators.Dedup
+    // the production loop: each micro-batch dedups against the signature
+    // index of everything before it, then appends its own signatures —
+    // the standing corpus text is never re-read
+    val boiler = "terms of service apply to all content here"
+    val docs = Seq(
+      (1L, s"$boiler alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, s"$boiler alpha beta gamma delta epsilon zeta eta theta"), // b1 dup
+      (3L, s"$boiler one two three four five six seven eight nine ten"),
+      (4L, s"$boiler alpha beta gamma delta epsilon zeta eta theta"), // b2 dup of b1
+      (5L, s"$boiler one two three four five six seven eight nine ten"), // b3 dup of b2
+      (6L, s"$boiler moon star cloud rain wind snow fog hail"))
+    val all = docs.toDF("my_id", "body")
+    var index = Dedup.minhashIndex(all.limit(0), "my_id", "body")
+    val found = scala.collection.mutable.Set.empty[(Long, Long, Double)]
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("my_id", "body").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val pairs = Dedup.dedupIncremental(batch, "my_id", "body", index)
+          .collect().map(r => (r.getAs[Long]("doc_id"),
+            r.getAs[Long]("dup_id"), r.getAs[Double]("est_sim")))
+        found ++= pairs.map { case (a, b, s) =>
+          (math.min(a, b), math.max(a, b), s) }
+        index = index.unionByName(
+          Dedup.minhashIndex(batch, "my_id", "body")).localCheckpoint()
+        ()
+      }.start()
+    docs.grouped(2).foreach { b => mem.addData(b); q.processAllAvailable() }
+    q.stop()
+    val full = Dedup.minhashPairs(all, "my_id", "body")
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("est_sim"))).toSet
+    assert(found.toSet == full, s"streamed $found vs batch $full")
+  }
+
   test("quality filter and hash mixing run unchanged on a stream (map-only ops)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
