@@ -243,6 +243,42 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("winnow equals the naive MOSS model on random corpora under odd partitioning") {
+    val s = spark
+    import s.implicits._
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rnd = new scala.util.Random(43)
+    val vocab = Vector("u", "v", "w", "x") // tiny vocab -> dense hash ties
+    for (trial <- 0 until 3; (k, w) <- Seq((2, 3), (3, 4))) {
+      val docs = (0 until 20).map { i =>
+        val n = 1 + rnd.nextInt(14) // includes docs under k and under w+k-1
+        (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val expected = docs.flatMap { case (id, t) =>
+        val toks = t.trim.split("\\s+").toVector
+        if (toks.size < k) Nil
+        else {
+          val hs = toks.sliding(k).map(g => md5hex(g.mkString(" "))).toVector
+          val picks =
+            if (hs.size < w) { val m = hs.min; Set((hs.lastIndexOf(m), m)) }
+            else (0 to hs.size - w).map { j =>
+              val win = hs.slice(j, j + w)
+              val m = win.min
+              (j + win.lastIndexOf(m), m)
+            }.toSet
+          picks.map { case (p, fp) => (id, p.toLong, fp) }
+        }
+      }.toSet
+      val df = docs.toDF("id", "body").repartition(7)
+      val got = graft.operators.TextStats.winnow(df, "id", "body", k, w)
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos"),
+          r.getAs[String]("fp"))).toSet
+      assert(got == expected, s"trial=$trial k=$k w=$w")
+    }
+  }
+
   test("noveltyScores and crossGroupContainment match naive models on random corpora") {
     val s = spark
     import s.implicits._
