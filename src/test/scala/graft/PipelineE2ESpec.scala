@@ -339,6 +339,48 @@ class PipelineE2ESpec extends AnyFunSuite {
     assert(picks.head == top, "MMR's first pick is the fused relevance leader")
   }
 
+  test("round-10 chain: winnow index -> decontam cut -> epoch plan -> materialize") {
+    import spark.implicits._
+    import graft.operators.{Curation, TextStats}
+    val docs = Tables.documents(spark, sf)
+    // 1. ONE winnowed index for the whole corpus (the reusable artifact);
+    // slice it into benchmark (src0) and training sides
+    val picks = TextStats.winnow(docs, "doc_id", "text").persist()
+    val side = docs.select($"doc_id", $"source")
+    val sliced = picks.join(side, "doc_id")
+    val flagged = TextStats.winnowAgainstFrom(
+      sliced.filter($"source" =!= "src0"),
+      sliced.filter($"source" === "src0"), maxDocFreq = Some(100L))
+    // 2. cut flagged docs from the training side
+    val train = docs.filter($"source" =!= "src0")
+      .join(flagged.select($"doc_id").distinct(), Seq("doc_id"), "left_anti")
+    assert(train.count() > 0)
+    // 3. plan epochs over the CLEANED training corpus and materialize
+    val weights = (0 until 20).map(i => s"src$i" -> 50000L).toMap
+    val plan = Curation.planEpochs(train, "source", "n_chars", weights,
+      budgetTokens = 500000L, maxEpochsPpm = 2000000L).persist()
+    val out = Curation.applyEpochPlan(train, "doc_id", "source", plan)
+    // epoch indices are dense 0..⌊epochs⌋ per doc and bounded by the cap
+    assert(out.filter($"epoch" > 2L).count() == 0) // cap 2.0 epochs
+    // realized whole-epoch volume: every source's full copies == n_docs ×
+    // ⌊epochs⌋ (fractional tail varies by hash, bounded by n_docs)
+    val byS = out.groupBy($"source").agg(count(lit(1)).as("emitted"))
+      .join(train.groupBy($"source").agg(count(lit(1)).as("n_docs")), "source")
+      .join(plan.select($"source", $"epochs_ppm"), "source")
+      .collect()
+    byS.foreach { r =>
+      val emitted = r.getAs[Long]("emitted")
+      val n = r.getAs[Long]("n_docs")
+      val full = r.getAs[Long]("epochs_ppm") / 1000000L
+      assert(emitted >= n * full && emitted <= n * (full + 1),
+        s"${r.getAs[String]("source")}: $emitted not in [${n * full}, ${n * (full + 1)}]")
+    }
+    // determinism: a rerun materializes the identical multiset
+    val again = Curation.applyEpochPlan(train, "doc_id", "source", plan)
+    assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
+    picks.unpersist(); plan.unpersist()
+  }
+
   test("histogram sketch partials merge across streamed micro-batches (≡ batch)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
