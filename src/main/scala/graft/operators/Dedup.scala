@@ -441,14 +441,24 @@ object Dedup {
     * Exactness: signatures are per-doc and band collisions are pairwise,
     * so old∪new full-corpus LSH ≡ old-vs-old (already known) ∪ this
     * call's output — the equivalence DedupApiSpec locks. `n`/`k`/`bands`
-    * must match the values the index was built with. */
+    * must match the values the index was built with, and ids must be
+    * unique across index ∪ batch (an id on both sides would pair with
+    * itself). */
   def dedupIncremental(newDf: DataFrame, idCol: String, textCol: String,
       index: DataFrame, n: Int = 4, k: Int = 8, bands: Int = 2,
       minSim: Double = 0.0): DataFrame = {
     val s = newDf.sparkSession
     import s.implicits._
+    // select the signature columns BY NAME: the stored index may come
+    // back from a table with extra/reordered columns, and the banding
+    // internals rename positionally (the linkRecords column-swap class)
+    val sigCols = "doc_id" +: (0 until k).map(i => s"h$i")
+    require(sigCols.forall(index.columns.contains),
+      s"index must carry ${sigCols.mkString(", ")} (built with k=$k?); " +
+        s"got ${index.columns.mkString(", ")}")
+    val idx = index.select(sigCols.map(col): _*)
     val newSigs = minhashIndex(newDf, idCol, textCol, n, k)
-    val vsOld = Text.minhashPairsAcross(newSigs, index, k, bands)
+    val vsOld = Text.minhashPairsAcross(newSigs, idx, k, bands)
       .select($"doc_id", $"ref_id".as("dup_id"), $"est_sim",
         lit("old").as("vs"))
     val vsNew = Text.minhashPairsFrom(newSigs, k, bands)

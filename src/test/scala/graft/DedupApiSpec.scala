@@ -350,6 +350,20 @@ class DedupApiSpec extends AnyFunSuite {
     // index run couldn't already know — nothing lost, nothing duplicated
     assert(incPairs.union(oldOnly) == full, s"inc $incPairs old $oldOnly full $full")
     assert(incPairs.intersect(oldOnly).isEmpty)
+    // a stored index can come back with extra/reordered columns; selection
+    // is by NAME, so results must be identical (not the positional-rename
+    // column swap)
+    val scrambled = index.select(($"h7" +: $"h3" +: $"h0" +: $"h1" +: $"h2"
+      +: $"h4" +: $"h5" +: $"h6" +: $"doc_id" +: Seq.empty[org.apache.spark.sql.Column]): _*)
+      .withColumn("built_at", lit("2024-01-01"))
+    val inc2 = Dedup.dedupIncremental(newDf, "my_id", "body", scrambled)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_id"),
+        r.getAs[Double]("est_sim"), r.getAs[String]("vs"))).toSet
+    assert(inc2 == inc.toSet)
+    // a wrong-k index fails loudly
+    val e = intercept[IllegalArgumentException](
+      Dedup.dedupIncremental(newDf, "my_id", "body", index.drop("h7")))
+    assert(e.getMessage.contains("index must carry"))
   }
 
   test("sortedNeighborPairs: null sort keys rank first instead of vanishing") {
