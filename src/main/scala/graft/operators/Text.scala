@@ -730,6 +730,37 @@ object Text {
        |FROM fpc a JOIN fpc b ON a.fp = b.fp AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
 
+  // q248 — approximate aligned overlap spans from the winnowed index
+  // (TextStats.winnowOverlapSpans, the MOSS report step): matched
+  // fingerprints cluster on alignment diagonals and coalesce into spans —
+  // sub-document overlap WITH positions, no text re-read.
+  private def q248(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    TextStats.winnowOverlapSpansFrom(winnowPicks(s, d), WinK, gap = WinW,
+        maxDocFreq = Some(MaxDocFreq))
+      .orderBy($"doc_a", $"doc_b", $"start_a", $"start_b")
+  }
+  private val q248Sql =
+    s"""WITH ${winnowSelSql(WinK, WinW)},
+       |fps AS (SELECT DISTINCT doc_id, fp FROM pick),
+       |hot AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) > $MaxDocFreq),
+       |pk AS (SELECT p.doc_id, p.pos, p.fp FROM pick p
+       |       WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.fp = p.fp)),
+       |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.pos AS pos_a, b.pos AS pos_b, b.pos - a.pos AS diag
+       |  FROM pk a JOIN pk b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+       |lagd AS (SELECT *, lag(pos_a) OVER (PARTITION BY doc_a, doc_b, diag
+       |    ORDER BY pos_a) AS prev FROM m),
+       |isl AS (SELECT *, SUM(CASE WHEN prev IS NULL OR pos_a - prev > $WinW
+       |    THEN 1 ELSE 0 END) OVER (PARTITION BY doc_a, doc_b, diag
+       |    ORDER BY pos_a ROWS UNBOUNDED PRECEDING) AS island FROM lagd)
+       |SELECT doc_a, doc_b, CAST(MIN(pos_a) AS BIGINT) AS start_a,
+       |  CAST(MIN(pos_a) + diag AS BIGINT) AS start_b,
+       |  CAST(MAX(pos_a) - MIN(pos_a) + $WinK AS BIGINT) AS span_len,
+       |  CAST(COUNT(*) AS BIGINT) AS n_fps
+       |FROM isl GROUP BY doc_a, doc_b, diag, island
+       |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin
+
   // q246 — winnowing decontamination (TextStats.winnowAgainst): training
   // split (source <> src0) vs the held-out benchmark (src0) on shared
   // selected fingerprints — q237's quote detection from an index
@@ -1401,6 +1432,7 @@ object Text {
     "q242_winnow_fingerprints" -> q242,
     "q243_winnow_overlap" -> q243,
     "q246_winnow_decontam" -> q246,
+    "q248_winnow_spans" -> q248,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1438,5 +1470,6 @@ object Text {
     "q242_winnow_fingerprints" -> q242Sql,
     "q243_winnow_overlap" -> q243Sql,
     "q246_winnow_decontam" -> q246Sql,
+    "q248_winnow_spans" -> q248Sql,
   )
 }

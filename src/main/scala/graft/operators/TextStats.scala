@@ -746,6 +746,62 @@ object TextStats {
     winnowAgainstFrom(winnow(corpus, idCol, textCol, k, w),
       winnow(ref, refIdCol, refTextCol, k, w), maxDocFreq)
 
+  /** Approximate aligned overlap SPANS between document pairs, from the
+    * winnowed index alone — the MOSS report step. Matched fingerprints
+    * carry both token positions; picks on the same alignment diagonal
+    * (pos_b − pos_a) within `gap` grams of each other coalesce into one
+    * span (a verbatim run's selected picks are at most w grams apart, so
+    * gap defaults to w). Output: (doc_a, doc_b, start_a, start_b,
+    * span_len, n_fps) with span_len in tokens (k-gram end included) —
+    * sub-document overlap localization without re-reading any text.
+    *
+    * Scale: the pair join is the capped fp equi-join (winnowOverlap's
+    * discipline); the island merge is the only window, partitioned by
+    * (doc_a, doc_b, diagonal) — bounded by a single document's picks. */
+  def winnowOverlapSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4, maxDocFreq: Option[Long] = None,
+      gap: Option[Int] = None): DataFrame =
+    winnowOverlapSpansFrom(winnow(df, idCol, textCol, k, w), k,
+      gap.getOrElse(w), maxDocFreq)
+
+  /** [[winnowOverlapSpans]] over an already-built picks frame. */
+  def winnowOverlapSpansFrom(picks: DataFrame, k: Int, gap: Int,
+      maxDocFreq: Option[Long] = None): DataFrame = {
+    require(k >= 1, s"gram size k must be >= 1, got $k")
+    require(gap >= 1, s"merge gap must be >= 1, got $gap")
+    val s = picks.sparkSession
+    import s.implicits._
+    // df cap counts DOCS per fp (distinct), then semi-joins back onto the
+    // positioned picks so repeated in-doc picks keep their positions
+    val kept = maxDocFreq match {
+      case Some(cap) =>
+        val ok = Text.capShingles(
+          picks.select($"doc_id", $"fp".as("s")).distinct(), cap)
+          .select($"s".as("fp")).distinct()
+        picks.join(ok, Seq("fp"), "left_semi")
+      case None => picks
+    }
+    val a = kept.select($"doc_id".as("doc_a"), $"pos".as("pos_a"), $"fp")
+    val b = kept.select($"doc_id".as("doc_b"), $"pos".as("pos_b"), $"fp")
+    val m = a.join(b, Seq("fp")).filter($"doc_a" < $"doc_b")
+      .withColumn("diag", $"pos_b" - $"pos_a")
+    val byDiag = Window.partitionBy($"doc_a", $"doc_b", $"diag")
+      .orderBy($"pos_a")
+    val runs = Window.partitionBy($"doc_a", $"doc_b", $"diag")
+      .orderBy($"pos_a").rowsBetween(Window.unboundedPreceding, 0)
+    m.withColumn("__prev", lag($"pos_a", 1).over(byDiag))
+      .withColumn("__new",
+        when($"__prev".isNull || $"pos_a" - $"__prev" > gap, 1L).otherwise(0L))
+      .withColumn("__island", sum($"__new").over(runs))
+      .groupBy($"doc_a", $"doc_b", $"diag", $"__island")
+      .agg(min($"pos_a").as("start_a"),
+        (min($"pos_a") + $"diag").as("start_b"),
+        (max($"pos_a") - min($"pos_a") + k).as("span_len"),
+        count(lit(1)).as("n_fps"))
+      .select($"doc_a", $"doc_b", $"start_a", $"start_b", $"span_len",
+        $"n_fps")
+  }
+
   /** [[winnowAgainst]] over already-built picks frames (winnow is a pure
     * per-document function, so picks of a filtered corpus ≡ filtered
     * picks of the corpus — build the index once, slice it per pass). */

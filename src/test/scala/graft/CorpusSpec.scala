@@ -175,6 +175,29 @@ class CorpusSpec extends AnyFunSuite {
     assert(capped.count() == 0)
   }
 
+  test("winnowOverlapSpans localizes the shared run on its alignment diagonal") {
+    // the 7-token quote sits at token 2 in doc 1 and token 0 in doc 2 ->
+    // every matched pick lies on diagonal pos_b - pos_a = -2, and the
+    // span must stay inside the quote region on both sides
+    val quote = "the five boxing wizards jump quickly tonight"
+    val df = Seq(
+      (1L, s"alpha beta $quote delta epsilon"),
+      (2L, s"$quote zeta eta theta iota kappa lambda mu"),
+      (3L, "entirely different words with no overlap at all whatsoever")
+    ).toDF("my_id", "body")
+    val spans = TextStats.winnowOverlapSpans(df, "my_id", "body", k = 4, w = 4)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("start_a"), r.getAs[Long]("start_b"),
+        r.getAs[Long]("span_len"), r.getAs[Long]("n_fps")))
+    assert(spans.nonEmpty && spans.forall(s => s._1 == 1L && s._2 == 2L),
+      s"got ${spans.toSeq}")
+    spans.foreach { case (_, _, sa, sb, len, nf) =>
+      assert(sb == sa - 2, s"diagonal broken: start_a=$sa start_b=$sb")
+      assert(sa >= 2 && sa + len <= 2 + 7, s"span [$sa, ${sa + len}) outside the quote")
+      assert(nf >= 1)
+    }
+  }
+
   test("winnowAgainst flags the quoting doc and only it") {
     val ref = Seq((100L, "the five boxing wizards jump quickly tonight again"))
       .toDF("rid", "rtext")
