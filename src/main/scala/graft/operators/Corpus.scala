@@ -83,24 +83,16 @@ object Corpus {
     pairs.orderBy($"doc_id", $"ref_id")
   }
   private val q68Sql = {
-    val K = 8
-    val mins = (0 until K).map(i =>
-      s"min(${md5LongSql(s"concat('s$i:', s)")}) AS h$i").mkString(",\n  ")
-    val matches = (0 until K).map(i =>
-      s"CASE WHEN x.h$i = y.h$i THEN 1 ELSE 0 END").mkString(" + ")
+    val matches = Text.minhashMatchesSql
     s"""WITH ${Text.shingleRowsSql},
-       |sigs AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
-       |banded AS (
-       |  SELECT doc_id, 0 AS band, concat_ws(',', h0, h1, h2, h3) AS bkey FROM sigs
-       |  UNION ALL
-       |  SELECT doc_id, 1 AS band, concat_ws(',', h4, h5, h6, h7) AS bkey FROM sigs),
+       |${Text.minhashSigBandSql},
        |cand AS (SELECT DISTINCT c.doc_id AS doc_id, r.doc_id AS ref_id
        |         FROM banded c JOIN banded r
        |           ON c.band = r.band AND c.bkey = r.bkey AND r.doc_id % 20 = 0)
-       |SELECT cand.doc_id, cand.ref_id, CAST($matches AS DOUBLE) / $K AS est_sim
+       |SELECT cand.doc_id, cand.ref_id, CAST($matches AS DOUBLE) / 8 AS est_sim
        |FROM cand JOIN sigs x ON cand.doc_id = x.doc_id
        |          JOIN sigs y ON cand.ref_id = y.doc_id
-       |WHERE CAST($matches AS DOUBLE) / $K >= 0.5
+       |WHERE CAST($matches AS DOUBLE) / 8 >= 0.5
        |ORDER BY cand.doc_id, cand.ref_id""".stripMargin
   }
 
@@ -126,17 +118,9 @@ object Corpus {
       .orderBy($"doc_id", $"dup_id")
   }
   private val q245Sql = {
-    val K = 8
-    val mins = (0 until K).map(i =>
-      s"min(${md5LongSql(s"concat('s$i:', s)")}) AS h$i").mkString(",\n  ")
-    val matches = (0 until K).map(i =>
-      s"CASE WHEN x.h$i = y.h$i THEN 1 ELSE 0 END").mkString(" + ")
+    val matches = Text.minhashMatchesSql
     s"""WITH ${Text.shingleRowsSql},
-       |sigs AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
-       |banded AS (
-       |  SELECT doc_id, 0 AS band, concat_ws(',', h0, h1, h2, h3) AS bkey FROM sigs
-       |  UNION ALL
-       |  SELECT doc_id, 1 AS band, concat_ws(',', h4, h5, h6, h7) AS bkey FROM sigs),
+       |${Text.minhashSigBandSql},
        |cand AS (
        |  SELECT DISTINCT n.doc_id AS doc_id, o.doc_id AS dup_id, 'old' AS vs
        |  FROM banded n JOIN banded o
@@ -148,10 +132,10 @@ object Corpus {
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
        |   AND a.doc_id % 5 = 0 AND b.doc_id % 5 = 0)
        |SELECT cand.doc_id, cand.dup_id,
-       |  CAST($matches AS DOUBLE) / $K AS est_sim, cand.vs
+       |  CAST($matches AS DOUBLE) / 8 AS est_sim, cand.vs
        |FROM cand JOIN sigs x ON cand.doc_id = x.doc_id
        |          JOIN sigs y ON cand.dup_id = y.doc_id
-       |WHERE CAST($matches AS DOUBLE) / $K >= 0.5
+       |WHERE CAST($matches AS DOUBLE) / 8 >= 0.5
        |ORDER BY cand.doc_id, cand.dup_id""".stripMargin
   }
 

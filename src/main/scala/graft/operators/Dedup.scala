@@ -298,6 +298,11 @@ object Dedup {
     * sort globally by (`sortCol`, id) and every pair within `window` ranks
     * links as a candidate — catches near-matches that differ in the
     * equi-block key itself (a typo in the first characters).
+    *
+    * `sortCol` is compared AS A STRING (the prefix-bucket scheme is only
+    * order-aligned for lexicographic keys, and nulls coalesce to '',
+    * ranking first); a numeric key must be zero-padded upstream
+    * (`lpad(cast(n AS STRING), width, '0')`) or 111 ranks before 12.
     * Output: (id_a, id_b, rank_a, rank_b, rank_dist), 0 < rank_dist ≤
     * window, id_a/id_b in rank order.
     *
@@ -441,12 +446,16 @@ object Dedup {
     * Exactness: signatures are per-doc and band collisions are pairwise,
     * so old∪new full-corpus LSH ≡ old-vs-old (already known) ∪ this
     * call's output — the equivalence DedupApiSpec locks. `n`/`k`/`bands`
-    * must match the values the index was built with, and ids must be
-    * unique across index ∪ batch (an id on both sides would pair with
-    * itself). */
+    * AND `maxDocFreq` must match the values the index was built with
+    * (a capped index probed by uncapped batch signatures silently
+    * deflates est_sim), and ids must be unique across index ∪ batch (an
+    * id on both sides would pair with itself). Note the cap is computed
+    * within each side's own corpus — df-capping is a boilerplate
+    * heuristic, and the full-corpus equivalence above is exact only for
+    * `maxDocFreq = None`. */
   def dedupIncremental(newDf: DataFrame, idCol: String, textCol: String,
       index: DataFrame, n: Int = 4, k: Int = 8, bands: Int = 2,
-      minSim: Double = 0.0): DataFrame = {
+      minSim: Double = 0.0, maxDocFreq: Option[Long] = None): DataFrame = {
     val s = newDf.sparkSession
     import s.implicits._
     // select the signature columns BY NAME: the stored index may come
@@ -457,7 +466,7 @@ object Dedup {
       s"index must carry ${sigCols.mkString(", ")} (built with k=$k?); " +
         s"got ${index.columns.mkString(", ")}")
     val idx = index.select(sigCols.map(col): _*)
-    val newSigs = minhashIndex(newDf, idCol, textCol, n, k)
+    val newSigs = minhashIndex(newDf, idCol, textCol, n, k, maxDocFreq)
     val vsOld = Text.minhashPairsAcross(newSigs, idx, k, bands)
       .select($"doc_id", $"ref_id".as("dup_id"), $"est_sim",
         lit("old").as("vs"))
@@ -495,10 +504,12 @@ object Dedup {
   // ---------------------------------------------------------------------
 
   /** (doc_id, pos) → single orderable key for the global first-occurrence
-    * tiebreak. Order-preserving for any long doc_id while pos < 2^20 —
-    * i.e. docs up to ~1M tokens, far beyond a web-document corpus; longer
-    * sequences should be chunked upstream (see Curation.chunkTokens). */
+    * tiebreak. Order-preserving while 0 ≤ doc_id < 2^43 and pos < 2^20 —
+    * i.e. docs up to ~1M tokens (chunk longer sequences upstream, see
+    * Curation.chunkTokens) across ~8.8e12 documents. Both bounds are
+    * guarded loudly in dupStarts. */
   private val PosEnc = 1L << 20
+  private val MaxEncDocId = Long.MaxValue / PosEnc
 
   /** Duplicated k-token window starts, one row per NON-first instance:
     * (doc_id, pos). Internal base for the span family: one doc_id shuffle
@@ -512,10 +523,12 @@ object Dedup {
     // the encoding's documented precondition (0 ≤ doc_id, pos < 2^20) must
     // fail LOUDLY: a silent wrap would corrupt which duplicate is "first"
     // and the SQL oracle shares the encoding, so the gate couldn't see it
-    val enc = when($"pos" >= PosEnc || $"doc_id" < 0,
+    val enc = when(
+        $"pos" >= PosEnc || $"doc_id" < 0 || $"doc_id" >= MaxEncDocId,
         raise_error(concat(
-          lit(s"dupStarts: (doc_id, pos) outside PosEnc=$PosEnc encoding " +
-            "range (chunk docs over ~1M tokens upstream): doc_id="),
+          lit(s"dupStarts: (doc_id, pos) outside the PosEnc=$PosEnc " +
+            s"encoding range (pos < 2^20 — chunk docs over ~1M tokens " +
+            s"upstream — and 0 <= doc_id < $MaxEncDocId): doc_id="),
           $"doc_id", lit(" pos="), $"pos")))
       .otherwise($"doc_id" * PosEnc + $"pos")
     val g = Text.gramPosRows(docs, k)
@@ -692,7 +705,8 @@ object Dedup {
         // DECIMAL(19,0) before the ppm scale-up: shared_grams * 1000000
         // wraps LONG past ~9.2e12 shared distinct grams — plausible at the
         // corpus scales the scale notes target (same guard as
-        // Curation.targetAffinity; DuckDB's oracle side widens to HUGEINT)
+        // Curation.targetAffinity; the q233 oracle widens with an explicit
+        // HUGEINT cast — DuckDB BIGINT multiply errors rather than widens)
         expr("CAST(shared_grams AS DECIMAL(19,0)) * 1000000 DIV grams_a")
           .cast(LongType).as("containment_ppm"))
   }

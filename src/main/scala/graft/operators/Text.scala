@@ -113,6 +113,25 @@ object Text {
     Graphs.invalidateCaches(s, d)
     Extended.invalidateCaches(s, d)
   }
+  /** Shared minhash oracle snippets — the SQL twins of minhashSigsFrom /
+    * bandedKeys / estSim, reused by every minhash oracle (q35, q68, q227,
+    * q245) so signature salts and banding can never drift per-oracle:
+    * `sigs` + `banded` CTEs over a preceding `sh` shingle CTE (k=8, 2
+    * bands of 4), and the per-signature match-count expression. */
+  private[operators] val minhashSigBandSql: String = {
+    val mins = (0 until 8).map(i =>
+      s"min(${graft.functions.Ops.md5LongSql(s"concat('s$i:', s)")}) AS h$i")
+      .mkString(",\n  ")
+    s"""sigs AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, 0 AS band, concat_ws(',', h0, h1, h2, h3) AS bkey FROM sigs
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, concat_ws(',', h4, h5, h6, h7) AS bkey FROM sigs)""".stripMargin
+  }
+  private[operators] val minhashMatchesSql: String =
+    (0 until 8).map(i => s"CASE WHEN x.h$i = y.h$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+
   private[operators] val shingleRowsSql =
     """toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(t)-2,1)),
@@ -487,45 +506,27 @@ object Text {
       .select($"doc_a", $"doc_b", $"est_sim", $"same_content")
       .orderBy($"doc_a", $"doc_b")
   }
-  private val q227Sql = {
-    val mins = (0 until K).map(i =>
-      s"min(${md5LongSql(s"concat('s$i:', s)")}) AS h$i").mkString(",\n  ")
-    val matches = (0 until K).map(i =>
-      s"CASE WHEN x.h$i = y.h$i THEN 1 ELSE 0 END").mkString(" + ")
+  private val q227Sql =
     s"""WITH $shingleRowsSql,
-       |sigs AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
-       |banded AS (
-       |  SELECT doc_id, 0 AS band, concat_ws(',', h0, h1, h2, h3) AS bkey FROM sigs
-       |  UNION ALL
-       |  SELECT doc_id, 1 AS band, concat_ws(',', h4, h5, h6, h7) AS bkey FROM sigs),
+       |$minhashSigBandSql,
        |cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
        |         FROM banded a JOIN banded b
        |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
        |hh AS (SELECT doc_id, md5(text) AS h FROM documents)
-       |SELECT doc_a, doc_b, CAST($matches AS DOUBLE) / $K AS est_sim,
+       |SELECT doc_a, doc_b, CAST($minhashMatchesSql AS DOUBLE) / $K AS est_sim,
        |  CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END AS same_content
        |FROM cand JOIN sigs x ON doc_a = x.doc_id JOIN sigs y ON doc_b = y.doc_id
        |JOIN hh ha ON doc_a = ha.doc_id JOIN hh hb ON doc_b = hb.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
-  private val q35Sql = {
-    val mins = (0 until K).map(i =>
-      s"min(${md5LongSql(s"concat('s$i:', s)")}) AS h$i").mkString(",\n  ")
-    val matches = (0 until K).map(i =>
-      s"CASE WHEN x.h$i = y.h$i THEN 1 ELSE 0 END").mkString(" + ")
+  private val q35Sql =
     s"""WITH $shingleRowsSql,
-       |sigs AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
-       |banded AS (
-       |  SELECT doc_id, 0 AS band, concat_ws(',', h0, h1, h2, h3) AS bkey FROM sigs
-       |  UNION ALL
-       |  SELECT doc_id, 1 AS band, concat_ws(',', h4, h5, h6, h7) AS bkey FROM sigs),
+       |$minhashSigBandSql,
        |cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
        |         FROM banded a JOIN banded b
        |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b, CAST($matches AS DOUBLE) / $K AS est_sim
+       |SELECT doc_a, doc_b, CAST($minhashMatchesSql AS DOUBLE) / $K AS est_sim
        |FROM cand JOIN sigs x ON doc_a = x.doc_id JOIN sigs y ON doc_b = y.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
 
   // ------------------------------------------------------------------
   // q231–q234 — repeated-span (ExactSubstr-style) dedup family: exact
@@ -642,7 +643,8 @@ object Text {
        |  FROM sg a JOIN sg b ON a.h = b.h AND a.grp <> b.grp
        |  GROUP BY 1, 2)
        |SELECT group_a, group_b, x.ng AS grams_a, shared_grams,
-       |  CAST(shared_grams * 1000000 // x.ng AS BIGINT) AS containment_ppm
+       |  CAST(CAST(shared_grams AS HUGEINT) * 1000000 // x.ng AS BIGINT)
+       |    AS containment_ppm
        |FROM sh JOIN sizes x ON group_a = x.grp
        |ORDER BY group_a, group_b""".stripMargin
 

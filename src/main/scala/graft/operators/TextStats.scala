@@ -771,14 +771,16 @@ object TextStats {
     require(gap >= 1, s"merge gap must be >= 1, got $gap")
     val s = picks.sparkSession
     import s.implicits._
-    // df cap counts DOCS per fp (distinct), then semi-joins back onto the
-    // positioned picks so repeated in-doc picks keep their positions
+    // df cap counts DOCS per fp (combiner-friendly distinct aggregate);
+    // only the over-cap fps — tiny, they're the boilerplate — broadcast
+    // back as an anti-join, so the positioned picks stay map-only
+    // (capShingles' own discipline, without a corpus-wide semi-join)
     val kept = maxDocFreq match {
       case Some(cap) =>
-        val ok = Text.capShingles(
-          picks.select($"doc_id", $"fp".as("s")).distinct(), cap)
-          .select($"s".as("fp")).distinct()
-        picks.join(ok, Seq("fp"), "left_semi")
+        val hot = picks.select($"doc_id", $"fp").distinct()
+          .groupBy($"fp").agg(count(lit(1)).as("__df"))
+          .filter($"__df" > cap).select($"fp")
+        picks.join(broadcast(hot), Seq("fp"), "left_anti")
       case None => picks
     }
     val a = kept.select($"doc_id".as("doc_a"), $"pos".as("pos_a"), $"fp")

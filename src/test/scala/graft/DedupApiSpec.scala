@@ -366,6 +366,22 @@ class DedupApiSpec extends AnyFunSuite {
     assert(e.getMessage.contains("index must carry"))
   }
 
+  test("dedupIncremental: a df-capped index probed with the matching cap still hits 1.0") {
+    // the boiler prefix is in all 5 docs (df 5 > cap 3) so its shingles
+    // drop on BOTH sides; the exact dup 100/101 still signs identically
+    // and collides at est_sim 1.0 — maxDocFreq must plumb through to the
+    // batch signatures or a capped index deflates every score
+    val oldDf = docs.filter($"my_id" % 2 === 0) // 100, 102, 104
+    val newDf = docs.filter($"my_id" % 2 === 1) // 101, 103
+    val idx = Dedup.minhashIndex(oldDf, "my_id", "body",
+      maxDocFreq = Some(3L))
+    val hit = Dedup.dedupIncremental(newDf, "my_id", "body", idx,
+        maxDocFreq = Some(3L))
+      .filter($"doc_id" === 101L && $"dup_id" === 100L).collect()
+    assert(hit.length == 1 && hit.head.getAs[Double]("est_sim") == 1.0,
+      s"got ${hit.toSeq}")
+  }
+
   test("sortedNeighborPairs: null sort keys rank first instead of vanishing") {
     // a null key coalesces to '' (rank 0); before the fix its bucket never
     // matched the offsets join and the row silently dropped from every
