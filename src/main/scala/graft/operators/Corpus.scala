@@ -139,6 +139,35 @@ object Corpus {
        |ORDER BY cand.doc_id, cand.dup_id""".stripMargin
   }
 
+  // q249 — per-source tokenizer fertility/fragmentation audit
+  // (TextStats.tokenizerFertility) over the SAME memoized fit+segment
+  // artifacts as q130/q236: which domain the learned tokenizer serves
+  // worst. OOV is 0 at gate scale (the vocab is fit on this corpus);
+  // the column is exercised by the hand-fixture spec.
+  private def q249(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val segs = bpeSegCache.getOrElseUpdate((s, d),
+      TextStats.bpeSegmentVocab(Tables.documents(s, d), "text",
+        fittedBpe(s, d)).persist())
+    TextStats.tokenizerFertility(Tables.documents(s, d), "text", "source",
+        segs)
+      .orderBy($"source")
+  }
+  private lazy val q249Sql =
+    s"""WITH ${bpeFitCtes(bpeRounds)},
+       |tok AS (SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |        FROM documents),
+       |p AS (SELECT source, coalesce(len(v.syms), len(tok.w)) AS pieces,
+       |    (v.w IS NULL) AS oov
+       |  FROM tok LEFT JOIN v$bpeRounds v USING (w) WHERE len(tok.w) > 0)
+       |SELECT source, COUNT(*) AS n_words,
+       |  CAST(SUM(pieces) AS BIGINT) AS n_subwords,
+       |  CAST(SUM(pieces) * 1000000 // COUNT(*) AS BIGINT) AS fertility_ppm,
+       |  CAST(SUM(CASE WHEN pieces > 1 THEN 1 ELSE 0 END) * 1000000
+       |    // COUNT(*) AS BIGINT) AS frag_ppm,
+       |  CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS oov_words
+       |FROM p GROUP BY source ORDER BY source""".stripMargin
+
   // q69 — BM25 top-k keyword retrieval (TextStats.bm25TopK): exact-integer
   // rational-idf BM25 over a fixed query term set; the corpus stats
   // (N docs, total tokens) are memoized per (session, dir) like q66's
@@ -787,6 +816,7 @@ object Corpus {
     "q66_term_rarity" -> q66,
     "q68_minhash_against" -> q68,
     "q245_incremental_minhash" -> q245,
+    "q249_tokenizer_fertility" -> q249,
     "q69_bm25_topk" -> q69,
     "q80_hybrid_rrf" -> q80,
     "q86_postings" -> q86,
@@ -813,6 +843,7 @@ object Corpus {
     "q66_term_rarity" -> q66Sql,
     "q68_minhash_against" -> q68Sql,
     "q245_incremental_minhash" -> q245Sql,
+    "q249_tokenizer_fertility" -> q249Sql,
     "q69_bm25_topk" -> q69Sql,
     "q80_hybrid_rrf" -> q80Sql,
     "q86_postings" -> q86Sql,

@@ -517,6 +517,39 @@ object TextStats {
         sum(coalesce(col("__n"), length(col("w")))).as("n_subwords"))
   }
 
+  /** Per-group tokenizer serving audit over a precomputed
+    * [[bpeSegmentVocab]] frame — the "which domain does this tokenizer
+    * serve worst" dashboard: word instances, subword totals, fertility
+    * (subwords per word, ppm — the standard tokenizer-eval metric),
+    * fragmented instances (words splitting into >1 piece, ppm) and OOV
+    * instances (absent from the segmentation, i.e. the char-fallback
+    * path). Exact integer/ppm arithmetic (DECIMAL cross-multiplies).
+    * One word explode + the vocab equi-join (AQE broadcasts the vocab
+    * side) + one combiner aggregate to #groups rows. */
+  def tokenizerFertility(df: DataFrame, textCol: String, groupCol: String,
+      vocabSegs: DataFrame): DataFrame = {
+    val words = df.select(col(groupCol),
+        explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    words
+      .join(vocabSegs.select(col("w"), size(col("syms")).as("__n")),
+        Seq("w"), "left")
+      .select(col(groupCol),
+        coalesce(col("__n"), length(col("w"))).cast(LongType).as("__pieces"),
+        col("__n").isNull.cast(LongType).as("__oov"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("__pieces")).as("n_subwords"),
+        sum(when(col("__pieces") > 1L, 1L).otherwise(0L)).as("__frag"),
+        sum(col("__oov")).as("oov_words"))
+      .select(col(groupCol), col("n_words"), col("n_subwords"),
+        expr("CAST(CAST(n_subwords AS DECIMAL(19,0)) * 1000000" +
+          " DIV n_words AS BIGINT)").as("fertility_ppm"),
+        expr("CAST(CAST(__frag AS DECIMAL(19,0)) * 1000000" +
+          " DIV n_words AS BIGINT)").as("frag_ppm"),
+        col("oov_words"))
+  }
+
   /** Bigram-LM quality score per document — the surprisal-proxy filter:
     * each document's bigrams are scored with the corpus conditional
     * table ([[bigramStats]], pass it precomputed via `statsDf` to reuse

@@ -212,6 +212,24 @@ class CorpusSpec extends AnyFunSuite {
     assert(got == Set((1L, 100L)), s"got $got")
   }
 
+  test("tokenizerFertility: hand-computed fertility, fragmentation and OOV") {
+    // segmented vocab: "ab" is one piece, "abc" two; "zz" is OOV (char
+    // fallback, 2 pieces, counts as fragmented but not in-vocab)
+    val segs = Seq(("ab", Seq("ab")), ("abc", Seq("ab", "c")))
+      .toDF("w", "syms")
+    val df = Seq((1L, "ab abc zz", "g1"), (2L, "ab ab", "g2"))
+      .toDF("id", "body", "grp")
+    val out = TextStats.tokenizerFertility(df, "body", "grp", segs)
+      .collect().map(r => r.getAs[String]("grp") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_subwords"),
+          r.getAs[Long]("fertility_ppm"), r.getAs[Long]("frag_ppm"),
+          r.getAs[Long]("oov_words")))).toMap
+    // g1: 3 words, 1+2+2=5 subwords, 5e6 div 3, 2 of 3 fragmented, 1 OOV
+    assert(out("g1") == ((3L, 5L, 1666666L, 666666L, 1L)), s"got ${out("g1")}")
+    // g2: all single-piece in-vocab words
+    assert(out("g2") == ((2L, 2L, 1000000L, 0L, 0L)))
+  }
+
   test("q65/q66/q68 run on the test corpus with total output orderings") {
     val q65 = SparkEntry.queries("q65_exact_against")(spark, sf)
     assert(q65.count() > 0)
