@@ -318,6 +318,12 @@ class CurationSpec extends AnyFunSuite {
     assert(out.filter(_._1 >= 10L).map(_._1).sorted.toSeq == expect.sorted,
       s"got ${out.toSeq} want frac ids $expect")
     assert(out.filter(_._1 >= 10L).forall(_._2 == 0L))
+    // membership is a pure function of (salt, doc_id): odd partitioning
+    // must not change the materialized multiset
+    val repart = Curation.applyEpochPlan(docs.repartition(7), "id", "src",
+        plan)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("epoch")))
+    assert(repart.sorted.toSeq == out.sorted.toSeq)
   }
 
   test("takeTokenBudget equals the naive per-source window cumsum") {

@@ -279,6 +279,61 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("winnowOverlapSpans equals a naive diagonal-clustering model on random corpora") {
+    val s = spark
+    import s.implicits._
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def naivePicks(t: String, k: Int, w: Int): Set[(Int, String)] = {
+      val toks = t.trim.split("\\s+").toVector
+      if (toks.size < k) return Set.empty
+      val hs = toks.sliding(k).map(g => md5hex(g.mkString(" "))).toVector
+      if (hs.size < w) { val m = hs.min; Set((hs.lastIndexOf(m), m)) }
+      else (0 to hs.size - w).map { j =>
+        val win = hs.slice(j, j + w)
+        val m = win.min
+        (j + win.lastIndexOf(m), m)
+      }.toSet
+    }
+    val rnd = new scala.util.Random(51)
+    val vocab = Vector("u", "v", "w") // tiny vocab -> many cross-doc matches
+    val (k, wW, gap) = (2, 3, 3)
+    for (trial <- 0 until 3) {
+      val docs = (0 until 12).map { i =>
+        val n = 1 + rnd.nextInt(12)
+        (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val picks = docs.map { case (id, t) => id -> naivePicks(t, k, wW) }.toMap
+      val expected = (for {
+        (a, pa) <- picks.toSeq; (b, pb) <- picks.toSeq if a < b
+        m = for ((ja, fa) <- pa.toSeq; (jb, fb) <- pb.toSeq if fa == fb)
+          yield (ja, jb)
+        ((diag), pts) <- m.groupBy { case (ja, jb) => jb - ja }
+        island <- {
+          val sorted = pts.map(_._1).sorted.distinct
+          sorted.foldLeft(Vector.empty[Vector[Int]]) { (acc, p) =>
+            if (acc.nonEmpty && p - acc.last.last <= gap)
+              acc.init :+ (acc.last :+ p)
+            else acc :+ Vector(p)
+          }
+        }
+      } yield {
+        // n_fps counts matched (pos_a, pos_b) points on the island
+        val nf = pts.count(p => island.contains(p._1))
+        (a, b, island.head.toLong, (island.head + diag).toLong,
+          (island.last - island.head + k).toLong, nf.toLong)
+      }).toSet
+      val df = docs.toDF("id", "body").repartition(5)
+      val got = graft.operators.TextStats.winnowOverlapSpans(
+          df, "id", "body", k, wW, gap = Some(gap))
+        .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Long]("start_a"), r.getAs[Long]("start_b"),
+          r.getAs[Long]("span_len"), r.getAs[Long]("n_fps"))).toSet
+      assert(got == expected, s"trial=$trial\ngot  $got\nwant $expected")
+    }
+  }
+
   test("noveltyScores and crossGroupContainment match naive models on random corpora") {
     val s = spark
     import s.implicits._
