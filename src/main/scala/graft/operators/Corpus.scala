@@ -101,11 +101,11 @@ object Corpus {
   // standing corpus (doc_id % 5 <> 0) is represented ONLY by its stored
   // signature index; the new batch (doc_id % 5 = 0) shingles itself and
   // band-joins against the index (vs='old') and itself (vs='new'). The
-  // full-corpus equivalence is spec-locked in DedupApiSpec.
-  // the standing-corpus index is the PERSISTED artifact of the pattern —
+  // full-corpus equivalence is spec-locked in DedupApiSpec. The
+  // standing-corpus index is the PERSISTED artifact of the pattern —
   // memoized per (session, dir) like the other pipeline stages (its build
   // is surfaced COLD in Bench via q245's coldNames entry); the new batch
-  // side stays fresh every call, as in production
+  // side stays fresh every call, as in production.
   private val idxCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def q245(s: SparkSession, d: String): DataFrame = {
