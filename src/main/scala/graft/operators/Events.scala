@@ -59,6 +59,44 @@ object Events {
       |WHERE event_type IN ('purchase','signup','error')
       |ORDER BY event_id""".stripMargin
 
+  // q250 — ingest counter dashboard (Realtime.ingestStats): the
+  // reference RowCreator's consume/produce/ignore/fail surface
+  // (UTF8JsonRowCreator.java:24-57) over a deterministically mixed raw
+  // feed — event_id % 97 lines are corrupted (failed), % 89 carry a
+  // rejected tag, % 83 parse with all metrics null (IGNORE_EMPTY), the
+  // rest produce. The oracle classifies by the same id arithmetic, so
+  // the parse/tag/empty paths are checked end to end.
+  private def q250(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val raw = Tables.events(s, d).select(
+      when($"event_id" % 97 === 0, concat(lit("{bad"), $"props"))
+        .when($"event_id" % 89 === 0,
+          concat(lit("""{"tag":"drop","k":"""), $"event_id", lit("}")))
+        .when($"event_id" % 83 === 0, lit("""{"tag":"keep"}"""))
+        .otherwise(concat(lit("""{"tag":"keep","k":"""), $"event_id",
+          lit("}"))).as("json"))
+    val spec = graft.streaming.Realtime.IngestSpec(
+      schema = StructType(Seq(StructField("tag", StringType),
+        StructField("k", LongType))),
+      tagField = Some("tag"), acceptTags = Set("keep"), ignoreEmpty = true)
+    graft.streaming.Realtime.ingestStats(raw, "json", spec)
+  }
+  private val q250Sql =
+    """WITH cls AS (SELECT CASE WHEN event_id % 97 = 0 THEN 'failed'
+      |    WHEN event_id % 89 = 0 THEN 'ignored_tag'
+      |    WHEN event_id % 83 = 0 THEN 'ignored_empty'
+      |    ELSE 'produced' END AS c FROM events)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS consumed,
+      |  CAST(SUM(CASE WHEN c = 'produced' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS produced,
+      |  CAST(SUM(CASE WHEN c = 'ignored_tag' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS ignored_tag,
+      |  CAST(SUM(CASE WHEN c = 'ignored_empty' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS ignored_empty,
+      |  CAST(SUM(CASE WHEN c = 'failed' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS failed
+      |FROM cls""".stripMargin
+
   // q26 — event-time tumbling window aggregation (our superset of the
   // reference, which has no windowing — SURVEY.md §2.C "Watermarks"): the
   // batch shape of `groupBy(window($"ts","1 hour"), $"event_type")`.
@@ -1760,6 +1798,7 @@ object Events {
     "q91_rolling_range" -> q91,
     "q48_asof_join" -> q48,
     "q25_json_ingest" -> q25,
+    "q250_ingest_stats" -> q250,
     "q26_window_tumbling" -> q26,
     "q27_sessionize" -> q27,
     "q28_rollup_first_last" -> q28,
@@ -1801,6 +1840,7 @@ object Events {
     "q51_window_sliding" -> q51Sql,
     "q48_asof_join" -> q48Sql,
     "q25_json_ingest" -> q25Sql,
+    "q250_ingest_stats" -> q250Sql,
     "q26_window_tumbling" -> q26Sql,
     "q27_sessionize" -> q27Sql,
     "q28_rollup_first_last" -> q28Sql,

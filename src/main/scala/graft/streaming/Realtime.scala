@@ -148,12 +148,28 @@ object Realtime {
       dimParse.contains(c) || tagParse.contains(c))
   }
 
-  /** JSON-lines column → typed rows with defaults/tags/aliases applied. */
+  /** Corrupt-record marker field: Spark's PERMISSIVE from_json returns an
+    * all-null STRUCT (not null) for a malformed line, indistinguishable
+    * from a legitimately empty object — the marker column is the reliable
+    * failed-parse discriminator. */
+  private val CorruptCol = "__corrupt"
+  private def parseExpr(jsonCol: String, spec: IngestSpec): Column =
+    from_json(col(jsonCol), StructType(spec.schema.fields :+
+        StructField(CorruptCol, org.apache.spark.sql.types.StringType)),
+      Map("columnNameOfCorruptRecord" -> CorruptCol))
+
+  /** JSON-lines column → typed rows with defaults/tags/aliases applied.
+    * An unparseable line is a FAILED row — dropped, never a
+    * defaults-filled ghost (reference parity: a failed parse produces no
+    * row and increments failCount, UTF8JsonRowCreator.java:27,108-116;
+    * count them via [[ingestStats]]). */
   def decode(raw: DataFrame, jsonCol: String, spec: IngestSpec): DataFrame = {
     var df = raw
-      .withColumn("__parsed", from_json(col(jsonCol), spec.schema))
+      .withColumn("__parsed", parseExpr(jsonCol, spec))
+      .filter(col("__parsed").isNotNull &&
+        col(s"__parsed.$CorruptCol").isNull)
       .select(col("*"), col("__parsed.*"))
-      .drop("__parsed", jsonCol)
+      .drop("__parsed", jsonCol, CorruptCol)
     // defaults: missing/empty numerics → configured default (0 for
     // number.empty.as.zero); strings → default string
     spec.defaults.foreach { case (c, v) =>
@@ -172,6 +188,46 @@ object Realtime {
     }
     spec.aliases.foreach { case (from, to) => df = df.withColumnRenamed(from, to) }
     df
+  }
+
+  /** Ingest-side counters — the reference RowCreator's stats surface
+    * (UTF8JsonRowCreator.java:24-57: consume/produce/ignore/fail): one
+    * map-only pass classifying every raw line exactly as [[decode]]
+    * treats it — `failed` (unparseable JSON), `ignored_tag` (parsed but
+    * tag-rejected), `ignored_empty` (all metrics null under
+    * IGNORE_EMPTY), `produced` (reaches the rollup) — then ONE combiner
+    * aggregate to a single row. Classification precedence mirrors
+    * decode's filter order. Works on a batch or streaming frame. */
+  def ingestStats(raw: DataFrame, jsonCol: String, spec: IngestSpec): DataFrame = {
+    val parsed = raw.withColumn("__p", parseExpr(jsonCol, spec))
+    def valOf(c: String): Column = spec.defaults.get(c) match {
+      case Some(v) => coalesce(col(s"__p.`$c`"), lit(v))
+      case None => col(s"__p.`$c`")
+    }
+    val tagOk: Column = spec.tagField.filter(_ => spec.acceptTags.nonEmpty) match {
+      case Some(tf) => size(array_intersect(
+        split(valOf(parseName(spec, tf)), ","),
+        lit(spec.acceptTags.toArray))) > 0
+      case None => lit(true)
+    }
+    val metricCols = ignoreEmptyMetricCols(spec)
+    val nonEmpty: Column =
+      if (!spec.ignoreEmpty || metricCols.isEmpty) lit(true)
+      else metricCols.map(valOf(_).isNotNull).reduce(_ || _)
+    val cls = when(col("__p").isNull ||
+        col(s"__p.$CorruptCol").isNotNull, "failed")
+      .when(!tagOk, "ignored_tag")
+      .when(!nonEmpty, "ignored_empty")
+      .otherwise("produced")
+    parsed.select(cls.as("__cls"))
+      .agg(count(lit(1)).as("consumed"),
+        sum(when(col("__cls") === "produced", 1L).otherwise(0L))
+          .as("produced"),
+        sum(when(col("__cls") === "ignored_tag", 1L).otherwise(0L))
+          .as("ignored_tag"),
+        sum(when(col("__cls") === "ignored_empty", 1L).otherwise(0L))
+          .as("ignored_empty"),
+        sum(when(col("__cls") === "failed", 1L).otherwise(0L)).as("failed"))
   }
 
   /** Arrival-anchor column name for a FIRST/LAST metric. */
@@ -249,7 +305,8 @@ object Realtime {
     * `col("*")`; pure SQL must name them). */
   def decodeSql(spec: IngestSpec, jsonCol: String, rawView: String,
       passthrough: Seq[String] = Nil): String = {
-    val ddl = spec.schema.toDDL.replace("'", "''")
+    val ddl = (spec.schema.toDDL + s", `$CorruptCol` STRING")
+      .replace("'", "''")
     // defaulted value of a parsed column (pre-alias name), as decode
     // computes it — the tag filter and ignore-empty run on these too
     def valOf(c: String): String = spec.defaults.get(c) match {
@@ -271,12 +328,16 @@ object Realtime {
         else Some(metricCols.map(c => s"${valOf(c)} IS NOT NULL")
           .mkString("(", " OR ", ")"))
       }
-    val where = (tagCond.toSeq ++ emptyCond.toSeq) match {
-      case Nil => ""
-      case cs => "\nWHERE " + cs.mkString(" AND ")
-    }
+    // failed parses drop here too (decode parity: null struct or the
+    // corrupt-record marker set)
+    val conds =
+      Seq("__p IS NOT NULL", s"__p.`$CorruptCol` IS NULL") ++
+        tagCond.toSeq ++ emptyCond.toSeq
+    val where = "\nWHERE " + conds.mkString(" AND ")
     s"""SELECT ${outCols.mkString(",\n  ")}
-       |FROM (SELECT *, from_json(`$jsonCol`, '$ddl') AS __p FROM $rawView)$where""".stripMargin
+       |FROM (SELECT *, from_json(`$jsonCol`, '$ddl',
+       |  map('columnNameOfCorruptRecord', '$CorruptCol')) AS __p
+       |  FROM $rawView)$where""".stripMargin
   }
 
   /** Rollup SQL for `r` over `from` (a view name or parenthesized

@@ -109,6 +109,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(row.getAs[Long]("cnt") == 3L)
   }
 
+  test("malformed lines are FAILED rows: decode drops them, ingestStats counts all classes") {
+    import spark.implicits._
+    // PERMISSIVE from_json parses '{bad...' to an all-null STRUCT, which
+    // without the corrupt-record marker is indistinguishable from an
+    // empty object — the reference drops such lines as failCount
+    // (UTF8JsonRowCreator), never emits a defaults-filled ghost row
+    val schema2 = StructType(Seq(
+      StructField("tag", StringType), StructField("k", LongType)))
+    val spec2 = IngestSpec(schema = schema2, tagField = Some("tag"),
+      acceptTags = Set("keep"), ignoreEmpty = true)
+    val raw = Seq(
+      """{"tag":"keep","k":1}""",   // produced
+      """{bad json""",              // failed
+      """{"tag":"drop","k":2}""",   // ignored_tag
+      """{"tag":"keep"}""",         // ignored_empty (k is the only metric)
+      """{"tag":"keep","k":5}""").toDF("json") // produced
+    raw.createOrReplaceTempView("raw_malformed")
+    val decoded = Realtime.decode(raw, "json", spec2)
+      .collect().map(_.getAs[Long]("k")).toSet
+    assert(decoded == Set(1L, 5L), s"decode kept $decoded")
+    val viaSql = spark.sql(Realtime.decodeSql(spec2, "json", "raw_malformed"))
+      .collect().map(_.getAs[Long]("k")).toSet
+    assert(viaSql == Set(1L, 5L), s"decodeSql kept $viaSql")
+    val st = Realtime.ingestStats(raw, "json", spec2).collect().head
+    assert((st.getAs[Long]("consumed"), st.getAs[Long]("produced"),
+      st.getAs[Long]("ignored_tag"), st.getAs[Long]("ignored_empty"),
+      st.getAs[Long]("failed")) == ((5L, 2L, 1L, 1L, 1L)), s"stats $st")
+  }
+
   test("ingestFromJson: omitted metrics fall back to the table spec's agg schema") {
     // symmetric with the dims fallback — a dims-only realtime JSON must
     // not silently yield rollup=None when the table spec carries metrics
