@@ -977,6 +977,121 @@ object Similarity {
       .orderBy($"l_returnflag")
   }
 
+  // ---- explicit HLL register sketch (q251/q252) --------------------------
+  //
+  // q41 serves approx_count_distinct (Spark's HLL++), whose register layout
+  // is engine-internal → rows-only at the gate. These two queries expose the
+  // SAME sketch idea (Flajolet et al. 2007 HyperLogLog; Heule et al. 2013
+  // HLL++) as an explicit, portable register table whose derivation is pure
+  // md5 hex arithmetic — so the sketch itself hash-matches a DuckDB oracle,
+  // and merge (register-wise MAX) is plain SQL. The reference's rt→historical
+  // merge path is exactly this shape: mergeable per-segment summaries folded
+  // at serve time (indexr-segment aggregates merge per pack the same way).
+
+  /** Explicit HyperLogLog registers for `valueCol`: one row per non-empty
+    * bucket, `(bucket INT, max_rho INT)`. Bucket = first `p` bits of
+    * md5(value), rho = 1 + leading-zero count of the next 48 bits (so
+    * max_rho ≤ 49). One codegen'd map stage + one combiner-friendly
+    * `groupBy(bucket).max` — at 100 TB the map side folds each partition to
+    * ≤ 2^p rows before the (tiny, bounded) shuffle. Sketches from disjoint
+    * slices merge by register-wise MAX: `union.groupBy(bucket).max(max_rho)`
+    * — the streamed/incremental path needs no re-scan. `p` must be a
+    * multiple of 4 (bucket is carved from whole hex chars), 4..16. */
+  def hllRegisters(df: DataFrame, valueCol: String, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16 && p % 4 == 0,
+      s"p must be a multiple of 4 in [4,16], got $p")
+    val bucketChars = p / 4
+    val h = md5(col(valueCol).cast(StringType))
+    val bucket = conv(substring(h, 1, bucketChars), 16, 10).cast(IntegerType)
+    // rho over the next 48 bits, via leading-zero hex chars: strip leading
+    // '0's, then count the zero bits inside the first surviving hex char
+    val tail = substring(h, bucketChars + 1, 12)
+    val stripped = regexp_replace(tail, "^0+", "")
+    val v = conv(substring(stripped, 1, 1), 16, 10).cast(IntegerType)
+    val bitsInChar = when(v >= 8, 0).when(v >= 4, 1).when(v >= 2, 2)
+      .otherwise(3)
+    val rho = when(length(stripped) === 0, lit(49))
+      .otherwise((lit(12) - length(stripped)) * 4 + bitsInChar + lit(1))
+    df.filter(col(valueCol).isNotNull)
+      .select(bucket.as("bucket"), rho.cast(IntegerType).as("rho"))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("max_rho"))
+  }
+
+  /** Shared oracle fragment: the register relation for `col` at p=8 as
+    * DuckDB CTEs ending in `reg(bucket, max_rho)`. */
+  private def hllRegSql(valueCol: String, table: String): String =
+    s"""h AS (SELECT md5(CAST($valueCol AS VARCHAR)) AS h FROM $table
+       |       WHERE $valueCol IS NOT NULL),
+       |d AS (SELECT (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+       |        + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket,
+       |       ltrim(substr(h, 3, 12), '0') AS st FROM h),
+       |reg AS (SELECT CAST(bucket AS INTEGER) AS bucket,
+       |  CAST(MAX(CASE WHEN st = '' THEN 49 ELSE (12 - length(st)) * 4
+       |    + CASE WHEN strpos('0123456789abcdef', substr(st, 1, 1)) - 1 >= 8 THEN 0
+       |           WHEN strpos('0123456789abcdef', substr(st, 1, 1)) - 1 >= 4 THEN 1
+       |           WHEN strpos('0123456789abcdef', substr(st, 1, 1)) - 1 >= 2 THEN 2
+       |           ELSE 3 END + 1 END) AS INTEGER) AS max_rho
+       | FROM d GROUP BY bucket)""".stripMargin
+
+  /** Fold a register table to the integer ingredients of the HLL estimate:
+    * `sum_scaled = 2^49 · Σ_buckets 2^(-M_j)` (empty buckets contribute
+    * M_j = 0), exact and order-independent in BIGINT — the float estimate
+    * `alpha_m · m² · 2^49 / sum_scaled` is client-side arithmetic on this
+    * one row (see [[hllEstimate]]; float division kept out of the oracled
+    * result on purpose — see SCALE.md on ulp-drift). */
+  def hllFold(registers: DataFrame, p: Int): DataFrame = {
+    val m = 1L << p
+    registers.agg(
+      lit((1 << p)).cast(IntegerType).as("m"),
+      count(lit(1)).cast(LongType).as("nonzero_buckets"),
+      (sum(expr("shiftleft(CAST(1 AS BIGINT), 49 - max_rho)"))
+        + (lit(m) - count(lit(1))) * lit(1L << 49)).cast(LongType)
+        .as("sum_scaled"))
+  }
+
+  /** The HLL raw estimate from [[hllFold]]'s row. Small-range (linear
+    * counting) correction applies when zero buckets exist and the raw
+    * estimate ≤ 2.5m — callers at that scale should use
+    * `m · ln(m / (m - nonzero))` instead (Flajolet §4). */
+  def hllEstimate(m: Int, sumScaled: Long): Double = {
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    alpha * m.toDouble * m.toDouble * math.pow(2.0, 49) / sumScaled.toDouble
+  }
+
+  // q251 — the register sketch itself over lineitem.l_orderkey (p=8,
+  // 256 buckets): the mergeable summary a 100 TB distinct-count ships
+  // between segments. Hash-oracled — unlike q41's engine-internal sketch.
+  private def q251(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    hllRegisters(Tables.lineitem(s, d), "l_orderkey", p = 8)
+      .orderBy($"bucket")
+  }
+  private val q251Sql =
+    s"""WITH ${hllRegSql("l_orderkey", "lineitem")}
+       |SELECT bucket, max_rho FROM reg ORDER BY bucket""".stripMargin
+
+  // q252 — the estimate fold: integer ingredients + the exact count for
+  // audit. The client-side estimate (hllEstimate) is asserted within 10%
+  // of exact_distinct in PipelineOpsSpec.
+  private def q252(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val exact = li.agg(
+      countDistinct($"l_orderkey").cast(LongType).as("exact_distinct"))
+    hllFold(hllRegisters(li, "l_orderkey", p = 8), p = 8)
+      .crossJoin(broadcast(exact))
+  }
+  private val q252Sql =
+    s"""WITH ${hllRegSql("l_orderkey", "lineitem")}
+       |SELECT CAST(256 AS INTEGER) AS m,
+       |  CAST(COUNT(*) AS BIGINT) AS nonzero_buckets,
+       |  CAST(SUM(CAST(1 AS BIGINT) << (49 - max_rho))
+       |    + (256 - COUNT(*)) * (CAST(1 AS BIGINT) << 49) AS BIGINT)
+       |    AS sum_scaled,
+       |  (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) FROM lineitem)
+       |    AS exact_distinct
+       |FROM reg""".stripMargin
+
   // q39 — multimodal binary-column plumbing: opaque binary payload + typed
   // metadata, with deterministic byte-level feature extraction (octet length,
   // content fingerprint, head-bytes sample — the shape of a thumbnail/
@@ -1320,6 +1435,8 @@ object Similarity {
     "q39_multimodal_binary" -> q39,
     "q40_embed_near_dup_lsh" -> q40,
     "q41_approx_distinct_hll" -> q41,
+    "q251_hll_registers" -> q251,
+    "q252_hll_estimate" -> q252,
     "q56_frame_sample" -> q56,
     "q67_semantic_dedup" -> q67,
     "q121_semantic_against" -> q121,
@@ -1339,7 +1456,9 @@ object Similarity {
     * ≥tau pair is cluster-split; trivially true here, see q67's note).
     * The pruned serving configs (q228/q229/q230), q41 (HLL) and q83
     * (pure ADC scores) are approximate by design → no SQL oracle (driver
-    * rows-only check); accuracy is asserted in PipelineOpsSpec. */
+    * rows-only check); accuracy is asserted in PipelineOpsSpec. q251/q252
+    * close the HLL gap from the other side: the same sketch idea with an
+    * explicit md5-derived register layout, fully hash-oracled. */
   val oracles: Map[String, String] = Map(
     "q193_embedding_quality" -> q193Sql,
     "q216_group_centroids" -> q216Sql,
@@ -1355,5 +1474,7 @@ object Similarity {
     "q39_multimodal_binary" -> q39Sql,
     "q40_embed_near_dup_lsh" -> q40Sql,
     "q56_frame_sample" -> q56Sql,
+    "q251_hll_registers" -> q251Sql,
+    "q252_hll_estimate" -> q252Sql,
   )
 }

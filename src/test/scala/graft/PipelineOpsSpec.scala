@@ -285,6 +285,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("hllRegisters: slice-merge equals whole-corpus sketch; estimate within bound") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sf)
+    // mergeability: sketch(A ∪ B) == register-wise MAX of sketch(A), sketch(B)
+    val a = operators.Similarity.hllRegisters(
+      li.filter($"l_orderkey" % 2 === 0), "l_orderkey", p = 8)
+    val b = operators.Similarity.hllRegisters(
+      li.filter($"l_orderkey" % 2 =!= 0), "l_orderkey", p = 8)
+    val merged = a.union(b).groupBy($"bucket")
+      .agg(org.apache.spark.sql.functions.max($"max_rho").as("max_rho"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val whole = operators.Similarity.hllRegisters(li, "l_orderkey", p = 8)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(merged == whole, "slice-merged registers differ from whole-corpus")
+    // estimate accuracy: raw HLL at n/m ≈ 60 (far from the small-range zone)
+    val row = SparkEntry.queries("q252_hll_estimate")(spark, sf).collect().head
+    val est = operators.Similarity.hllEstimate(
+      row.getAs[Int]("m"), row.getAs[Long]("sum_scaled"))
+    val exact = row.getAs[Long]("exact_distinct").toDouble
+    assert(math.abs(est - exact) / exact < 0.1,
+      s"hll estimate $est vs exact $exact")
+  }
+
   test("connectedComponents: local union-find and distributed propagation agree") {
     import spark.implicits._
     // chain 1-2-3, pair 10-11, triangle 20-21-22, singleton edge 30-31
