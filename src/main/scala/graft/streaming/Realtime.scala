@@ -214,9 +214,12 @@ object Realtime {
     val nonEmpty: Column =
       if (!spec.ignoreEmpty || metricCols.isEmpty) lit(true)
       else metricCols.map(valOf(_).isNotNull).reduce(_ || _)
+    // a NULL tag is NOT accepted (decode's WHERE drops the row), so the
+    // tag test must coalesce before negating — `!tagOk` on null skips the
+    // branch and would misclassify the row as produced
     val cls = when(col("__p").isNull ||
         col(s"__p.$CorruptCol").isNotNull, "failed")
-      .when(!tagOk, "ignored_tag")
+      .when(!coalesce(tagOk, lit(false)), "ignored_tag")
       .when(!nonEmpty, "ignored_empty")
       .otherwise("produced")
     parsed.select(cls.as("__cls"))

@@ -382,6 +382,81 @@ class PropertySpec extends AnyFunSuite {
     assert(gotCont == expCont)
   }
 
+  test("ingestStats matches an independent per-line model; produced == decode survivors") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val spec = IngestSpec(
+      schema = StructType(Seq(StructField("tag", StringType),
+        StructField("k", LongType))),
+      tagField = Some("tag"), acceptTags = Set("keep", "gold"),
+      ignoreEmpty = true)
+    val accept = Set("keep", "gold")
+    // a line is either clearly-corrupt or a well-formed object with tag/k
+    // independently present or absent (absent tag = NULL = not accepted —
+    // decode drops it, ingestStats must file it under ignored_tag)
+    val lineGen: Gen[Option[(Option[String], Option[Long])]] = Gen.frequency(
+      1 -> Gen.const(None),
+      6 -> Gen.zip(
+        Gen.option(Gen.oneOf("keep", "drop", "gold", "keep,x", "a,drop")),
+        Gen.option(Gen.chooseNum(-3L, 3L))).map(Some(_)))
+    (1 to 3).foreach { round =>
+      val lines = samples(lineGen, 120)
+      val rendered = lines.map {
+        case None => "{oops"
+        case Some((tag, k)) =>
+          val fields = tag.map(t => s""""tag":"$t"""").toSeq ++
+            k.map(v => s""""k":$v""").toSeq
+          fields.mkString("{", ",", "}")
+      }
+      val model = lines.groupBy {
+        case None => "failed"
+        case Some((tag, _)) if !tag.exists(_.split(",").exists(accept)) =>
+          "ignored_tag"
+        case Some((_, k)) if k.isEmpty => "ignored_empty"
+        case _ => "produced"
+      }.view.mapValues(_.size.toLong).toMap.withDefaultValue(0L)
+      val raw = rendered.toDF("json").repartition(7)
+      val st = Realtime.ingestStats(raw, "json", spec).collect().head
+      assert(st.getAs[Long]("consumed") == lines.size.toLong)
+      Seq("produced", "ignored_tag", "ignored_empty", "failed").foreach { c =>
+        assert(st.getAs[Long](c) == model(c), s"round $round class $c: $st")
+      }
+      val decoded = Realtime.decode(raw, "json", spec).count()
+      assert(decoded == model("produced"),
+        s"round $round decode $decoded vs model ${model("produced")}")
+      raw.createOrReplaceTempView(s"raw_stats_prop_$round")
+      val viaSql = spark.sql(
+        Realtime.decodeSql(spec, "json", s"raw_stats_prop_$round")).count()
+      assert(viaSql == model("produced"),
+        s"round $round decodeSql $viaSql vs model ${model("produced")}")
+    }
+  }
+
+  test("hllRegisters matches an independent MessageDigest model under any partitioning") {
+    import spark.implicits._
+    def modelOf(vs: Seq[Long]): Map[Int, Int] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      vs.map { v =>
+        val hex = md.digest(v.toString.getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString
+        val bucket = Integer.parseInt(hex.substring(0, 2), 16)
+        val stripped = hex.substring(2, 14).dropWhile(_ == '0')
+        val rho = if (stripped.isEmpty) 49 else {
+          val v0 = Integer.parseInt(stripped.head.toString, 16)
+          val bits = if (v0 >= 8) 0 else if (v0 >= 4) 1
+            else if (v0 >= 2) 2 else 3
+          (12 - stripped.length) * 4 + bits + 1
+        }
+        bucket -> rho
+      }.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    }
+    val vs = samples(Gen.chooseNum(-100000L, 100000L), 400)
+    val got = operators.Similarity.hllRegisters(
+      vs.toDF("v").repartition(7), "v", p = 8)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(got == modelOf(vs.distinct), s"registers diverge from the model")
+  }
+
   test("TIME codec round-trips random seconds of day") {
     samples(Gen.chooseNum(0, 86399), 300).foreach { sec =>
       assert(graft.model.TimeCodec.parse(graft.model.TimeCodec.format(sec)) == sec)
