@@ -1044,8 +1044,10 @@ object Similarity {
     registers.agg(
       lit((1 << p)).cast(IntegerType).as("m"),
       count(lit(1)).cast(LongType).as("nonzero_buckets"),
-      (sum(expr("shiftleft(CAST(1 AS BIGINT), 49 - max_rho)"))
-        + (lit(m) - count(lit(1))) * lit(1L << 49)).cast(LongType)
+      // coalesce: an empty register table (empty input) folds to the
+      // all-zero-bucket sum m·2^49, not null
+      (coalesce(sum(expr("shiftleft(CAST(1 AS BIGINT), 49 - max_rho)")),
+        lit(0L)) + (lit(m) - count(lit(1))) * lit(1L << 49)).cast(LongType)
         .as("sum_scaled"))
   }
 
