@@ -239,6 +239,27 @@ class PlanSpec extends AnyFunSuite {
     assert(n == 0, s"quality filter must not shuffle, got $n:\n$p")
   }
 
+  test("q250/q251: ingest counters and HLL registers are single-aggregate plans") {
+    // q250: map-only classification + ONE partial/final aggregate pair —
+    // no join, no window, one exchange of ≤1 row per partition
+    val p250 = planOf("q250_ingest_stats")
+    assert(!p250.contains("Join") && !p250.contains("Window"),
+      s"ingest stats must be a pure aggregate:\n$p250")
+    assert("Exchange".r.findAllIn(p250).size == 1,
+      s"ingest stats should shuffle exactly once:\n$p250")
+    // q251: the scan must read ONLY the hashed column (pruning) and the
+    // register build must be the combiner aggregate (partial rows ≤ 2^p
+    // per partition), never a window or join
+    val e251 = explained("q251_hll_registers")
+    assert(e251.contains("ReadSchema: struct<l_orderkey:bigint>"),
+      s"register scan must prune to the hashed column:\n$e251")
+    val p251 = planOf("q251_hll_registers")
+    assert(!p251.contains("Join") && !p251.contains("Window"),
+      s"register build must be a pure aggregate:\n$p251")
+    assert(p251.contains("HashAggregate"),
+      s"register build must hash-aggregate (map-side partials):\n$p251")
+  }
+
   test("q88/q90/q91: graph joins stay equi, unpivot stays map-only, windows are keyed") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
