@@ -381,6 +381,49 @@ class PipelineE2ESpec extends AnyFunSuite {
     picks.unpersist(); plan.unpersist()
   }
 
+  test("ingest chain: per-batch counters sum to the whole feed; produced feeds the rollup") {
+    import spark.implicits._
+    import graft.streaming.Realtime
+    import org.apache.spark.sql.types._
+    val spec = Realtime.IngestSpec(
+      schema = StructType(Seq(StructField("tag", StringType),
+        StructField("dim", StringType), StructField("arr", LongType),
+        StructField("v", LongType))),
+      tagField = Some("tag"), acceptTags = Set("keep"), ignoreEmpty = true,
+      rollup = Some(Realtime.RollupSpec(Seq("dim"),
+        Seq("v" -> Realtime.Sum), "arr")))
+    // a deterministic mixed feed split into three uneven micro-batches
+    val lines = (1 to 90).map { i =>
+      if (i % 11 == 0) "{corrupt"
+      else if (i % 7 == 0) s"""{"tag":"drop","dim":"d${i % 3}","arr":$i,"v":$i}"""
+      else if (i % 5 == 0) s"""{"tag":"keep","dim":"d${i % 3}","arr":$i}"""
+      else s"""{"tag":"keep","dim":"d${i % 3}","arr":$i,"v":$i}"""
+    }
+    val batches = Seq(lines.slice(0, 17), lines.slice(17, 60),
+      lines.slice(60, 90))
+    def statsOf(ls: Seq[String]): Map[String, Long] = {
+      val r = Realtime.ingestStats(ls.toDF("json"), "json", spec)
+        .collect().head
+      Seq("consumed", "produced", "ignored_tag", "ignored_empty", "failed")
+        .map(c => c -> r.getAs[Long](c)).toMap
+    }
+    // the counters are a fold — per-batch rows sum to the whole feed's
+    // (the foreachBatch dashboard accumulates exactly this way)
+    val whole = statsOf(lines)
+    val summed = batches.map(statsOf).reduce((a, b) =>
+      a.map { case (k, v) => k -> (v + b(k)) })
+    assert(summed == whole, s"per-batch $summed vs whole $whole")
+    // produced rows are exactly what reaches the rollup; the rolled batch
+    // conserves the SUM metric over the survivors
+    val decoded = Realtime.decode(lines.toDF("json"), "json", spec)
+    assert(decoded.count() == whole("produced"))
+    val rolled = Realtime.rollupBatch(decoded, spec.rollup.get)
+    assert(rolled.count() <= whole("produced"))
+    val sumIn = decoded.agg(sum(coalesce($"v", lit(0L)))).head.getLong(0)
+    val sumOut = rolled.agg(sum(coalesce($"v", lit(0L)))).head.getLong(0)
+    assert(sumIn == sumOut, s"rollup must conserve SUM: $sumIn vs $sumOut")
+  }
+
   test("histogram sketch partials merge across streamed micro-batches (≡ batch)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
