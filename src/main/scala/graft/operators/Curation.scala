@@ -139,7 +139,12 @@ object Curation {
     val w = Window.partitionBy($"doc_id").orderBy($"score_scaled".desc, $"term".asc)
     val dfCounts = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfCounts), Seq("term"))
-      .withColumn("score_scaled", expr(s"tf * (CAST(${nDocs * 1000000L} AS BIGINT) div df)"))
+      // DECIMAL(19,0) before the product: tf (up to doc length) times a
+      // df=1 idf of nDocs·10⁶ wraps LONG past ~9.2e18 — plausible at
+      // 10¹⁰-doc corpora with high-tf spam docs (the crossGroupContainment
+      // overflow class). Result type DECIMAL(38,0), exact.
+      .withColumn("score_scaled", expr(
+        s"CAST(tf AS DECIMAL(19,0)) * (CAST(${nDocs * 1000000L} AS BIGINT) div df)"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
       .select($"doc_id", $"term", $"tf", $"df", $"score_scaled", $"rank")
@@ -168,7 +173,9 @@ object Curation {
       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
       |sc AS (SELECT doc_id, term, tf, COUNT(*) OVER (PARTITION BY term) AS df FROM tf),
       |rk AS (SELECT doc_id, term, tf, df,
-      |         tf * ((SELECT COUNT(*) FROM documents) * 1000000 // df) AS score_scaled,
+      |         CAST(CAST(tf AS DECIMAL(19,0))
+      |           * ((SELECT COUNT(*) FROM documents) * 1000000 // df)
+      |           AS DECIMAL(38,0)) AS score_scaled,
       |         ROW_NUMBER() OVER (PARTITION BY doc_id
       |           ORDER BY tf * ((SELECT COUNT(*) FROM documents) * 1000000 // df) DESC,
       |                    term ASC) AS rank

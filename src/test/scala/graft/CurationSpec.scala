@@ -68,7 +68,7 @@ class CurationSpec extends AnyFunSuite {
     val rows = Curation.tfidfTopK(docs, "my_id", "body", k = 1)
       .filter($"doc_id" === 102L).collect()
     val r = rows.head
-    assert(r.getAs[Long]("score_scaled") ==
+    assert(r.getAs[java.math.BigDecimal]("score_scaled").longValueExact ==
       r.getAs[Long]("tf") * (5L * 1000000L / r.getAs[Long]("df")))
   }
 
