@@ -46,6 +46,18 @@ def main():
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
+    # guard the guard: a lint that silently stopped detecting HUGEINT
+    # would green-light the exact bug class it exists for — prove on a
+    # known-widening query that detection still fires before trusting a
+    # clean pass
+    probe = con.execute(
+        "DESCRIBE SELECT SUM(x) AS s FROM (SELECT CAST(1 AS BIGINT) AS x)"
+    ).fetchall()
+    assert any(any(b in typ.upper() for b in BAD_TYPES)
+               for _, typ, *_ in probe), (
+        "lint self-test failed: SUM(BIGINT) no longer DESCRIBEs as a "
+        "bad type — update BAD_TYPES for this DuckDB version")
+
     bad, errs = [], []
     for name, sql in sorted(oracles.items()):
         try:
