@@ -545,7 +545,10 @@ object Extended {
     val tot = df.agg(count(lit(1)).as("__N"))
     binned.join(broadcast(cum), Seq("__bin"))
       .crossJoin(broadcast(tot))
-      .withColumn(outCol, expr("__cum * 1000000L div __N"))
+      .withColumn(outCol, expr(
+        // DECIMAL before the ppm scale-up: __cum is a row count — ×10⁶
+        // wraps LONG past ~9.2e12 rows, within reach of a 100 TB table
+        "CAST(CAST(__cum AS DECIMAL(19,0)) * 1000000 div __N AS BIGINT)"))
       .drop("__bin", "__cum", "__N")
   }
 
@@ -573,7 +576,10 @@ object Extended {
     val tot = df.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("__N"))
     binned.join(cum, groupCols :+ "__bin")
       .join(tot, groupCols)
-      .withColumn(outCol, expr("__cum * 1000000L div __N"))
+      .withColumn(outCol, expr(
+        // DECIMAL before the ppm scale-up: __cum is a row count — ×10⁶
+        // wraps LONG past ~9.2e12 rows, within reach of a 100 TB table
+        "CAST(CAST(__cum AS DECIMAL(19,0)) * 1000000 div __N AS BIGINT)"))
       .drop("__bin", "__cum", "__N")
   }
 
@@ -1177,7 +1183,8 @@ object Extended {
       .join(ic.select(col("__it").as("consequent"), col("__c").as("__cb")), "consequent")
       .crossJoin(broadcast(n))
       .select(col("antecedent"), col("consequent"), col("support"),
-        expr("support * 1000000L div __ca").as("conf_ppm"),
+        expr("CAST(CAST(support AS DECIMAL(19,0)) * 1000000 div __ca AS BIGINT)")
+          .as("conf_ppm"),
         ((col("support").cast("double") * col("__n")) /
           (col("__ca") * col("__cb")).cast("double")).as("lift"))
     if (!materialize) out
@@ -2153,14 +2160,20 @@ object Extended {
       .join(broadcast(offsets.select(col("__bin"), col("__off"))), Seq("__bin"))
       .join(broadcast(tot))
       .withColumn("__cum", col("__off") + col("__local"))
+      // DECIMAL(19,0) both sides of the take test: __cum and __tot are
+      // VALUE sums (cents, tokens) — ×10⁶ wraps LONG past ~9.2e12 units,
+      // which a corpus-scale revenue total passes routinely (the
+      // crossGroupContainment overflow class)
       .withColumn("__take",
-        (col("__cum") - col("__v")) * 1000000L < lit(sharePpm) * col("__tot"))
+        expr("CAST(__cum - __v AS DECIMAL(19,0)) * 1000000") <
+          expr(s"CAST($sharePpm AS DECIMAL(19,0)) * __tot"))
       .agg(max(col("__n")).as("n_entities"),
         sum(when(col("__take"), 1L).otherwise(0L)).as("n_top"),
         sum(when(col("__take"), col("__v")).otherwise(0L)).as("__topv"),
         max(col("__tot")).as("__t"))
       .select(col("n_entities"), col("n_top"),
-        expr("__topv * 1000000 DIV __t").cast(LongType).as("top_share_ppm"))
+        expr("CAST(CAST(__topv AS DECIMAL(19,0)) * 1000000 DIV __t AS BIGINT)")
+          .as("top_share_ppm"))
   }
 
   // q185 — revenue concentration: how many customers cover 80% of order
@@ -2216,7 +2229,7 @@ object Extended {
         sum(when(col(valueCol) < col("__lo") || col(valueCol) > col("__hi"), 1L)
           .otherwise(0L)).as("n_outliers"))
       .withColumn("outlier_ppm",
-        expr("n_outliers * 1000000 DIV n").cast(LongType))
+        expr("CAST(CAST(n_outliers AS DECIMAL(19,0)) * 1000000 DIV n AS BIGINT)"))
   }
 
   // q196 — boxplot outliers of order value per priority.
@@ -2279,7 +2292,7 @@ object Extended {
         .cast(IntegerType).as("digit"))
       .groupBy($"digit").agg(count(lit(1)).as("n"))
       .join(broadcast(tot))
-      .withColumn("share_ppm", expr("n * 1000000 DIV total"))
+      .withColumn("share_ppm", expr("CAST(CAST(n AS DECIMAL(19,0)) * 1000000 DIV total AS BIGINT)"))
       .join(broadcast(exp), Seq("digit"))
       .withColumn("dev_ppm", $"share_ppm" - $"benford_ppm")
       .select($"digit", $"n", $"share_ppm", $"benford_ppm", $"dev_ppm")
