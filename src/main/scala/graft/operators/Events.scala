@@ -700,7 +700,8 @@ object Events {
       .agg(sum(col("pair_n")).as("__tot"))
     pairs.join(broadcast(totals), "from_type")
       .select(col("from_type"), col("to_type"), col("pair_n"),
-        expr("pair_n * 1000000L div __tot").as("cond_ppm"))
+        expr("CAST(CAST(pair_n AS DECIMAL(19,0)) * 1000000 div __tot AS BIGINT)")
+          .as("cond_ppm"))
   }
 
   // q110 — behavior-flow transition matrix over the event stream
@@ -1346,8 +1347,8 @@ object Events {
       sum(when($"variant" === 1, 1L).otherwise(0L)).as("n_b"),
       sum(when($"variant" === 1, $"converted").otherwise(0L)).as("c_b"))
       .select($"n_a", $"n_b",
-        expr("c_a * 1000000 DIV n_a").as("rate_a_ppm"),
-        expr("c_b * 1000000 DIV n_b").as("rate_b_ppm"))
+        expr("CAST(CAST(c_a AS DECIMAL(19,0)) * 1000000 DIV n_a AS BIGINT)").as("rate_a_ppm"),
+        expr("CAST(CAST(c_b AS DECIMAL(19,0)) * 1000000 DIV n_b AS BIGINT)").as("rate_b_ppm"))
       .withColumn("lift_ppm",
         expr("(rate_b_ppm * 1000000 DIV rate_a_ppm) - 1000000").cast(LongType))
     val chi = Extended.chiSquare(conv, "variant", "converted")

@@ -424,7 +424,7 @@ object Reporting {
       .withColumn("mom_ppm",
         when($"prev".isNull, lit(null).cast(LongType))
           .otherwise((when($"rev_cents" < $"prev", -1L).otherwise(1L) *
-            expr("abs(rev_cents - prev) * 1000000 DIV prev")).cast(LongType)))
+            expr("CAST(abs(rev_cents - prev) AS DECIMAL(19,0)) * 1000000 DIV prev")).cast(LongType)))
       .select($"month", $"rev_cents", $"mom_ppm")
       .orderBy($"month")
   }
@@ -460,7 +460,7 @@ object Reporting {
       .agg(sum($"nat_cents").as("reg_cents"))
     byNation.join(broadcast(byRegion), $"r_name" === $"__r")
       .select($"r_name", $"n_name", $"nat_cents",
-        expr("nat_cents * 1000000 DIV reg_cents").cast(LongType)
+        expr("CAST(CAST(nat_cents AS DECIMAL(19,0)) * 1000000 DIV reg_cents AS BIGINT)")
           .as("share_ppm"))
       .orderBy($"r_name", $"n_name")
   }
@@ -494,9 +494,9 @@ object Reporting {
       .agg(count(lit(1)).as("n_lines"),
         within(30).as("w30"), within(60).as("w60"), within(90).as("w90"))
       .select($"o_orderpriority", $"n_lines",
-        expr("w30 * 1000000 DIV n_lines").cast(LongType).as("within30_ppm"),
-        expr("w60 * 1000000 DIV n_lines").cast(LongType).as("within60_ppm"),
-        expr("w90 * 1000000 DIV n_lines").cast(LongType).as("within90_ppm"))
+        expr("CAST(CAST(w30 AS DECIMAL(19,0)) * 1000000 DIV n_lines AS BIGINT)").as("within30_ppm"),
+        expr("CAST(CAST(w60 AS DECIMAL(19,0)) * 1000000 DIV n_lines AS BIGINT)").as("within60_ppm"),
+        expr("CAST(CAST(w90 AS DECIMAL(19,0)) * 1000000 DIV n_lines AS BIGINT)").as("within90_ppm"))
       .orderBy($"o_orderpriority")
   }
   private val q181Sql =
@@ -579,7 +579,7 @@ object Reporting {
         (sum(when($"month" =!= $"first_month", $"o_totalprice".cast(D))
           .otherwise(lit(0).cast(D))) * 100).cast(LongType).as("repeat_cents"))
       .withColumn("new_share_ppm",
-        expr("new_cents * 1000000 DIV (new_cents + repeat_cents)")
+        expr("CAST(CAST(new_cents AS DECIMAL(19,0)) * 1000000 DIV (new_cents + repeat_cents) AS BIGINT)")
           .cast(LongType))
       .orderBy($"month")
   }
@@ -1037,7 +1037,7 @@ object Reporting {
       $"rev_cents".as("forecast_cents"))
     daily.join(fc, Seq("day"))
       .withColumn("abs_err_cents", abs($"rev_cents" - $"forecast_cents"))
-      .withColumn("ape_ppm", expr("abs_err_cents * 1000000 DIV rev_cents"))
+      .withColumn("ape_ppm", expr("CAST(CAST(abs_err_cents AS DECIMAL(19,0)) * 1000000 DIV rev_cents AS BIGINT)"))
       .select($"day".cast(StringType).as("day"),
         $"rev_cents".as("actual_cents"), $"forecast_cents",
         $"abs_err_cents", $"ape_ppm")

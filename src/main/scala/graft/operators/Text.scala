@@ -1155,7 +1155,7 @@ object Text {
       .agg(count(lit(1)).as("n_grams"),
         count_distinct($"gram").as("n_distinct"))
       .withColumn("distinct_ppm",
-        expr("n_distinct * 1000000 DIV n_grams").cast(LongType))
+        expr("CAST(CAST(n_distinct AS DECIMAL(19,0)) * 1000000 DIV n_grams AS BIGINT)"))
       .orderBy($"source")
   }
   private val q161Sql =
@@ -1378,7 +1378,7 @@ object Text {
         sum($"n_chars").as("chars_total"),
         sum(when($"keep" === 1, $"n_chars").otherwise(0L)).as("chars_kept"))
       .withColumn("kept_ppm",
-        expr("chars_kept * 1000000 DIV chars_total").cast(LongType))
+        expr("CAST(CAST(chars_kept AS DECIMAL(19,0)) * 1000000 DIV chars_total AS BIGINT)"))
       .orderBy($"source")
   }
   private val q191Sql =
