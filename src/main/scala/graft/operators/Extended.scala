@@ -1896,9 +1896,12 @@ object Extended {
     * computed in scaled ppm via the overflow-decomposed integer division
     * (q·10⁶ + (rem·10⁶) div d — the pageRank damping trick), so χ² sums
     * exactly in any engine at any partitioning. Output: one row,
-    * (chi2_ppm, df). Long bounds: safe while N ≤ ~10⁹ rows and per-cell
-    * diff² ≤ 2⁶³ (diff ≤ N·min(R,C)/N ≤ 3·10⁹); swap the internal longs
-    * for DECIMAL(38,0) beyond that.
+    * (chi2_ppm, df). All cell arithmetic runs in DECIMAL(38,0): the
+    * deviation d = O·N − R·C reaches ~N²/4, so LONG d² crashed (ANSI
+    * overflow) at just ~10⁵-row tables; decimals hold exactly while
+    * N ≤ ~3·10⁹ per contingency analysis (d² ≤ 10³⁸) — beyond that a
+    * χ² test is statistically vacuous anyway (every deviation is
+    * "significant"); coarsen or sample first.
     *
     * Scale: ONE combiner count aggregate over the fact (→ #cells rows);
     * row/col/grand totals are re-aggregates of the tiny cell frame. */
@@ -1909,11 +1912,14 @@ object Extended {
     val cols_ = cells.groupBy(col("__b")).agg(sum(col("o")).as("c"))
     val tot = cells.agg(sum(col("o")).as("n"),
       count_distinct(col("__a")).as("na"), count_distinct(col("__b")).as("nb"))
+    val pd = DecimalType(38, 0)
     cells.join(broadcast(rows), "__a").join(broadcast(cols_), "__b")
       .join(broadcast(tot))
-      .withColumn("__d", col("o") * col("n") - col("r") * col("c"))
-      .withColumn("__num", col("__d") * col("__d"))
-      .withColumn("__den", col("r") * col("c") * col("n"))
+      .withColumn("__d",
+        col("o").cast(pd) * col("n") - col("r").cast(pd) * col("c"))
+      .withColumn("__num", (col("__d") * col("__d")).cast(pd))
+      .withColumn("__den",
+        (col("r").cast(pd) * col("c") * col("n")).cast(pd))
       .withColumn("__contrib",
         expr("(__num DIV __den) * 1000000 + ((__num % __den) * 1000000) DIV __den"))
       .agg(sum(col("__contrib")).cast(LongType).as("chi2_ppm"),
