@@ -1555,6 +1555,13 @@ object Extended {
         Seq("l_returnflag", "l_linestatus"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }
+  // the HUGEINT moments convert to DOUBLE via VARCHAR: DuckDB's direct
+  // HUGEINT→DOUBLE cast is off by one ulp just past 2^53 (measured at
+  // sf0.1: m3 = -24912883748480166 → ...a292**9**p+54 vs the correctly
+  // rounded ...a292**a**p+54 that strtod, the JVM, and Python all agree
+  // on), which surfaced as a last-ulp skewness mismatch. String→double
+  // parsing is correctly rounded, so both engines see identical doubles
+  // and the downstream *, sqrt, / are all IEEE-exact.
   private val q142Sql =
     """WITH b AS (SELECT l_returnflag, l_linestatus,
       |    CAST(l_quantity AS BIGINT) AS x FROM lineitem),
@@ -1572,11 +1579,13 @@ object Extended {
       |  FROM m)
       |SELECT l_returnflag, l_linestatus, n,
       |  CASE WHEN m2 <= 0 THEN CAST(NULL AS DOUBLE)
-      |    ELSE CAST(m3 AS DOUBLE)
-      |      / (CAST(m2 AS DOUBLE) * sqrt(CAST(m2 AS DOUBLE))) END AS skewness,
+      |    ELSE CAST(CAST(m3 AS VARCHAR) AS DOUBLE)
+      |      / (CAST(CAST(m2 AS VARCHAR) AS DOUBLE)
+      |         * sqrt(CAST(CAST(m2 AS VARCHAR) AS DOUBLE))) END AS skewness,
       |  CASE WHEN m2 <= 0 THEN CAST(NULL AS DOUBLE)
-      |    ELSE CAST(m4 AS DOUBLE)
-      |      / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)) - 3.0 END AS kurtosis
+      |    ELSE CAST(CAST(m4 AS VARCHAR) AS DOUBLE)
+      |      / (CAST(CAST(m2 AS VARCHAR) AS DOUBLE)
+      |         * CAST(CAST(m2 AS VARCHAR) AS DOUBLE)) - 3.0 END AS kurtosis
       |FROM c ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   // ---------------------------------------------------------------------
