@@ -30,10 +30,14 @@ object Bench {
     // Per-pass totals are reported too — a sandbox-contended run shows up as
     // one inflated pass against two consistent ones instead of silently
     // poisoning the headline (r4's +57% phantom regression was exactly that).
+    // a query that THROWS must be visible, not a normal-looking elapsed
+    // time: q163 crashed at sf0.1 for a round (ANSI long overflow) with
+    // zero bench signal because the catch swallowed it
+    val failed = scala.collection.mutable.SortedSet.empty[String]
     def timed(): Map[String, Double] = names.map { name =>
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => -1L }
+      catch { case _: Throwable => failed += name }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val passes = Seq(timed(), timed(), timed())
@@ -77,7 +81,7 @@ object Bench {
       graft.operators.Text.invalidateCaches(spark, sfDir)
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => () }
+      catch { case _: Throwable => failed += name }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val coldPasses = Seq(coldPass(), coldPass())
@@ -108,7 +112,8 @@ object Bench {
     // ("q75_interval_overlap" -> "q75") and, if even that overflows, keeping
     // only the slowest entries.
     val detailPath = "BENCH_DETAIL.json"
-    val detail = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jmap(results, f3)},"cold":${jmap(cold, f3)},"cold_max":${jmap(coldMax, f3)},"pass_totals":$passTotals,"cold_pass_totals":$coldPassTotals,"pass_spread":$passSpread,"sf":"$sfDir"}"""
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val detail = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jmap(results, f3)},"cold":${jmap(cold, f3)},"cold_max":${jmap(coldMax, f3)},"pass_totals":$passTotals,"cold_pass_totals":$coldPassTotals,"pass_spread":$passSpread,"failed":$failedJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
@@ -118,7 +123,8 @@ object Bench {
     }
     def line(qs: Seq[(String, Double)], omitted: Int): String = {
       val omit = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jmap(qs, f2)}$omit,"cold_total":${f3(coldTotal)},"pass_totals":$passTotals,"cold_pass_totals":$coldPassTotals,"pass_spread":$passSpread,"detail":"$detailPath","sf":"$sfDir"}"""
+      val fl = if (failed.isEmpty) "" else s""","failed":$failedJson"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jmap(qs, f2)}$omit,"cold_total":${f3(coldTotal)},"pass_totals":$passTotals,"cold_pass_totals":$coldPassTotals,"pass_spread":$passSpread$fl,"detail":"$detailPath","sf":"$sfDir"}"""
     }
     val shortAll = results.map { case (k, v) => shortKey(k) -> v }
     val bySlow = shortAll.sortBy(-_._2)
