@@ -1914,9 +1914,18 @@ object Extended {
     *
     * Scale: ONE combiner count aggregate over the fact (→ #cells rows);
     * row/col/grand totals are re-aggregates of the tiny cell frame. */
-  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val cells = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
-      .agg(count(lit(1)).as("o"))
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    chiSquareFromCells(df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("o")), "__a", "__b", "o")
+
+  /** [[chiSquare]] over a pre-counted contingency table (aCol, bCol,
+    * countCol) — the shape a rolled-up metrics store already holds, and
+    * the scale-proof surface: planted 10¹²-count cells stay exact
+    * (ChiSquareScaleSpec) because every product runs in DECIMAL(38,0). */
+  def chiSquareFromCells(cellsIn: DataFrame, aCol: String, bCol: String,
+      countCol: String): DataFrame = {
+    val cells = cellsIn.select(col(aCol).as("__a"), col(bCol).as("__b"),
+      col(countCol).cast(LongType).as("o"))
     val rows = cells.groupBy(col("__a")).agg(sum(col("o")).as("r"))
     val cols_ = cells.groupBy(col("__b")).agg(sum(col("o")).as("c"))
     val tot = cells.agg(sum(col("o")).as("n"),

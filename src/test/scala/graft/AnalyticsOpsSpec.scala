@@ -1151,6 +1151,49 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out.getAs[Long]("df") == 1L)
   }
 
+  test("chiSquareFromCells: exact at planted billion-count cells (BigInt model)") {
+    // counts 4 orders past the old LONG cliff (d = O*N - R*C ~ N^2/4
+    // wrapped at ~10^5 rows), just inside the documented DECIMAL bound
+    // (N ≤ ~6e9: d² must fit 38 digits — past it the op FAILS LOUDLY
+    // under ANSI, which a companion assertion pins)
+    val cells = Seq(
+      ("x", "p", 1000000000L), ("x", "q", 2000000001L),
+      ("y", "p", 1500000007L), ("y", "q", 500000003L))
+    val out = graft.operators.Extended.chiSquareFromCells(
+      cells.toDF("a", "b", "o"), "a", "b", "o").head()
+    // independent BigInt model: Σ floor-ppm per cell, same decomposition
+    val n = BigInt(cells.map(_._3).sum)
+    def rt(a: String) = BigInt(cells.filter(_._1 == a).map(_._3).sum)
+    def ct(b: String) = BigInt(cells.filter(_._2 == b).map(_._3).sum)
+    val want = cells.map { case (a, b, o) =>
+      val d = BigInt(o) * n - rt(a) * ct(b)
+      val num = d * d
+      val den = rt(a) * ct(b) * n
+      (num / den) * 1000000 + (num % den) * 1000000 / den
+    }.sum
+    assert(BigInt(out.getAs[Long]("chi2_ppm")) == want,
+      s"got ${out.getAs[Long]("chi2_ppm")} want $want")
+    assert(out.getAs[Long]("df") == 1L)
+    // and the row-level entry point still agrees with itself via cells
+    val rows = Seq.fill(3)(("x", "p")) ++ Seq.fill(1)(("x", "q")) ++
+      Seq.fill(1)(("y", "p")) ++ Seq.fill(3)(("y", "q"))
+    val viaRows = graft.operators.Extended.chiSquare(
+      rows.toDF("a", "b"), "a", "b").head().getAs[Long]("chi2_ppm")
+    val viaCells = graft.operators.Extended.chiSquareFromCells(
+      Seq(("x", "p", 3L), ("x", "q", 1L), ("y", "p", 1L), ("y", "q", 3L))
+        .toDF("a", "b", "o"), "a", "b", "o").head().getAs[Long]("chi2_ppm")
+    assert(viaRows == viaCells)
+    // past the documented bound the op fails LOUDLY (ANSI decimal
+    // overflow), never silently wrong
+    val err = intercept[Exception] {
+      graft.operators.Extended.chiSquareFromCells(
+        cells.map { case (a, b, o) => (a, b, o * 10000L) }
+          .toDF("a", "b", "o"), "a", "b", "o").head()
+    }
+    assert(err.getMessage.contains("NUMERIC_VALUE_OUT_OF_RANGE") ||
+      err.getMessage.contains("Decimal"), s"unexpected: ${err.getMessage}")
+  }
+
   test("ksTest: equals the naive max-CDF-gap; identical samples give 0") {
     val df = (Seq.tabulate(20)(i => ("a", i.toLong)) ++
       Seq.tabulate(10)(i => ("b", (i * 2).toLong))).toDF("g", "v")
