@@ -653,7 +653,9 @@ object Extended {
     val pd = DecimalType(38, 0)
     df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n"), sum(x).as("__sx"), sum(y).as("__sy"),
-        sum((x * y).cast(pd)).as("__sxy"), sum((x * x).cast(pd)).as("__sxx"))
+        // cast-first: x·y at epoch-microsecond × cent grain passes 2⁶³
+        // per ROW — the product itself must run in DECIMAL
+        sum(x.cast(pd) * y).as("__sxy"), sum(x.cast(pd) * x).as("__sxx"))
       .withColumn("slope", expr(
         s"""CASE WHEN CAST(n AS $dec) * __sxx - CAST(__sx AS $dec) * __sx = 0
            |  THEN CAST(NULL AS DOUBLE)
@@ -1031,15 +1033,14 @@ object Extended {
     val x = col(xCol).cast(LongType)
     val y = col(yCol).cast(LongType)
     val dec = "DECIMAL(38,0)"
-    // per-row products fit a long at any sane grain; their SUMS do not
-    // (Σy² at cent grain passes 2⁶³ before 10⁶ rows) — accumulate the
-    // second moments as exact DECIMAL(38,0), the HUGEINT the oracle gets
-    // for free from SUM(BIGINT)
+    // per-row products run DECIMAL too, not just their sums: x at epoch-
+    // microsecond grain (the trend-over-time use) squares to ~10³⁰, far
+    // past 2⁶³ — casting one factor first keeps every step exact
     val pd = DecimalType(38, 0)
     df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n"), sum(x).as("__sx"), sum(y).as("__sy"),
-        sum((x * y).cast(pd)).as("__sxy"), sum((x * x).cast(pd)).as("__sxx"),
-        sum((y * y).cast(pd)).as("__syy"))
+        sum(x.cast(pd) * y).as("__sxy"), sum(x.cast(pd) * x).as("__sxx"),
+        sum(y.cast(pd) * y).as("__syy"))
       .withColumn("corr", expr(
         s"""CASE WHEN CAST(n AS $dec) * __sxx - CAST(__sx AS $dec) * __sx = 0
            |       OR CAST(n AS $dec) * __syy - CAST(__sy AS $dec) * __sy = 0
@@ -1525,9 +1526,11 @@ object Extended {
     val dec = "DECIMAL(38,0)"
     df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n"), sum(x).as("__s1"),
-        sum((x * x).cast(pd)).as("__s2"),
-        sum(((x * x).cast(pd)) * x).as("__s3"),
-        sum(((x * x).cast(pd)) * ((x * x).cast(pd))).as("__s4"))
+        // cast-first: x² in LONG wraps for |x| > ~3e9 (epoch-second or
+        // larger grains) — every power runs in DECIMAL from the start
+        sum(x.cast(pd) * x).as("__s2"),
+        sum(x.cast(pd) * x * x).as("__s3"),
+        sum((x.cast(pd) * x) * (x.cast(pd) * x)).as("__s4"))
       .withColumn("__m2", expr(s"CAST(n AS $dec) * __s2 - CAST(__s1 AS $dec) * __s1"))
       .withColumn("__m3", expr(
         s"CAST(n AS $dec) * n * __s3 - 3 * CAST(n AS $dec) * __s1 * __s2" +
@@ -1989,13 +1992,19 @@ object Extended {
     val w = Window.orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = per.agg(sum(col("__ca")).as("na"), sum(col("__cb")).as("nb"))
+    // DECIMAL throughout: cum·n products reach na·nb (wraps LONG at
+    // ~3e9 a side) and the ppm remainder product wrapped at just ~3e6 a
+    // side (m % d ≤ d = na·nb; ×10⁶ crosses 2⁶³ at na·nb > 9.2e12)
+    val pd = DecimalType(38, 0)
     per.withColumn("__cuma", sum(col("__ca")).over(w))
       .withColumn("__cumb", sum(col("__cb")).over(w))
       .join(broadcast(tot))
-      .withColumn("__diff", abs(col("__cuma") * col("nb") - col("__cumb") * col("na")))
-      .agg(max(col("__diff")).as("m"), max(col("na") * col("nb")).as("d"))
-      .select(expr("(m DIV d) * 1000000 + ((m % d) * 1000000) DIV d")
-        .cast(LongType).as("ks_ppm"))
+      .withColumn("__diff", abs(col("__cuma").cast(pd) * col("nb")
+        - col("__cumb").cast(pd) * col("na")))
+      .agg(max(col("__diff")).as("m"),
+        max(col("na").cast(pd) * col("nb")).as("d"))
+      .select(expr("CAST(CAST(m AS DECIMAL(38,0)) * 1000000 DIV d AS BIGINT)")
+        .as("ks_ppm"))
   }
 
   // q164 — document-length distribution drift between two sources.

@@ -1194,6 +1194,22 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       err.getMessage.contains("Decimal"), s"unexpected: ${err.getMessage}")
   }
 
+  test("groupCorr/groupLinFit: exact at epoch-microsecond x (per-row products past 2^63)") {
+    import org.apache.spark.sql.functions._
+    // x ~ 1.7e15 µs: x² ≈ 3e30 per ROW — the pre-fix LONG product path
+    // ANSI-crashed here. y = 2x + 5 exactly → slope 2, corr 1.
+    val base = 1700000000000000L
+    val rows = Seq.tabulate(7)(i =>
+      ("g", base + i * 60000000L, 2L * (base + i * 60000000L) + 5L))
+      .toDF("g", "x", "y")
+    val fit = graft.operators.Extended.groupLinFit(rows, "x", "y", Seq("g"))
+      .head()
+    assert(math.abs(fit.getAs[Double]("slope") - 2.0) < 1e-12)
+    val corr = graft.operators.Extended.groupCorr(rows, "x", "y", Seq("g"))
+      .head().getAs[Double]("corr")
+    assert(math.abs(corr - 1.0) < 1e-12, s"corr $corr")
+  }
+
   test("ksTest: equals the naive max-CDF-gap; identical samples give 0") {
     val df = (Seq.tabulate(20)(i => ("a", i.toLong)) ++
       Seq.tabulate(10)(i => ("b", (i * 2).toLong))).toDF("g", "v")
