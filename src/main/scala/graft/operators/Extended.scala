@@ -893,14 +893,16 @@ object Extended {
     * Plan: one combiner-friendly groupBy for the moments (a hot group
     * shrinks to #partitions partial rows), broadcast join-back (≤ #groups
     * rows — never a group-keyed window), then a map-only projection.
-    * Long-exactness bounds: |x| ≤ 10⁶ up to ~10¹² rows/group (S, Q fit
-    * BIGINT; the decimal domain holds the products to ~10³⁸). */
+    * Exactness bound: n·Q must fit 38 digits, i.e. rows·|x| ≤ ~10¹⁹ per
+    * group (|x| ≤ 10⁶ up to ~10¹³ rows/group) — Q itself accumulates in
+    * DECIMAL(38,0); a LONG Σx² would wrap before 10⁷ cent-grain rows. */
   def zscoreOutliers(df: DataFrame, valueCol: String, groupCols: Seq[String],
       zThreshold: Double = 3.0): DataFrame = {
     require(groupCols.nonEmpty, "zscoreOutliers needs at least one group column")
     val x = col(valueCol).cast(LongType)
     val stats = df.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("__n"), sum(x).as("__s"), sum(x * x).as("__q"))
+      .agg(count(lit(1)).as("__n"), sum(x).as("__s"),
+        sum(x.cast(DecimalType(38, 0)) * x).as("__q"))
     val dec = "DECIMAL(38,0)"
     val z2 = expr(
       s"""CASE WHEN CAST(__n AS $dec) * __q - CAST(__s AS $dec) * __s = 0 THEN 0.0
