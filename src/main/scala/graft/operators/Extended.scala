@@ -466,7 +466,7 @@ object Extended {
       .groupBy(groupCols.map(col): _*)
       .agg(min(when(col("pct") === loPct, col("est"))).as("__tlo"),
         min(when(col("pct") === hiPct, col("est"))).as("__thi"))
-    df.join(broadcast(th), groupCols)
+    df.join(th, groupCols)
       .withColumn(outCol,
         least(greatest(col(valueCol).cast(DoubleType), col("__tlo")), col("__thi")))
       .drop("__tlo", "__thi")
@@ -891,8 +891,11 @@ object Extended {
     * (z2, is_outlier).
     *
     * Plan: one combiner-friendly groupBy for the moments (a hot group
-    * shrinks to #partitions partial rows), broadcast join-back (≤ #groups
-    * rows — never a group-keyed window), then a map-only projection.
+    * shrinks to #partitions partial rows), UNHINTED join-back (never a
+    * group-keyed window; the stats frame is #groups rows of CALLER-keyed
+    * cardinality, so AQE decides — it broadcasts when small and shuffles
+    * at 10⁹ entity groups, where an unconditional hint would OOM the
+    * driver), then a map-only projection.
     * Exactness bound: n·Q must fit 38 digits, i.e. rows·|x| ≤ ~10¹⁹ per
     * group (|x| ≤ 10⁶ up to ~10¹³ rows/group) — Q itself accumulates in
     * DECIMAL(38,0); a LONG Σx² would wrap before 10⁷ cent-grain rows. */
@@ -912,7 +915,7 @@ object Extended {
          |     / (CAST(__n AS DOUBLE)
          |        * CAST(CAST(__n AS $dec) * __q - CAST(__s AS $dec) * __s AS DOUBLE))
          |END""".stripMargin)
-    df.join(broadcast(stats), groupCols)
+    df.join(stats, groupCols)
       .withColumn("z2", z2)
       .withColumn("is_outlier",
         (col("z2") > lit(zThreshold * zThreshold)).cast(IntegerType))
@@ -976,11 +979,11 @@ object Extended {
     val g = groupCols.map(col)
     val med = df.groupBy(g: _*)
       .agg(expr(s"percentile($valueCol, 0.5)").as("__med"))
-    val dev = df.join(broadcast(med), groupCols)
+    val dev = df.join(med, groupCols)
       .withColumn("abs_dev", abs(col(valueCol).cast(DoubleType) - col("__med")))
     val mad = dev.groupBy(g: _*)
       .agg(expr("percentile(abs_dev, 0.5)").as("mad"))
-    dev.join(broadcast(mad), groupCols)
+    dev.join(mad, groupCols)
       .withColumn("is_outlier",
         (col("abs_dev") > lit(k) * col("mad")).cast(IntegerType))
       .drop("__med")
@@ -1235,7 +1238,7 @@ object Extended {
     val thr = bmax.select(g ++ Seq(col("__b"),
       max(col("__by")).over(wSuffix).as("__thr")): _*)
     val cand = df.withColumn("__b", bEx)
-      .join(broadcast(thr), groupCols :+ "__b")
+      .join(thr, groupCols :+ "__b")
       .filter(col("__thr").isNull || y > col("__thr"))
       .withColumn("__x", x).withColumn("__y", y)
     val wAfter = (if (g.isEmpty) Window.orderBy(col("__x"))
