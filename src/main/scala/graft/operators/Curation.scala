@@ -119,8 +119,9 @@ object Curation {
     * distinct on (doc, term) so df is a groupBy(term) count — the partial
     * (map-side) aggregate shrinks every term to at most #partitions rows,
     * so a corpus-wide hot term ("the" ≈ every document) never concentrates
-    * in one partition — joined back broadcast + map-only (the build side is
-    * vocab-sized, tiny next to the corpus). A `count over
+    * in one partition — joined back UNHINTED (the build side is
+    * vocab-sized: tiny next to the corpus but 10⁹ rows at web scale, so
+    * AQE decides broadcast-vs-shuffle rather than a driver-OOMing hint). A `count over
     * Window.partitionBy(term)` would instead land every row of a hot term
     * in ONE partition: a guaranteed straggler at 100 TB. Top-k is a
     * row_number window per doc (doc-sized partitions, bounded). */
@@ -138,7 +139,7 @@ object Curation {
       .agg(count(lit(1)).as("tf"))
     val w = Window.partitionBy($"doc_id").orderBy($"score_scaled".desc, $"term".asc)
     val dfCounts = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-    tf.join(broadcast(dfCounts), Seq("term"))
+    tf.join(dfCounts, Seq("term"))  // vocab-sized build side — AQE decides
       // DECIMAL(19,0) before the product: tf (up to doc length) times a
       // df=1 idf of nDocs·10⁶ wraps LONG past ~9.2e18 — plausible at
       // 10¹⁰-doc corpora with high-tf spam docs (the crossGroupContainment

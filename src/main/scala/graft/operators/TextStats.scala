@@ -75,8 +75,10 @@ object TextStats {
     *
     * Plan: tf = one groupBy(doc, term); corpus freq = a combiner-friendly
     * groupBy(term) SUM (a corpus-wide hot term shrinks to #partitions
-    * partial rows — never a term-keyed window); join-back broadcast (the
-    * build side is vocab-sized); final agg is doc-keyed. Pass `totalHint`
+    * partial rows — never a term-keyed window); join-back UNHINTED (the
+    * build side is VOCAB-sized — web-scale vocabularies reach 10⁹ terms,
+    * so AQE decides: broadcast when small, shuffle when not); final agg
+    * is doc-keyed. Pass `totalHint`
     * when the corpus token count is known to skip the count pass. T·scale
     * must fit a long — lower `scale` for corpora beyond ~10^12 tokens. */
   def termRarity(df: DataFrame, idCol: String, textCol: String,
@@ -90,10 +92,13 @@ object TextStats {
     val total = totalHint.getOrElse(
       freq.agg(sum(col("freq"))).head().getLong(0))
     val ts = math.multiplyExact(total, scale)
-    tf.join(broadcast(freq), Seq("term"))
+    tf.join(freq, Seq("term"))
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("nt"),
-        sum(expr(s"tf * (CAST($ts AS BIGINT) div freq)")).as("rw"))
+        // DECIMAL per row: a hapax term's scaled inverse probability IS
+        // T·scale (up to ~9e18) — any tf ≥ 2 on it wraps a LONG product
+        sum(expr(s"CAST(tf AS DECIMAL(19,0))" +
+          s" * (CAST($ts AS BIGINT) div freq)")).as("rw"))
       .select(col("doc_id"), col("nt").cast(IntegerType).as("n_tokens"),
         expr("CAST(rw div nt AS BIGINT)").as("rarity_scaled"))
   }
@@ -178,7 +183,7 @@ object TextStats {
       .distinct()
     val dfc = td.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf && col("df") <= maxDf)
-    td.join(broadcast(dfc), "term")
+    td.join(dfc, "term")  // dfc is minDf/maxDf-filtered VOCAB — AQE decides
       .groupBy(col("term"), col("df"))
       .agg(concat_ws(",", expr("array_sort(collect_list(doc_id))")).as("postings"))
   }
@@ -665,7 +670,7 @@ object TextStats {
     val cands = items.groupBy(g: _*).agg(mg(col("__it")).as("__s"))
       .select(g ++ Seq(col("__s.n").as("__n"),
         explode(map_keys(col("__s.items"))).as("__it")): _*)
-    items.join(broadcast(cands), groupCols :+ "__it")
+    items.join(cands, groupCols :+ "__it")  // #groups×k rows, caller-keyed groups — AQE decides
       .groupBy(g :+ col("__it"): _*)
       .agg(count(lit(1)).as("cnt"), max(col("__n")).as("__n"))
       .filter(col("cnt") * lit(1000000L) >= col("__n") * lit(minFreqPpm))
