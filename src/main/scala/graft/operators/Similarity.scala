@@ -1282,8 +1282,10 @@ object Similarity {
       e.select($"vec_id".as("nid"), $"embedding"), "nid", "embedding",
       e.filter($"vec_id" < 3).select($"vec_id".as("query_id"), $"embedding".as("qemb")),
       "query_id", "qemb", k = 12, pairFilter = $"nid" =!= $"query_id")
-    val withVec = cands.join(
-      broadcast(e.select($"vec_id".as("nid"), $"embedding")), "nid")
+    // broadcast the CANDIDATES (queries×k rows), never the base table —
+    // at 10⁹ vectors the other direction is a corpus-scale broadcast
+    val withVec = broadcast(cands)
+      .join(e.select($"vec_id".as("nid"), $"embedding"), "nid")
     mmrRerank(withVec, "query_id", "nid", "embedding", "cosine", k = 3)
       .orderBy($"query_id", $"mmr_rank")
   }
