@@ -140,12 +140,16 @@ object Curation {
     val w = Window.partitionBy($"doc_id").orderBy($"score_scaled".desc, $"term".asc)
     val dfCounts = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     tf.join(dfCounts, Seq("term"))  // vocab-sized build side — AQE decides
-      // DECIMAL(19,0) before the product: tf (up to doc length) times a
-      // df=1 idf of nDocs·10⁶ wraps LONG past ~9.2e18 — plausible at
-      // 10¹⁰-doc corpora with high-tf spam docs (the crossGroupContainment
-      // overflow class). Result type DECIMAL(38,0), exact.
+      // DECIMAL(19,0) guard stays INSIDE the product: tf (up to doc
+      // length) times a df=1 idf of nDocs·10⁶ wraps LONG past ~9.2e18 —
+      // plausible at 10¹⁰-doc corpora with high-tf spam docs (the
+      // crossGroupContainment overflow class). The OUTPUT column is CAST
+      // back to BIGINT (house pattern of termRarity/tokenizerFertility):
+      // DECIMAL(38,0) output bridges as float64 on the oracle side. Under
+      // ANSI mode the final cast fails loudly if nDocs·10⁶·tf ever
+      // exceeds 9.2e18 — at that corpus scale, shrink the 10⁶ idf scale.
       .withColumn("score_scaled", expr(
-        s"CAST(tf AS DECIMAL(19,0)) * (CAST(${nDocs * 1000000L} AS BIGINT) div df)"))
+        s"CAST(CAST(tf AS DECIMAL(19,0)) * (CAST(${nDocs * 1000000L} AS BIGINT) div df) AS BIGINT)"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
       .select($"doc_id", $"term", $"tf", $"df", $"score_scaled", $"rank")
@@ -176,7 +180,7 @@ object Curation {
       |rk AS (SELECT doc_id, term, tf, df,
       |         CAST(CAST(tf AS DECIMAL(19,0))
       |           * ((SELECT COUNT(*) FROM documents) * 1000000 // df)
-      |           AS DECIMAL(38,0)) AS score_scaled,
+      |           AS BIGINT) AS score_scaled,
       |         ROW_NUMBER() OVER (PARTITION BY doc_id
       |           ORDER BY tf * ((SELECT COUNT(*) FROM documents) * 1000000 // df) DESC,
       |                    term ASC) AS rank

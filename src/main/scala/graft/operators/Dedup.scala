@@ -299,12 +299,15 @@ object Dedup {
     * links as a candidate — catches near-matches that differ in the
     * equi-block key itself (a typo in the first characters).
     *
-    * `sortCol` is compared AS A STRING (the prefix-bucket scheme is only
-    * order-aligned for lexicographic keys, and nulls coalesce to '',
-    * ranking first); a numeric key must be zero-padded upstream
-    * (`lpad(cast(n AS STRING), width, '0')`) or 111 ranks before 12.
-    * Output: (id_a, id_b, rank_a, rank_b, rank_dist), 0 < rank_dist ≤
-    * window, id_a/id_b in rank order.
+    * `sortCol` MUST be string-typed (enforced with a loud
+    * IllegalArgumentException): the prefix-bucket scheme is only
+    * order-aligned for lexicographic keys, so a silently stringified
+    * numeric key would rank 111 before 12 and emit wrong neighborhoods
+    * with no error. A numeric key must be made order-aligned upstream —
+    * zero-pad non-negatives (`lpad(cast(n AS STRING), width, '0')`), or
+    * offset-then-pad if negatives exist. Nulls coalesce to '', ranking
+    * first. Output: (id_a, id_b, rank_a, rank_b, rank_dist),
+    * 0 < rank_dist ≤ window, id_a/id_b in rank order.
     *
     * Scale: the global sort rank uses ORDER-ALIGNED prefix buckets
     * (substring of the sort key) — per-bucket `row_number` windows plus
@@ -320,6 +323,13 @@ object Dedup {
     import s.implicits._
     require(window >= 1, "window must be >= 1")
     require(prefixLen >= 1, "prefixLen must be >= 1")
+    // loud, not lenient: a stringified numeric key lexicographs
+    // (111 < 12) and produces silently-wrong neighborhoods
+    val sortType = df.schema(sortCol).dataType
+    require(sortType == StringType,
+      s"sortCol '$sortCol' is $sortType, not STRING: sorted-neighborhood " +
+        "ranks lexicographically (111 would rank before 12). Pre-format " +
+        "numeric keys order-aligned, e.g. lpad(cast(n AS STRING), width, '0').")
     // the bucket MUST be order-aligned with the sort key: a raw prefix is
     // monotone wrt lexicographic order (lower()/trim() would break the
     // alignment for mixed-case keys and split ranks across buckets).

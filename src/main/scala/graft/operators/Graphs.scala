@@ -908,17 +908,35 @@ object Graphs {
     })
     comp.select($"n".as("id"), $"lbl".as("component")).orderBy($"id")
   }
-  private val q155Sql =
-    s"""WITH RECURSIVE
-       |base AS (SELECT DISTINCT o_custkey + $custBase AS src, l_suppkey AS dst
-       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-       |und AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
-       |nodes AS (SELECT DISTINCT src AS id FROM und),
-       |reach(id, lab) AS (
-       |  SELECT id, id FROM nodes
-       |  UNION
-       |  SELECT u.dst, r.lab FROM reach r JOIN und u ON u.src = r.id)
-       |SELECT id, MIN(lab) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin
+  // Unrolled min-label propagation + pointer jumping (the q84 unrolled-CTE
+  // pattern), NOT the recursive transitive closure: the closure
+  // materializes O(n·|component|) reach rows — a 15s sf0.01 oracle and the
+  // sweep's 45s-DNF at sf0.1 — while 8 alternating (propagate, jump)
+  // rounds converge for any diameter ≲ 2^8 and run in ~2s at sf0.1.
+  // Convergence is checked empirically (round 8 ≡ round 9 at both sfs,
+  // and round 3 already ≡ the exact recursive closure at sf0.01); an
+  // under-unrolled oracle would surface as a check.py FAIL, never a
+  // silent pass, because the engine side is the exact fixpoint.
+  private val q155Sql = {
+    val rounds = 8
+    val head =
+      s"""base AS MATERIALIZED (SELECT DISTINCT o_custkey + $custBase AS src, l_suppkey AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |und AS MATERIALIZED (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+         |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lab FROM und)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT l.id, LEAST(MIN(l.lab), coalesce(MIN(nl.lab), MIN(l.lab))) AS lab
+         |  FROM l${r - 1} l
+         |  LEFT JOIN und u ON u.src = l.id
+         |  LEFT JOIN l${r - 1} nl ON nl.id = u.dst
+         |  GROUP BY l.id),
+         |l$r AS MATERIALIZED (
+         |  SELECT a.id, b.lab FROM p$r a JOIN p$r b ON b.id = a.lab)""".stripMargin
+    }
+    (head +: steps).mkString("WITH ", ",\n", "") +
+      s"\nSELECT id, lab AS component FROM l$rounds ORDER BY id"
+  }
 
   /** Budget-bounded multi-source weighted shortest paths (Bellman-Ford
     * rounds to fixpoint): min total edge weight from any seed, keeping

@@ -178,10 +178,15 @@ object Similarity {
       if (trainPct >= 100) vecs
       else vecs.filter(
         graft.functions.Ops.md5Long(concat(lit("kms:"), $"vec_id".cast("string"))) % 100L < trainPct)
+    // UNHINTED: callers apply broadcast() at their join sites. Baking the
+    // hint into the returned frame puts it under every non-join consumer
+    // too (pqShape's aggregate, pqEncode's collect) — Catalyst drops it
+    // there with a HintErrorLogger warning per analysis, which flooded
+    // the bench tail for a round.
     def centDf(cent: Seq[(Int, Array[Float])]): DataFrame =
-      broadcast(cent.toDF("cid", "ce").withColumn("cn", normScaled("ce")))
+      cent.toDF("cid", "ce").withColumn("cn", normScaled("ce"))
     def assign(cDf: DataFrame, data: DataFrame): DataFrame =
-      data.crossJoin(cDf)
+      data.crossJoin(broadcast(cDf))
         .select($"vec_id",
           struct(negate(cosine(dotScaled("ve", "ce"), $"vn", $"cn")).as("negcos"),
             $"cid").as("key"))
@@ -204,7 +209,7 @@ object Similarity {
           .select($"ve").head().getSeq[Float](0).toArray
         var c: Seq[(Int, Array[Float])] = Seq(0 -> first)
         while (c.size < nlist) {
-          val next = train.crossJoin(centDf(c))
+          val next = train.crossJoin(broadcast(centDf(c)))
             .groupBy($"vec_id")
             .agg(max(cosine(dotScaled("ve", "ce"), $"vn", $"cn")).as("maxcos"))
             .orderBy($"maxcos".asc, $"vec_id".asc).limit(1)
@@ -276,7 +281,7 @@ object Similarity {
     val wq = Window.partitionBy(col(queryIdCol))
       .orderBy(cosine(dotScaled("__qv", "ce"), col("__qn"), col("cn")).desc,
         col("cid").asc)
-    val probe = q.crossJoin(cent)
+    val probe = q.crossJoin(broadcast(cent))
       .withColumn("__crank", row_number().over(wq))
       .filter(col("__crank") <= nprobe)
       .select(col(queryIdCol), col("__qv"), col("__qn"), col("cid").as("__pcid"))
@@ -367,18 +372,29 @@ object Similarity {
     val base = Tables.embeddings(s, d).select($"vec_id", $"embedding".as("ve"))
     semanticDedupFrom(base, assign, tau = 0.9).orderBy($"vec_id")
   }
+  // all-pairs dots as a FLAT (vec_id, dim, val) equi-join aggregate, not a
+  // correlated per-pair subquery: same exact scaled-integer arithmetic
+  // (floor(a·b·1e15) summed in BIGINT), but vectorized — the correlated
+  // form was the sweep's 45s-DNF at sf0.1; this one finishes in seconds,
+  // so the cross-sf sweep needs no exclusion list
   private val q67Sql =
-    """WITH RECURSIVE norms AS (
-      |  SELECT vec_id, embedding,
-      |    (SELECT CAST(SUM(CAST(floor(embedding[i]::DOUBLE * embedding[i]::DOUBLE * 1e15) AS BIGINT)) AS BIGINT)
-      |     FROM unnest(range(1, len(embedding)+1)) u(i)) AS norm
+    """WITH RECURSIVE flat AS MATERIALIZED (
+      |  SELECT vec_id, unnest(range(1, len(embedding)+1)) AS i,
+      |    unnest(embedding)::DOUBLE AS v
       |  FROM embeddings),
+      |norms AS MATERIALIZED (
+      |  SELECT vec_id, CAST(SUM(CAST(floor(v * v * 1e15) AS BIGINT)) AS BIGINT) AS norm
+      |  FROM flat GROUP BY vec_id),
+      |dots AS (
+      |  SELECT a.vec_id AS va, b.vec_id AS vb,
+      |    CAST(SUM(CAST(floor(a.v * b.v * 1e15) AS BIGINT)) AS BIGINT) AS dot
+      |  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id
+      |  GROUP BY 1, 2),
       |close AS (
-      |  SELECT a.vec_id AS va, b.vec_id AS vb
-      |  FROM norms a JOIN norms b ON a.vec_id < b.vec_id
-      |  WHERE CAST((SELECT CAST(SUM(CAST(floor(a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE * 1e15) AS BIGINT)) AS BIGINT)
-      |      FROM unnest(range(1, len(a.embedding)+1)) u(i)) AS DOUBLE)
-      |    / (sqrt(CAST(a.norm AS DOUBLE)) * sqrt(CAST(b.norm AS DOUBLE))) >= 0.9),
+      |  SELECT d.va, d.vb FROM dots d
+      |  JOIN norms na ON na.vec_id = d.va JOIN norms nb ON nb.vec_id = d.vb
+      |  WHERE CAST(d.dot AS DOUBLE)
+      |    / (sqrt(CAST(na.norm AS DOUBLE)) * sqrt(CAST(nb.norm AS DOUBLE))) >= 0.9),
       |edges AS (SELECT va AS src, vb AS dst FROM close
       |          UNION ALL SELECT vb, va FROM close),
       |reach(n, m) AS (
@@ -633,7 +649,7 @@ object Similarity {
     val wq = Window.partitionBy(col(queryIdCol))
       .orderBy(cosine(dotScaled("__qv", "ce"), col("__qn2"), col("cn")).desc,
         col("cid").asc)
-    val probe = q.crossJoin(centroids)
+    val probe = q.crossJoin(broadcast(centroids))
       .withColumn("__crank", row_number().over(wq))
       .filter(col("__crank") <= nprobe)
       .select(col(queryIdCol).as("__pqid"), col("cid").as("__pcid"))
@@ -1038,8 +1054,19 @@ object Similarity {
     * M_j = 0), exact and order-independent in BIGINT — the float estimate
     * `alpha_m · m² · 2^49 / sum_scaled` is client-side arithmetic on this
     * one row (see [[hllEstimate]]; float division kept out of the oracled
-    * result on purpose — see SCALE.md on ulp-drift). */
+    * result on purpose — see SCALE.md on ulp-drift).
+    *
+    * `p` is capped at 12 here (tighter than [[hllRegisters]]' 16): the
+    * all-empty upper bound of `sum_scaled` is m·2^49 = 2^(p+49), which
+    * exceeds Long.MaxValue at p ≥ 14 — under ANSI mode that's a runtime
+    * crash on a near-empty sketch, silent wrap otherwise. Exactness needs
+    * the per-bucket scale ≥ 2^49 (max rho), so a BIGINT fold cannot go
+    * past p = 13; we stop at 12 (the usual HLL++ sweet spot, σ ≈ 1.6%).
+    * Registers sketched at p > 12 are still valid mergeable summaries —
+    * fold them with a wider (e.g. DECIMAL(38,0)) accumulator off-gate. */
   def hllFold(registers: DataFrame, p: Int): DataFrame = {
+    require(p >= 4 && p <= 12,
+      s"hllFold needs p in [4,12]: sum_scaled's bound 2^(p+49) overflows LONG at p>=14, got $p")
     val m = 1L << p
     registers.agg(
       lit((1 << p)).cast(IntegerType).as("m"),

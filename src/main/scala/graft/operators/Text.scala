@@ -715,6 +715,45 @@ object Text {
     s"""WITH ${winnowSelSql(WinK, WinW)}
        |SELECT doc_id, pos, fp FROM pick ORDER BY doc_id, pos""".stripMargin
 
+  // q253 — the SAME winnow pass reachable from Spark SQL TEXT alone: a
+  // SQL-only client (JDBC/Thrift, notebook %%sql) can build the winnowing
+  // index with one statement over a registered view, no Scala API. The
+  // statement mirrors winnowSelSql's CTE chain in Spark dialect (split/
+  // sequence/slice replace DuckDB's string_split_regex/range/array
+  // slicing; the sortable rightmost-min key encoding is identical), and
+  // the gate proves it equal to the exact oracle — so the Scala API
+  // (q242) and the SQL recipe can never drift apart silently.
+  private def winnowSparkSql(k: Int, w: Int, table: String): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, split(trim(text), '\\\\s+') AS t FROM $table),
+       |starts AS (
+       |  SELECT doc_id, t, explode(sequence(0, size(t) - $k)) AS p0
+       |  FROM toks WHERE size(t) >= $k),
+       |gw AS (
+       |  SELECT doc_id, p0, md5(concat_ws(' ', slice(t, p0 + 1, $k))) AS fp
+       |  FROM starts),
+       |keyed AS (
+       |  SELECT doc_id, p0,
+       |    concat(fp, lpad(CAST(9999999 - p0 AS STRING), 7, '0')) AS key
+       |  FROM gw),
+       |sel AS (
+       |  SELECT doc_id, p0,
+       |    MIN(key) OVER (PARTITION BY doc_id ORDER BY p0
+       |      ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS sk,
+       |    COUNT(*) OVER (PARTITION BY doc_id) AS n
+       |  FROM keyed),
+       |pick AS (
+       |  SELECT DISTINCT doc_id,
+       |    CAST(9999999 - CAST(substring(sk, 33, 7) AS BIGINT) AS BIGINT) AS pos,
+       |    substring(sk, 1, 32) AS fp
+       |  FROM sel WHERE p0 >= ${w - 1} OR (n < $w AND p0 = n - 1))
+       |SELECT doc_id, pos, fp FROM pick ORDER BY doc_id, pos""".stripMargin
+  private def q253(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d).createOrReplaceTempView("graft_documents")
+    s.sql(winnowSparkSql(WinK, WinW, "graft_documents"))
+  }
+  private val q253Sql = q242Sql
+
   private def q243(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     TextStats.winnowOverlapFrom(winnowPicks(s, d),
@@ -1435,6 +1474,7 @@ object Text {
     "q243_winnow_overlap" -> q243,
     "q246_winnow_decontam" -> q246,
     "q248_winnow_spans" -> q248,
+    "q253_winnow_pure_sql" -> q253,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1473,5 +1513,6 @@ object Text {
     "q243_winnow_overlap" -> q243Sql,
     "q246_winnow_decontam" -> q246Sql,
     "q248_winnow_spans" -> q248Sql,
+    "q253_winnow_pure_sql" -> q253Sql,
   )
 }

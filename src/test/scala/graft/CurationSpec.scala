@@ -64,11 +64,13 @@ class CurationSpec extends AnyFunSuite {
     assert(!top1.filterNot(_._1 == 104L).values.exists(boilerToks),
       s"boilerplate ranked first: $top1")
     assert(boilerToks(top1(104L)))
-    // scores are integer-exact: recompute doc 102's top term by hand
+    // scores are integer-exact (and BIGINT, not DECIMAL(38,0) — a wide
+    // scale-0 decimal output bridges as float64 across the verify gate):
+    // recompute doc 102's top term by hand
     val rows = Curation.tfidfTopK(docs, "my_id", "body", k = 1)
       .filter($"doc_id" === 102L).collect()
     val r = rows.head
-    assert(r.getAs[java.math.BigDecimal]("score_scaled").longValueExact ==
+    assert(r.getAs[Long]("score_scaled") ==
       r.getAs[Long]("tf") * (5L * 1000000L / r.getAs[Long]("df")))
   }
 

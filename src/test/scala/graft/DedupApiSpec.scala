@@ -394,6 +394,23 @@ class DedupApiSpec extends AnyFunSuite {
     assert(got == Set((1L, 2L), (2L, 3L)), s"got $got")
   }
 
+  test("sortedNeighborPairs rejects numeric sort keys loudly; zero-padded works") {
+    // a silently stringified numeric key lexicographs (111 < 12) and
+    // produces wrong neighborhoods with no error — must raise instead
+    val recs = Seq((1L, 12L), (2L, 111L), (3L, 13L)).toDF("rid", "amt")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.sortedNeighborPairs(recs, "rid", "amt", window = 1)
+    }
+    assert(e.getMessage.contains("not STRING"), e.getMessage)
+    // the documented upstream fix: zero-pad to an order-aligned string —
+    // 12 and 13 are rank-adjacent again (lexicographic 111 < 12 < 13
+    // would have wedged 111 between them)
+    val padded = recs.withColumn("amt_s", lpad($"amt".cast("string"), 6, "0"))
+    val got = Dedup.sortedNeighborPairs(padded, "rid", "amt_s", window = 1)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(got == Set((1L, 3L), (3L, 2L)), s"got $got")
+  }
+
   test("repeatedSpans fails loudly on a doc_id outside the PosEnc encoding range") {
     // the (doc_id, pos) tiebreak encodes as doc_id*2^20+pos; a negative id
     // (or a ≥1M-token doc) must raise, not silently corrupt which

@@ -308,6 +308,26 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"hll estimate $est vs exact $exact")
   }
 
+  test("hllFold: p capped at 12 (2^(p+49) LONG bound), exact at the cap") {
+    import spark.implicits._
+    // p >= 14 would put sum_scaled's all-empty bound past Long.MaxValue —
+    // must refuse loudly, not ANSI-crash rounds later on a near-empty sketch
+    val regs = Seq((0, 1)).toDF("bucket", "max_rho")
+    for (p <- Seq(14, 16)) {
+      val e = intercept[IllegalArgumentException] {
+        operators.Similarity.hllFold(regs, p)
+      }
+      assert(e.getMessage.contains("overflows LONG"), e.getMessage)
+    }
+    // at the cap the worst case is exact: empty register table folds to
+    // m * 2^49 = 2^61 with no overflow and no null
+    val empty = Seq.empty[(Int, Int)].toDF("bucket", "max_rho")
+    val row = operators.Similarity.hllFold(empty, 12).collect().head
+    assert(row.getAs[Int]("m") == 4096)
+    assert(row.getAs[Long]("nonzero_buckets") == 0L)
+    assert(row.getAs[Long]("sum_scaled") == (1L << 12) * (1L << 49))
+  }
+
   test("connectedComponents: local union-find and distributed propagation agree") {
     import spark.implicits._
     // chain 1-2-3, pair 10-11, triangle 20-21-22, singleton edge 30-31

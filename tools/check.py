@@ -1,14 +1,19 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate.
 
-Usage: python3 tools/check.py <sfDir> <outDir>
+Usage: python3 tools/check.py <sfDir> <outDir> [--timeout SECS]
 Reads each <outDir>/<name> parquet (written by graft.Verify), runs the
 matching oracle SQL from <outDir>/oracle_sql.json in DuckDB over the
 <sfDir> tables, sorts columns by name + rows by all columns, and compares
 values exactly (with a float near-miss report to distinguish order-dependent
 float drift from real bugs).
+
+--timeout SECS (cross-sf soak mode): interrupt any oracle running longer
+than SECS and report it as TIMEOUT (counted separately, not a FAIL) — at
+sf1 a handful of all-pairs oracles are DuckDB-side DNFs while the engine
+result is fine; without the watchdog one such oracle stalls the sweep.
 """
-import sys, json, math
+import sys, json, math, threading
 import duckdb
 import pandas as pd
 import numpy as np
@@ -53,12 +58,13 @@ def cmp_col(a, b):
         return "exact"
     return "near" if near else "mismatch"
 
-def main(sfdir, outdir):
+def main(sfdir, outdir, timeout=None):
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     fails = 0
+    timeouts = []
     import os
     for name in sorted(oracle):
         sql = oracle[name]
@@ -70,10 +76,23 @@ def main(sfdir, outdir):
             got = norm(pd.read_parquet(f"{outdir}/{name}"))
         except Exception as e:
             print(f"FAIL {name}: no spark result ({e})"); fails += 1; continue
+        timer = None
+        timed_out = []
+        if timeout:
+            timer = threading.Timer(timeout, lambda: (timed_out.append(1),
+                                                      con.interrupt()))
+            timer.start()
         try:
             exp = norm(con.sql(sql).df())
         except Exception as e:
+            if timer: timer.cancel()
+            if timed_out:
+                print(f"TIMEOUT {name}: oracle exceeded {timeout}s (not a FAIL)")
+                timeouts.append(name)
+                continue
             print(f"FAIL {name}: oracle error: {e}"); fails += 1; continue
+        finally:
+            if timer: timer.cancel()
         if list(got.columns) != list(exp.columns):
             print(f"FAIL {name}: columns {list(got.columns)} vs {list(exp.columns)}")
             fails += 1; continue
@@ -97,8 +116,15 @@ def main(sfdir, outdir):
             fails += 1
         else:
             print(f"OK   {name} ({len(got)} rows)")
-    print(f"\n{len(oracle)-fails}/{len(oracle)} queries match")
+    extra = f", {len(timeouts)} oracle timeouts ({' '.join(timeouts)})" if timeouts else ""
+    print(f"\n{len(oracle)-fails-len(timeouts)}/{len(oracle)} queries match{extra}")
     return 1 if fails else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    tmo = None
+    argv = sys.argv[1:]
+    if "--timeout" in argv:
+        i = argv.index("--timeout")
+        tmo = float(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    sys.exit(main(argv[0], argv[1], timeout=tmo))

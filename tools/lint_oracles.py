@@ -1,12 +1,24 @@
 #!/usr/bin/env python3
-"""Oracle-typing lint: catch the DuckDB HUGEINT widening bug class.
+"""Oracle-typing lint: catch the DuckDB gate-bridge typing bug classes.
 
 Rounds 6 and 8 each lost a gate row to the same defect: an oracle SQL
 whose output column types as DuckDB HUGEINT (windowed/plain SUM over
 BIGINT widens; `x // y` on a HUGEINT stays HUGEINT) while the Spark side
-emits LONG — values identical, hash mismatched.  This lint DESCRIBEs
-every oracle against the real sf tables and fails if any output column
-has a type Spark cannot emit (HUGEINT, UHUGEINT, unsigned ints, INT128).
+emits LONG — values identical, hash mismatched.  Round 10 found the
+same class one layer deeper: a DECIMAL(p,0) output with p > 18 crosses
+DuckDB's dataframe bridge as float64 ("6377550.0") while Spark emits the
+exact decimal — again values identical, hash mismatched (q58).  This
+lint DESCRIBEs every oracle against the real sf tables and fails if any
+output column has a type the gate bridge cannot round-trip.
+
+Gate-safe output types (empirically, from 250+ green gate rows):
+BIGINT / INTEGER / SMALLINT / TINYINT / DOUBLE / FLOAT / VARCHAR /
+DATE / TIMESTAMP / BOOLEAN / DECIMAL(p<=18, 0) / DECIMAL(p, s>0)
+(money-style sums bridge fine).  Unsafe: HUGEINT family (not
+Spark-emittable at all) and DECIMAL(p>18, 0) (bridges as float64).
+House rule for wide integer math: keep the DECIMAL guard INSIDE the
+expression, CAST the final output column to BIGINT on BOTH sides —
+under ANSI mode Spark fails loudly if a value ever exceeds 2^63.
 
 Usage: python3 tools/lint_oracles.py <sfDir> <oracle_sql.json>
    or: python3 tools/lint_oracles.py <sfDir>            # runs graft.Verify's
@@ -22,6 +34,23 @@ TABLES = ["region","nation","customer","supplier","part","orders",
 # DuckDB types with no LONG/INT/DOUBLE/DECIMAL(<=38) Spark counterpart.
 BAD_TYPES = ("HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER", "USMALLINT",
              "UTINYINT", "INT128")
+
+import re
+# DECIMAL(p,0) with p > 18: Spark emits it exactly but DuckDB's
+# dataframe bridge renders it as float64 — the q58 (round 10) red class.
+_WIDE_DEC = re.compile(r"DECIMAL\((\d+),\s*0\)")
+
+
+def is_bad_type(typ):
+    """(is_bad, reason) for a DESCRIBEd DuckDB column type string."""
+    u = typ.upper()
+    if any(b in u for b in BAD_TYPES):
+        return True, "not Spark-emittable; add CAST(... AS BIGINT) in the oracle SQL"
+    m = _WIDE_DEC.search(u)
+    if m and int(m.group(1)) > 18:
+        return True, ("scale-0 decimal wider than 18 digits bridges as "
+                      "float64; CAST the final column to BIGINT on BOTH sides")
+    return False, None
 
 
 def main():
@@ -53,10 +82,20 @@ def main():
     probe = con.execute(
         "DESCRIBE SELECT SUM(x) AS s FROM (SELECT CAST(1 AS BIGINT) AS x)"
     ).fetchall()
-    assert any(any(b in typ.upper() for b in BAD_TYPES)
-               for _, typ, *_ in probe), (
+    assert any(is_bad_type(typ)[0] for _, typ, *_ in probe), (
         "lint self-test failed: SUM(BIGINT) no longer DESCRIBEs as a "
         "bad type — update BAD_TYPES for this DuckDB version")
+    # second probe: the round-10 q58 signature — a wide scale-0 decimal
+    # product (DECIMAL(19,0) * BIGINT -> DECIMAL(38,0)) must be flagged,
+    # while DECIMAL(18,0) and DECIMAL(38,6) must pass
+    probe2 = con.execute(
+        "DESCRIBE SELECT CAST(2 AS DECIMAL(19,0)) * CAST(3 AS BIGINT) AS w, "
+        "CAST(1 AS DECIMAL(18,0)) AS ok1, CAST(1.5 AS DECIMAL(38,6)) AS ok2"
+    ).fetchall()
+    verdicts = {col: is_bad_type(typ)[0] for col, typ, *_ in probe2}
+    assert verdicts == {"w": True, "ok1": False, "ok2": False}, (
+        f"lint self-test failed: wide scale-0 decimal detection broken "
+        f"({verdicts}) — update is_bad_type for this DuckDB version")
 
     bad, errs = [], []
     for name, sql in sorted(oracles.items()):
@@ -66,12 +105,12 @@ def main():
             errs.append((name, str(e).splitlines()[0][:200]))
             continue
         for col, typ, *_ in desc:
-            if any(b in typ.upper() for b in BAD_TYPES):
-                bad.append((name, col, typ))
+            is_bad, reason = is_bad_type(typ)
+            if is_bad:
+                bad.append((name, col, typ, reason))
 
-    for name, col, typ in bad:
-        print(f"BAD TYPE  {name}.{col}: {typ} (add CAST(... AS BIGINT) "
-              f"in the oracle SQL)")
+    for name, col, typ, reason in bad:
+        print(f"BAD TYPE  {name}.{col}: {typ} ({reason})")
     for name, err in errs:
         print(f"DESCRIBE FAILED  {name}: {err}")
     print(f"lint_oracles: {len(oracles)} oracles, {len(bad)} bad-typed "
