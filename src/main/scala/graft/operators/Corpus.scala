@@ -139,6 +139,56 @@ object Corpus {
        |ORDER BY cand.doc_id, cand.dup_id""".stripMargin
   }
 
+  // q254 — the SAME incremental pass reachable from Spark SQL TEXT alone
+  // (the pure-SQL client surface, like q253's winnow recipe): shingle →
+  // 8 salted md5 min-hash signatures → 2×4 banding → band equi-joins
+  // (new-vs-index, new-vs-new) → signature-agreement est_sim, all in one
+  // spark.sql statement over a registered documents view. In production
+  // the `sigs`-for-the-standing-corpus CTE is replaced by a stored
+  // signature-index TABLE (Dedup.minhashIndex's persisted artifact) —
+  // the statement shape is otherwise exactly this. Gate-proven equal to
+  // q245's oracle, so the Scala API and the SQL recipe cannot drift.
+  private def minhashIncrementalSparkSql(table: String): String = {
+    val mins = (0 until 8).map(i =>
+      s"min(CAST(conv(substring(md5(concat('s$i:', s)), 1, 15), 16, 10) AS BIGINT)) AS h$i")
+      .mkString(",\n  ")
+    val matches = (0 until 8).map(i =>
+      s"CASE WHEN x.h$i = y.h$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, split(trim(text), '\\\\s+') AS t FROM $table),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    explode(transform(sequence(1, size(t) - 3),
+       |      i -> concat_ws(' ', slice(t, i, 4)))) AS s
+       |  FROM toks WHERE size(t) >= 4),
+       |sigs AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, 0 AS band, concat_ws(',', h0, h1, h2, h3) AS bkey FROM sigs
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, concat_ws(',', h4, h5, h6, h7) AS bkey FROM sigs),
+       |cand AS (
+       |  SELECT DISTINCT n.doc_id AS doc_id, o.doc_id AS dup_id, 'old' AS vs
+       |  FROM banded n JOIN banded o
+       |    ON n.band = o.band AND n.bkey = o.bkey
+       |   AND n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0
+       |  UNION ALL
+       |  SELECT DISTINCT a.doc_id, b.doc_id, 'new'
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |   AND a.doc_id % 5 = 0 AND b.doc_id % 5 = 0)
+       |SELECT cand.doc_id, cand.dup_id,
+       |  CAST($matches AS DOUBLE) / 8 AS est_sim, cand.vs
+       |FROM cand JOIN sigs x ON cand.doc_id = x.doc_id
+       |          JOIN sigs y ON cand.dup_id = y.doc_id
+       |WHERE CAST($matches AS DOUBLE) / 8 >= 0.5
+       |ORDER BY cand.doc_id, cand.dup_id""".stripMargin
+  }
+  private def q254(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d).createOrReplaceTempView("graft_documents")
+    s.sql(minhashIncrementalSparkSql("graft_documents"))
+  }
+  private val q254Sql = q245Sql
+
   // q249 — per-source tokenizer fertility/fragmentation audit
   // (TextStats.tokenizerFertility) over the SAME memoized fit+segment
   // artifacts as q130/q236: which domain the learned tokenizer serves
@@ -816,6 +866,7 @@ object Corpus {
     "q66_term_rarity" -> q66,
     "q68_minhash_against" -> q68,
     "q245_incremental_minhash" -> q245,
+    "q254_incremental_pure_sql" -> q254,
     "q249_tokenizer_fertility" -> q249,
     "q69_bm25_topk" -> q69,
     "q80_hybrid_rrf" -> q80,
@@ -843,6 +894,7 @@ object Corpus {
     "q66_term_rarity" -> q66Sql,
     "q68_minhash_against" -> q68Sql,
     "q245_incremental_minhash" -> q245Sql,
+    "q254_incremental_pure_sql" -> q254Sql,
     "q249_tokenizer_fertility" -> q249Sql,
     "q69_bm25_topk" -> q69Sql,
     "q80_hybrid_rrf" -> q80Sql,

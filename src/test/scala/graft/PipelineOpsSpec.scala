@@ -308,6 +308,24 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"hll estimate $est vs exact $exact")
   }
 
+  test("fitted centroid/codebook frames carry no baked broadcast hint") {
+    // the hint belongs at the JOIN SITE: a hint baked into the returned
+    // frame sits under every non-join consumer too (pqShape's aggregate,
+    // pqEncode's collect) where Catalyst drops it with a HintErrorLogger
+    // warning per analysis — the class that flooded BENCH_r11's tail
+    def hints(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+    val emb = Tables.embeddings(spark, sf)
+    val (cent, _) = operators.Similarity.kmeansFit(
+      emb, "embedding", nlist = 2, iters = 1)
+    assert(hints(cent).isEmpty, "centroid frame carries a baked join hint")
+    val codebook = operators.Similarity.pqFit(
+      emb, "vec_id", "embedding", m = 2, ksub = 2, iters = 1)
+    assert(hints(codebook).isEmpty, "PQ codebook carries a baked join hint")
+  }
+
   test("hllFold: p capped at 12 (2^(p+49) LONG bound), exact at the cap") {
     import spark.implicits._
     // p >= 14 would put sum_scaled's all-empty bound past Long.MaxValue —
