@@ -140,52 +140,66 @@ object Corpus {
   }
 
   // q254 — the SAME incremental pass reachable from Spark SQL TEXT alone
-  // (the pure-SQL client surface, like q253's winnow recipe): shingle →
-  // 8 salted md5 min-hash signatures → 2×4 banding → band equi-joins
-  // (new-vs-index, new-vs-new) → signature-agreement est_sim, all in one
-  // spark.sql statement over a registered documents view. In production
-  // the `sigs`-for-the-standing-corpus CTE is replaced by a stored
-  // signature-index TABLE (Dedup.minhashIndex's persisted artifact) —
-  // the statement shape is otherwise exactly this. Gate-proven equal to
-  // q245's oracle, so the Scala API and the SQL recipe cannot drift.
-  private def minhashIncrementalSparkSql(table: String): String = {
+  // (the pure-SQL client surface, like q253's winnow recipe): the NEW
+  // BATCH shingles and signs itself in SQL (8 salted md5 min-hashes →
+  // 2×4 banding), while the STANDING CORPUS enters only as its stored
+  // signature-index view (`graft_minhash_index` — in production a real
+  // table, here the same memoized frame q245 serves from, so the two
+  // queries share one index build); band equi-joins give new-vs-old and
+  // new-vs-new candidates, est_sim = signature agreement. The statement
+  // never touches old TEXT — the append-only asymmetry the operator
+  // exists for, preserved in the SQL recipe. Gate-proven equal to q245's
+  // oracle, so the Scala API and the SQL recipe cannot drift.
+  private def minhashIncrementalSparkSql(docsTable: String,
+      indexTable: String): String = {
     val mins = (0 until 8).map(i =>
       s"min(CAST(conv(substring(md5(concat('s$i:', s)), 1, 15), 16, 10) AS BIGINT)) AS h$i")
       .mkString(",\n  ")
+    val hs = (0 until 8).map(i => s"h$i").mkString(", ")
     val matches = (0 until 8).map(i =>
       s"CASE WHEN x.h$i = y.h$i THEN 1 ELSE 0 END").mkString(" + ")
     s"""WITH toks AS (
-       |  SELECT doc_id, split(trim(text), '\\\\s+') AS t FROM $table),
+       |  SELECT doc_id, split(trim(text), '\\\\s+') AS t
+       |  FROM $docsTable WHERE doc_id % 5 = 0),
        |sh AS (
        |  SELECT DISTINCT doc_id,
        |    explode(transform(sequence(1, size(t) - 3),
        |      i -> concat_ws(' ', slice(t, i, 4)))) AS s
        |  FROM toks WHERE size(t) >= 4),
-       |sigs AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
-       |banded AS (
-       |  SELECT doc_id, 0 AS band, concat_ws(',', h0, h1, h2, h3) AS bkey FROM sigs
+       |newsigs AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, $hs FROM newsigs
+       |         UNION ALL SELECT doc_id, $hs FROM $indexTable),
+       |banded_new AS (
+       |  SELECT doc_id, 0 AS band, concat_ws(',', h0, h1, h2, h3) AS bkey FROM newsigs
        |  UNION ALL
-       |  SELECT doc_id, 1 AS band, concat_ws(',', h4, h5, h6, h7) AS bkey FROM sigs),
+       |  SELECT doc_id, 1 AS band, concat_ws(',', h4, h5, h6, h7) AS bkey FROM newsigs),
+       |banded_old AS (
+       |  SELECT doc_id, 0 AS band, concat_ws(',', h0, h1, h2, h3) AS bkey FROM $indexTable
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, concat_ws(',', h4, h5, h6, h7) AS bkey FROM $indexTable),
        |cand AS (
        |  SELECT DISTINCT n.doc_id AS doc_id, o.doc_id AS dup_id, 'old' AS vs
-       |  FROM banded n JOIN banded o
+       |  FROM banded_new n JOIN banded_old o
        |    ON n.band = o.band AND n.bkey = o.bkey
-       |   AND n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0
        |  UNION ALL
        |  SELECT DISTINCT a.doc_id, b.doc_id, 'new'
-       |  FROM banded a JOIN banded b
-       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-       |   AND a.doc_id % 5 = 0 AND b.doc_id % 5 = 0)
+       |  FROM banded_new a JOIN banded_new b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
        |SELECT cand.doc_id, cand.dup_id,
        |  CAST($matches AS DOUBLE) / 8 AS est_sim, cand.vs
-       |FROM cand JOIN sigs x ON cand.doc_id = x.doc_id
+       |FROM cand JOIN newsigs x ON cand.doc_id = x.doc_id
        |          JOIN sigs y ON cand.dup_id = y.doc_id
        |WHERE CAST($matches AS DOUBLE) / 8 >= 0.5
        |ORDER BY cand.doc_id, cand.dup_id""".stripMargin
   }
   private def q254(s: SparkSession, d: String): DataFrame = {
-    Tables.documents(s, d).createOrReplaceTempView("graft_documents")
-    s.sql(minhashIncrementalSparkSql("graft_documents"))
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    docs.createOrReplaceTempView("graft_documents")
+    idxCache.getOrElseUpdate((s, d), Dedup.minhashIndex(
+        docs.filter($"doc_id" % 5 =!= 0), "doc_id", "text").persist())
+      .createOrReplaceTempView("graft_minhash_index")
+    s.sql(minhashIncrementalSparkSql("graft_documents", "graft_minhash_index"))
   }
   private val q254Sql = q245Sql
 
