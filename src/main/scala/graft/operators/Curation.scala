@@ -973,6 +973,48 @@ object Curation {
        |        < epochs_ppm % 1000000
        |ORDER BY doc_id, epoch""".stripMargin
 
+  // q255 — plan + materialization reachable from Spark SQL TEXT alone
+  // (the pure-SQL surface for the epoch-plan family, completing the
+  // q253/q254 recipe set): the per-source token aggregate, the
+  // weight-map VALUES list, the capped ppm-epoch plan, and the
+  // ⌊epochs⌋-copies + deterministic-hash fractional-epoch expansion, in
+  // ONE spark.sql statement over a registered documents view. Integer
+  // bounds: budget·weight ≤ 2.1e11 here so plain BIGINT DIV arithmetic
+  // is exact (the Scala API's DECIMAL guards exist for 10¹⁸-token
+  // budgets; a SQL client at that scale wraps the products in
+  // CAST(... AS DECIMAL(19,0)) the same way). Gate-proven equal to
+  // q247's oracle, so the Scala API and the recipe cannot drift.
+  private def epochMaterializeSparkSql(table: String): String = {
+    val values = epochWeights.toSeq.sorted
+      .map { case (src, w) => s"('$src', ${w}L)" }.mkString(", ")
+    val md5l = "CAST(conv(substring(md5(concat('ep:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    s"""WITH tot AS (
+       |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS n_tokens
+       |  FROM $table GROUP BY source),
+       |w AS (SELECT * FROM VALUES $values AS w(source, weight_ppm)),
+       |plan AS (
+       |  SELECT t.source,
+       |    CAST(CASE WHEN t.n_tokens = 0 THEN 0 ELSE LEAST(2500000L,
+       |        (1000000L * COALESCE(w.weight_ppm, 0L) DIV 1000000L) * 1000000L
+       |          DIV t.n_tokens) END AS BIGINT) AS epochs_ppm
+       |  FROM tot t LEFT OUTER JOIN w ON t.source = w.source),
+       |rep AS (
+       |  SELECT d.doc_id, d.source, r.ep, p.epochs_ppm
+       |  FROM $table d JOIN plan p ON d.source = p.source
+       |  LATERAL VIEW explode(sequence(0L, ${2500000L / 1000000L})) r AS ep
+       |  WHERE r.ep <= p.epochs_ppm DIV 1000000L)
+       |SELECT doc_id, source, CAST(ep AS BIGINT) AS epoch
+       |FROM rep
+       |WHERE ep < epochs_ppm DIV 1000000L
+       |   OR $md5l % 1000000L < epochs_ppm % 1000000L
+       |ORDER BY doc_id, epoch""".stripMargin
+  }
+  private def q255(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d).createOrReplaceTempView("graft_documents")
+    s.sql(epochMaterializeSparkSql("graft_documents"))
+  }
+  private val q255Sql = q247Sql
+
   // q134 — token-budget mixing: the first 4k chars of every source in
   // hash-priority order (n_chars as the token weight — the weight column
   // is the caller's choice). Output size is budget-bounded at ANY sf.
@@ -1265,6 +1307,7 @@ object Curation {
     "q239_target_affinity" -> q239,
     "q244_epoch_plan" -> q244,
     "q247_epoch_materialize" -> q247,
+    "q255_epoch_pure_sql" -> q255,
     "q235_curriculum_shards" -> q235,
     "q200_report_card" -> q200,
     "q158_split_assign" -> q158,
@@ -1287,6 +1330,7 @@ object Curation {
   val oracles: Map[String, String] = Map(
     "q244_epoch_plan" -> q244Sql,
     "q247_epoch_materialize" -> q247Sql,
+    "q255_epoch_pure_sql" -> q255Sql,
     "q239_target_affinity" -> q239Sql,
     "q235_curriculum_shards" -> q235Sql,
     "q200_report_card" -> q200Sql,
