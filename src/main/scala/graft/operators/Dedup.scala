@@ -234,6 +234,62 @@ object Dedup {
         b0.join(kept, Seq("__blk")).select(b0.columns.map(col): _*)
     }
 
+  /** Rows of a hot block above this size take the grid-salted self-join
+    * path in [[blockSelfJoin]]; smaller blocks pay zero replication. */
+  private val HotBlockThreshold = 512L
+
+  /** Grid cells per axis for a hot block's self-join: its pair work
+    * spreads over grid² shuffle cells, its rows replicate grid× per side. */
+  private val PairGrid = 16
+
+  /** Within-block self-join where each same-`__blk` (a, c) row pair meets
+    * EXACTLY once, with hot blocks spread over [[PairGrid]]² shuffle cells
+    * instead of one. A blocked pair generator's equi-join sends every row
+    * of a block to ONE reducer — the sf1 soak measured q96's hottest
+    * 12-char-prefix block running minutes on one core while 31 idled, and
+    * at 100 TB a boilerplate-heavy prefix guarantees that straggler. Cold
+    * blocks (≤ [[HotBlockThreshold]] rows) keep the plain equi-join (no
+    * replication); hot-block rows replicate grid× per side and land in
+    * cell (id_a mod grid, id_c mod grid) — deterministic, so plans and
+    * results replay identically and pair semantics are UNCHANGED (callers
+    * still apply their own a<b + scoring filters). The block-size
+    * aggregate is combiner-friendly and the hot/cold splits are plain
+    * equi-joins on `__blk` — unhinted, AQE sizes them. */
+  private def blockSelfJoin(a: DataFrame, c: DataFrame,
+      aId: String, cId: String): DataFrame = {
+    val s = a.sparkSession
+    import s.implicits._
+    // Probe-side parallelism must be FORCED, not inherited: the build
+    // side is usually broadcast (it's the same corpus, AQE sizes it), so
+    // no shuffle keys the join — the probe runs at the upstream SCAN's
+    // parallelism (often 1 task for a single small-file table) and the
+    // per-pair scoring serializes regardless of the grid. An explicit
+    // numPartitions repartition survives AQE (REPARTITION_BY_NUM is
+    // never coalesced), unlike the join's own exchange, which AQE's
+    // bytes-based coalescing would merge to ~1 partition exactly because
+    // candidate rows are small while the downstream per-pair work is
+    // quadratic (the CPU-heavy-small-shuffle blind spot).
+    val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val hot = a.groupBy($"__blk").agg(count(lit(1)).as("__bn"))
+      .filter($"__bn" > HotBlockThreshold).select($"__blk")
+    val cold = a.join(hot, Seq("__blk"), "left_anti")
+      .repartition(p, col("__blk"))
+      .join(c.join(hot, Seq("__blk"), "left_anti"), Seq("__blk"))
+    val g = lit(PairGrid.toLong)
+    val aRep = a.join(hot, Seq("__blk"))
+      .withColumn("__ga", pmod(col(aId), g))
+      .withColumn("__gb", explode(sequence(lit(0L), g - lit(1L))))
+      .repartition(math.max(p, PairGrid * PairGrid),
+        col("__blk"), col("__ga"), col("__gb"))
+    val cRep = c.join(hot, Seq("__blk"))
+      .withColumn("__gb", pmod(col(cId), g))
+      .withColumn("__ga", explode(sequence(lit(0L), g - lit(1L))))
+    // a pair (a, c) of a hot block matches in exactly one cell:
+    // (__ga, __gb) = (id_a mod g, id_c mod g)
+    cold.unionByName(
+      aRep.join(cRep, Seq("__blk", "__ga", "__gb")).drop("__ga", "__gb"))
+  }
+
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int, blockPrefix: Int = 12,
       maxBlockSize: Option[Long] = None): DataFrame = {
@@ -251,7 +307,7 @@ object Dedup {
       $"__blk", $"__len".as("__la"))
     val c = b.select($"doc_id".as("doc_b"), $"text".as("__tb"),
       $"__blk", $"__len".as("__lb"))
-    a.join(c, Seq("__blk"))
+    blockSelfJoin(a, c, "doc_a", "doc_b")
       .filter($"doc_a" < $"doc_b" && abs($"__la" - $"__lb") <= maxDist)
       .select($"doc_a", $"doc_b",
         levenshtein($"__ta", $"__tb", maxDist).as("dist"))
@@ -286,7 +342,7 @@ object Dedup {
     val b = capBlocks(b0, maxBlockSize)
     val a = b.select($"__id".as("id_a"), $"__name".as("__na"), $"__blk")
     val c = b.select($"__id".as("id_b"), $"__name".as("__nb"), $"__blk")
-    a.join(c, Seq("__blk"))
+    blockSelfJoin(a, c, "id_a", "id_b")
       .filter($"id_a" < $"id_b")
       .withColumn("sim", graft.plans.JaroWinkler($"__na", $"__nb"))
       .filter($"sim" >= minSim)
@@ -392,7 +448,7 @@ object Dedup {
     val c = b.toDF(("id_b" +: "__blk" +: fields.map(f => s"__b_${f._1}")): _*)
     val sims = fields.map { case (f, _) =>
       graft.plans.JaroWinkler(col(s"__a_$f"), col(s"__b_$f")).as(s"sim_$f") }
-    a.join(c, Seq("__blk"))
+    blockSelfJoin(a, c, "id_a", "id_b")
       .filter($"id_a" < $"id_b")
       .select(($"id_a" +: $"id_b" +: sims): _*)
       .withColumn("score",

@@ -394,6 +394,36 @@ class DedupApiSpec extends AnyFunSuite {
     assert(got == Set((1L, 2L), (2L, 3L)), s"got $got")
   }
 
+  test("editDistancePairs: grid-salted hot blocks emit exactly the plain-join pairs") {
+    // 600 docs share one 12-char prefix (hot: > the 512 threshold, takes
+    // the grid-salted path), 50 share another (cold: plain equi-join).
+    // The salted self-join must produce the IDENTICAL pair set the
+    // unsalted equi-join defines — each hot pair meets in exactly one
+    // grid cell, and no cross-block pair appears.
+    val docs = ((0 until 600).map(i => (i.toLong, s"hotprefix000 doc $i")) ++
+      (1000 until 1050).map(i => (i.toLong, s"coldprefix00 doc $i")))
+      .toDF("my_id", "body")
+    val got = Dedup.editDistancePairs(docs, "my_id", "body",
+        maxDist = 8, blockPrefix = 12)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("dist"))).toSet
+    val n = docs.select($"my_id".as("id"), trim($"body").as("t"),
+      substring(lower(trim($"body")), 1, 12).as("blk"),
+      length(trim($"body")).as("len"))
+    val exp = n.as("x").join(n.as("y"), col("x.blk") === col("y.blk"))
+      .filter(col("x.id") < col("y.id") &&
+        abs(col("x.len") - col("y.len")) <= 8)
+      .select(col("x.id"), col("y.id"),
+        levenshtein(col("x.t"), col("y.t"), 8).as("d"))
+      .filter($"d" >= 0 && $"d" <= 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(exp.nonEmpty && got == exp,
+      s"salted ${got.size} pairs vs plain ${exp.size}")
+    assert(!got.exists { case (a, b, _) => a < 1000 && b >= 1000 },
+      "cross-block pair leaked through the grid join")
+  }
+
   test("sortedNeighborPairs rejects numeric sort keys loudly; zero-padded works") {
     // a silently stringified numeric key lexicographs (111 < 12) and
     // produces wrong neighborhoods with no error — must raise instead
