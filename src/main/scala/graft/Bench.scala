@@ -21,6 +21,18 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Keep the captured WARN tail a real signal channel: the 13 audited
+    // bounded-input global-window queries (PlanSpec whitelist) each emit a
+    // "No Partition Defined" WARN per run, and local-mode re-registration
+    // emits "Block ... already exists" — hundreds of known-benign lines
+    // that drown any NEW warning in the 2000-char tail the driver keeps
+    // (the round-11 hint flood lesson). Silence exactly those two loggers.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.storage.BlockManager",
+      org.apache.logging.log4j.Level.ERROR)
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).count()

@@ -235,15 +235,20 @@ object Dedup {
     }
 
   /** Rows of a hot block above this size take the grid-salted self-join
-    * path in [[blockSelfJoin]]; smaller blocks pay zero replication. */
+    * path in [[blockSelfJoin]]; smaller blocks pay zero replication.
+    * Overridable per session via `graft.dedup.hotBlockThreshold` (a
+    * cluster sizing knob: the per-cell pair budget is threshold²). */
   private val HotBlockThreshold = 512L
 
-  /** Grid cells per axis for a hot block's self-join: its pair work
-    * spreads over grid² shuffle cells, its rows replicate grid× per side. */
-  private val PairGrid = 16
+  /** Upper bound on a hot block's grid cells per axis. The per-block grid
+    * is `clamp(ceil(sqrt(n / HotBlockThreshold)), 2, MaxPairGrid)`, so a
+    * cell's pair work stays ~[[HotBlockThreshold]]² regardless of block
+    * size until this cap; rows replicate grid× per side, so the cap also
+    * bounds replication at 64× for a pathological (10⁶-row+) block. */
+  private val MaxPairGrid = 64L
 
   /** Within-block self-join where each same-`__blk` (a, c) row pair meets
-    * EXACTLY once, with hot blocks spread over [[PairGrid]]² shuffle cells
+    * EXACTLY once, with hot blocks spread over grid² shuffle cells
     * instead of one. A blocked pair generator's equi-join sends every row
     * of a block to ONE reducer — the sf1 soak measured q96's hottest
     * 12-char-prefix block running minutes on one core while 31 idled, and
@@ -252,7 +257,11 @@ object Dedup {
     * replication); hot-block rows replicate grid× per side and land in
     * cell (id_a mod grid, id_c mod grid) — deterministic, so plans and
     * results replay identically and pair semantics are UNCHANGED (callers
-    * still apply their own a<b + scoring filters). The block-size
+    * still apply their own a<b + scoring filters). The grid ADAPTS per
+    * block — computed from the block-size column, so both sides of a
+    * block derive the same grid with no driver-side action and a block
+    * N× the threshold gets ~√N cells per axis (a fixed grid concentrates
+    * N²/g² per cell as N grows past g²·threshold). The block-size
     * aggregate is combiner-friendly and the hot/cold splits are plain
     * equi-joins on `__blk` — unhinted, AQE sizes them. */
   private def blockSelfJoin(a: DataFrame, c: DataFrame,
@@ -269,25 +278,41 @@ object Dedup {
     // bytes-based coalescing would merge to ~1 partition exactly because
     // candidate rows are small while the downstream per-pair work is
     // quadratic (the CPU-heavy-small-shuffle blind spot).
-    val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+    // non-numeric conf values (e.g. "auto" on AQE-managed platforms) fall
+    // back to the context default instead of crashing at plan time
+    val p = scala.util.Try(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(s.sparkContext.defaultParallelism)
+    val thr = scala.util.Try(
+      s.conf.get("graft.dedup.hotBlockThreshold").toLong)
+      .getOrElse(HotBlockThreshold)
     val hot = a.groupBy($"__blk").agg(count(lit(1)).as("__bn"))
-      .filter($"__bn" > HotBlockThreshold).select($"__blk")
-    val cold = a.join(hot, Seq("__blk"), "left_anti")
+      .filter($"__bn" > thr)
+    val hotKeys = hot.select($"__blk")
+    val cold = a.join(hotKeys, Seq("__blk"), "left_anti")
       .repartition(p, col("__blk"))
-      .join(c.join(hot, Seq("__blk"), "left_anti"), Seq("__blk"))
-    val g = lit(PairGrid.toLong)
+      .join(c.join(hotKeys, Seq("__blk"), "left_anti"), Seq("__blk"))
+    // per-block grid from the joined-in size column — both sides compute
+    // the identical value, so the cell join stays exact
+    val g = least(greatest(
+      ceil(sqrt($"__bn".cast("double") / thr)), lit(2L)),
+      lit(MaxPairGrid)).cast("long")
     val aRep = a.join(hot, Seq("__blk"))
-      .withColumn("__ga", pmod(col(aId), g))
-      .withColumn("__gb", explode(sequence(lit(0L), g - lit(1L))))
-      .repartition(math.max(p, PairGrid * PairGrid),
+      .withColumn("__g", g)
+      .withColumn("__ga", pmod(col(aId), col("__g")))
+      .withColumn("__gb", explode(sequence(lit(0L), col("__g") - lit(1L))))
+      .drop("__bn")
+      .repartition(math.max(p, 256),
         col("__blk"), col("__ga"), col("__gb"))
     val cRep = c.join(hot, Seq("__blk"))
-      .withColumn("__gb", pmod(col(cId), g))
-      .withColumn("__ga", explode(sequence(lit(0L), g - lit(1L))))
+      .withColumn("__g", g)
+      .withColumn("__gb", pmod(col(cId), col("__g")))
+      .withColumn("__ga", explode(sequence(lit(0L), col("__g") - lit(1L))))
+      .drop("__bn", "__g")
     // a pair (a, c) of a hot block matches in exactly one cell:
     // (__ga, __gb) = (id_a mod g, id_c mod g)
     cold.unionByName(
-      aRep.join(cRep, Seq("__blk", "__ga", "__gb")).drop("__ga", "__gb"))
+      aRep.join(cRep, Seq("__blk", "__ga", "__gb"))
+        .drop("__ga", "__gb", "__g"))
   }
 
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,

@@ -1260,12 +1260,12 @@ object Events {
       .orderBy($"type_a", $"type_b")
   }
   private val q159Sql =
-    s"""WITH el AS (SELECT DISTINCT event_type, user_id,
+    s"""WITH el AS MATERIALIZED (SELECT DISTINCT event_type, user_id,
        |    epoch_ns(ts) // 86400000000000 AS day FROM events),
-       |h AS (SELECT event_type,
+       |h AS MATERIALIZED (SELECT event_type,
        |    ${md5LongSql("'kmv:' || CAST(user_id AS VARCHAR) || ':' || CAST(day AS VARCHAR)")} AS h
        |  FROM el),
-       |bk AS (SELECT event_type, h FROM (
+       |bk AS MATERIALIZED (SELECT event_type, h FROM (
        |    SELECT event_type, h,
        |      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
        |    FROM (SELECT DISTINCT event_type, h FROM h)) WHERE rn <= 64),
@@ -1491,9 +1491,9 @@ object Events {
       .orderBy($"event_type")
   }
   private val q176Sql =
-    s"""WITH el AS (SELECT DISTINCT event_type, user_id,
+    s"""WITH el AS MATERIALIZED (SELECT DISTINCT event_type, user_id,
        |    epoch_ns(ts) // 86400000000000 AS day FROM events),
-       |h AS (SELECT event_type,
+       |h AS MATERIALIZED (SELECT event_type,
        |    ${md5LongSql("'kmv:' || CAST(user_id AS VARCHAR) || ':' || CAST(day AS VARCHAR)")} AS h
        |  FROM el),
        |bk AS (SELECT event_type, h FROM (

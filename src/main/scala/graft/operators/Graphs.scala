@@ -329,11 +329,19 @@ object Graphs {
       .select(($"o_custkey" + custBase).as("src"), $"l_suppkey".as("dst"))
       .distinct()
   }
+  // AS MATERIALIZED everywhere a CTE is referenced more than once: DuckDB
+  // re-inlines plain CTEs per reference, and the multi-ref round chains
+  // (HITS: prev round referenced ~4x/round) go exponential — 70+ GB of
+  // spill at sf1 where the materialized form stays linear (same fix as
+  // the q129/q155 oracles).
   private val edgesSql =
-    s"""edges AS (SELECT DISTINCT o_custkey + $custBase AS src, l_suppkey AS dst
+    s"""edges AS MATERIALIZED (
+       |  SELECT DISTINCT o_custkey + $custBase AS src, l_suppkey AS dst
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-       |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
-       |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1)""".stripMargin
+       |nodes AS MATERIALIZED (
+       |  SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+       |deg AS MATERIALIZED (
+       |  SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1)""".stripMargin
   private def roundSql(prev: String, n: Int, teleport: String): String =
     s"""c$n AS (SELECT dst, SUM(r // outdeg) AS cs
        |  FROM edges JOIN deg USING (src) JOIN $prev ON $prev.id = edges.src
@@ -398,20 +406,21 @@ object Graphs {
     counts.orderBy($"triangles".desc, $"id".asc).limit(100)
   }
   private val q88Sql =
-    """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity > 25),
-      |raw AS (
+    """WITH li AS MATERIALIZED (
+      |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity > 25),
+      |raw AS MATERIALIZED (
       |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS x,
       |                  greatest(a.l_partkey, b.l_partkey) AS y
       |  FROM li a JOIN li b
       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
-      |deg AS (SELECT id, COUNT(*) AS deg
+      |deg AS MATERIALIZED (SELECT id, COUNT(*) AS deg
       |  FROM (SELECT x AS id FROM raw UNION ALL SELECT y FROM raw) GROUP BY 1),
-      |ori AS (
+      |ori AS MATERIALIZED (
       |  SELECT CASE WHEN (dx.deg, r.x) < (dy.deg, r.y) THEN r.x ELSE r.y END AS src,
       |         CASE WHEN (dx.deg, r.x) < (dy.deg, r.y) THEN r.y ELSE r.x END AS dst,
       |         CASE WHEN (dx.deg, r.x) < (dy.deg, r.y) THEN dy.deg ELSE dx.deg END AS ddeg
       |  FROM raw r JOIN deg dx ON r.x = dx.id JOIN deg dy ON r.y = dy.id),
-      |tri AS (
+      |tri AS MATERIALIZED (
       |  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
       |  FROM ori e1 JOIN ori e2 ON e1.src = e2.src
       |    AND (e1.ddeg, e1.dst) < (e2.ddeg, e2.dst)
@@ -473,16 +482,16 @@ object Graphs {
     scores.orderBy($"auth_scaled".desc, $"hub_scaled".desc, $"id".asc).limit(100)
   }
   private def hitsRoundSql(hPrev: String, n: Int): String =
-    s"""a${n}r AS (SELECT dst, SUM(h) AS ar
+    s"""a${n}r AS MATERIALIZED (SELECT dst, SUM(h) AS ar
        |  FROM edges JOIN $hPrev ON $hPrev.id = edges.src GROUP BY dst),
-       |a${n}m AS (SELECT greatest(MAX(ar), 1) AS m FROM a${n}r),
-       |a$n AS (SELECT id, (coalesce(ar, 0) // m) * 1000000
+       |a${n}m AS MATERIALIZED (SELECT greatest(MAX(ar), 1) AS m FROM a${n}r),
+       |a$n AS MATERIALIZED (SELECT id, (coalesce(ar, 0) // m) * 1000000
        |    + ((coalesce(ar, 0) % m) * 1000000) // m AS a
        |  FROM nodes LEFT JOIN a${n}r ON id = dst CROSS JOIN a${n}m),
-       |h${n}r AS (SELECT src, SUM(a) AS hr
+       |h${n}r AS MATERIALIZED (SELECT src, SUM(a) AS hr
        |  FROM edges JOIN a$n ON a$n.id = edges.dst GROUP BY src),
-       |h${n}m AS (SELECT greatest(MAX(hr), 1) AS m FROM h${n}r),
-       |h$n AS (SELECT id, (coalesce(hr, 0) // m) * 1000000
+       |h${n}m AS MATERIALIZED (SELECT greatest(MAX(hr), 1) AS m FROM h${n}r),
+       |h$n AS MATERIALIZED (SELECT id, (coalesce(hr, 0) // m) * 1000000
        |    + ((coalesce(hr, 0) % m) * 1000000) // m AS h
        |  FROM nodes LEFT JOIN h${n}r ON id = src CROSS JOIN h${n}m)""".stripMargin
   private val q98Sql =
@@ -518,13 +527,15 @@ object Graphs {
        |  FROM c$n JOIN m$n ON c$n.node = m$n.node AND c$n.c = m$n.mc
        |  GROUP BY 1)""".stripMargin
   private val q101Sql =
-    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity > 25),
-       |raw AS (
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity > 25),
+       |raw AS MATERIALIZED (
        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS x,
        |                  greatest(a.l_partkey, b.l_partkey) AS y
        |  FROM li a JOIN li b
        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
-       |und AS (SELECT x AS a, y AS b FROM raw UNION ALL SELECT y, x FROM raw),
+       |und AS MATERIALIZED (
+       |  SELECT x AS a, y AS b FROM raw UNION ALL SELECT y, x FROM raw),
        |nodes AS (SELECT DISTINCT a AS id FROM und),
        |l0 AS (SELECT id, id AS lbl FROM nodes),
        |${lpRoundSql("l0", 1)},
@@ -609,13 +620,17 @@ object Graphs {
     core.orderBy($"id")
   }
   private val q125Sql = {
+    // MATERIALIZED: e$n is referenced 5x per round (d$n twice, the join
+    // thrice) — plain CTEs re-inline e0's lineitem scan 125x by round 3
+    // and DNF DuckDB at sf1; materialized rounds are linear and SHRINK.
     def round(n: Int): String =
-      s"""d$n AS (SELECT id, COUNT(*) AS deg FROM (
+      s"""d$n AS MATERIALIZED (SELECT id, COUNT(*) AS deg FROM (
          |  SELECT x AS id FROM e$n UNION ALL SELECT y FROM e$n) GROUP BY 1),
-         |n$n AS (SELECT id FROM d$n WHERE deg >= 30),
-         |e${n + 1} AS (SELECT x, y FROM e$n
+         |n$n AS MATERIALIZED (SELECT id FROM d$n WHERE deg >= 30),
+         |e${n + 1} AS MATERIALIZED (SELECT x, y FROM e$n
          |  JOIN n$n a ON e$n.x = a.id JOIN n$n b ON e$n.y = b.id)""".stripMargin
-    s"""WITH e0 AS (SELECT DISTINCT least(o_custkey + $custBase, l_suppkey) AS x,
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT DISTINCT least(o_custkey + $custBase, l_suppkey) AS x,
        |    greatest(o_custkey + $custBase, l_suppkey) AS y
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |  WHERE o_custkey + $custBase <> l_suppkey),

@@ -1320,21 +1320,21 @@ object Similarity {
     val pairDot = (a: String, b: String) =>
       s"""(SELECT CAST(SUM(CAST(floor($a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE * 1e15) AS BIGINT)) AS BIGINT)
          |     FROM unnest(range(1, len($a.embedding)+1)) u(i))""".stripMargin
-    s"""WITH norms AS (
+    s"""WITH norms AS MATERIALIZED (
        |  SELECT vec_id, embedding,
        |    (SELECT CAST(SUM(CAST(floor(embedding[i]::DOUBLE * embedding[i]::DOUBLE * 1e15) AS BIGINT)) AS BIGINT)
        |     FROM unnest(range(1, len(embedding)+1)) u(i)) AS norm
        |  FROM embeddings),
-       |scored AS (
+       |scored AS MATERIALIZED (
        |  SELECT q.vec_id AS query_id, b.vec_id AS id,
        |    CAST(${pairDot("q", "b")} AS DOUBLE)
        |      / (sqrt(CAST(q.norm AS DOUBLE)) * sqrt(CAST(b.norm AS DOUBLE))) AS cosine
        |  FROM norms q JOIN norms b ON q.vec_id < 3 AND b.vec_id <> q.vec_id),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT query_id, id, CAST(floor(cosine * 1e12) AS BIGINT) AS rel
        |  FROM scored
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, id ASC) <= 12),
-       |sims AS (
+       |sims AS MATERIALIZED (
        |  SELECT a.query_id, a.id AS ia, b.id AS ib,
        |    CAST(floor(CAST(${pairDot("ea", "eb")} AS DOUBLE)
        |      / (sqrt(CAST(ea.norm AS DOUBLE)) * sqrt(CAST(eb.norm AS DOUBLE))) * 1e12) AS BIGINT) AS sim

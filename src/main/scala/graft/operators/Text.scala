@@ -611,6 +611,32 @@ object Text {
        |SELECT doc_id, span_start, span_len, n_dup_grams FROM spans
        |ORDER BY doc_id, span_start""".stripMargin
 
+  // q256 — the SAME repeated-span pass from Spark SQL TEXT alone (the
+  // q253 recipe pattern): positioned k-gram keys in Spark dialect
+  // (split/sequence/slice for DuckDB's string_split_regex/range/array
+  // slicing), then the island merge — whose SQL is dialect-NEUTRAL, so
+  // the statement reuses islandMergeSql verbatim and the two engines
+  // can't drift on the merge logic. Gated by q231's exact oracle.
+  private def gramStatsSparkSql(k: Int, table: String): String =
+    s"""toks AS (SELECT doc_id, split(trim(text), '\\\\s+') AS t FROM $table),
+       |starts AS (SELECT doc_id, t, explode(sequence(0, size(t) - $k)) AS p0
+       |  FROM toks WHERE size(t) >= $k),
+       |g AS (SELECT doc_id, p0,
+       |    md5(concat_ws(' ', slice(t, p0 + 1, $k))) AS h FROM starts),
+       |stats AS (SELECT h, COUNT(*) AS cnt,
+       |    MIN(doc_id*1048576 + p0) AS firstk FROM g GROUP BY h),
+       |dup AS (SELECT doc_id, p0 FROM g JOIN stats USING(h)
+       |        WHERE cnt > 1 AND doc_id*1048576 + p0 <> firstk)""".stripMargin
+  private def q256(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d).createOrReplaceTempView("graft_documents")
+    s.sql(
+      s"""WITH ${gramStatsSparkSql(SpanK, "graft_documents")},
+         |${islandMergeSql(SpanK)}
+         |SELECT doc_id, span_start, span_len, n_dup_grams FROM spans
+         |ORDER BY doc_id, span_start""".stripMargin)
+  }
+  private val q256Sql = q231Sql
+
   // q232 — span-level dedup applied: corpus with every repeated span's
   // tokens dropped (whole-copy docs come back empty), plus removal counts.
   private def q232(s: SparkSession, d: String): DataFrame = {
@@ -724,7 +750,12 @@ object Text {
   // the gate proves it equal to the exact oracle — so the Scala API
   // (q242) and the SQL recipe can never drift apart silently.
   private def winnowSparkSql(k: Int, w: Int, table: String): String =
-    s"""WITH toks AS (
+    s"""WITH ${winnowSelSparkSql(k, w, table)}
+       |SELECT doc_id, pos, fp FROM pick ORDER BY doc_id, pos""".stripMargin
+  /** CTE chain (→ `pick`) of the Spark-dialect winnow recipe — shared by
+    * q253 (the pass itself) and q258 (overlap spans built on it). */
+  private def winnowSelSparkSql(k: Int, w: Int, table: String): String =
+    s"""toks AS (
        |  SELECT doc_id, split(trim(text), '\\\\s+') AS t FROM $table),
        |starts AS (
        |  SELECT doc_id, t, explode(sequence(0, size(t) - $k)) AS p0
@@ -746,8 +777,7 @@ object Text {
        |  SELECT DISTINCT doc_id,
        |    CAST(9999999 - CAST(substring(sk, 33, 7) AS BIGINT) AS BIGINT) AS pos,
        |    substring(sk, 1, 32) AS fp
-       |  FROM sel WHERE p0 >= ${w - 1} OR (n < $w AND p0 = n - 1))
-       |SELECT doc_id, pos, fp FROM pick ORDER BY doc_id, pos""".stripMargin
+       |  FROM sel WHERE p0 >= ${w - 1} OR (n < $w AND p0 = n - 1))""".stripMargin
   private def q253(s: SparkSession, d: String): DataFrame = {
     Tables.documents(s, d).createOrReplaceTempView("graft_documents")
     s.sql(winnowSparkSql(WinK, WinW, "graft_documents"))
@@ -801,6 +831,36 @@ object Text {
        |  CAST(COUNT(*) AS BIGINT) AS n_fps
        |FROM isl GROUP BY doc_a, doc_b, diag, island
        |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin
+
+  // q258 — winnow overlap SPANS from Spark SQL TEXT alone: the q253
+  // winnow chain (Spark dialect) + the diagonal island merge of q248's
+  // oracle, which is dialect-neutral SQL (lag / windowed SUM / CASE) —
+  // reused verbatim so the two engines share the span logic character
+  // for character. Gated by q248's exact oracle.
+  private def q258(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d).createOrReplaceTempView("graft_documents")
+    s.sql(
+      s"""WITH ${winnowSelSparkSql(WinK, WinW, "graft_documents")},
+         |fps AS (SELECT DISTINCT doc_id, fp FROM pick),
+         |hot AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) > $MaxDocFreq),
+         |pk AS (SELECT p.doc_id, p.pos, p.fp FROM pick p
+         |       WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.fp = p.fp)),
+         |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.pos AS pos_a, b.pos AS pos_b, b.pos - a.pos AS diag
+         |  FROM pk a JOIN pk b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+         |lagd AS (SELECT *, lag(pos_a) OVER (PARTITION BY doc_a, doc_b, diag
+         |    ORDER BY pos_a) AS prev FROM m),
+         |isl AS (SELECT *, SUM(CASE WHEN prev IS NULL OR pos_a - prev > $WinW
+         |    THEN 1 ELSE 0 END) OVER (PARTITION BY doc_a, doc_b, diag
+         |    ORDER BY pos_a ROWS UNBOUNDED PRECEDING) AS island FROM lagd)
+         |SELECT doc_a, doc_b, CAST(MIN(pos_a) AS BIGINT) AS start_a,
+         |  CAST(MIN(pos_a) + diag AS BIGINT) AS start_b,
+         |  CAST(MAX(pos_a) - MIN(pos_a) + $WinK AS BIGINT) AS span_len,
+         |  CAST(COUNT(*) AS BIGINT) AS n_fps
+         |FROM isl GROUP BY doc_a, doc_b, diag, island
+         |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin)
+  }
+  private val q258Sql = q248Sql
 
   // q246 — winnowing decontamination (TextStats.winnowAgainst): training
   // split (source <> src0) vs the held-out benchmark (src0) on shared
@@ -873,6 +933,34 @@ object Text {
     s"""WITH ${decontamSpansSql(SpanK)}
        |SELECT doc_id, span_start, span_len, n_dup_grams FROM spans
        |ORDER BY doc_id, span_start""".stripMargin
+
+  // q257 — span-level decontamination from Spark SQL TEXT alone: the
+  // q256 recipe with the dup-flag source swapped from global gram stats
+  // to a semi-join against the benchmark split's gram set (EXISTS — the
+  // exact shape q237's oracle uses, so the statements stay side-by-side
+  // comparable). Gated by q237's exact oracle.
+  private def q257(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d).createOrReplaceTempView("graft_documents")
+    val k = SpanK
+    s.sql(
+      s"""WITH toks AS (SELECT doc_id, split(trim(text), '\\\\s+') AS t
+         |  FROM graft_documents WHERE source <> 'src0'),
+         |reft AS (SELECT split(trim(text), '\\\\s+') AS t
+         |  FROM graft_documents WHERE source = 'src0'),
+         |refg AS (SELECT DISTINCT md5(concat_ws(' ', slice(t, p0 + 1, $k))) AS h
+         |  FROM (SELECT t, explode(sequence(0, size(t) - $k)) AS p0
+         |        FROM reft WHERE size(t) >= $k)),
+         |starts AS (SELECT doc_id, t, explode(sequence(0, size(t) - $k)) AS p0
+         |  FROM toks WHERE size(t) >= $k),
+         |g AS (SELECT doc_id, p0,
+         |    md5(concat_ws(' ', slice(t, p0 + 1, $k))) AS h FROM starts),
+         |dup AS (SELECT doc_id, p0 FROM g
+         |        WHERE EXISTS (SELECT 1 FROM refg WHERE refg.h = g.h)),
+         |${islandMergeSql(k)}
+         |SELECT doc_id, span_start, span_len, n_dup_grams FROM spans
+         |ORDER BY doc_id, span_start""".stripMargin)
+  }
+  private val q257Sql = q237Sql
 
   private def q238(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -1475,6 +1563,9 @@ object Text {
     "q246_winnow_decontam" -> q246,
     "q248_winnow_spans" -> q248,
     "q253_winnow_pure_sql" -> q253,
+    "q256_spans_pure_sql" -> q256,
+    "q257_decontam_pure_sql" -> q257,
+    "q258_winnow_spans_pure_sql" -> q258,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1514,5 +1605,8 @@ object Text {
     "q246_winnow_decontam" -> q246Sql,
     "q248_winnow_spans" -> q248Sql,
     "q253_winnow_pure_sql" -> q253Sql,
+    "q256_spans_pure_sql" -> q256Sql,
+    "q257_decontam_pure_sql" -> q257Sql,
+    "q258_winnow_spans_pure_sql" -> q258Sql,
   )
 }

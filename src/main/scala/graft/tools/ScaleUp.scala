@@ -37,7 +37,8 @@ object ScaleUp {
     def writeOne(df: DataFrame, t: String): Unit = {
       val tmp = s"$dst/_tmp_$t"
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
+      val part = Option(new java.io.File(tmp).listFiles())
+        .getOrElse(sys.error(s"parquet write produced nothing at $tmp"))
         .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
         .getOrElse(sys.error(s"no part file for $t"))
       Files.move(part.toPath, Paths.get(s"$dst/$t.parquet"),
@@ -49,14 +50,18 @@ object ScaleUp {
 
     // one ceiling per KEY FAMILY (max+1 over the parent table), shared by
     // every table carrying that key so the shifted FKs still resolve
+    // getAs[Number]: the key may be INT32 in a foreign parquet; null-guard
+    // covers an empty table (both would otherwise fail with a bare CCE/NPE)
     def ceil(t: String, c: String): Long =
-      read(t).agg(max(col(c))).head().getLong(0) + 1L
+      Option(read(t).agg(max(col(c))).head().getAs[Number](0))
+        .map(_.longValue + 1L)
+        .getOrElse(sys.error(s"$t.$c is empty — cannot derive a key ceiling"))
     val custC = ceil("customer", "c_custkey")
     val suppC = ceil("supplier", "s_suppkey")
     val partC = ceil("part", "p_partkey")
     val ordC = ceil("orders", "o_orderkey")
     val evC = ceil("events", "event_id")
-    val userC = read("events").agg(max(col("user_id"))).head().getLong(0) + 1L
+    val userC = ceil("events", "user_id")
     val docC = ceil("documents", "doc_id")
     val vecC = read("embeddings").agg(max(col("vec_id"))).head().getLong(0) + 1L
 

@@ -424,6 +424,37 @@ class DedupApiSpec extends AnyFunSuite {
       "cross-block pair leaked through the grid join")
   }
 
+  test("editDistancePairs: adaptive grid is exact at two grid sizes (mega-block)") {
+    // The grid scales per block as ceil(sqrt(n/threshold)): with the
+    // threshold knob dropped to 8, a 150-row block runs at grid 5 and a
+    // 40-row block at grid 3 — a planted "mega block" (~19x threshold)
+    // without the quadratic cost of one at the production 512. Pair sets
+    // must equal the plain self-join's at BOTH grids simultaneously.
+    spark.conf.set("graft.dedup.hotBlockThreshold", "8")
+    try {
+      val docs = ((0 until 150).map(i => (i.toLong, s"megaprefix00 doc $i")) ++
+        (1000 until 1040).map(i => (i.toLong, s"midprefix000 doc $i")))
+        .toDF("my_id", "body")
+      val got = Dedup.editDistancePairs(docs, "my_id", "body",
+          maxDist = 8, blockPrefix = 12)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Int]("dist"))).toSet
+      val n = docs.select($"my_id".as("id"), trim($"body").as("t"),
+        substring(lower(trim($"body")), 1, 12).as("blk"),
+        length(trim($"body")).as("len"))
+      val exp = n.as("x").join(n.as("y"), col("x.blk") === col("y.blk"))
+        .filter(col("x.id") < col("y.id") &&
+          abs(col("x.len") - col("y.len")) <= 8)
+        .select(col("x.id"), col("y.id"),
+          levenshtein(col("x.t"), col("y.t"), 8).as("d"))
+        .filter($"d" >= 0 && $"d" <= 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(exp.nonEmpty && got == exp,
+        s"adaptive-grid ${got.size} pairs vs plain ${exp.size}")
+    } finally spark.conf.unset("graft.dedup.hotBlockThreshold")
+  }
+
   test("sortedNeighborPairs rejects numeric sort keys loudly; zero-padded works") {
     // a silently stringified numeric key lexicographs (111 < 12) and
     // produces wrong neighborhoods with no error — must raise instead

@@ -78,21 +78,31 @@ def main(sfdir, outdir, timeout=None):
             print(f"FAIL {name}: no spark result ({e})"); fails += 1; continue
         timer = None
         timed_out = []
+        # per-query cursor: a stale watchdog interrupt can then only hit
+        # THIS query's cursor, never leak into the next oracle on the
+        # shared connection (which would be misreported as FAIL — its
+        # fresh timed_out list wouldn't classify it as TIMEOUT)
+        cur = con.cursor()
         if timeout:
-            timer = threading.Timer(timeout, lambda: (timed_out.append(1),
-                                                      con.interrupt()))
+            done = threading.Event()
+            def watchdog(c=cur, flag=timed_out, ev=done):
+                if not ev.is_set():
+                    flag.append(1)
+                    c.interrupt()
+            timer = threading.Timer(timeout, watchdog)
             timer.start()
         try:
-            exp = norm(con.sql(sql).df())
+            exp = norm(cur.sql(sql).df())
         except Exception as e:
-            if timer: timer.cancel()
             if timed_out:
                 print(f"TIMEOUT {name}: oracle exceeded {timeout}s (not a FAIL)")
                 timeouts.append(name)
                 continue
             print(f"FAIL {name}: oracle error: {e}"); fails += 1; continue
         finally:
+            if timeout: done.set()
             if timer: timer.cancel()
+            cur.close()
         if list(got.columns) != list(exp.columns):
             print(f"FAIL {name}: columns {list(got.columns)} vs {list(exp.columns)}")
             fails += 1; continue

@@ -53,6 +53,89 @@ def is_bad_type(typ):
     return False, None
 
 
+# ---------------------------------------------------------------------------
+# Unrolled-CTE multiplicity lint (round 13): DuckDB re-inlines a plain CTE
+# at every reference, so a chain of rounds whose CTEs are referenced >1x
+# multiplies — q125's e0 re-ran its lineitem scan 125x (5 refs/round ^ 3
+# rounds) and spilled 70+ GB at sf1 while hash-green at sf0.1.  This lint
+# computes each CTE body's EVALUATION COUNT under inline-per-reference
+# semantics (AS MATERIALIZED pins a body to one evaluation) and flags any
+# oracle where a body evaluates more than INLINE_BUDGET times — catching
+# the q84/q98/q125/q129/q155 class at authoring time, the way the type
+# lint catches HUGEINT widening.
+
+# Calibration (round 13, DuckDB 1.0.0 — EXPLAIN shows real per-reference
+# inlining, 16 parquet scans in q88's plan): the sf1-DNF oracles measured
+# 44x (old q98 `edges`) and 250x (old q125 `e0`); everything <= 24x passed
+# the sf1 soak inside the 300s watchdog. 32 splits the decades with margin
+# both ways.
+INLINE_BUDGET = 32
+
+_CTE_DEF = re.compile(r"\b(\w+)\s+AS\s+(MATERIALIZED\s+)?\(", re.IGNORECASE)
+
+
+def _split_ctes(sql):
+    """[(name, materialized, body)] in definition order, plus the main
+    query text. Heuristic parse: `name AS [MATERIALIZED] (` at paren
+    depth tracked from the start; robust for generated oracle SQL."""
+    ctes, pos, main_start = [], 0, 0
+    while True:
+        m = _CTE_DEF.search(sql, pos)
+        if not m:
+            break
+        # body = balanced-paren span from the opening paren
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        ctes.append((m.group(1).lower(), bool(m.group(2)),
+                     sql[m.end():i - 1]))
+        pos = i
+        main_start = i
+    return ctes, sql[main_start:]
+
+
+def cte_eval_counts(sql):
+    """{cte_name: times its body evaluates} under inline semantics."""
+    ctes, main = _split_ctes(sql)
+    names = [n for n, _, _ in ctes]
+    mult = {}
+    # walk DEFINITION order reversed: a CTE can only be referenced by
+    # later CTEs or the main query, whose mults are then already known
+    refs_in = {}
+    for idx, (name, _, _) in enumerate(ctes):
+        # a reference = the name in table position: exclude qualified
+        # column uses (`pn.id`, `dx.deg`) on either side of a dot
+        pat = re.compile(rf"(?<![\w.]){re.escape(name)}\b(?!\s*\.)",
+                         re.IGNORECASE)
+        refs_in[name] = {
+            "__main__": len(pat.findall(main)),
+            **{later: len(pat.findall(body))
+               for later, _, body in ctes[idx + 1:]},
+        }
+    mult["__main__"] = 1
+    for name, materialized, _ in reversed(ctes):
+        evals = sum(cnt * mult[ctx] for ctx, cnt in refs_in[name].items()
+                    if ctx in mult)
+        mult[name] = 1 if materialized else max(evals, 1)
+    mult.pop("__main__")
+    return mult
+
+
+def lint_cte_multiplicity(oracles):
+    flagged = []
+    for name, sql in sorted(oracles.items()):
+        if not re.search(r"\bWITH\b", sql, re.IGNORECASE):
+            continue
+        for cte, n in cte_eval_counts(sql).items():
+            if n > INLINE_BUDGET:
+                flagged.append((name, cte, n))
+    return flagged
+
+
 def main():
     sf_dir = sys.argv[1]
     oracle_path = sys.argv[2] if len(sys.argv) > 2 else None
@@ -109,13 +192,38 @@ def main():
             if is_bad:
                 bad.append((name, col, typ, reason))
 
+    # guard the guard (CTE lint): a q125-shaped plain chain must be
+    # flagged, its MATERIALIZED twin must pass
+    _chain = ("WITH e0 AS {m}(SELECT 1 AS x), "
+              "d0 AS {m}(SELECT x FROM (SELECT x FROM e0 UNION ALL "
+              "SELECT x FROM e0) q JOIN e0 USING(x) JOIN e0 e USING(x) "
+              "JOIN e0 f USING(x)), "
+              "d1 AS {m}(SELECT x FROM (SELECT x FROM d0 UNION ALL "
+              "SELECT x FROM d0) q JOIN d0 USING(x) JOIN d0 e USING(x) "
+              "JOIN d0 f USING(x)), "
+              "d2 AS {m}(SELECT x FROM (SELECT x FROM d1 UNION ALL "
+              "SELECT x FROM d1) q JOIN d1 USING(x) JOIN d1 e USING(x) "
+              "JOIN d1 f USING(x)) SELECT * FROM d2")
+    assert lint_cte_multiplicity({"p": _chain.format(m="")}), (
+        "lint self-test failed: plain exponential CTE chain not flagged "
+        "— update _split_ctes/cte_eval_counts")
+    assert not lint_cte_multiplicity(
+        {"p": _chain.format(m="MATERIALIZED ")}), (
+        "lint self-test failed: MATERIALIZED chain falsely flagged")
+    supers = lint_cte_multiplicity(oracles)
+
     for name, col, typ, reason in bad:
         print(f"BAD TYPE  {name}.{col}: {typ} ({reason})")
     for name, err in errs:
         print(f"DESCRIBE FAILED  {name}: {err}")
+    for name, cte, n in supers:
+        print(f"SUPERLINEAR CTE  {name}: `{cte}` inlines {n}x "
+              f"(> {INLINE_BUDGET}) — add AS MATERIALIZED to the "
+              f"multi-referenced CTEs (the q98/q125 sf1-DNF class)")
     print(f"lint_oracles: {len(oracles)} oracles, {len(bad)} bad-typed "
-          f"columns, {len(errs)} describe errors")
-    sys.exit(1 if (bad or errs) else 0)
+          f"columns, {len(errs)} describe errors, "
+          f"{len(supers)} superlinear CTEs")
+    sys.exit(1 if (bad or errs or supers) else 0)
 
 
 if __name__ == "__main__":
