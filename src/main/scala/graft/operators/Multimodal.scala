@@ -7,12 +7,16 @@ import org.apache.spark.sql.types._
 /** Multimodal column processing: images/audio/video as opaque binary columns
   * with typed metadata, processed batch-wise on executors.
   *
-  * The decode step itself (JPEG/WAV/H.264) needs native libraries that are
-  * not in this container, so `FakeDecoder` is a clearly-marked deterministic
-  * stand-in — but the Spark-side plumbing is real and tested: schema
-  * (binary payload + struct metadata), partition-parallel `mapPartitions`
-  * over a typed Dataset (the Scala analogue of `mapInPandas` batch UDFs),
-  * and a stable output schema downstream stages can rely on.
+  * Decoders: [[ImageIoDecoder]] (PNG/JPEG/BMP/GIF) and [[WavDecoder]]
+  * (WAV/AIFF PCM) are REAL — the JDK ships those codecs, no native libs —
+  * and spec-gated on round-tripped payloads. Video (H.264 etc.) still
+  * needs codecs this container lacks, so `FakeDecoder` remains the
+  * clearly-marked deterministic stand-in there and for the gate queries
+  * (whose testdata payloads are utf8 text, not media). The Spark-side
+  * plumbing is identical for all three: schema (binary payload + struct
+  * metadata), partition-parallel `mapPartitions` over a typed Dataset
+  * (the Scala analogue of `mapInPandas` batch UDFs), and a stable output
+  * schema downstream stages can rely on.
   *
   * Scale: decode is embarrassingly parallel; the only knobs that matter at
   * 100 TB are input split size (spark.sql.files.maxPartitionBytes vs media
@@ -50,6 +54,94 @@ object Multimodal {
         else bytes(i * math.max(bytes.length / 8, 1) % bytes.length).toFloat / 127f
       }
       MediaFeatures(r.doc_id, r.kind, bytes.length, width, height, frames, feat)
+    }
+  }
+
+  /** REAL image decode — the JDK's built-in `javax.imageio` codecs
+    * (PNG / JPEG / BMP / GIF), no native libraries: width/height come from
+    * the decoded raster and the 8-dim feature is a deterministic content
+    * summary (mean R, G, B, global mean luma, then mean luma of the 2×2
+    * quadrant grid — a tiny perceptual signature that is stable across
+    * re-encodes of the same pixels, usable for embedding-style grouping
+    * and near-dup blocking downstream). Fails LOUDLY on undecodable
+    * payloads: a corrupt object must surface, not silently produce fake
+    * dimensions (callers quarantine with a try/filter stage if the corpus
+    * is dirty). Deterministic per payload — safe under task retries. */
+  object ImageIoDecoder extends MediaDecoder {
+    def decode(r: MediaRow): MediaFeatures = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      require(img != null,
+        s"doc ${r.doc_id}: payload is not a JDK-decodable image")
+      val w = img.getWidth
+      val h = img.getHeight
+      var sr, sg, sb = 0L
+      val quadLuma = new Array[Long](4)
+      val quadN = new Array[Long](4)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val cr = (rgb >> 16) & 0xff
+          val cg = (rgb >> 8) & 0xff
+          val cb = rgb & 0xff
+          sr += cr; sg += cg; sb += cb
+          val q = (if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)
+          quadLuma(q) += (299 * cr + 587 * cg + 114 * cb) / 1000
+          quadN(q) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      val feat = Array(
+        sr.toFloat / n / 255f, sg.toFloat / n / 255f, sb.toFloat / n / 255f,
+        (299f * sr + 587f * sg + 114f * sb) / 1000f / n / 255f) ++
+        quadLuma.indices.map(q =>
+          if (quadN(q) == 0) 0f else quadLuma(q).toFloat / quadN(q) / 255f)
+      MediaFeatures(r.doc_id, r.kind, r.payload.length, w, h, 1, feat)
+    }
+  }
+
+  /** REAL audio decode — the JDK's built-in `javax.sound.sampled` WAV/AIFF
+    * PCM reader, no native libraries: width carries the sample rate (Hz),
+    * height the channel count, n_frames the PCM frame count, and the 8-dim
+    * feature is the per-octile RMS envelope (normalized to [0,1]) — the
+    * standard cheap loudness signature for silence trimming, segment
+    * sampling and near-dup blocking. Fails LOUDLY on undecodable
+    * payloads (see [[ImageIoDecoder]]); deterministic per payload. */
+  object WavDecoder extends MediaDecoder {
+    def decode(r: MediaRow): MediaFeatures = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      try {
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16,
+          s"doc ${r.doc_id}: only 16-bit PCM supported, " +
+            s"got ${fmt.getSampleSizeInBits}-bit")
+        val bytes = in.readAllBytes()
+        val frameSize = fmt.getFrameSize
+        val nFrames = bytes.length / frameSize
+        val bb = java.nio.ByteBuffer.wrap(bytes).order(
+          if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN)
+        val nSamples = bytes.length / 2
+        val sumSq = new Array[Double](8)
+        val cnt = new Array[Long](8)
+        var i = 0
+        while (i < nSamples) {
+          val v = bb.getShort(i * 2).toDouble / 32768.0
+          val oct = math.min(i * 8L / math.max(nSamples, 1), 7L).toInt
+          sumSq(oct) += v * v
+          cnt(oct) += 1
+          i += 1
+        }
+        val feat = Array.tabulate(8)(o =>
+          if (cnt(o) == 0) 0f else math.sqrt(sumSq(o) / cnt(o)).toFloat)
+        MediaFeatures(r.doc_id, r.kind, r.payload.length,
+          fmt.getSampleRate.toInt, fmt.getChannels, nFrames, feat)
+      } finally in.close()
     }
   }
 

@@ -58,6 +58,74 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.groupBy("doc_id").count().collect().forall(_.getLong(1) >= 1))
   }
 
+  test("ImageIoDecoder really decodes PNG payloads (dims + content features)") {
+    import spark.implicits._
+    // render a known 40x20 image: left half pure red, right half pure blue
+    val img = new java.awt.image.BufferedImage(40, 20,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 20; x <- 0 until 40)
+      img.setRGB(x, y, if (x < 20) 0xff0000 else 0x0000ff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", png, "en", png.length.toLong),
+      Multimodal.MediaRow(2L, "image", png, "en", png.length.toLong))
+    // through the REAL distributed decode stage (serialization + retries)
+    val feats = Multimodal.decodeFeatures(
+        spark.createDataset(rows).repartition(2), Multimodal.ImageIoDecoder)
+      .collect().sortBy(_.doc_id)
+    assert(feats.length == 2)
+    val f = feats.head
+    assert(f.width == 40 && f.height == 20 && f.n_frames == 1)
+    // mean R = mean B = 0.5, mean G = 0; PNG is lossless so exact
+    assert(math.abs(f.feature(0) - 0.5f) < 1e-3, s"mean R ${f.feature(0)}")
+    assert(f.feature(1) == 0f, s"mean G ${f.feature(1)}")
+    assert(math.abs(f.feature(2) - 0.5f) < 1e-3, s"mean B ${f.feature(2)}")
+    // quadrants: left (red) luma ~0.299, right (blue) luma ~0.114
+    assert(math.abs(f.feature(4) - 0.298f) < 2e-2 &&
+      f.feature(4) > f.feature(5), "left quadrant must be brighter (red>blue)")
+    assert(feats(0).feature.sameElements(feats(1).feature),
+      "identical payloads must decode identically")
+    // corrupt payload fails loudly, not silently
+    val bad = Seq(Multimodal.MediaRow(3L, "image",
+      "not an image".getBytes, "en", 12L))
+    intercept[Exception] {
+      Multimodal.decodeFeatures(spark.createDataset(bad),
+        Multimodal.ImageIoDecoder).collect()
+    }
+  }
+
+  test("WavDecoder really decodes WAV payloads (rate/channels/frames + RMS envelope)") {
+    import spark.implicits._
+    // synthesize 1600 frames of 16-bit mono PCM at 8kHz: first half
+    // silence, second half a full-scale square wave (RMS 0 -> 1)
+    val sampleRate = 8000f
+    val nFrames = 1600
+    val pcm = new Array[Byte](nFrames * 2)
+    val bb = java.nio.ByteBuffer.wrap(pcm)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    for (i <- 0 until nFrames)
+      bb.putShort(i * 2,
+        if (i < nFrames / 2) 0
+        else if (i % 2 == 0) 32767 else -32768)
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    val rows = Seq(Multimodal.MediaRow(7L, "audio", wav, "en", wav.length.toLong))
+    val f = Multimodal.decodeFeatures(spark.createDataset(rows),
+      Multimodal.WavDecoder).collect().head
+    assert(f.width == 8000 && f.height == 1 && f.n_frames == 1600)
+    // octiles 0-3 silent, 4-7 full-scale
+    assert(f.feature.take(4).forall(_ == 0f), f.feature.mkString(","))
+    assert(f.feature.drop(4).forall(v => math.abs(v - 1f) < 1e-3),
+      f.feature.mkString(","))
+  }
+
   test("decoded features feed the similarity operators (end-to-end handoff)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
