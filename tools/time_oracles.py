@@ -6,7 +6,7 @@ and compare against BENCH_DETAIL.json warm Spark times.
 Usage: python3 tools/time_oracles.py <sfDir> <oracle_sql.json> [seconds_cap_per_query]
 Writes tools/duckdb_times.json: {"times": {name: sec}, "dnf": [...]}.
 """
-import sys, json, time, threading
+import sys, json, time, threading, os
 import duckdb
 
 TABLES = ["region","nation","customer","supplier","part","orders",
@@ -50,8 +50,11 @@ def main(sfdir, oraclepath, cap=45.0):
         con.close()
         times[name] = round(best, 3)
         print(f"{times[name]:8.3f}  {name}")
-    json.dump({"times": times, "dnf": dnf},
-              open("tools/duckdb_times.json", "w"), indent=0)
+    # anchor to the script dir: the runner may cwd elsewhere (e.g. /tmp so
+    # DuckDB spill can't land inside the repo)
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "duckdb_times.json")
+    json.dump({"times": times, "dnf": dnf}, open(out, "w"), indent=0)
     print(f"\n{len(times)} timed, {len(dnf)} DNF, total {sum(times.values()):.1f}s")
 
 if __name__ == "__main__":
