@@ -919,12 +919,13 @@ object Curation {
       .orderBy($"source")
   }
   /** Shared oracle CTE chain ending in `plan` — the SQL twin of the q244
-    * planEpochs call, reused by q247's materialization oracle. */
-  private val epochPlanCte = {
+    * planEpochs call, reused by q247's materialization oracle and (over
+    * the cleaned corpus) q259's pipeline oracle. */
+  private def epochPlanCteFrom(table: String) = {
     val values = epochWeights.toSeq.sorted
       .map { case (src, w) => s"('$src', ${w}::BIGINT)" }.mkString(", ")
     s"""tot AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS n_tokens
-       |  FROM documents GROUP BY source),
+       |  FROM $table GROUP BY source),
        |w(source, weight_ppm) AS (VALUES $values),
        |plan AS (SELECT t.source, t.n_tokens,
        |  CAST(COALESCE(w.weight_ppm, 0) AS BIGINT) AS weight_ppm,
@@ -939,6 +940,7 @@ object Curation {
        |    AS planned_tokens
        |FROM tot t LEFT OUTER JOIN w ON t.source = w.source)""".stripMargin
   }
+  private val epochPlanCte = epochPlanCteFrom("documents")
   private val q244Sql =
     s"""WITH $epochPlanCte
        |SELECT source, n_tokens, weight_ppm, target_tokens, epochs_ppm,
@@ -1014,6 +1016,65 @@ object Curation {
     s.sql(epochMaterializeSparkSql("graft_documents"))
   }
   private val q255Sql = q247Sql
+
+  // q259 — the END-TO-END curation pipeline as ONE gate entry: quality
+  // filter (C4-style rules) → exact dedup keep-first among survivors →
+  // exact decontamination against the held-out reference → epoch plan
+  // over what remains. Each stage is individually oracled elsewhere
+  // (q62/q33/q65/q244); this entry proves the stages COMPOSE — the
+  // operators' (doc_id, keep/is_dup/in_ref) contracts chain through
+  // joins without schema or semantic friction, which is how a real
+  // pipeline consumes them. Plan shape: the whole funnel is three
+  // map-side-combinable aggregates + semi-join-shaped filters before one
+  // tiny per-source aggregate — no stage materializes anything wider
+  // than (doc_id).
+  private def q259(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val quality = Curation
+      .qualityFilter(docs, "doc_id", "text", Curation.defaultRules)
+      .filter($"keep" === 1).select($"doc_id")
+    val survivors = docs.join(quality, "doc_id")
+    val firstCopies = Dedup.exact(survivors, "doc_id", "text")
+      .filter($"is_dup" === 0).select($"doc_id")
+    val deduped = survivors.join(firstCopies, "doc_id")
+    val ref = docs.filter($"doc_id" % 20 === 0)
+    val uncontaminated = Dedup
+      .exactAgainst(deduped, "doc_id", "text", ref, "text")
+      .filter($"in_ref" === 0).select($"doc_id")
+    val clean = deduped.join(uncontaminated, "doc_id")
+    planEpochs(clean, "source", "n_chars", epochWeights,
+        budgetTokens = 1000000L, maxEpochsPpm = 2500000L)
+      .orderBy($"source")
+  }
+  private val q259Sql =
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id,
+       |      CASE WHEN length(text) < 100 THEN 'too_short'
+       |           WHEN CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) < 0.1
+       |             THEN 'low_diversity'
+       |           WHEN regexp_extract(text, '\\b(the|a|or|and)\\b') = ''
+       |             THEN 'no_stopwords'
+       |           ELSE NULL END AS reason
+       |    FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') tk
+       |          FROM documents))
+       |  WHERE reason IS NULL),
+       |s AS MATERIALIZED (SELECT d.* FROM documents d JOIN q USING (doc_id)),
+       |dd AS MATERIALIZED (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS canon
+       |    FROM s)
+       |  WHERE doc_id = canon),
+       |ref AS MATERIALIZED (
+       |  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 20 = 0),
+       |clean AS MATERIALIZED (
+       |  SELECT s.* FROM s JOIN dd USING (doc_id)
+       |  WHERE md5(s.text) NOT IN (SELECT h FROM ref)),
+       |${epochPlanCteFrom("clean")}
+       |SELECT source, n_tokens, weight_ppm, target_tokens, epochs_ppm,
+       |  planned_tokens
+       |FROM plan ORDER BY source""".stripMargin
 
   // q134 — token-budget mixing: the first 4k chars of every source in
   // hash-priority order (n_chars as the token weight — the weight column
@@ -1308,6 +1369,7 @@ object Curation {
     "q244_epoch_plan" -> q244,
     "q247_epoch_materialize" -> q247,
     "q255_epoch_pure_sql" -> q255,
+    "q259_curation_pipeline" -> q259,
     "q235_curriculum_shards" -> q235,
     "q200_report_card" -> q200,
     "q158_split_assign" -> q158,
@@ -1331,6 +1393,7 @@ object Curation {
     "q244_epoch_plan" -> q244Sql,
     "q247_epoch_materialize" -> q247Sql,
     "q255_epoch_pure_sql" -> q255Sql,
+    "q259_curation_pipeline" -> q259Sql,
     "q239_target_affinity" -> q239Sql,
     "q235_curriculum_shards" -> q235Sql,
     "q200_report_card" -> q200Sql,
