@@ -1034,4 +1034,44 @@ class PropertySpec extends AnyFunSuite {
       assert(got == want, s"trial $trial (maxDeg $maxDeg): got $got want $want")
     }
   }
+
+  test("grid-salted blocked pairs equal the plain join on random block structures") {
+    import spark.implicits._
+    // random corpora with skewed block-size distributions (several blocks
+    // straddling the hot threshold from both sides, one far past it) must
+    // produce the EXACT pair set of the unsalted equi-join at whatever
+    // per-block grid the adaptive formula picks — the invariant behind
+    // editDistancePairs/jaroWinklerPairs/linkRecords at any skew
+    val rnd = new scala.util.Random(51)
+    spark.conf.set("graft.dedup.hotBlockThreshold", "6")
+    try {
+      for (trial <- 0 until 3) {
+        // block sizes: cold (<=6), warm (just above), hot (~20x threshold)
+        val sizes = Seq(2, 5, 6, 7, 9, 14, 40 + trial * 40)
+        val docs = sizes.zipWithIndex.flatMap { case (sz, b) =>
+          (0 until sz).map { i =>
+            val id = b * 1000L + i
+            // 12-char block prefix + short random tail => real lev work
+            (id, f"blk$b%09d ${"abcdef" (rnd.nextInt(6))}${rnd.nextInt(3)}")
+          }
+        }.toDF("my_id", "body")
+        val got = operators.Dedup
+          .editDistancePairs(docs, "my_id", "body", maxDist = 8,
+            blockPrefix = 12)
+          .collect()
+          .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+            r.getAs[Int]("dist"))).toSet
+        val n = docs.select($"my_id".as("id"), trim($"body").as("t"),
+          substring(lower(trim($"body")), 1, 12).as("blk"))
+        val exp = n.as("x").join(n.as("y"), col("x.blk") === col("y.blk"))
+          .filter(col("x.id") < col("y.id"))
+          .select(col("x.id"), col("y.id"),
+            levenshtein(col("x.t"), col("y.t"), 8).as("d"))
+          .filter($"d" >= 0 && $"d" <= 8)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        assert(exp.nonEmpty && got == exp,
+          s"trial $trial: salted ${got.size} vs plain ${exp.size}")
+      }
+    } finally spark.conf.unset("graft.dedup.hotBlockThreshold")
+  }
 }
