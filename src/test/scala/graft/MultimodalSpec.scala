@@ -94,6 +94,22 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.decodeFeatures(spark.createDataset(bad),
         Multimodal.ImageIoDecoder).collect()
     }
+    // the other JDK formats decode through the same path: BMP losslessly
+    // (exact features), JPEG lossily (exact dims, features within the
+    // codec's error)
+    for ((fmtName, lossless) <- Seq(("bmp", true), ("jpg", false))) {
+      val bo = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmtName, bo),
+        s"JDK writer missing for $fmtName")
+      val enc = Seq(Multimodal.MediaRow(9L, "image", bo.toByteArray, "en", 1L))
+      val g = Multimodal.decodeFeatures(spark.createDataset(enc),
+        Multimodal.ImageIoDecoder).collect().head
+      assert(g.width == 40 && g.height == 20, s"$fmtName dims")
+      val tol = if (lossless) 1e-3f else 5e-2f
+      f.feature.zip(g.feature).zipWithIndex.foreach { case ((a, b), i) =>
+        assert(math.abs(a - b) <= tol, s"$fmtName feature($i): $a vs $b")
+      }
+    }
   }
 
   test("WavDecoder really decodes WAV payloads (rate/channels/frames + RMS envelope)") {
