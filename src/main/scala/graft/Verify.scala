@@ -33,16 +33,28 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+    // per-query wall seconds (plan + execute + one coalesced parquet
+    // write) → outDir/engine_times.json: the sf1 soak reads it so the
+    // third decade gets a per-query perf trend line, not just a
+    // correctness bit (Bench only runs at the driver's sf)
+    val times = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val failures = selected.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
+        val t0 = System.nanoTime()
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
+        times += name -> (System.nanoTime() - t0) / 1e9
         None
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         Some(name)
       }
     }
+    Files.writeString(Paths.get(s"$outDir/engine_times.json"),
+      times.map { case (k, v) =>
+        "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f",
+          Double.box(v))
+      }.mkString("{", ",", "}") + "\n")
     // a query that errors silently vanishes from the driver's correctness
     // table (round 7 lost 12 event queries to a testdata type change with
     // no visible signal) — make the tally impossible to miss, on BOTH

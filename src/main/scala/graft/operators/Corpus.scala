@@ -473,10 +473,10 @@ object Corpus {
   private val q104Sql =
     """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
       |             FROM documents),
-      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |tf AS MATERIALIZED (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
       |nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
       |dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1 HAVING COUNT(*) <= 400),
-      |w AS (SELECT doc_id, tf.term, tf * (((SELECT n FROM nn) * 1000) // df) AS w
+      |w AS MATERIALIZED (SELECT doc_id, tf.term, tf * (((SELECT n FROM nn) * 1000) // df) AS w
       |      FROM tf JOIN dfc ON tf.term = dfc.term),
       |norms AS (SELECT doc_id, SUM(w::HUGEINT * w) AS norm FROM w GROUP BY 1),
       |dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -587,6 +587,75 @@ object Corpus {
       |FROM ranked a JOIN ranked b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 3
       |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9
       |ORDER BY id_a, id_b""".stripMargin
+
+  // q260 — q240's multi-field weighted linkage from Spark SQL TEXT alone
+  // (the q253–q258 pure-SQL client-surface pattern): `jaro_winkler` is
+  // the SQL-registered native expression (functions.Registry), so the
+  // statement scores with the SAME bit-exact kernel as the Column API and
+  // the weighted sum is the same left-to-right IEEE chain — gated by
+  // q240's exact oracle. The plan is the operator's shape: one block
+  // equi-join on the composite key, scoring stays in the join's filter.
+  private def q260(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Registry.install(s)
+    Tables.part(s, d).createOrReplaceTempView("graft_part")
+    s.sql(
+      """WITH b AS (SELECT p_partkey, p_name, p_brand,
+        |             concat(p_type, '|', p_size) AS blk FROM graft_part)
+        |SELECT a.p_partkey AS id_a, c.p_partkey AS id_b,
+        |  jaro_winkler(a.p_name, c.p_name) AS sim_p_name,
+        |  jaro_winkler(a.p_brand, c.p_brand) AS sim_p_brand,
+        |  0.6 * jaro_winkler(a.p_name, c.p_name)
+        |    + 0.4 * jaro_winkler(a.p_brand, c.p_brand) AS score
+        |FROM b a JOIN b c ON a.blk = c.blk AND a.p_partkey < c.p_partkey
+        |WHERE 0.6 * jaro_winkler(a.p_name, c.p_name)
+        |    + 0.4 * jaro_winkler(a.p_brand, c.p_brand) >= 0.93
+        |ORDER BY id_a, id_b""".stripMargin)
+  }
+  private val q260Sql = q240Sql
+
+  // q261 — q241's sorted-neighborhood linkage from Spark SQL TEXT alone.
+  // The rank is the OPERATOR's scalable formulation, not the oracle's
+  // single global ROW_NUMBER: order-aligned prefix buckets (per-bucket
+  // row_number + cumulative bucket offsets over the ≤#buckets counts
+  // frame), then the band equi-join — each row probes its own band and
+  // the next, so a pair within `window` ranks matches exactly once. The
+  // only unpartitioned window runs over the bucket-count frame (bounded
+  // by construction at 26·27 one-row-per-bucket entries, the q235
+  // skeleton's audited class). Gated by q241's exact oracle.
+  private def q261(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Registry.install(s)
+    Tables.part(s, d).createOrReplaceTempView("graft_part")
+    s.sql(
+      """WITH base AS (
+        |  SELECT p_partkey AS id, p_name,
+        |    coalesce(CAST(p_name AS STRING), '') AS srt,
+        |    substring(coalesce(CAST(p_name AS STRING), ''), 1, 2) AS bkt
+        |  FROM graft_part),
+        |loc AS (
+        |  SELECT id, p_name, bkt,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY bkt ORDER BY srt, id)
+        |      AS BIGINT) AS lrk
+        |  FROM base),
+        |offs AS (
+        |  SELECT bkt, coalesce(SUM(n) OVER (ORDER BY bkt
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM (SELECT bkt, COUNT(*) AS n FROM base GROUP BY bkt)),
+        |ranked AS (
+        |  SELECT l.id, l.p_name, o.off + l.lrk - 1 AS rnk
+        |  FROM loc l JOIN offs o ON l.bkt = o.bkt),
+        |a AS (SELECT id AS id_a, p_name AS na, rnk AS rank_a,
+        |        explode(array(rnk div 3, rnk div 3 + 1)) AS band
+        |      FROM ranked),
+        |b AS (SELECT id AS id_b, p_name AS nb, rnk AS rank_b,
+        |        rnk div 3 AS band FROM ranked)
+        |SELECT id_a, id_b, CAST(rank_b - rank_a AS BIGINT) AS rank_dist,
+        |  jaro_winkler(na, nb) AS sim
+        |FROM a JOIN b ON a.band = b.band
+        |WHERE rank_b > rank_a AND rank_b - rank_a <= 3
+        |  AND jaro_winkler(na, nb) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin)
+  }
+  private val q261Sql = q241Sql
 
   // q218 — positional phrase search: documents containing the exact
   // consecutive sequence "hash value", with occurrence counts — the
@@ -871,6 +940,8 @@ object Corpus {
     "q210_fuzzy_name_match" -> q210,
     "q240_multifield_linkage" -> q240,
     "q241_sorted_neighborhood" -> q241,
+    "q260_linkage_pure_sql" -> q260,
+    "q261_neighborhood_pure_sql" -> q261,
     "q218_phrase_match" -> q218,
     "q103_bigram_stats" -> q103,
     "q104_tfidf_cosine_pairs" -> q104,
@@ -899,6 +970,8 @@ object Corpus {
     "q210_fuzzy_name_match" -> q210Sql,
     "q240_multifield_linkage" -> q240Sql,
     "q241_sorted_neighborhood" -> q241Sql,
+    "q260_linkage_pure_sql" -> q260Sql,
+    "q261_neighborhood_pure_sql" -> q261Sql,
     "q218_phrase_match" -> q218Sql,
     "q103_bigram_stats" -> q103Sql,
     "q104_tfidf_cosine_pairs" -> q104Sql,

@@ -244,8 +244,19 @@ object Dedup {
     * is `clamp(ceil(sqrt(n / HotBlockThreshold)), 2, MaxPairGrid)`, so a
     * cell's pair work stays ~[[HotBlockThreshold]]² regardless of block
     * size until this cap; rows replicate grid× per side, so the cap also
-    * bounds replication at 64× for a pathological (10⁶-row+) block. */
+    * bounds replication at 64× for a pathological (10⁶-row+) block.
+    * Overridable per session via `graft.dedup.maxPairGrid` (the other
+    * half of the cluster sizing contract: cap × threshold² is the most
+    * pair work one cell can hold before the budget degrades). */
   private val MaxPairGrid = 64L
+
+  /** The adaptive per-block grid: `clamp(ceil(sqrt(n / thr)), 2, cap)`
+    * over a block-size column. Exposed for the spec that pins BOTH clamp
+    * branches (the lower floor of 2 and the replication cap). */
+  private[graft] def gridFor(bn: Column, thr: Long, cap: Long): Column =
+    least(greatest(
+      ceil(sqrt(bn.cast("double") / thr)), lit(2L)),
+      lit(cap)).cast("long")
 
   /** Within-block self-join where each same-`__blk` (a, c) row pair meets
     * EXACTLY once, with hot blocks spread over grid² shuffle cells
@@ -285,6 +296,9 @@ object Dedup {
     val thr = scala.util.Try(
       s.conf.get("graft.dedup.hotBlockThreshold").toLong)
       .getOrElse(HotBlockThreshold)
+    val cap = scala.util.Try(
+      s.conf.get("graft.dedup.maxPairGrid").toLong)
+      .getOrElse(MaxPairGrid)
     val hot = a.groupBy($"__blk").agg(count(lit(1)).as("__bn"))
       .filter($"__bn" > thr)
     val hotKeys = hot.select($"__blk")
@@ -293,9 +307,7 @@ object Dedup {
       .join(c.join(hotKeys, Seq("__blk"), "left_anti"), Seq("__blk"))
     // per-block grid from the joined-in size column — both sides compute
     // the identical value, so the cell join stays exact
-    val g = least(greatest(
-      ceil(sqrt($"__bn".cast("double") / thr)), lit(2L)),
-      lit(MaxPairGrid)).cast("long")
+    val g = gridFor($"__bn", thr, cap)
     val aRep = a.join(hot, Seq("__blk"))
       .withColumn("__g", g)
       .withColumn("__ga", pmod(col(aId), col("__g")))

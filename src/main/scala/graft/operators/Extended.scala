@@ -2454,10 +2454,10 @@ object Extended {
       |  FROM (SELECT l_partkey, COUNT(*) AS n, CAST(SUM(q) AS BIGINT) AS s1,
       |          CAST(SUM(q * q) AS BIGINT) AS s2
       |        FROM monthly GROUP BY 1)),
-      |rev AS (SELECT l_partkey,
+      |rev AS MATERIALIZED (SELECT l_partkey,
       |    SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS rev
       |  FROM lineitem GROUP BY 1),
-      |tot AS (SELECT SUM(rev) AS tot, COUNT(*) AS np FROM rev),
+      |tot AS MATERIALIZED (SELECT SUM(rev) AS tot, COUNT(*) AS np FROM rev),
       |abc AS (SELECT l_partkey, rev,
       |    CASE WHEN rev * (SELECT np FROM tot) >= (SELECT tot FROM tot) * 2 THEN 'A'
       |         WHEN rev * (SELECT np FROM tot) * 2 >= (SELECT tot FROM tot) THEN 'B'

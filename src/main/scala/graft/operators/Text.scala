@@ -132,16 +132,22 @@ object Text {
     (0 until 8).map(i => s"CASE WHEN x.h$i = y.h$i THEN 1 ELSE 0 END")
       .mkString(" + ")
 
+  // AS MATERIALIZED on every multi-referenced CTE: DuckDB re-inlines a
+  // plain CTE per reference, so a deep consumer chain re-runs the shingle
+  // explosion once per path — q175's chain reached 96 evaluations of
+  // `sh`/`toks` under inline semantics (the q98/q125 sf1-DNF class,
+  // caught by the round-14 lint regex fix that made column-aliased CTE
+  // defs visible to the multiplicity walk)
   private[operators] val shingleRowsSql =
     """toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
-      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(t)-2,1)),
+      |sh AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(t)-2,1)),
       |       i -> array_to_string(t[i:i+3], ' ')))) AS s FROM toks)""".stripMargin
   // identical df cap as cappedShingleRows, applied oracle-side: sh is
   // already distinct (doc_id, s), so COUNT(*) per s IS the doc frequency
   private def cappedShingleRowsSql =
     s"""$shingleRowsSql,
        |hot AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) > $MaxDocFreq),
-       |shc AS (SELECT doc_id, s FROM sh
+       |shc AS MATERIALIZED (SELECT doc_id, s FROM sh
        |        WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.s = sh.s))""".stripMargin
 
   // q29 — token counting: whitespace tokens + a BPE-ish regex token count
@@ -1042,14 +1048,14 @@ object Text {
     * transitive closure → per-node component label. Used by q47 and q49. */
   private[operators] val closureCtes =
     s"""$cappedShingleRowsSql,
-       |sizes AS (SELECT doc_id, count(*) n FROM shc GROUP BY doc_id),
+       |sizes AS MATERIALIZED (SELECT doc_id, count(*) n FROM shc GROUP BY doc_id),
        |pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) shared
        |          FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
        |          GROUP BY 1, 2),
-       |good AS (SELECT doc_a, doc_b FROM pairs
+       |good AS MATERIALIZED (SELECT doc_a, doc_b FROM pairs
        |         JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
        |         WHERE CAST(shared AS DOUBLE) / (x.n + y.n - shared) >= 0.8),
-       |edges AS (SELECT doc_a src, doc_b dst FROM good
+       |edges AS MATERIALIZED (SELECT doc_a src, doc_b dst FROM good
        |          UNION ALL SELECT doc_b, doc_a FROM good),
        |reach(n, m) AS (
        |  SELECT src, dst FROM edges
@@ -1367,7 +1373,7 @@ object Text {
   }
   private val q175Sql =
     s"""WITH RECURSIVE $closureCtes,
-       |assigned AS (
+       |assigned AS MATERIALIZED (
        |  SELECT d.doc_id, coalesce(c.lbl, d.doc_id) AS canonical_id,
        |    d.lang, d.source, d.n_chars
        |  FROM documents d LEFT OUTER JOIN comp c ON d.doc_id = c.n),

@@ -45,7 +45,9 @@ class PlanSpec extends AnyFunSuite {
       "q80_hybrid_rrf", // ≤ k-row ranked lists
       "q235_curriculum_shards", // ≤ buckets bucket-offset rows (the data
         // relation itself windows per range-bucket, never globally)
-      "q241_sorted_neighborhood" // same skeleton: ≤ #prefix-bucket offset rows
+      "q241_sorted_neighborhood", // same skeleton: ≤ #prefix-bucket offset rows
+      "q261_neighborhood_pure_sql" // q241's SQL-text twin — the identical
+        // bucket-offsets window over the ≤ #prefix-buckets count frame
     )
     // AQE's AdaptiveSparkPlanExec hides the real operators until runtime —
     // disable it so the collect actually sees joins/windows (planOf's rule).

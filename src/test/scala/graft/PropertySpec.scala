@@ -1074,4 +1074,56 @@ class PropertySpec extends AnyFunSuite {
       }
     } finally spark.conf.unset("graft.dedup.hotBlockThreshold")
   }
+
+  test("adaptive grid clamps at both ends; the capped path keeps pair-set equality") {
+    import spark.implicits._
+    // (1) the formula's branches, evaluated directly at the production
+    // defaults (thr 512, cap 64): floor of 2 up to 4·thr, ~√(n/thr)
+    // between, hard cap from cap²·thr up — the round-13 verdict noted the
+    // upper clamp branch never fired in any spec
+    val thr = 512L
+    val cases = Seq(
+      1L -> 2L, 513L -> 2L, 2048L -> 2L,          // lower clamp floor
+      2049L -> 3L, 512L * 25 -> 5L,               // √ regime
+      512L * 63 * 63 -> 63L,                      // last uncapped value
+      512L * 64 * 64 -> 64L,                      // exact knee
+      512L * 64 * 64 + 1 -> 64L, 100000000L -> 64L) // upper clamp cap
+    val got = cases.map(_._1).toDF("n")
+      .select($"n", operators.Dedup.gridFor($"n", thr, 64L).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cases.foreach { case (n, want) =>
+      assert(got(n) == want, s"gridFor($n) = ${got(n)}, want $want")
+    }
+    // (2) the capped path end-to-end: threshold 6 + cap 3 makes a 120-row
+    // block want grid 5 (ceil √20) but clamp to 3 — the pair set must
+    // still equal the plain unsalted equi-join's exactly
+    val rnd = new scala.util.Random(67)
+    spark.conf.set("graft.dedup.hotBlockThreshold", "6")
+    spark.conf.set("graft.dedup.maxPairGrid", "3")
+    try {
+      val docs = ((0 until 120).map(i => (i.toLong, "bigblkprefix" +
+          s" ${"abcdef"(rnd.nextInt(6))}${rnd.nextInt(3)}")) ++
+        (0 until 5).map(i => (1000L + i, s"coldblkpref$i tail")))
+        .toDF("my_id", "body")
+      val gotPairs = operators.Dedup
+        .editDistancePairs(docs, "my_id", "body", maxDist = 8,
+          blockPrefix = 12)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Int]("dist"))).toSet
+      val n = docs.select($"my_id".as("id"), trim($"body").as("t"),
+        substring(lower(trim($"body")), 1, 12).as("blk"))
+      val exp = n.as("x").join(n.as("y"), col("x.blk") === col("y.blk"))
+        .filter(col("x.id") < col("y.id"))
+        .select(col("x.id"), col("y.id"),
+          levenshtein(col("x.t"), col("y.t"), 8).as("d"))
+        .filter($"d" >= 0 && $"d" <= 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(exp.nonEmpty && gotPairs == exp,
+        s"capped grid: salted ${gotPairs.size} vs plain ${exp.size}")
+    } finally {
+      spark.conf.unset("graft.dedup.hotBlockThreshold")
+      spark.conf.unset("graft.dedup.maxPairGrid")
+    }
+  }
 }

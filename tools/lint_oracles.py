@@ -71,7 +71,18 @@ def is_bad_type(typ):
 # both ways.
 INLINE_BUDGET = 32
 
-_CTE_DEF = re.compile(r"\b(\w+)\s+AS\s+(MATERIALIZED\s+)?\(", re.IGNORECASE)
+# `name AS (` or column-aliased `name(c1, c2) AS (` — the alias-list form
+# (q244/q247/q255/q259's VALUES weight tables) was invisible to the first
+# regex, silently exempting those bodies and everything referencing them
+# from the multiplicity walk (round-13 advice).
+# KNOWN LIMITATION (conservative direction): reference counting matches
+# the bare name anywhere outside `x.`/`.x` positions, so a single-letter
+# CTE name that collides with an unqualified COLUMN name (`h` in
+# q159/q176) counts the column uses too — it can only over-count, i.e.
+# false-flag, never miss a real superlinear chain.
+_CTE_DEF = re.compile(
+    r"\b(\w+)\s*(?:\([^()]*\))?\s+AS\s+(MATERIALIZED\s+)?\(",
+    re.IGNORECASE)
 
 
 def _split_ctes(sql):
@@ -210,6 +221,17 @@ def main():
     assert not lint_cte_multiplicity(
         {"p": _chain.format(m="MATERIALIZED ")}), (
         "lint self-test failed: MATERIALIZED chain falsely flagged")
+    # third probe: the column-aliased definition form `w(a, b) AS (...)`
+    # must parse as a CTE named w — the pre-round-14 regex skipped the
+    # alias list and bound the LAST alias column as the CTE name, so
+    # aliased bodies (and chains through them) escaped the walk
+    _aliased = _chain.format(m="").replace("e0 AS (SELECT 1 AS x)",
+                                           "e0(x) AS (SELECT 1)", 1)
+    assert "e0(x)" in _aliased
+    _names = [n for n, _, _ in _split_ctes(_aliased)[0]]
+    assert _names[0] == "e0" and lint_cte_multiplicity({"p": _aliased}), (
+        "lint self-test failed: column-aliased CTE definition not parsed "
+        f"(names={_names}) — update _CTE_DEF")
     supers = lint_cte_multiplicity(oracles)
 
     for name, col, typ, reason in bad:
