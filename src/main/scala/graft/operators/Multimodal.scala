@@ -7,10 +7,12 @@ import org.apache.spark.sql.types._
 /** Multimodal column processing: images/audio/video as opaque binary columns
   * with typed metadata, processed batch-wise on executors.
   *
-  * Decoders: [[ImageIoDecoder]] (PNG/JPEG/BMP/GIF) and [[WavDecoder]]
-  * (WAV/AIFF PCM) are REAL — the JDK ships those codecs, no native libs —
-  * and spec-gated on round-tripped payloads. Video (H.264 etc.) still
-  * needs codecs this container lacks, so `FakeDecoder` remains the
+  * Decoders: [[ImageIoDecoder]] (PNG/JPEG/BMP/GIF), [[WavDecoder]]
+  * (WAV/AIFF PCM) and [[MjpegAviDecoder]] (MJPEG-in-AVI video: RIFF
+  * container walk + per-frame ImageIO JPEG decode) are REAL — the JDK
+  * ships those codecs, no native libs — and spec-gated on round-tripped
+  * payloads. Inter-frame codecs (H.264/VP9 etc.) still need native
+  * libraries this container lacks, so `FakeDecoder` remains the
   * clearly-marked deterministic stand-in there and for the gate queries
   * (whose testdata payloads are utf8 text, not media). The Spark-side
   * plumbing is identical for all three: schema (binary payload + struct
@@ -145,6 +147,98 @@ object Multimodal {
     }
   }
 
+  /** REAL video decode — MJPEG-in-AVI via the JDK alone: the AVI RIFF
+    * container is walked chunk-by-chunk (LIST recursion, even-byte
+    * padding, `##dc`/`##db` stream-data chunks collected in order) and
+    * each frame is an independent JPEG decoded by `javax.imageio` — no
+    * inter-frame prediction, so no native codec needed. MJPEG/AVI is the
+    * standard capture format for webcams, dashcams and lab instruments,
+    * so a real corpus hits it; H.264-class codecs stay behind the
+    * [[MediaDecoder]] plug-in boundary.
+    *
+    * Output: width/height from the first decoded frame, n_frames = video
+    * chunk count, and the 8-dim feature is the temporal mean-luma
+    * envelope — frames bucketed into 8 octiles of the timeline, mean
+    * luma per octile — the video analogue of [[WavDecoder]]'s RMS
+    * envelope (scene-change/fade signature, stable across container
+    * remux). Fails LOUDLY on non-AVI payloads or undecodable frames;
+    * deterministic per payload — safe under task retries. */
+  object MjpegAviDecoder extends MediaDecoder {
+
+    private def fourcc(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    private def u32(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+    /** Walk the RIFF chunk tree and return the video stream-data chunk
+      * payloads (`##dc` compressed / `##db` uncompressed DIB) in file
+      * order. Exposed for the frame-sampling operator. */
+    private[operators] def aviFrames(bytes: Array[Byte]): Vector[Array[Byte]] = {
+      require(bytes.length >= 12 && fourcc(bytes, 0) == "RIFF" &&
+        fourcc(bytes, 8) == "AVI ", "payload is not a RIFF/AVI container")
+      val frames = Vector.newBuilder[Array[Byte]]
+      def walk(start: Int, end: Int): Unit = {
+        var p = start
+        while (p + 8 <= end) {
+          val id = fourcc(bytes, p)
+          val sz = u32(bytes, p + 4).toInt
+          val dataStart = p + 8
+          val dataEnd = math.min(dataStart + sz, end)
+          if (id == "LIST" && sz >= 4) {
+            walk(dataStart + 4, dataEnd) // skip the 4-byte list type
+          } else if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
+              (id.substring(2) == "dc" || id.substring(2) == "db")) {
+            frames += java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
+          }
+          p = dataStart + sz + (sz & 1) // chunks pad to even byte boundary
+        }
+      }
+      walk(12, bytes.length)
+      frames.result()
+    }
+
+    private[graft] def frameMeanLuma(img: java.awt.image.BufferedImage): Float = {
+      var luma = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          luma += (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+            114 * (rgb & 0xff)) / 1000
+          x += 1
+        }
+        y += 1
+      }
+      luma.toFloat / (img.getWidth.toLong * img.getHeight) / 255f
+    }
+
+    def decode(r: MediaRow): MediaFeatures = {
+      val chunks = aviFrames(r.payload)
+      require(chunks.nonEmpty, s"doc ${r.doc_id}: AVI has no video frames")
+      var w, h = 0
+      val lumaSum = new Array[Double](8)
+      val lumaN = new Array[Long](8)
+      var i = 0
+      while (i < chunks.length) {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(chunks(i)))
+        require(img != null,
+          s"doc ${r.doc_id}: frame $i is not a JDK-decodable JPEG")
+        if (i == 0) { w = img.getWidth; h = img.getHeight }
+        val oct = math.min(i * 8L / chunks.length, 7L).toInt
+        lumaSum(oct) += frameMeanLuma(img)
+        lumaN(oct) += 1
+        i += 1
+      }
+      val feat = Array.tabulate(8)(o =>
+        if (lumaN(o) == 0) 0f else (lumaSum(o) / lumaN(o)).toFloat)
+      MediaFeatures(r.doc_id, r.kind, r.payload.length, w, h, chunks.length, feat)
+    }
+  }
+
   /** Binary-ingest view over `documents` (payload = utf8 bytes stands in for
     * a media object; metadata typed alongside). */
   def mediaTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
@@ -175,6 +269,22 @@ object Multimodal {
       if (r.kind != "video") Iterator.empty
       else r.payload.grouped(window).zipWithIndex.collect {
         case (chunk, i) if i % every == 0 => (r.doc_id, i, chunk)
+      }
+    }.toDF("doc_id", "frame_no", "frame_bytes")
+  }
+
+  /** REAL frame sampling for MJPEG/AVI payloads: walk the container and
+    * emit every k-th actual JPEG frame (frame_no = its position in the
+    * stream), ready for [[ImageIoDecoder]]-style per-frame featurization
+    * or thumbnailing downstream. Map-only like [[sampleFrames]]; a
+    * non-AVI payload fails loudly rather than yielding fake frames. */
+  def sampleAviFrames(media: Dataset[MediaRow], every: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    require(every >= 1, "every must be >= 1")
+    media.flatMap { r =>
+      if (r.kind != "video") Iterator.empty
+      else MjpegAviDecoder.aviFrames(r.payload).iterator.zipWithIndex.collect {
+        case (jpeg, i) if i % every == 0 => (r.doc_id, i, jpeg)
       }
     }.toDF("doc_id", "frame_no", "frame_bytes")
   }

@@ -142,6 +142,103 @@ class MultimodalSpec extends AnyFunSuite {
       f.feature.mkString(","))
   }
 
+  /** Build a standards-shaped MJPEG AVI: RIFF(AVI ) > LIST(hdrl){avih,
+    * LIST(strl){strh,strf}} > LIST(movi){00dc…} — the layout every
+    * MJPEG capture device writes. */
+  private def writeAvi(frames: Seq[Array[Byte]], w: Int, h: Int): Array[Byte] = {
+    def le32(v: Int): Array[Byte] = Array[Byte](
+      v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray)
+    def list(typ: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", typ.getBytes("US-ASCII") ++ body)
+    val avih = le32(100000) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(frames.length) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(w) ++ le32(h) ++ Array.fill(16)(0.toByte)
+    val strh = "vids".getBytes("US-ASCII") ++ "MJPG".getBytes("US-ASCII") ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(1) ++ le32(10) ++ le32(0) ++
+      le32(frames.length) ++ le32(0) ++ le32(-1) ++ le32(0) ++
+      Array.fill(8)(0.toByte)
+    val strf = le32(40) ++ le32(w) ++ le32(h) ++
+      Array[Byte](1, 0, 24, 0) ++ "MJPG".getBytes("US-ASCII") ++
+      le32(w * h * 3) ++ Array.fill(16)(0.toByte)
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi",
+      frames.map(f => chunk("00dc", f)).foldLeft(Array.emptyByteArray)(_ ++ _))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  private def jpegFrame(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("MjpegAviDecoder really decodes AVI video (dims/frames + luma envelope)") {
+    import spark.implicits._
+    // 16 frames at 48x32: first half black, second half white — the
+    // temporal luma envelope must read 0,0,0,0,1,1,1,1 (a hard cut)
+    val frames = Seq.fill(8)(jpegFrame(48, 32, 0x000000)) ++
+      Seq.fill(8)(jpegFrame(48, 32, 0xffffff))
+    val avi = writeAvi(frames, 48, 32)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "video", avi, "en", avi.length.toLong),
+      Multimodal.MediaRow(2L, "video", avi, "en", avi.length.toLong))
+    // through the REAL distributed decode stage (serialization + retries)
+    val feats = Multimodal.decodeFeatures(
+        spark.createDataset(rows).repartition(2), Multimodal.MjpegAviDecoder)
+      .collect().sortBy(_.doc_id)
+    assert(feats.length == 2)
+    val f = feats.head
+    assert(f.width == 48 && f.height == 32 && f.n_frames == 16)
+    // JPEG is lossy: black/white solid frames stay within codec error
+    assert(f.feature.take(4).forall(_ < 0.05f), f.feature.mkString(","))
+    assert(f.feature.drop(4).forall(_ > 0.95f), f.feature.mkString(","))
+    assert(feats(0).feature.sameElements(feats(1).feature),
+      "identical payloads must decode identically")
+    // non-AVI and frame-corrupt payloads fail loudly, not silently
+    intercept[Exception] {
+      Multimodal.decodeFeatures(spark.createDataset(Seq(
+        Multimodal.MediaRow(3L, "video", "not a video".getBytes, "en", 11L))),
+        Multimodal.MjpegAviDecoder).collect()
+    }
+    val corrupt = writeAvi(Seq(jpegFrame(8, 8, 0), "junk frame".getBytes), 8, 8)
+    intercept[Exception] {
+      Multimodal.decodeFeatures(spark.createDataset(Seq(
+        Multimodal.MediaRow(4L, "video", corrupt, "en", 1L))),
+        Multimodal.MjpegAviDecoder).collect()
+    }
+  }
+
+  test("sampleAviFrames emits every k-th real JPEG frame from the container") {
+    import spark.implicits._
+    // 10 frames with per-frame distinct luma so order is observable
+    val frames = (0 until 10).map(i => jpegFrame(16, 16, i * 0x1b1b1b))
+    val avi = writeAvi(frames, 16, 16)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "video", avi, "en", 1L),
+      Multimodal.MediaRow(2L, "audio", "wav".getBytes, "en", 1L)) // skipped
+    val out = Multimodal.sampleAviFrames(spark.createDataset(rows), every = 3)
+      .collect().sortBy(_.getAs[Int]("frame_no"))
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(1L), "videos only")
+    assert(out.map(_.getAs[Int]("frame_no")).toSeq == Seq(0, 3, 6, 9))
+    // each sampled frame is the actual JPEG at that position: decodable,
+    // right dims, luma increasing with frame_no
+    val lumas = out.map { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("frame_bytes")))
+      assert(img != null && img.getWidth == 16 && img.getHeight == 16)
+      Multimodal.MjpegAviDecoder.frameMeanLuma(img)
+    }
+    assert(lumas.sliding(2).forall(p => p(0) < p(1)), lumas.mkString(","))
+  }
+
   test("decoded features feed the similarity operators (end-to-end handoff)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
