@@ -1364,7 +1364,224 @@ object Curation {
       |  CAST(rank % 50 AS BIGINT) AS row_in_shard
       |FROM ranked ORDER BY rank""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Snapshot distribution drift — the monitoring counterpart of
+  // corpusDiff: WHERE did the corpus composition move between two
+  // snapshots, not just which rows changed. The classic score is PSI;
+  // PSI needs ln() (libm-drifty across engines), so the exact-integer
+  // score here is total-variation distance over ppm shares — the same
+  // ordering signal for "did the mix shift", reproducible bit-for-bit
+  // (the scaled-integer-idf treatment from tfidfTopK/bm25TopK).
+
+  /** Per-bucket distribution drift between two snapshots over a
+    * categorical (or pre-bucketed) column: each side's count and
+    * 1e6-scaled share, plus the absolute share delta. Buckets present on
+    * only one side surface with 0 on the other — disappearing and novel
+    * categories are exactly the drift worth flagging. Output:
+    * (bucket, old_n, new_n, old_ppm, new_ppm, delta_ppm).
+    *
+    * Scale: one combiner-friendly aggregate per snapshot (shuffle keyed
+    * on the bucket value), a full-outer equi-join on bucket (#buckets
+    * rows), and the two totals as 1-row broadcasts — nothing collects to
+    * the driver, so the snapshots can be 100 TB each. */
+  def distributionDrift(oldDf: DataFrame, newDf: DataFrame,
+      bucketCol: String): DataFrame = {
+    def counted(df: DataFrame, n: String): DataFrame =
+      df.groupBy(col(bucketCol).as("bucket")).agg(count(lit(1)).as(n))
+    def total(df: DataFrame, t: String): DataFrame =
+      df.agg(count(lit(1)).as(t))
+    counted(oldDf, "old_n")
+      .join(counted(newDf, "new_n"), Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("old_n", "new_n"))
+      .crossJoin(broadcast(total(oldDf, "__ot")))
+      .crossJoin(broadcast(total(newDf, "__nt")))
+      .select(col("bucket"), col("old_n"), col("new_n"),
+        expr("CASE WHEN __ot = 0 THEN 0L ELSE old_n * 1000000L DIV __ot END")
+          .as("old_ppm"),
+        expr("CASE WHEN __nt = 0 THEN 0L ELSE new_n * 1000000L DIV __nt END")
+          .as("new_ppm"))
+      .withColumn("delta_ppm", abs(col("old_ppm") - col("new_ppm")))
+  }
+
+  /** Numeric-feature variant: buckets are `valueCol DIV bucketWidth`
+    * (equi-width histogram), then [[distributionDrift]]. */
+  def numericDrift(oldDf: DataFrame, newDf: DataFrame, valueCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, "bucketWidth must be positive")
+    def bucketed(df: DataFrame) = df.select(
+      expr(s"CAST($valueCol AS BIGINT) DIV ${bucketWidth}L").as("bucket"))
+    distributionDrift(bucketed(oldDf), bucketed(newDf), "bucket")
+  }
+
+  /** One-row drift certificate from a [[distributionDrift]] table:
+    * bucket count, both totals, and the total-variation distance in ppm
+    * (`Σ|old_ppm − new_ppm| DIV 2` — 0 = identical mix, 1e6 = disjoint).
+    * Alert on `tv_ppm` crossing a threshold; read the per-bucket table
+    * for the why. */
+  def driftSummary(drift: DataFrame): DataFrame =
+    drift.agg(count(lit(1)).as("n_buckets"),
+      sum(col("old_n")).as("old_total"), sum(col("new_n")).as("new_total"),
+      expr("SUM(delta_ppm) DIV 2").as("tv_ppm"))
+
+  // q262 — language-mix drift between two synthetic snapshots of the
+  // corpus (new snapshot drops every 7th doc and relabels every 13th to
+  // a novel language): the per-bucket drift table a curation run checks
+  // before accepting a refreshed crawl.
+  private def q262(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val newSnap = docs.filter($"doc_id" % 7 =!= 0)
+      .select(when($"doc_id" % 13 === 0, lit("xx"))
+        .otherwise($"lang").as("lang"))
+    distributionDrift(docs.select($"lang"), newSnap, "lang")
+      .withColumnRenamed("bucket", "lang")
+      .orderBy($"lang")
+  }
+  private val q262Sql =
+    """WITH n0 AS (SELECT CASE WHEN doc_id % 13 = 0 THEN 'xx' ELSE lang END AS lang
+      |  FROM documents WHERE doc_id % 7 <> 0),
+      |o AS (SELECT lang, COUNT(*) AS old_n FROM documents GROUP BY lang),
+      |n AS (SELECT lang, COUNT(*) AS new_n FROM n0 GROUP BY lang),
+      |ot AS (SELECT COUNT(*) AS t FROM documents),
+      |nt AS (SELECT COUNT(*) AS t FROM n0)
+      |SELECT COALESCE(o.lang, n.lang) AS lang,
+      |  CAST(COALESCE(old_n, 0) AS BIGINT) AS old_n,
+      |  CAST(COALESCE(new_n, 0) AS BIGINT) AS new_n,
+      |  CAST(COALESCE(old_n, 0) * 1000000 // ot.t AS BIGINT) AS old_ppm,
+      |  CAST(COALESCE(new_n, 0) * 1000000 // nt.t AS BIGINT) AS new_ppm,
+      |  CAST(ABS(COALESCE(old_n, 0) * 1000000 // ot.t
+      |         - COALESCE(new_n, 0) * 1000000 // nt.t) AS BIGINT) AS delta_ppm
+      |FROM o FULL OUTER JOIN n ON o.lang = n.lang, ot, nt
+      |ORDER BY lang""".stripMargin
+
+  // q263 — length-distribution drift certificate: equi-width n_chars
+  // histogram (width 100) between the corpus and a short-doc-skewed
+  // snapshot (drops odd-id docs over the median-ish 300 chars), reduced
+  // to the one-row TV summary a monitoring job alerts on.
+  private def q263(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val newSnap = docs.filter(!($"n_chars" > 300L && $"doc_id" % 2 === 1))
+    driftSummary(numericDrift(docs, newSnap, "n_chars", bucketWidth = 100L))
+  }
+  private val q263Sql =
+    """WITH n0 AS (SELECT n_chars // 100 AS bucket FROM documents
+      |  WHERE NOT (n_chars > 300 AND doc_id % 2 = 1)),
+      |o AS (SELECT n_chars // 100 AS bucket, COUNT(*) AS old_n
+      |  FROM documents GROUP BY 1),
+      |n AS (SELECT bucket, COUNT(*) AS new_n FROM n0 GROUP BY bucket),
+      |ot AS (SELECT COUNT(*) AS t FROM documents),
+      |nt AS (SELECT COUNT(*) AS t FROM n0),
+      |drift AS (SELECT
+      |    COALESCE(old_n, 0) * 1000000 // ot.t AS old_ppm,
+      |    COALESCE(new_n, 0) * 1000000 // nt.t AS new_ppm
+      |  FROM o FULL OUTER JOIN n ON o.bucket = n.bucket, ot, nt)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS old_total,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM n0) AS new_total,
+      |  CAST(SUM(ABS(old_ppm - new_ppm)) // 2 AS BIGINT) AS tv_ppm
+      |FROM drift""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Exact-quota stratified split — the contract-eval counterpart of the
+  // map-only threshold split (splitAssign/q158): per stratum, EXACTLY
+  // ⌊n·ppm/1e6⌋ docs land in each named split (threshold splits are only
+  // binomially close, which a 1k-doc per-language eval set can't accept).
+
+  /** Within each stratum, rank docs by a salted deterministic hash and
+    * assign the first ⌊n·ppm₁/1e6⌋ to splits(0), the next ⌊n·ppm₂/1e6⌋ to
+    * splits(1), …; the LAST split takes the remainder (pass it as the
+    * train split). Re-running with the same salt reproduces the exact
+    * assignment — eval membership is stable across pipeline reruns.
+    * Output: (idCol, strataCol, split).
+    *
+    * Scale: one keyed window (rank within stratum — the per-stratum sort
+    * is the cost, bounded by the largest stratum, the audited keyed-window
+    * class) plus a per-stratum count aggregate broadcast back. For
+    * mega-strata where even that sort hurts, the threshold split is the
+    * map-only escape hatch — exactness is what the window buys. */
+  def evalSplitExact(df: DataFrame, idCol: String, strataCol: String,
+      splits: Seq[(String, Long)], salt: String = "esx"): DataFrame = {
+    require(splits.size >= 2, "need at least two named splits")
+    require(splits.map(_._2).sum <= 1000000L, "split ppms exceed 1e6")
+    require(splits.forall(_._2 >= 0L), "split ppms must be non-negative")
+    val h = md5Long(concat(lit(s"$salt:"), col(idCol).cast(StringType)))
+    val ranked = df.select(col(idCol), col(strataCol))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col(strataCol)).orderBy(h, col(idCol))) - 1L)
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    // cumulative ⌊quota⌋ thresholds; the last split is the catch-all
+    val cums = splits.init.scanLeft(lit(0L): Column) { case (acc, (_, ppm)) =>
+      acc + expr(s"__n * ${ppm}L DIV 1000000L")
+    }.tail
+    val assign = splits.init.zip(cums).foldRight(
+        lit(splits.last._1): Column) { case (((name, _), cum), rest) =>
+      when(col("__r") < cum, lit(name)).otherwise(rest)
+    }
+    ranked.join(broadcast(counts), Seq(strataCol))
+      .select(col(idCol), col(strataCol), assign.as("split"))
+  }
+
+  // q264 — exact-quota 10/10/80 split stratified by language, reported
+  // per (lang, split): quotas are exact per stratum by construction,
+  // which the counts table makes visible. The oracle is the same rank
+  // formulation in DuckDB SQL.
+  private def q264(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    evalSplitExact(Tables.documents(s, d), "doc_id", "lang",
+        Seq("test" -> 100000L, "val" -> 100000L, "train" -> 800000L))
+      .groupBy($"lang", $"split")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"lang", $"split")
+  }
+  private val q264Sql =
+    s"""WITH ranked AS (SELECT lang,
+       |    ROW_NUMBER() OVER (PARTITION BY lang
+       |      ORDER BY ${md5LongSql("'esx:' || doc_id")}, doc_id) - 1 AS r,
+       |    COUNT(*) OVER (PARTITION BY lang) AS n
+       |  FROM documents)
+       |SELECT lang,
+       |  CASE WHEN r < n * 100000 // 1000000 THEN 'test'
+       |       WHEN r < n * 100000 // 1000000 + n * 100000 // 1000000 THEN 'val'
+       |       ELSE 'train' END AS split,
+       |  COUNT(*) AS n_docs
+       |FROM ranked
+       |GROUP BY 1, 2
+       |ORDER BY lang, split""".stripMargin
+
+  // q265 — the q262 drift table reachable from Spark SQL TEXT alone (the
+  // q253–q261 pure-SQL client-surface pattern): same two bucket
+  // aggregates, #buckets-row full-outer join, cross-joined 1-row totals
+  // and integer-DIV ppm shares, in ONE spark.sql statement over a
+  // registered documents view. Gated by q262's exact oracle, so the
+  // Scala API and the SQL recipe cannot drift apart.
+  private def q265(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d).createOrReplaceTempView("graft_documents")
+    s.sql(
+      """WITH n0 AS (SELECT CASE WHEN doc_id % 13 = 0 THEN 'xx' ELSE lang END AS lang
+        |  FROM graft_documents WHERE doc_id % 7 <> 0),
+        |o AS (SELECT lang, COUNT(*) AS old_n FROM graft_documents GROUP BY lang),
+        |n AS (SELECT lang, COUNT(*) AS new_n FROM n0 GROUP BY lang),
+        |ot AS (SELECT COUNT(*) AS t FROM graft_documents),
+        |nt AS (SELECT COUNT(*) AS t FROM n0)
+        |SELECT COALESCE(o.lang, n.lang) AS lang,
+        |  COALESCE(old_n, 0L) AS old_n,
+        |  COALESCE(new_n, 0L) AS new_n,
+        |  COALESCE(old_n, 0L) * 1000000L DIV ot.t AS old_ppm,
+        |  COALESCE(new_n, 0L) * 1000000L DIV nt.t AS new_ppm,
+        |  ABS(COALESCE(old_n, 0L) * 1000000L DIV ot.t
+        |    - COALESCE(new_n, 0L) * 1000000L DIV nt.t) AS delta_ppm
+        |FROM o FULL OUTER JOIN n ON o.lang = n.lang
+        |CROSS JOIN ot CROSS JOIN nt
+        |ORDER BY lang""".stripMargin)
+  }
+  private val q265Sql = q262Sql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q265_drift_pure_sql" -> q265,
+    "q262_drift_by_lang" -> q262,
+    "q263_drift_tv_summary" -> q263,
+    "q264_eval_split_exact" -> q264,
     "q239_target_affinity" -> q239,
     "q244_epoch_plan" -> q244,
     "q247_epoch_materialize" -> q247,
@@ -1390,6 +1607,10 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q265_drift_pure_sql" -> q265Sql,
+    "q262_drift_by_lang" -> q262Sql,
+    "q263_drift_tv_summary" -> q263Sql,
+    "q264_eval_split_exact" -> q264Sql,
     "q244_epoch_plan" -> q244Sql,
     "q247_epoch_materialize" -> q247Sql,
     "q255_epoch_pure_sql" -> q255Sql,

@@ -425,4 +425,67 @@ class CurationSpec extends AnyFunSuite {
     assert(winLines.exists(l => l.contains("__bkt") && l.contains("source")),
       s"expected a (source, __bkt)-keyed window:\n${winLines.mkString("\n")}")
   }
+
+  test("distributionDrift: per-bucket shares, one-sided buckets, TV summary") {
+    val old = Seq("a", "a", "b", "b").toDF("lang")
+    val nw = Seq("a", "a", "a", "c").toDF("lang")
+    val drift = Curation.distributionDrift(old, nw, "lang")
+    val rows = drift.collect().map(r => r.getAs[String]("bucket") ->
+      ((r.getAs[Long]("old_n"), r.getAs[Long]("new_n"),
+        r.getAs[Long]("old_ppm"), r.getAs[Long]("new_ppm"),
+        r.getAs[Long]("delta_ppm")))).toMap
+    assert(rows("a") == ((2L, 3L, 500000L, 750000L, 250000L)))
+    assert(rows("b") == ((2L, 0L, 500000L, 0L, 500000L)), "vanished bucket")
+    assert(rows("c") == ((0L, 1L, 0L, 250000L, 250000L)), "novel bucket")
+    val s = Curation.driftSummary(drift).collect().head
+    assert(s.getAs[Long]("n_buckets") == 3L)
+    assert(s.getAs[Long]("old_total") == 4L && s.getAs[Long]("new_total") == 4L)
+    assert(s.getAs[Long]("tv_ppm") == 500000L)
+    // identical snapshots: zero drift everywhere
+    val same = Curation.driftSummary(
+      Curation.distributionDrift(old, old, "lang")).collect().head
+    assert(same.getAs[Long]("tv_ppm") == 0L)
+  }
+
+  test("numericDrift buckets by equi-width DIV before comparing") {
+    val old = Seq(0L, 199L, 200L, 399L).toDF("v") // buckets 0,0,1,1
+    val nw = Seq(0L, 50L, 100L, 399L).toDF("v")   // buckets 0,0,0,1
+    val rows = Curation.numericDrift(old, nw, "v", bucketWidth = 200L)
+      .collect().map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("old_n"), r.getAs[Long]("new_n")))).toMap
+    assert(rows(0L) == ((2L, 3L)) && rows(1L) == ((2L, 1L)))
+  }
+
+  test("evalSplitExact: per-stratum quotas are exact, deterministic, disjoint") {
+    val docs = ((1 to 10).map(i => (i.toLong, "A")) ++
+      (100 to 124).map(i => (i.toLong, "B"))).toDF("id", "lang")
+    val splits = Seq("test" -> 200000L, "val" -> 200000L, "train" -> 600000L)
+    val out = Curation.evalSplitExact(docs, "id", "lang", splits).collect()
+    assert(out.length == 35 && out.map(_.getAs[Long]("id")).distinct.length == 35,
+      "every doc assigned exactly once")
+    val byStratum = out.groupBy(r => (r.getAs[String]("lang"),
+      r.getAs[String]("split"))).view.mapValues(_.length).toMap
+    // A: n=10 -> 2/2/6; B: n=25 -> 5/5/15 — EXACT, not binomial
+    assert(byStratum(("A", "test")) == 2 && byStratum(("A", "val")) == 2 &&
+      byStratum(("A", "train")) == 6)
+    assert(byStratum(("B", "test")) == 5 && byStratum(("B", "val")) == 5 &&
+      byStratum(("B", "train")) == 15)
+    // same salt -> identical assignment (eval membership is stable)
+    val again = Curation.evalSplitExact(docs, "id", "lang", splits).collect()
+    assert(out.map(r => (r.getLong(0), r.getString(2))).toSet ==
+      again.map(r => (r.getLong(0), r.getString(2))).toSet)
+    // a different salt reshuffles membership (fixed property of these salts)
+    val other = Curation.evalSplitExact(docs, "id", "lang", splits,
+      salt = "esx2").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(2))).toSet !=
+      other.map(r => (r.getLong(0), r.getString(2))).toSet)
+  }
+
+  test("evalSplitExact: floor quotas leave the remainder to the LAST split") {
+    // n=7 at 10%: floor(0.7)=0 docs to test/val — train takes all 7
+    val tiny = (1 to 7).map(i => (i.toLong, "Z")).toDF("id", "lang")
+    val out = Curation.evalSplitExact(tiny, "id", "lang",
+      Seq("test" -> 100000L, "val" -> 100000L, "train" -> 800000L)).collect()
+    assert(out.forall(_.getAs[String]("split") == "train"))
+  }
 }
