@@ -100,7 +100,14 @@ object Bench {
         .selectExpr("sum(id % 1000003) AS s").collect()
       (System.nanoTime() - t0) / 1e9
     }
+    // 1-min system load average (bench included) — read alongside the
+    // probes: probes say "this JVM's fixed work got slower", load says
+    // "the box had other work". Both in the artifact = self-adjudicating.
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
     calibrate() // untimed: JIT + codegen warmup of the probe itself
+    val loadStart = loadAvg()
     val calibStart = calibrate()
     val warmPasses = scala.collection.mutable.ArrayBuffer(
       timed(), timed(), timed())
@@ -108,6 +115,19 @@ object Bench {
       val ts = ps.map(_.values.sum)
       ts.max / math.max(ts.min, 1e-9)
     }
+    // mid-session probe + escalation — BEFORE the cold section, which
+    // drops the memoized chains (shingle/pair/rank stages): a 4th pass
+    // taken after those drops re-pays the chain builds (~60s of rebuild
+    // measured as "warm" — the first two r14 captures hit exactly that,
+    // 202–240s phantom passes) and poisons the spread it was meant to
+    // adjudicate. Here the caches are still warm, so pass 4 measures the
+    // same steady-state as passes 1–3 and min-of-all stays comparable.
+    def probeDisagree(a: Double, b: Double): Boolean =
+      math.max(a, b) / math.max(math.min(a, b), 1e-9) > 1.15
+    val calibMid = calibrate()
+    if (spreadOf(warmPasses.toSeq) > 1.15 ||
+        probeDisagree(calibStart, calibMid))
+      warmPasses += timed()
     // the memoized dedup chain (persisted shingle/pair/label stages) pushes
     // shared cost into warmup; time those queries once COLD — caches dropped
     // before each — so per-query cost isn't hidden. Reported separately;
@@ -154,16 +174,16 @@ object Bench {
     val coldByName = coldPasses.map(_.toMap)
     val cold = coldNames.map(n => n -> coldByName.map(_(n)).min)
     val coldMax = coldNames.map(n => n -> coldByName.map(_(n)).max)
-    // end-of-session probe + escalation: if the warm passes disagree with
-    // each other (spread > 1.15) or the two probes disagree (> 15%), the
-    // window was contended — run a FOURTH warm pass and keep min-of-all,
-    // and flag the artifact so a reader never mistakes ambient load for a
-    // regression (nor a quiet rerun for an improvement).
+    // end-of-session probe: closes the ambient-load story over the WHOLE
+    // run (warm + escalation + cold). The contended flag is true if the
+    // warm passes disagreed or ANY probe pair disagreed — a reader never
+    // mistakes ambient load for a regression (nor a quiet rerun for an
+    // improvement).
     val calibEnd = calibrate()
-    val calibRatio = math.max(calibStart, calibEnd) /
-      math.max(math.min(calibStart, calibEnd), 1e-9)
-    val contended = spreadOf(warmPasses.toSeq) > 1.15 || calibRatio > 1.15
-    if (contended) warmPasses += timed()
+    val loadEnd = loadAvg()
+    val probes = Seq(calibStart, calibMid, calibEnd)
+    val contended = spreadOf(warmPasses.toSeq) > 1.15 ||
+      probeDisagree(probes.max, probes.min)
     val passes = warmPasses.toSeq
     val results = names.map(n => n -> passes.map(_(n)).min)
     def f3(v: Double): String =
@@ -180,7 +200,8 @@ object Bench {
     // warm-pass max/min ratio: >~1.3 means a contended run — read the
     // per-pass totals before believing any regression
     val passSpread = f3(spreadOf(passes))
-    val calib = s"[${f3(calibStart)},${f3(calibEnd)}]"
+    val calib = s"[${f3(calibStart)},${f3(calibMid)},${f3(calibEnd)}]"
+    val loads = s"[${f2(loadStart)},${f2(loadEnd)}]"
     // The driver captures only the LAST 2000 chars of stdout and parses the
     // JSON line out of that tail — rounds 6/7 overflowed it (parsed: null)
     // once the query map passed ~100 entries. Full-precision detail goes to a
@@ -189,7 +210,7 @@ object Bench {
     // only the slowest entries.
     val detailPath = "BENCH_DETAIL.json"
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val detail = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jmap(results, f3)},"cold":${jmap(cold, f3)},"cold_max":${jmap(coldMax, f3)},"pass_totals":$passTotals,"cold_pass_totals":$coldPassTotals,"pass_spread":$passSpread,"calibration_s":$calib,"contended":$contended,"failed":$failedJson,"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jmap(results, f3)},"cold":${jmap(cold, f3)},"cold_max":${jmap(coldMax, f3)},"pass_totals":$passTotals,"cold_pass_totals":$coldPassTotals,"pass_spread":$passSpread,"calibration_s":$calib,"load_avg":$loads,"contended":$contended,"failed":$failedJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
@@ -200,7 +221,7 @@ object Bench {
     def line(qs: Seq[(String, Double)], omitted: Int): String = {
       val omit = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
       val fl = if (failed.isEmpty) "" else s""","failed":$failedJson"""
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jmap(qs, f2)}$omit,"cold_total":${f3(coldTotal)},"pass_totals":$passTotals,"cold_pass_totals":$coldPassTotals,"pass_spread":$passSpread,"calibration_s":$calib,"contended":$contended$fl,"detail":"$detailPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jmap(qs, f2)}$omit,"cold_total":${f3(coldTotal)},"pass_totals":$passTotals,"cold_pass_totals":$coldPassTotals,"pass_spread":$passSpread,"calibration_s":$calib,"load_avg":$loads,"contended":$contended$fl,"detail":"$detailPath","sf":"$sfDir"}"""
     }
     val shortAll = results.map { case (k, v) => shortKey(k) -> v }
     val bySlow = shortAll.sortBy(-_._2)
