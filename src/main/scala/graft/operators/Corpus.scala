@@ -881,9 +881,13 @@ object Corpus {
         window = 3, minCount = 20L))
     pairs.orderBy($"w1", $"w2")
   }
+  // pr MATERIALIZED: the pair fan-out is the query's whole cost (tens of
+  // millions of rows at sf1) and plain-CTE DuckDB re-evaluates it for
+  // each of its 4 references (pc + m twice + tt) — 221s at sf1 vs one
+  // materialized build. Same rows.
   private val q115Sql =
     """WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS tk FROM documents),
-      |pr AS (SELECT least(tk[i], tk[j]) AS w1, greatest(tk[i], tk[j]) AS w2
+      |pr AS MATERIALIZED (SELECT least(tk[i], tk[j]) AS w1, greatest(tk[i], tk[j]) AS w2
       |       FROM t, unnest(range(1, len(tk))) u(i),
       |            unnest(range(i+1, least(i+3, len(tk)) + 1)) v(j)
       |       WHERE len(tk) >= 2),

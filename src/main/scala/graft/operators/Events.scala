@@ -220,6 +220,28 @@ object Events {
       |  FROM events)
       |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
 
+  // q266 — the q48 as-of enrichment reachable from Spark SQL TEXT alone
+  // (the q253–q265 pure-SQL client-surface pattern): union-free same-table
+  // carry-forward — `last_value(...) IGNORE NULLS` over the user-keyed
+  // time window, in ONE spark.sql statement over a registered events
+  // view. Same one-shuffle plan as the Column API; gated by q48's exact
+  // oracle, so the Scala API and the SQL recipe cannot drift apart. (The
+  // two-table generalization is AsOf.joinBackward — same recipe with a
+  // tagged UNION ALL in front.)
+  private def q266(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d).createOrReplaceTempView("graft_events")
+    s.sql(
+      """SELECT event_id, user_id, value, last_signup_value FROM (
+        |  SELECT event_id, user_id, event_type, value,
+        |    last_value(CASE WHEN event_type = 'signup' THEN value END) IGNORE NULLS
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS last_signup_value
+        |  FROM graft_events)
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)
+  }
+  private val q266Sql = q48Sql
+
   /** Ordered funnel: for each user who performed `steps.head`, the earliest
     * strictly-increasing completion chain through `steps` — t(i) is the
     * first `steps(i)` event after t(i−1) — plus `stage` = number of steps
@@ -1798,6 +1820,7 @@ object Events {
     "q110_event_transitions" -> q110,
     "q91_rolling_range" -> q91,
     "q48_asof_join" -> q48,
+    "q266_asof_pure_sql" -> q266,
     "q25_json_ingest" -> q25,
     "q250_ingest_stats" -> q250,
     "q26_window_tumbling" -> q26,
@@ -1840,6 +1863,7 @@ object Events {
     "q91_rolling_range" -> q91Sql,
     "q51_window_sliding" -> q51Sql,
     "q48_asof_join" -> q48Sql,
+    "q266_asof_pure_sql" -> q266Sql,
     "q25_json_ingest" -> q25Sql,
     "q250_ingest_stats" -> q250Sql,
     "q26_window_tumbling" -> q26Sql,

@@ -745,20 +745,24 @@ object Graphs {
     })
     clos.orderBy($"seed_id")
   }
+  // every n/d/und CTE MATERIALIZED (the q98/q125 treatment): d_k is
+  // referenced by both n_{k+1} and d_{k+1}, so plain CTEs re-inline the
+  // whole frontier chain ~2× per round (and re-expand `und` with it) —
+  // 560s at sf1 where the materialized chain is linear. Same rows.
   private val q220Sql = {
     def round(prev: String, n: Int): String =
-      s"""f$n AS (SELECT DISTINCT n${n - 1}.seed_id, und.b AS id
+      s"""f$n AS MATERIALIZED (SELECT DISTINCT n${n - 1}.seed_id, und.b AS id
          |  FROM und JOIN n${n - 1} ON und.a = n${n - 1}.id),
-         |n$n AS (SELECT f$n.seed_id, f$n.id, $n AS hops FROM f$n
+         |n$n AS MATERIALIZED (SELECT f$n.seed_id, f$n.id, $n AS hops FROM f$n
          |  LEFT JOIN $prev ON f$n.seed_id = $prev.seed_id AND f$n.id = $prev.id
          |  WHERE $prev.id IS NULL),
-         |d$n AS (SELECT * FROM $prev UNION ALL SELECT * FROM n$n)""".stripMargin
+         |d$n AS MATERIALIZED (SELECT * FROM $prev UNION ALL SELECT * FROM n$n)""".stripMargin
     s"""WITH $edgesSql,
-       |und AS (SELECT src AS a, dst AS b FROM edges
+       |und AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges
        |        UNION SELECT dst, src FROM edges),
-       |n0 AS (SELECT DISTINCT src AS seed_id, src AS id, 0 AS hops FROM edges
+       |n0 AS MATERIALIZED (SELECT DISTINCT src AS seed_id, src AS id, 0 AS hops FROM edges
        |  WHERE (src - $custBase) % 200 = 0),
-       |d0 AS (SELECT * FROM n0),
+       |d0 AS MATERIALIZED (SELECT * FROM n0),
        |${round("d0", 1)},
        |${round("d1", 2)},
        |${round("d2", 3)}

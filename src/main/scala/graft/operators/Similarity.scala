@@ -458,18 +458,35 @@ object Similarity {
         minCos = 0.6)
       .orderBy($"vec_id")
   }
+  // (vectorized list-lambda dot products, not per-pair correlated
+  // subqueries: DuckDB evaluates a correlated unnest subquery as a
+  // per-row subplan — 20M pairs × 64 dims took 485s at sf1 and DNF'd the
+  // soak's 300s cap; list_zip+list_transform runs the same
+  // floor-per-element arithmetic as one vectorized expression — all
+  // element terms and sums are exact BIGINTs, so summation order can't
+  // matter and only the final one-double cosine division remains —
+  // measured 53s at sf1. A flat (vec_id, i, v) dim-join variant was
+  // tried first and is WORSE here (155s): the 1.28B-row join→agg stream
+  // costs more than 20M vectorized lambdas. The sixth oracle-waste
+  // instance, and the first where MATERIALIZED alone wasn't the fix.)
   private val q121Sql =
-    """WITH norms AS (
-      |  SELECT vec_id, embedding,
-      |    (SELECT CAST(SUM(CAST(floor(embedding[i]::DOUBLE * embedding[i]::DOUBLE * 1e15) AS BIGINT)) AS BIGINT)
-      |     FROM unnest(range(1, len(embedding)+1)) u(i)) AS norm
+    """WITH norms AS MATERIALIZED (
+      |  SELECT vec_id,
+      |    CAST(list_sum(list_transform(embedding,
+      |      x -> CAST(floor(x::DOUBLE * x::DOUBLE * 1e15) AS BIGINT))) AS BIGINT) AS norm
       |  FROM embeddings),
+      |ref AS MATERIALIZED (
+      |  SELECT e.vec_id AS ref_id, e.embedding AS rv, n.norm AS rnorm
+      |  FROM embeddings e JOIN norms n ON n.vec_id = e.vec_id
+      |  WHERE e.vec_id % 20 = 0),
       |scored AS (
-      |  SELECT c.vec_id AS vec_id, r.vec_id AS ref_id,
-      |    CAST((SELECT CAST(SUM(CAST(floor(c.embedding[i]::DOUBLE * r.embedding[i]::DOUBLE * 1e15) AS BIGINT)) AS BIGINT)
-      |          FROM unnest(range(1, len(c.embedding)+1)) u(i)) AS DOUBLE)
-      |      / (sqrt(CAST(c.norm AS DOUBLE)) * sqrt(CAST(r.norm AS DOUBLE))) AS cosine
-      |  FROM norms c JOIN norms r ON r.vec_id % 20 = 0),
+      |  SELECT c.vec_id, r.ref_id,
+      |    CAST(list_sum(list_transform(list_zip(c.embedding, r.rv),
+      |      p -> CAST(floor(p[1]::DOUBLE * p[2]::DOUBLE * 1e15) AS BIGINT))) AS DOUBLE)
+      |      / (sqrt(CAST(nc.norm AS DOUBLE)) * sqrt(CAST(r.rnorm AS DOUBLE))) AS cosine
+      |  FROM embeddings c
+      |  JOIN norms nc ON nc.vec_id = c.vec_id
+      |  CROSS JOIN ref r),
       |best AS (
       |  SELECT vec_id, ref_id, cosine,
       |    ROW_NUMBER() OVER (PARTITION BY vec_id
