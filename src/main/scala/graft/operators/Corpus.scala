@@ -594,13 +594,20 @@ object Corpus {
   // statement scores with the SAME bit-exact kernel as the Column API and
   // the weighted sum is the same left-to-right IEEE chain — gated by
   // q240's exact oracle. The plan is the operator's shape: one block
-  // equi-join on the composite key, scoring stays in the join's filter.
+  // equi-join on the composite key, scoring stays in the join's filter —
+  // and the recipe carries linkRecords' ENFORCED hot-block cap (the
+  // capBlocks count-filter: blocks above the cap are dropped before the
+  // self-join, bounding fan-out at cap² per block). 1000 is far above any
+  // (type|size) block at the gated scales, so the result is q240's; a
+  // production run tunes the literal like linkRecords' maxBlockSize.
   private def q260(s: SparkSession, d: String): DataFrame = {
     graft.functions.Registry.install(s)
     Tables.part(s, d).createOrReplaceTempView("graft_part")
     s.sql(
-      """WITH b AS (SELECT p_partkey, p_name, p_brand,
-        |             concat(p_type, '|', p_size) AS blk FROM graft_part)
+      """WITH b0 AS (SELECT p_partkey, p_name, p_brand,
+        |              concat(p_type, '|', p_size) AS blk FROM graft_part),
+        |kept AS (SELECT blk FROM b0 GROUP BY blk HAVING COUNT(*) <= 1000),
+        |b AS (SELECT b0.* FROM b0 JOIN kept ON b0.blk = kept.blk)
         |SELECT a.p_partkey AS id_a, c.p_partkey AS id_b,
         |  jaro_winkler(a.p_name, c.p_name) AS sim_p_name,
         |  jaro_winkler(a.p_brand, c.p_brand) AS sim_p_brand,

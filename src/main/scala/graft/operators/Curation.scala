@@ -1382,19 +1382,23 @@ object Curation {
     *
     * Scale: one combiner-friendly aggregate per snapshot (shuffle keyed
     * on the bucket value), a full-outer equi-join on bucket (#buckets
-    * rows), and the two totals as 1-row broadcasts — nothing collects to
-    * the driver, so the snapshots can be 100 TB each. */
+    * rows), and the two totals as 1-row broadcasts. The totals are
+    * derived from the counted aggregates (#buckets rows each), not from
+    * a second pass over the raw inputs — the shared aggregate subtree is
+    * deduplicated by ReuseExchange, so each 100 TB snapshot is scanned
+    * exactly once. Nothing collects to the driver. */
   def distributionDrift(oldDf: DataFrame, newDf: DataFrame,
       bucketCol: String): DataFrame = {
     def counted(df: DataFrame, n: String): DataFrame =
       df.groupBy(col(bucketCol).as("bucket")).agg(count(lit(1)).as(n))
-    def total(df: DataFrame, t: String): DataFrame =
-      df.agg(count(lit(1)).as(t))
-    counted(oldDf, "old_n")
-      .join(counted(newDf, "new_n"), Seq("bucket"), "full_outer")
+    val oldC = counted(oldDf, "old_n")
+    val newC = counted(newDf, "new_n")
+    def total(c: DataFrame, n: String, t: String): DataFrame =
+      c.agg(coalesce(sum(col(n)), lit(0L)).as(t))
+    oldC.join(newC, Seq("bucket"), "full_outer")
       .na.fill(0L, Seq("old_n", "new_n"))
-      .crossJoin(broadcast(total(oldDf, "__ot")))
-      .crossJoin(broadcast(total(newDf, "__nt")))
+      .crossJoin(broadcast(total(oldC, "old_n", "__ot")))
+      .crossJoin(broadcast(total(newC, "new_n", "__nt")))
       .select(col("bucket"), col("old_n"), col("new_n"),
         expr("CASE WHEN __ot = 0 THEN 0L ELSE old_n * 1000000L DIV __ot END")
           .as("old_ppm"),
@@ -1495,21 +1499,29 @@ object Curation {
     * assignment — eval membership is stable across pipeline reruns.
     * Output: (idCol, strataCol, split).
     *
-    * Scale: one keyed window (rank within stratum — the per-stratum sort
-    * is the cost, bounded by the largest stratum, the audited keyed-window
-    * class) plus a per-stratum count aggregate broadcast back. For
-    * mega-strata where even that sort hurts, the threshold split is the
-    * map-only escape hatch — exactness is what the window buys. */
+    * Scale: ONE keyed window pass — the rank within stratum and the
+    * stratum count ride the same partition-by-strata shuffle (rank via
+    * the ordered frame, count via the unbounded frame), so the input is
+    * evaluated exactly once: a non-deterministic source (sampled /
+    * freshly-shuffled) cannot make the quotas disagree with the ranked
+    * row set. The per-stratum sort is the cost, bounded by the largest
+    * stratum (the audited keyed-window class); `maxStratumRows` makes
+    * that boundary ENFORCED — a stratum past the knob fails loudly with
+    * a pointer to [[splitAssign]], the map-only threshold split that is
+    * the mega-strata escape hatch (exactness is what the window buys). */
   def evalSplitExact(df: DataFrame, idCol: String, strataCol: String,
-      splits: Seq[(String, Long)], salt: String = "esx"): DataFrame = {
+      splits: Seq[(String, Long)], salt: String = "esx",
+      maxStratumRows: Long = 500000000L): DataFrame = {
     require(splits.size >= 2, "need at least two named splits")
     require(splits.map(_._2).sum <= 1000000L, "split ppms exceed 1e6")
     require(splits.forall(_._2 >= 0L), "split ppms must be non-negative")
+    require(maxStratumRows >= 1L, "maxStratumRows must be positive")
     val h = md5Long(concat(lit(s"$salt:"), col(idCol).cast(StringType)))
+    val byStratum = Window.partitionBy(col(strataCol))
     val ranked = df.select(col(idCol), col(strataCol))
       .withColumn("__r", row_number().over(
-        Window.partitionBy(col(strataCol)).orderBy(h, col(idCol))) - 1L)
-    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+        byStratum.orderBy(h, col(idCol))) - 1L)
+      .withColumn("__n", count(lit(1)).over(byStratum))
     // cumulative ⌊quota⌋ thresholds; the last split is the catch-all
     val cums = splits.init.scanLeft(lit(0L): Column) { case (acc, (_, ppm)) =>
       acc + expr(s"__n * ${ppm}L DIV 1000000L")
@@ -1518,8 +1530,12 @@ object Curation {
         lit(splits.last._1): Column) { case (((name, _), cum), rest) =>
       when(col("__r") < cum, lit(name)).otherwise(rest)
     }
-    ranked.join(broadcast(counts), Seq(strataCol))
-      .select(col(idCol), col(strataCol), assign.as("split"))
+    val guarded = when(col("__n") > lit(maxStratumRows), raise_error(concat(
+      lit("evalSplitExact: stratum "), col(strataCol).cast(StringType),
+      lit(" has "), col("__n").cast(StringType),
+      lit(s" rows > maxStratumRows=$maxStratumRows; use splitAssign" +
+        " (map-only threshold split) for mega-strata")))).otherwise(assign)
+    ranked.select(col(idCol), col(strataCol), guarded.as("split"))
   }
 
   // q264 — exact-quota 10/10/80 split stratified by language, reported
@@ -1577,7 +1593,119 @@ object Curation {
   }
   private val q265Sql = q262Sql
 
+  // q267 — the q263 numeric-drift TV certificate reachable from Spark
+  // SQL TEXT alone (q265's pattern for the numeric variant): DIV-width
+  // histogram buckets on both snapshots, full-outer bucket join,
+  // integer-DIV ppm shares, one-row TV summary — one spark.sql
+  // statement over the registered documents view, gated by q263's exact
+  // oracle so the Scala API and the SQL recipe cannot drift apart.
+  private def q267(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d).createOrReplaceTempView("graft_documents")
+    s.sql(
+      """WITH n0 AS (SELECT n_chars DIV 100L AS bucket FROM graft_documents
+        |  WHERE NOT (n_chars > 300L AND doc_id % 2 = 1)),
+        |o AS (SELECT n_chars DIV 100L AS bucket, COUNT(*) AS old_n
+        |  FROM graft_documents GROUP BY 1),
+        |n AS (SELECT bucket, COUNT(*) AS new_n FROM n0 GROUP BY bucket),
+        |ot AS (SELECT COUNT(*) AS t FROM graft_documents),
+        |nt AS (SELECT COUNT(*) AS t FROM n0),
+        |drift AS (SELECT
+        |    COALESCE(old_n, 0L) * 1000000L DIV ot.t AS old_ppm,
+        |    COALESCE(new_n, 0L) * 1000000L DIV nt.t AS new_ppm
+        |  FROM o FULL OUTER JOIN n ON o.bucket = n.bucket
+        |  CROSS JOIN ot CROSS JOIN nt)
+        |SELECT COUNT(*) AS n_buckets,
+        |  (SELECT COUNT(*) FROM graft_documents) AS old_total,
+        |  (SELECT COUNT(*) FROM n0) AS new_total,
+        |  SUM(ABS(old_ppm - new_ppm)) DIV 2 AS tv_ppm
+        |FROM drift""".stripMargin)
+  }
+  private val q267Sql = q263Sql
+
+  // ---------------------------------------------------------------------
+  // Manifest-count drift — the metadata-only member of the drift family.
+
+  private def stripScheme(p: String): String =
+    p.replaceFirst("^[A-Za-z][A-Za-z0-9+.\\-]*:(//[^/]*)?", "")
+
+  private def segmentOf(root: String, file: String): String = {
+    val f = stripScheme(file)
+    val r = stripScheme(root).stripSuffix("/")
+    val rel = if (f.startsWith(r)) f.substring(r.length).stripPrefix("/") else f
+    val i = rel.lastIndexOf('/')
+    if (i < 0) "" else rel.substring(0, i)
+  }
+
+  /** Per-segment row-count drift between two manifest-backed snapshots,
+    * answered ENTIRELY from the two manifests ([[graft.storage.Segments
+    * .readManifest]]): no data file is opened, so the check costs
+    * O(#segments) driver-side work regardless of table bytes — the
+    * reference's InfoSegment metadata fast path (SURVEY.md §4.2) applied
+    * to monitoring, and the cheap preflight a curation run fires before
+    * paying for a full [[distributionDrift]] scan. Segments are keyed by
+    * their path relative to each snapshot root with the leaf file name
+    * dropped (i.e. the Hive partition directory): partition dirs are
+    * data-determined and survive rewrites, while leaf names are write
+    * UUIDs. Files sharing a key sum; a flat unpartitioned table collapses
+    * to one "" row — the total-rows drift. Output: (segment, old_rows,
+    * new_rows, delta_rows), a side without the segment contributing 0.
+    * The result is a LocalRelation — the #segments rows the planner
+    * already holds — so downstream joins against it broadcast for free. */
+  def manifestCountDrift(spark: SparkSession, oldDir: String,
+      newDir: String): DataFrame = {
+    import spark.implicits._
+    def perSeg(dir: String): Map[String, Long] =
+      graft.storage.Segments.readManifest(dir)
+        .groupBy(fs => segmentOf(dir, fs.file))
+        .view.mapValues(_.map(_.rows).sum).toMap
+    val o = perSeg(oldDir)
+    val n = perSeg(newDir)
+    (o.keySet ++ n.keySet).toSeq.sorted.map { k =>
+      val a = o.getOrElse(k, 0L)
+      val b = n.getOrElse(k, 0L)
+      (k, a, b, b - a)
+    }.toDF("segment", "old_rows", "new_rows", "delta_rows")
+  }
+
+  // q268 — manifest-count drift end-to-end: two partitioned segment
+  // snapshots of the documents table (new one drops every 7th doc — the
+  // q262 convention) are written ONCE (memoized per (session, dir)) with
+  // manifests, then the drift table is read from metadata alone. The
+  // oracle recomputes the per-bucket counts from the raw table, so the
+  // gate proves the manifests carry exactly the truth the data holds.
+  private val segSnapCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String)]
+  private def q268(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (oldDir, newDir) = segSnapCache.getOrElseUpdate((s, d), {
+      val root = java.nio.file.Files.createTempDirectory("graft_segdrift_").toString
+      val docs = Tables.documents(s, d)
+        .select($"doc_id", ($"doc_id" % 8).as("seg"))
+      val o = s"$root/old"
+      val n = s"$root/new"
+      docs.write.partitionBy("seg").parquet(o)
+      docs.filter($"doc_id" % 7 =!= 0).write.partitionBy("seg").parquet(n)
+      graft.storage.Segments.buildManifest(s, o, Nil)
+      graft.storage.Segments.buildManifest(s, n, Nil)
+      (o, n)
+    })
+    manifestCountDrift(s, oldDir, newDir).orderBy($"segment")
+  }
+  private val q268Sql =
+    """WITH o AS (SELECT doc_id % 8 AS b, COUNT(*) AS old_rows
+      |  FROM documents GROUP BY 1),
+      |n AS (SELECT doc_id % 8 AS b, COUNT(*) AS new_rows
+      |  FROM documents WHERE doc_id % 7 <> 0 GROUP BY 1)
+      |SELECT 'seg=' || CAST(o.b AS VARCHAR) AS segment,
+      |  CAST(old_rows AS BIGINT) AS old_rows,
+      |  CAST(COALESCE(new_rows, 0) AS BIGINT) AS new_rows,
+      |  CAST(COALESCE(new_rows, 0) - old_rows AS BIGINT) AS delta_rows
+      |FROM o LEFT JOIN n ON o.b = n.b
+      |ORDER BY segment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q267_numeric_drift_pure_sql" -> q267,
+    "q268_manifest_count_drift" -> q268,
     "q265_drift_pure_sql" -> q265,
     "q262_drift_by_lang" -> q262,
     "q263_drift_tv_summary" -> q263,
@@ -1607,6 +1735,8 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q267_numeric_drift_pure_sql" -> q267Sql,
+    "q268_manifest_count_drift" -> q268Sql,
     "q265_drift_pure_sql" -> q265Sql,
     "q262_drift_by_lang" -> q262Sql,
     "q263_drift_tv_summary" -> q263Sql,

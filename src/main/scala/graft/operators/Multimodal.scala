@@ -183,7 +183,13 @@ object Multimodal {
         var p = start
         while (p + 8 <= end) {
           val id = fourcc(bytes, p)
-          val sz = u32(bytes, p + 4).toInt
+          // A size field above Int.MaxValue would wrap negative after .toInt
+          // and leave `p` unadvanced — an executor hang on corrupt media. The
+          // fails-LOUDLY contract means such payloads throw here instead.
+          val szL = u32(bytes, p + 4)
+          require(szL <= Int.MaxValue - 9L,
+            s"corrupt AVI: chunk '$id' at offset $p declares size $szL")
+          val sz = szL.toInt
           val dataStart = p + 8
           val dataEnd = math.min(dataStart + sz, end)
           if (id == "LIST" && sz >= 4) {

@@ -606,7 +606,15 @@ object TextStats {
     * combiner-friendly aggregates; the total is a 1-row broadcast. The
     * pair frame feeds three consumers, so it is persisted for the pass
     * and released after a `localCheckpoint` snap (the [[Extended
-    * .associationRules]] materialize pattern). */
+    * .associationRules]] materialize pattern). The persisted frame and
+    * every shuffle carry `xxhash64` LONG word keys, not the word strings
+    * (the canonical w1 ≤ w2 string ordering is fixed map-side BEFORE
+    * hashing): at sf1 the pair fan-out is tens of millions of rows, and
+    * 16-byte key rows cache and shuffle severalfold cheaper than string
+    * pairs. Labels rejoin from a vocabulary-sized distinct dictionary
+    * over the pruned (≥ minCount) pair table — the smallest frame in the
+    * pass. A 64-bit collision across a vocabulary needs ~2³² distinct
+    * tokens to become likely; deterministic, so gated by the oracle. */
   def cooccurrencePairs(df: DataFrame, textCol: String, window: Int,
       minCount: Long = 1L, materialize: Boolean = true): DataFrame = {
     require(window >= 1, "window must be positive")
@@ -616,19 +624,24 @@ object TextStats {
       .select(explode(expr(
         s"""flatten(transform(sequence(0, size(__t) - 2), i ->
            |  transform(sequence(i + 1, least(i + $window, size(__t) - 1)), j ->
-           |    struct(least(__t[i], __t[j]) AS w1,
-           |           greatest(__t[i], __t[j]) AS w2))))""".stripMargin))
+           |    struct(xxhash64(least(__t[i], __t[j])) AS h1,
+           |           xxhash64(greatest(__t[i], __t[j])) AS h2))))""".stripMargin))
         .as("__p"))
-      .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+      .select(col("__p.h1").as("h1"), col("__p.h2").as("h2"))
       .persist()
-    val pairs = pr.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("pair_n"))
+    val pairs = pr.groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("pair_n"))
       .filter(col("pair_n") >= minCount)
-    val marg = pr.select(explode(array(col("w1"), col("w2"))).as("__w"))
-      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+    val marg = pr.select(explode(array(col("h1"), col("h2"))).as("__h"))
+      .groupBy(col("__h")).agg(count(lit(1)).as("__c"))
     val tot = pr.agg(count(lit(1)).as("__T"))
+    val dict = df.select(explode(split(trim(col(textCol)), "\\s+")).as("__w"))
+      .distinct()
+      .select(xxhash64(col("__w")).as("__h"), col("__w"))
     val out = pairs
-      .join(marg.select(col("__w").as("w1"), col("__c").as("__cx")), "w1")
-      .join(marg.select(col("__w").as("w2"), col("__c").as("__cy")), "w2")
+      .join(marg.select(col("__h").as("h1"), col("__c").as("__cx")), "h1")
+      .join(marg.select(col("__h").as("h2"), col("__c").as("__cy")), "h2")
+      .join(dict.select(col("__h").as("h1"), col("__w").as("w1")), "h1")
+      .join(dict.select(col("__h").as("h2"), col("__w").as("w2")), "h2")
       .crossJoin(broadcast(tot))
       .select(col("w1"), col("w2"), col("pair_n"),
         ((col("pair_n").cast(DoubleType) * col("__T").cast(DoubleType)) /

@@ -488,4 +488,25 @@ class CurationSpec extends AnyFunSuite {
       Seq("test" -> 100000L, "val" -> 100000L, "train" -> 800000L)).collect()
     assert(out.forall(_.getAs[String]("split") == "train"))
   }
+
+  test("evalSplitExact: a mega-stratum past maxStratumRows fails LOUDLY") {
+    // The per-stratum sort is the documented cost, bounded by the largest
+    // stratum; the knob makes that boundary ENFORCED with a pointer to the
+    // map-only escape hatch. Planted: stratum B (40 rows) >> A (5 rows).
+    val docs = ((1 to 5).map(i => (i.toLong, "A")) ++
+      (100 to 139).map(i => (i.toLong, "B"))).toDF("id", "lang")
+    val splits = Seq("test" -> 200000L, "train" -> 800000L)
+    val e = intercept[Exception] {
+      Curation.evalSplitExact(docs, "id", "lang", splits,
+        maxStratumRows = 20L).collect()
+    }
+    assert(e.getMessage.contains("splitAssign"), e.getMessage)
+    // the same data under a sufficient knob splits normally — and the
+    // guard is per-stratum, so only the planted stratum is the trigger
+    val ok = Curation.evalSplitExact(docs, "id", "lang", splits,
+      maxStratumRows = 40L).collect()
+    assert(ok.length == 45)
+    val b = ok.filter(_.getAs[String]("lang") == "B")
+    assert(b.count(_.getAs[String]("split") == "test") == 8) // floor(40*0.2)
+  }
 }

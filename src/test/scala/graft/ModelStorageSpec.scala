@@ -446,6 +446,34 @@ class ModelStorageSpec extends AnyFunSuite {
     assert(fromMeta == fromData)
   }
 
+  test("manifestCountDrift reads ONLY the manifests (files deleted)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-segdrift").toString
+    val docs = spark.range(0, 400).select($"id", ($"id" % 4).as("seg"))
+    val o = s"$root/old"
+    val n = s"$root/new"
+    docs.write.partitionBy("seg").parquet(o)
+    // new snapshot: drop every doc in seg 3, halve seg 0
+    docs.filter($"seg" =!= 3 && !($"seg" === 0 && $"id" >= 200))
+      .write.partitionBy("seg").parquet(n)
+    Segments.buildManifest(spark, o, Nil)
+    Segments.buildManifest(spark, n, Nil)
+    // DELETE every data file on both sides: only the manifests remain —
+    // the drift table must still derive, proving no data file is opened
+    for (d <- Seq(o, n); p <- new java.io.File(d).listFiles();
+         f <- Option(p.listFiles()).getOrElse(Array.empty[java.io.File])
+         if f.getName.endsWith(".parquet"))
+      assert(f.delete(), s"couldn't delete ${f.getName}")
+    val drift = graft.operators.Curation.manifestCountDrift(spark, o, n)
+    // and it is a LocalRelation: #segments rows the planner already held
+    assert(drift.queryExecution.optimizedPlan.toString.contains("LocalRelation"))
+    val rows = drift.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows == Map(
+      "seg=0" -> ((100L, 50L, -50L)), "seg=1" -> ((100L, 100L, 0L)),
+      "seg=2" -> ((100L, 100L, 0L)), "seg=3" -> ((100L, 0L, -100L))))
+  }
+
   test("And/Or/Not rough-check algebra prunes conservatively") {
     import graft.plans.ManifestFileIndex
     import spark.implicits._

@@ -216,6 +216,23 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("corrupt AVI with a wrapping chunk size throws — never spins") {
+    // A u32 size field above Int.MaxValue wraps negative after .toInt; the
+    // old walker then failed to advance `p` — an executor hang on corrupt
+    // media. The contract is fails-LOUDLY: such payloads must throw.
+    def le32(v: Int): Array[Byte] = Array[Byte](
+      v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val corrupt = "RIFF".getBytes("US-ASCII") ++ le32(64) ++
+      "AVI ".getBytes("US-ASCII") ++
+      "00dc".getBytes("US-ASCII") ++ le32(0xFFFFFFF8) ++ // size = -8 as Int
+      Array.fill(16)(0.toByte)
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.MjpegAviDecoder.decode(
+        Multimodal.MediaRow(9L, "video", corrupt, "en", corrupt.length.toLong))
+    }
+    assert(e.getMessage.contains("corrupt AVI"), e.getMessage)
+  }
+
   test("sampleAviFrames emits every k-th real JPEG frame from the container") {
     import spark.implicits._
     // 10 frames with per-frame distinct luma so order is observable

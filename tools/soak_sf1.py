@@ -173,6 +173,27 @@ def main():
     et = f"{OUT}/engine_times.json"
     if os.path.exists(et):
         times = json.load(open(et))
+        # trend gate, not a snapshot: diff against the PREVIOUS round's
+        # committed walls before overwriting, so a query whose sf1 cost
+        # regressed >1.5x is flagged at the round close, not discovered
+        # two rounds later
+        prev_path = f"{REPO}/BENCH_SF1.json"
+        if os.path.exists(prev_path):
+            prev = json.load(open(prev_path)).get("queries", {})
+            grown = sorted(
+                ((n, prev[n], t) for n, t in times.items()
+                 if n in prev and prev[n] >= 1.0 and t > 1.5 * prev[n]),
+                key=lambda x: -x[2] / x[1])
+            if grown:
+                print(f"[soak] WARNING: {len(grown)} queries grew >1.5x "
+                      "vs the committed BENCH_SF1.json (ambient load? "
+                      "re-run in a quiet window before believing it):")
+                for n, p, t in grown:
+                    print(f"[soak]   {n}: {p:.1f}s -> {t:.1f}s "
+                          f"({t / p:.1f}x)")
+            else:
+                print("[soak] trend vs committed BENCH_SF1.json: no "
+                      "query grew >1.5x (of those >=1s before)")
         art = {"metric": "sf1_engine_total",
                "value": round(sum(times.values()), 3), "unit": "sec",
                "queries": times, "sf": SF1, "cpus": 16,
