@@ -1623,6 +1623,104 @@ object Curation {
   private val q267Sql = q263Sql
 
   // ---------------------------------------------------------------------
+  // Temperature-scaled source mixing — the multilingual sampling
+  // convention (weights ∝ n^α, α ∈ (0,1]): flattens the class
+  // distribution so high-resource sources stop dominating the mix
+  // without starving them entirely. α is taken as 1/b, b ∈ {1,2,3,4}
+  // (the practitioner range α = 1 … 0.25), because floor(n^(1/b)) is
+  // computable EXACTLY in integers on both engines — the house rule that
+  // keeps the certificate bit-reproducible without libm pow.
+
+  /** Exact floor(n^(1/b)) for b ∈ {1,2,3,4}: a double-seeded root plus a
+    * ±1 integer correction. floor(sqrt(double(n))) is within one of the
+    * true integer root for any count that fits a double's exact-integer
+    * range (and counts are row counts — fine up to ~4e18); the correction
+    * compares exact integer powers, so the result is exact, and the SAME
+    * three-step expression runs in the oracle. The 4th root is
+    * isqrt∘isqrt (floor roots compose). */
+  private def iroot(n: Column, b: Int): Column = {
+    // power comparisons run in DECIMAL: (isqrt(Long.Max)+1)² overflows
+    // LONG, and ANSI mode makes that a query error, not a wrap
+    def d(c: Column): Column = c.cast(DecimalType(20, 0))
+    b match {
+      case 1 => n
+      case 2 =>
+        val s0 = floor(sqrt(n.cast(DoubleType))).cast(LongType)
+        val s1 = when(d(s0) * d(s0) > d(n), s0 - 1L).otherwise(s0)
+        when(d(s1 + 1L) * d(s1 + 1L) <= d(n), s1 + 1L).otherwise(s1)
+      case 3 =>
+        val c0 = floor(cbrt(n.cast(DoubleType))).cast(LongType)
+        val c1 = when(d(c0) * d(c0) * d(c0) > d(n), c0 - 1L).otherwise(c0)
+        when(d(c1 + 1L) * d(c1 + 1L) * d(c1 + 1L) <= d(n), c1 + 1L)
+          .otherwise(c1)
+      case 4 => iroot(iroot(n, 2), 2)
+      case _ => throw new IllegalArgumentException(s"unsupported root $b")
+    }
+  }
+
+  /** Temperature-scaled class shares: per class, its size `n` (row count,
+    * or Σ`weightCol` — pass token counts for token-proportional mixing),
+    * the exact integer weight `floor(n^(1/rootB))`, and the 1e6-scaled
+    * share of the weighted total. Feed the shares to [[mixCorpus]] /
+    * [[planEpochs]] as targets to materialize the tempered mix.
+    *
+    * Scale: one combiner-friendly aggregate keyed on the class, the
+    * weighted total as a 1-row broadcast derived from the SAME aggregate
+    * (ReuseExchange — the class table is scanned once), everything else
+    * map-side on #classes rows. Output: (cls, n, weight, share_ppm). */
+  def temperatureShares(df: DataFrame, classCol: String, rootB: Int,
+      weightCol: Option[String] = None): DataFrame = {
+    require(Seq(1, 2, 3, 4).contains(rootB), "rootB must be 1, 2, 3 or 4")
+    val agg = weightCol.map(c => sum(col(c).cast(LongType)))
+      .getOrElse(count(lit(1)))
+    val counts = df.groupBy(col(classCol).cast(StringType).as("cls"))
+      .agg(agg.as("n"))
+    val w = counts.withColumn("weight", iroot(col("n"), rootB))
+    val tot = w.agg(coalesce(sum(col("weight")), lit(0L)).as("__tw"))
+    w.crossJoin(broadcast(tot))
+      .select(col("cls"), col("n"), col("weight"),
+        expr("CASE WHEN __tw = 0 THEN 0L ELSE weight * 1000000L DIV __tw END")
+          .as("share_ppm"))
+  }
+
+  // q269 — α = 1/2 temperature shares of the corpus by language, doc-
+  // and size-weighted (n_chars, the token-count proxy this schema
+  // carries) side by side: the exact-integer certificate a multilingual
+  // pretraining mix is planned from. The oracle runs the identical
+  // seeded-isqrt-plus-correction arithmetic.
+  private def q269(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val byDocs = temperatureShares(docs, "lang", rootB = 2)
+      .select($"cls", $"n".as("n_docs"), $"weight".as("w_docs"),
+        $"share_ppm".as("doc_share_ppm"))
+    val byChars = temperatureShares(docs, "lang", rootB = 2,
+        weightCol = Some("n_chars"))
+      .select($"cls", $"n".as("n_chars"), $"weight".as("w_chars"),
+        $"share_ppm".as("char_share_ppm"))
+    byDocs.join(byChars, "cls").orderBy($"cls")
+  }
+  private val q269Sql =
+    """WITH c AS (SELECT lang AS cls, COUNT(*) AS nd, SUM(n_chars) AS nt
+      |  FROM documents GROUP BY 1),
+      |s AS (SELECT cls, nd, nt,
+      |    CAST(FLOOR(SQRT(CAST(nd AS DOUBLE))) AS BIGINT) AS d0,
+      |    CAST(FLOOR(SQRT(CAST(nt AS DOUBLE))) AS BIGINT) AS t0 FROM c),
+      |s2 AS (SELECT cls, nd, nt,
+      |    CASE WHEN d0 * d0 > nd THEN d0 - 1 ELSE d0 END AS d1,
+      |    CASE WHEN t0 * t0 > nt THEN t0 - 1 ELSE t0 END AS t1 FROM s),
+      |w AS (SELECT cls, nd, nt,
+      |    CASE WHEN (d1 + 1) * (d1 + 1) <= nd THEN d1 + 1 ELSE d1 END AS wd,
+      |    CASE WHEN (t1 + 1) * (t1 + 1) <= nt THEN t1 + 1 ELSE t1 END AS wt
+      |  FROM s2),
+      |t AS (SELECT SUM(wd) AS twd, SUM(wt) AS twt FROM w)
+      |SELECT cls, CAST(nd AS BIGINT) AS n_docs, CAST(wd AS BIGINT) AS w_docs,
+      |  CAST(wd * 1000000 // twd AS BIGINT) AS doc_share_ppm,
+      |  CAST(nt AS BIGINT) AS n_chars, CAST(wt AS BIGINT) AS w_chars,
+      |  CAST(wt * 1000000 // twt AS BIGINT) AS char_share_ppm
+      |FROM w CROSS JOIN t ORDER BY cls""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Manifest-count drift — the metadata-only member of the drift family.
 
   private def stripScheme(p: String): String =
@@ -1706,6 +1804,7 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q267_numeric_drift_pure_sql" -> q267,
     "q268_manifest_count_drift" -> q268,
+    "q269_temperature_shares" -> q269,
     "q265_drift_pure_sql" -> q265,
     "q262_drift_by_lang" -> q262,
     "q263_drift_tv_summary" -> q263,
@@ -1737,6 +1836,7 @@ object Curation {
   val oracles: Map[String, String] = Map(
     "q267_numeric_drift_pure_sql" -> q267Sql,
     "q268_manifest_count_drift" -> q268Sql,
+    "q269_temperature_shares" -> q269Sql,
     "q265_drift_pure_sql" -> q265Sql,
     "q262_drift_by_lang" -> q262Sql,
     "q263_drift_tv_summary" -> q263Sql,

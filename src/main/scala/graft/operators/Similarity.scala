@@ -971,29 +971,35 @@ object Similarity {
     """WITH w AS (
       |  SELECT j, i, (('0x'||substr(md5('p'||j||'d'||i),1,15))::BIGINT % 2001 - 1000) AS w
       |  FROM unnest(range(0, 4)) a(j), unnest(range(1, 65)) b(i)),
-      |proj AS (
+      |proj AS MATERIALIZED (
       |  SELECT e.vec_id, w.j,
       |    SUM(CAST(floor(e.embedding[w.i]::DOUBLE * 1e6) AS BIGINT) * w.w) AS p
       |  FROM embeddings e, w GROUP BY 1, 2),
-      |buckets AS (
+      |buckets AS MATERIALIZED (
       |  SELECT vec_id, SUM(CASE WHEN p > 0 THEN (1 << j) ELSE 0 END) AS bucket
       |  FROM proj GROUP BY 1),
-      |norms AS (
+      |norms AS MATERIALIZED (
       |  SELECT vec_id, embedding,
-      |    (SELECT CAST(SUM(CAST(floor(embedding[i]::DOUBLE * embedding[i]::DOUBLE * 1e15) AS BIGINT)) AS BIGINT)
-      |     FROM unnest(range(1, len(embedding)+1)) u(i)) AS norm
+      |    CAST(list_sum(list_transform(embedding,
+      |      x -> CAST(floor(x::DOUBLE * x::DOUBLE * 1e15) AS BIGINT))) AS BIGINT) AS norm
       |  FROM embeddings),
       |cand AS (
       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
       |  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
       |scored AS (
       |  SELECT vec_a, vec_b,
-      |    CAST((SELECT SUM(CAST(floor(x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE * 1e15) AS BIGINT))
-      |          FROM unnest(range(1, len(x.embedding)+1)) u(i)) AS DOUBLE)
+      |    CAST(list_sum(list_transform(list_zip(x.embedding, y.embedding),
+      |      p -> CAST(floor(p[1]::DOUBLE * p[2]::DOUBLE * 1e15) AS BIGINT))) AS DOUBLE)
       |      / (sqrt(CAST(x.norm AS DOUBLE)) * sqrt(CAST(y.norm AS DOUBLE))) AS cosine
       |  FROM cand JOIN norms x ON vec_a = x.vec_id JOIN norms y ON vec_b = y.vec_id)
       |SELECT vec_a, vec_b, cosine FROM scored
       |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
+  // (q40's scored CTE is the vectorized list-lambda form, NOT per-pair
+  // correlated unnest subqueries — the q121/sf1 lesson: DuckDB runs a
+  // correlated subquery as a per-row subplan, and at sf1 the 4-plane
+  // config yields ~12M candidate pairs, which DNF'd the soak's 300s cap
+  // (>600s alone); vectorized it completes with identical exact-integer
+  // terms. norms/proj/buckets MATERIALIZED: each feeds 2 consumers.)
 
   // q41 — approximate distinct (HLL++): the sketch-based path a 100 TB
   // count-distinct must take (exact shown alongside; no oracle — sketch

@@ -489,6 +489,45 @@ class CurationSpec extends AnyFunSuite {
     assert(out.forall(_.getAs[String]("split") == "train"))
   }
 
+  test("temperatureShares: integer roots are EXACT at double-precision edges") {
+    def ibroot(n: BigInt, b: Int): Long = {
+      if (n == 0) 0L
+      else {
+        var lo = BigInt(0); var hi = n
+        while (lo < hi) {
+          val mid = (lo + hi + 1) / 2
+          if (mid.pow(b) <= n) lo = mid else hi = mid - 1
+        }
+        lo.toLong
+      }
+    }
+    // perfect powers and their neighbours, including values whose double
+    // sqrt seed lands on the wrong side without the integer correction
+    val ns: Seq[Long] = (Seq(1L, 2L, 3L, 4L, 5L, 8L, 9L, 10L, 24L, 26L) ++
+      Seq(1L << 52, (1L << 52) - 1, (1L << 52) + 1,
+        3037000499L * 3037000499L, 3037000499L * 3037000499L - 1,
+        999999999999999999L, 4611686018427387904L) ++
+      (1 to 20).map(k => k.toLong * k * k) ++
+      (1 to 20).map(k => k.toLong * k * k - 1)).distinct
+    val df = ns.zipWithIndex.map { case (n, i) => (s"c$i", n) }.toDF("cls", "n")
+    for (b <- Seq(2, 3, 4)) {
+      val got = Curation.temperatureShares(df, "cls", rootB = b,
+          weightCol = Some("n"))
+        .select("cls", "n", "weight").collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      for ((n, i) <- ns.zipWithIndex)
+        assert(got(s"c$i") == ibroot(BigInt(n), b),
+          s"iroot($n, $b): got ${got(s"c$i")}, want ${ibroot(BigInt(n), b)}")
+    }
+    // doc-count path + ppm shares: 9 'a' rows + 4 'b' rows at alpha=1/2
+    // -> weights 3 and 2, shares 600000/400000
+    val docs = (Seq.fill(9)("a") ++ Seq.fill(4)("b")).toDF("cls")
+    val s2 = Curation.temperatureShares(docs, "cls", rootB = 2).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(s2("a") == ((9L, 3L, 600000L)) && s2("b") == ((4L, 2L, 400000L)))
+  }
+
   test("evalSplitExact: a mega-stratum past maxStratumRows fails LOUDLY") {
     // The per-stratum sort is the documented cost, bounded by the largest
     // stratum; the knob makes that boundary ENFORCED with a pointer to the
