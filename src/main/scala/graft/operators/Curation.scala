@@ -1720,6 +1720,81 @@ object Curation {
       |  CAST(wt * 1000000 // twt AS BIGINT) AS char_share_ppm
       |FROM w CROSS JOIN t ORDER BY cls""".stripMargin
 
+  /** Materialize the tempered mix: per-document keep decision whose
+    * expected per-class kept count is ∝ n^(1/rootB) — the scarcest class
+    * (min n/weight) is kept in full, every other class downsampled to
+    * match. Thresholds are EXACT integers end to end: the scarcest class
+    * is found by cross-multiplied BigInt fraction comparison (never a
+    * double ratio — two classes whose ratios differ at the 1e-18 level
+    * still order correctly), and thr_c = ⌊1e6·w_c·n_k / (w_k·n_c)⌋ in
+    * BigInt, so the decision replicates bit-for-bit in any engine. The
+    * keep hash salts the DOCUMENT ID (deterministic across reruns and
+    * engines). Output: (doc_id, cls, keep).
+    *
+    * Scale: one combiner aggregate collected at #classes rows (the
+    * [[mixCorpus]] convention), then a map-only hash filter — the corpus
+    * is never shuffled. */
+  def temperatureMix(df: DataFrame, idCol: String, classCol: String,
+      rootB: Int, tag: String = ""): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val sh = temperatureShares(df, classCol, rootB)
+      .select($"cls", $"n", $"weight").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .filter(_._3 > 0L) // weight 0 (empty class) can't anchor or keep
+    require(sh.nonEmpty, "no non-empty classes")
+    // scarcest class: argmin n/weight by exact cross-multiplication
+    // (ties break to the lexicographically-smallest class, as the oracle's
+    // NOT EXISTS does)
+    val (_, nk, wk) = sh.reduceLeft { (a, b) =>
+      val cmp = (BigInt(a._2) * b._3) compare (BigInt(b._2) * a._3)
+      if (cmp < 0 || (cmp == 0 && a._1 <= b._1)) a else b
+    }
+    val thr = sh.map { case (c, n, w) =>
+      c -> (BigInt(1000000L) * w * nk / (BigInt(wk) * n)).min(1000000L).toLong
+    }
+    val thrCol = thr.foldLeft(lit(null).cast(LongType)) { case (alt, (c, t)) =>
+      when(col(classCol).cast(StringType) === c, lit(t)).otherwise(alt)
+    }
+    df.select(col(idCol).cast(LongType).as("doc_id"),
+        col(classCol).cast(StringType).as("cls"), thrCol.as("__thr"))
+      .withColumn("keep",
+        when(md5Long(concat(lit(s"tmix:$tag"), col("doc_id").cast(StringType)))
+          % 1000000L < col("__thr"), 1).otherwise(0))
+      .select(col("doc_id"), col("cls"), col("keep"))
+  }
+
+  // q270 — the α = 1/2 tempered mix MATERIALIZED over the corpus,
+  // reported per class: the scarcest language survives whole, the rest
+  // downsample toward ∝ √n. The oracle finds the anchor class by exact
+  // pairwise cross-multiplication (NOT EXISTS over #classes² integer
+  // compares) and replays the identical BigInt threshold floor.
+  private def q270(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    temperatureMix(Tables.documents(s, d), "doc_id", "lang", rootB = 2)
+      .groupBy($"cls")
+      .agg(count(lit(1)).as("total"), sum($"keep").as("kept"))
+      .orderBy($"cls")
+  }
+  private val q270Sql =
+    s"""WITH c AS (SELECT lang AS cls, COUNT(*) AS n FROM documents GROUP BY 1),
+       |s0 AS (SELECT cls, n, CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) AS r0 FROM c),
+       |s1 AS (SELECT cls, n, CASE WHEN r0 * r0 > n THEN r0 - 1 ELSE r0 END AS r1 FROM s0),
+       |sh AS (SELECT cls, n,
+       |    CASE WHEN (r1 + 1) * (r1 + 1) <= n THEN r1 + 1 ELSE r1 END AS w
+       |  FROM s1 WHERE n > 0),
+       |k AS (SELECT n AS nk, w AS wk FROM sh a WHERE NOT EXISTS (
+       |    SELECT 1 FROM sh b WHERE b.n * a.w < a.n * b.w
+       |      OR (b.n * a.w = a.n * b.w AND b.cls < a.cls))),
+       |thr AS (SELECT cls, LEAST(1000000,
+       |    1000000 * w * (SELECT nk FROM k) // ((SELECT wk FROM k) * n)) AS th
+       |  FROM sh)
+       |SELECT d.lang AS cls, COUNT(*) AS total,
+       |  CAST(SUM(CASE WHEN ${md5LongSql("'tmix:' || doc_id")} % 1000000 < thr.th
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS kept
+       |FROM documents d JOIN thr ON d.lang = thr.cls
+       |GROUP BY d.lang ORDER BY cls""".stripMargin
+
   // ---------------------------------------------------------------------
   // Manifest-count drift — the metadata-only member of the drift family.
 
@@ -1805,6 +1880,7 @@ object Curation {
     "q267_numeric_drift_pure_sql" -> q267,
     "q268_manifest_count_drift" -> q268,
     "q269_temperature_shares" -> q269,
+    "q270_temperature_mix" -> q270,
     "q265_drift_pure_sql" -> q265,
     "q262_drift_by_lang" -> q262,
     "q263_drift_tv_summary" -> q263,
@@ -1837,6 +1913,7 @@ object Curation {
     "q267_numeric_drift_pure_sql" -> q267Sql,
     "q268_manifest_count_drift" -> q268Sql,
     "q269_temperature_shares" -> q269Sql,
+    "q270_temperature_mix" -> q270Sql,
     "q265_drift_pure_sql" -> q265Sql,
     "q262_drift_by_lang" -> q262Sql,
     "q263_drift_tv_summary" -> q263Sql,

@@ -528,6 +528,21 @@ class CurationSpec extends AnyFunSuite {
     assert(s2("a") == ((9L, 3L, 600000L)) && s2("b") == ((4L, 2L, 400000L)))
   }
 
+  test("temperatureMix: scarcest class (by EXACT fraction compare) kept whole") {
+    // a: n=9 w=3 (ratio 3); b: n=4 w=2 (ratio 2) -> b anchors, thr_b=1e6,
+    // thr_a = floor(1e6*3*4/(2*9)) = 666666
+    val docs = ((1 to 9).map(i => (i.toLong, "a")) ++
+      (100 to 103).map(i => (i.toLong, "b"))).toDF("id", "lang")
+    val out = Curation.temperatureMix(docs, "id", "lang", rootB = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(out.length == 13)
+    assert(out.filter(_._2 == "b").forall(_._3 == 1), "anchor class kept whole")
+    // deterministic across reruns (id-salted hash, not text)
+    val again = Curation.temperatureMix(docs, "id", "lang", rootB = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
   test("evalSplitExact: a mega-stratum past maxStratumRows fails LOUDLY") {
     // The per-stratum sort is the documented cost, bounded by the largest
     // stratum; the knob makes that boundary ENFORCED with a pointer to the
