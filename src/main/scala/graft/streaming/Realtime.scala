@@ -520,6 +520,60 @@ object Realtime {
       .drop(keyCols.map(k => s"__r_$k"): _*)
   }
 
+  /** Streaming drift monitor — the streaming face of
+    * [[graft.operators.Curation.distributionDrift]]: per tumbling
+    * event-time window, the stream's categorical mix is compared to a
+    * STATIC reference mix (`refShares`: (bucket, ref_ppm) — e.g. the
+    * accepted corpus' [[graft.operators.Curation.distributionDrift]]
+    * output, or [[graft.operators.Curation.temperatureShares]] targets),
+    * emitting ONE row per closed window: (window, n_events, tv_ppm) —
+    * the same exact-integer total-variation certificate the batch
+    * operator produces, `1e6` = disjoint mix. Alert on tv_ppm, read the
+    * batch drift table for the why.
+    *
+    * Plan: a (window, bucket) count (stateful agg #1, state bounded by
+    * open windows × #buckets) → broadcast join to the static reference →
+    * a window re-aggregation (stateful agg #2 — the chained
+    * window-aggregation shape Spark supports in append mode) whose
+    * per-window items list is #buckets-bounded, so the TV folds map-side
+    * with integer DIV ppm. Reference buckets absent from a window
+    * contribute their full ref_ppm (the vanished-category alarm), via the
+    * refTotal − matchedRef identity — `refShares` is collected once
+    * (#buckets rows, the mixCorpus convention). Novel stream buckets
+    * carry ref_ppm 0. Windows emit once the watermark closes them. */
+  def driftStream(df: DataFrame, eventTimeCol: String, catCol: String,
+      windowDuration: String, watermarkDelay: String,
+      refShares: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val ref = refShares.select(col("bucket").cast(StringType),
+      col("ref_ppm").cast(LongType)).collect()
+    val refTotal = ref.map(_.getLong(1)).sum
+    require(refTotal <= 1000000L, s"reference shares sum to $refTotal > 1e6")
+    val refDf = ref.map(r => (r.getString(0), r.getLong(1))).toSeq
+      .toDF("__cat", "ref_ppm")
+    val counts = df
+      .withWatermark(eventTimeCol, watermarkDelay)
+      .groupBy(window(col(eventTimeCol), windowDuration),
+        col(catCol).cast(StringType).as("__cat"))
+      .agg(count(lit(1)).as("__c"))
+    counts
+      .join(broadcast(refDf), Seq("__cat"), "left")
+      .na.fill(0L, Seq("ref_ppm"))
+      .groupBy(window(col("window"), windowDuration).as("window"))
+      .agg(sum($"__c").as("n_events"),
+        collect_list(struct($"__c", $"ref_ppm")).as("__items"))
+      .select($"window", $"n_events",
+        // Σ_matched |stream_ppm − ref_ppm| + (refTotal − Σ_matched ref):
+        // buckets the window never saw still pull their whole ref share
+        (expr("""aggregate(__items, 0L, (acc, x) ->
+             acc + abs(x.__c * 1000000L DIV n_events - x.ref_ppm))""") +
+          (lit(refTotal) -
+            expr("aggregate(__items, 0L, (acc, x) -> acc + x.ref_ppm)")))
+          .as("__tvsum"))
+      .select($"window", $"n_events", expr("__tvsum DIV 2").as("tv_ppm"))
+  }
+
   /** Event-time session windows (gap-based), streaming form of the batch
     * sessionization operator (q27): sessions close and emit once the
     * watermark passes last-event + gap. State per open session only — the

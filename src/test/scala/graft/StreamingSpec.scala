@@ -636,6 +636,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains((t(30), t(35), 5.0, 1L)), s"got ${rows.toSeq}")
   }
 
+  test("driftStream: per-window TV vs a static reference mix, exact ppm") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val ref = Seq(("a", 500000L), ("b", 500000L)).toDF("bucket", "ref_ppm")
+    val drift = Realtime.driftStream(mem.toDF().toDF("ts", "cat"),
+      "ts", "cat", windowDuration = "5 minutes",
+      watermarkDelay = "10 minutes", refShares = ref)
+    val q = drift.writeStream.outputMode("append")
+      .format("memory").queryName("drift_out").start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    // window 10:00-05: a×3, b×1, c×2 (c NOVEL) → n=6,
+    // |500000−500000| + |166666−500000| + |333333−0| = 667667… recompute
+    // in the assert from the same integer DIV arithmetic
+    mem.addData((t(0), "a"), (t(1), "a"), (t(2), "a"),
+      (t(3), "b"), (t(0), "c"), (t(4), "c"))
+    q.processAllAvailable()
+    // window 10:30-35: a×2 → b VANISHES: TV = (|1e6−5e5| + 5e5) / 2 = 5e5
+    mem.addData((t(30), "a"), (t(31), "a"))
+    q.processAllAvailable()
+    mem.addData((t(50), "a")) // watermark closes 10:30-35
+    q.processAllAvailable()
+    mem.addData((t(70), "a")) // and one more batch to flush the chain
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("drift_out").collect().map { r =>
+      val w = r.getAs[org.apache.spark.sql.Row]("window")
+      (w.getAs[java.sql.Timestamp]("start"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("tv_ppm"))
+    }.toSet
+    // window 1: matched a |3·1e6 DIV 6 − 5e5| = 0, b |1e6 DIV 6·1 −…|:
+    // 1·1e6 DIV 6 = 166666 → 333334; novel c: 2·1e6 DIV 6 = 333333 → sum
+    // 666667; no vanished ref; TV = 666667 DIV 2 = 333333
+    assert(rows.contains((t(0), 6L, 333333L)), s"got $rows")
+    // window 2: a 1e6 vs 5e5 → 5e5; vanished b ref 5e5 → TV = 500000
+    assert(rows.contains((t(30), 2L, 500000L)), s"got $rows")
+  }
+
   test("flatMapGroupsWithState keeps running per-key totals across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
