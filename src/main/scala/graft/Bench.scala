@@ -6,7 +6,13 @@ import org.apache.spark.sql.SparkSession
   *
   * Methodology: an untimed warmup pass runs every query once (JIT + codegen
   * caches + parquet footers — the steady-state a long-lived cluster serves
-  * from), then the timed pass runs in sorted name order.
+  * from), then the timed passes run in sorted name order. The pass schedule
+  * is BUDGET-AWARE: round 15's fixed 5-pass schedule timed out the driver's
+  * wall cap on a slow box (BENCH_r15.json rc:124 — zero official signal),
+  * so the warmup pass is now measured and the remaining passes (3 warm +
+  * 2 cold, down to 2 warm + 1 cold) are fitted to SPARK_GRAFT_BENCH_BUDGET_S
+  * (default 700 s of timed passes). The chosen schedule is recorded in the
+  * artifact ("sched") so a reduced run is self-describing.
   */
 object Bench {
   /** Deny exactly one known-benign message on one logger, leaving every
@@ -66,11 +72,7 @@ object Bench {
     muteMessage("org.apache.spark.storage.BlockManager",
       "already exists on this machine")
     val names = SparkEntry.queries.keys.toSeq.sorted
-    names.foreach { n =>
-      try SparkEntry.queries(n)(spark, sfDir).count()
-      catch { case _: Throwable => () }
-    }
-    // three timed passes, min per query: steady-state time without GC noise.
+    // timed passes, min per query: steady-state time without GC noise.
     // Per-pass totals are reported too — a sandbox-contended run shows up as
     // one inflated pass against two consistent ones instead of silently
     // poisoning the headline (r4's +57% phantom regression was exactly that).
@@ -111,12 +113,44 @@ object Bench {
     // memoized chain builds, q268's segment-snapshot fixtures) belong in
     // warmup, not in timed pass 1 — left there they inflate the pass
     // spread and flag a quiet run as contended (round-15 captures read
-    // pass1 +25-40s over steady state from exactly this)
+    // pass1 +25-40s over steady state from exactly this). Measured (but
+    // not reported per-query): its wall is the schedule's warm-pass
+    // estimate. This is the ONLY warming pass — the old names.foreach
+    // pre-pass did the same work a second time and helped push the round-15
+    // driver run past its wall cap (rc:124).
+    val warmupT0 = System.nanoTime()
     timed()
+    val warmupS = (System.nanoTime() - warmupT0) / 1e9
+    // warmup-only failures are not timed-pass failures: a query that fails
+    // in every TIMED pass re-enters the set below; one that only failed
+    // during warmup (e.g. a racing fixture) must not be reported as failed
+    failed.clear()
+    // Pass budget (seconds of TIMED passes after warmup). The driver kills
+    // bench runs past its wall cap; 700 s of passes + one warmup + probes
+    // lands ≈ 2.2 warmup-equivalents under 900 s end-to-end even on a box
+    // where a full pass takes 180 s (round 15's measured slow-box rate).
+    val budgetS = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_S")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(700.0)
+    // cold-pass estimate: 31 queries run cold (chain rebuilds) ≈ 0.85× a
+    // full warm pass, the committed BENCH_DETAIL ratio (144 s vs 180 s)
+    // with a little headroom
+    def coldEst: Double = 0.85 * warmupS
+    var spent = 0.0
+    def timedTracked(): Map[String, Double] = {
+      val t0 = System.nanoTime()
+      val r = timed()
+      spent += (System.nanoTime() - t0) / 1e9
+      r
+    }
     val loadStart = loadAvg()
     val calibStart = calibrate()
+    // always 2 warm passes (min needed for a spread); the 3rd only if it
+    // and the planned cold section still fit the budget
     val warmPasses = scala.collection.mutable.ArrayBuffer(
-      timed(), timed(), timed())
+      timedTracked(), timedTracked())
+    def avgWarm: Double = spent / warmPasses.size
+    if (spent + avgWarm + 2 * coldEst <= budgetS)
+      warmPasses += timedTracked()
     def spreadOf(ps: Seq[Map[String, Double]]): Double = {
       val ts = ps.map(_.values.sum)
       ts.max / math.max(ts.min, 1e-9)
@@ -126,14 +160,17 @@ object Bench {
     // taken after those drops re-pays the chain builds (~60s of rebuild
     // measured as "warm" — the first two r14 captures hit exactly that,
     // 202–240s phantom passes) and poisons the spread it was meant to
-    // adjudicate. Here the caches are still warm, so pass 4 measures the
-    // same steady-state as passes 1–3 and min-of-all stays comparable.
+    // adjudicate. Here the caches are still warm, so the escalation pass
+    // measures the same steady-state as the earlier ones and min-of-all
+    // stays comparable. Skipped when the budget won't fit it — `contended`
+    // still records WHY a noisy run is noisy.
     def probeDisagree(a: Double, b: Double): Boolean =
       math.max(a, b) / math.max(math.min(a, b), 1e-9) > 1.15
     val calibMid = calibrate()
-    if (spreadOf(warmPasses.toSeq) > 1.15 ||
-        probeDisagree(calibStart, calibMid))
-      warmPasses += timed()
+    if ((spreadOf(warmPasses.toSeq) > 1.15 ||
+         probeDisagree(calibStart, calibMid)) &&
+        spent + avgWarm + 2 * coldEst <= budgetS)
+      warmPasses += timedTracked()
     // the memoized dedup chain (persisted shingle/pair/label stages) pushes
     // shared cost into warmup; time those queries once COLD — caches dropped
     // before each — so per-query cost isn't hidden. Reported separately;
@@ -165,18 +202,28 @@ object Bench {
       "q245_incremental_minhash", // cold = the standing-corpus index build
       "q66_term_rarity", "q69_bm25_topk") // cold = the memoized corpus-stats pass
       .filter(SparkEntry.queries.contains)
-    // two cold passes, min per query (mirrors the warm min-of-3): a single
+    // two cold passes, min per query (mirrors the warm min-of-N): a single
     // cold sample is hostage to driver contention — r8 reported q84 cold at
     // 13.4s where an isolated run measures 2.8s. The per-query max is kept
     // in the detail file so a contended run is self-evident, not silent.
-    def coldPass(): Seq[(String, Double)] = coldNames.map { name =>
-      graft.operators.Text.invalidateCaches(spark, sfDir)
+    // The second pass is dropped when the budget won't fit it (the actual
+    // first-pass wall, not the estimate, decides).
+    def coldPass(): Seq[(String, Double)] = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => failed += name }
-      name -> (System.nanoTime() - t0) / 1e9
+      val r = coldNames.map { name =>
+        graft.operators.Text.invalidateCaches(spark, sfDir)
+        val q0 = System.nanoTime()
+        try SparkEntry.queries(name)(spark, sfDir).count()
+        catch { case _: Throwable => failed += name }
+        name -> (System.nanoTime() - q0) / 1e9
+      }
+      spent += (System.nanoTime() - t0) / 1e9
+      r
     }
-    val coldPasses = Seq(coldPass(), coldPass())
+    val cold1 = coldPass()
+    val cold1S = cold1.map(_._2).sum
+    val coldPasses =
+      if (spent + cold1S <= budgetS) Seq(cold1, coldPass()) else Seq(cold1)
     val coldByName = coldPasses.map(_.toMap)
     val cold = coldNames.map(n => n -> coldByName.map(_(n)).min)
     val coldMax = coldNames.map(n => n -> coldByName.map(_(n)).max)
@@ -216,7 +263,11 @@ object Bench {
     // only the slowest entries.
     val detailPath = "BENCH_DETAIL.json"
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val detail = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jmap(results, f3)},"cold":${jmap(cold, f3)},"cold_max":${jmap(coldMax, f3)},"pass_totals":$passTotals,"cold_pass_totals":$coldPassTotals,"pass_spread":$passSpread,"calibration_s":$calib,"load_avg":$loads,"contended":$contended,"failed":$failedJson,"sf":"$sfDir"}"""
+    // self-describing schedule: how many passes actually ran, against what
+    // budget, and the warmup wall the estimates came from — a reduced run
+    // (slow box) is distinguishable from a full one without archaeology
+    val sched = s"""{"budget_s":${f3(budgetS)},"warmup_s":${f3(warmupS)},"warm_passes":${passes.size},"cold_passes":${coldPasses.size}}"""
+    val detail = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jmap(results, f3)},"cold":${jmap(cold, f3)},"cold_max":${jmap(coldMax, f3)},"pass_totals":$passTotals,"cold_pass_totals":$coldPassTotals,"pass_spread":$passSpread,"calibration_s":$calib,"load_avg":$loads,"contended":$contended,"sched":$sched,"failed":$failedJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
@@ -227,7 +278,7 @@ object Bench {
     def line(qs: Seq[(String, Double)], omitted: Int): String = {
       val omit = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
       val fl = if (failed.isEmpty) "" else s""","failed":$failedJson"""
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jmap(qs, f2)}$omit,"cold_total":${f3(coldTotal)},"pass_totals":$passTotals,"cold_pass_totals":$coldPassTotals,"pass_spread":$passSpread,"calibration_s":$calib,"load_avg":$loads,"contended":$contended$fl,"detail":"$detailPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jmap(qs, f2)}$omit,"cold_total":${f3(coldTotal)},"pass_totals":$passTotals,"cold_pass_totals":$coldPassTotals,"pass_spread":$passSpread,"calibration_s":$calib,"load_avg":$loads,"contended":$contended,"sched":$sched$fl,"detail":"$detailPath","sf":"$sfDir"}"""
     }
     val shortAll = results.map { case (k, v) => shortKey(k) -> v }
     val bySlow = shortAll.sortBy(-_._2)

@@ -1675,7 +1675,18 @@ object Curation {
       .getOrElse(count(lit(1)))
     val counts = df.groupBy(col(classCol).cast(StringType).as("cls"))
       .agg(agg.as("n"))
-    val w = counts.withColumn("weight", iroot(col("n"), rootB))
+    // fails-LOUDLY contract: with a weightCol, a class whose Σweight is
+    // negative (bad weights) or NULL (all-NULL weights) would feed
+    // sqrt/cbrt a negative/NULL — NaN → cast 0 → the ±1 correction yields
+    // -1 — i.e. garbage weights and shares instead of an error
+    val checked = counts.withColumn("n",
+      when(col("n").isNull || col("n") < 0L, raise_error(concat(
+        lit("temperatureShares: class "),
+        coalesce(col("cls"), lit("NULL")),
+        lit(" has NULL or negative size "),
+        coalesce(col("n").cast(StringType), lit("NULL")))))
+        .otherwise(col("n")))
+    val w = checked.withColumn("weight", iroot(col("n"), rootB))
     val tot = w.agg(coalesce(sum(col("weight")), lit(0L)).as("__tw"))
     w.crossJoin(broadcast(tot))
       .select(col("cls"), col("n"), col("weight"),
@@ -1732,8 +1743,11 @@ object Curation {
     * engines). Output: (doc_id, cls, keep).
     *
     * Scale: one combiner aggregate collected at #classes rows (the
-    * [[mixCorpus]] convention), then a map-only hash filter — the corpus
-    * is never shuffled. */
+    * [[mixCorpus]] convention), then a map-only BROADCAST join of the
+    * #classes-row threshold frame plus the hash filter — the corpus is
+    * never shuffled, and a high-cardinality class column (100 K domains)
+    * broadcasts fine where a folded CASE chain over #classes would blow
+    * up the expression tree / codegen. */
   def temperatureMix(df: DataFrame, idCol: String, classCol: String,
       rootB: Int, tag: String = ""): DataFrame = {
     val s = df.sparkSession
@@ -1742,6 +1756,10 @@ object Curation {
       .select($"cls", $"n", $"weight").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .filter(_._3 > 0L) // weight 0 (empty class) can't anchor or keep
+      // a NULL class can neither anchor (the lexicographic tie-break has
+      // no order for it) nor match the threshold join — its rows fall
+      // through with keep 0, same as the docs say for absent classes
+      .filter(_._1 != null)
     require(sh.nonEmpty, "no non-empty classes")
     // scarcest class: argmin n/weight by exact cross-multiplication
     // (ties break to the lexicographically-smallest class, as the oracle's
@@ -1753,11 +1771,14 @@ object Curation {
     val thr = sh.map { case (c, n, w) =>
       c -> (BigInt(1000000L) * w * nk / (BigInt(wk) * n)).min(1000000L).toLong
     }
-    val thrCol = thr.foldLeft(lit(null).cast(LongType)) { case (alt, (c, t)) =>
-      when(col(classCol).cast(StringType) === c, lit(t)).otherwise(alt)
-    }
+    // LEFT broadcast join (not a folded CASE chain): a class absent from
+    // the threshold frame (weight 0, or a NULL class value) gets a NULL
+    // threshold — the keep compare is then NULL → keep 0, the row is
+    // retained, exactly the old CASE-chain fallthrough semantics
+    val thrDf = broadcast(thr.toSeq.toDF("cls", "__thr"))
     df.select(col(idCol).cast(LongType).as("doc_id"),
-        col(classCol).cast(StringType).as("cls"), thrCol.as("__thr"))
+        col(classCol).cast(StringType).as("cls"))
+      .join(thrDf, Seq("cls"), "left")
       .withColumn("keep",
         when(md5Long(concat(lit(s"tmix:$tag"), col("doc_id").cast(StringType)))
           % 1000000L < col("__thr"), 1).otherwise(0))
@@ -1794,6 +1815,67 @@ object Curation {
        |           THEN 1 ELSE 0 END) AS BIGINT) AS kept
        |FROM documents d JOIN thr ON d.lang = thr.cls
        |GROUP BY d.lang ORDER BY cls""".stripMargin
+
+  // q271 — the FULL multilingual pretraining recipe as one gated entry:
+  // temperature shares (α = 1/2 over per-language char mass) become the
+  // weight map of an epoch plan under a char budget and a repetition cap,
+  // and the plan is MATERIALIZED (⌊epochs⌋ copies + deterministic-hash
+  // fractional epoch). q269/q244/q247 gate the stages; this proves they
+  // COMPOSE — shares flow into planEpochs' weight contract and the plan
+  // into applyEpochPlan without schema or semantic friction. Reported as
+  // the per-class volume certificate (copies, distinct docs, deepest
+  // epoch); the oracle replays the identical isqrt-share → capped-ppm-plan
+  // → hash-materialize arithmetic end to end. Plan shape: two #classes
+  // aggregates + one #classes-row collect (the mixCorpus convention),
+  // then a broadcast join + map-only explode over the corpus — the only
+  // corpus-wide shuffle is the final summary aggregate.
+  private def q271(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val weights = temperatureShares(docs, "lang", rootB = 2,
+        weightCol = Some("n_chars"))
+      .select($"cls", $"share_ppm").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 175 K-char budget: at the gate scales this lands per-language
+    // epochs at ~0.8–1.5 — some languages floor at 1 full copy + a
+    // fractional epoch, others are fractional-only — so the gate
+    // exercises BOTH the repetition and the subsample face of the
+    // materializer (a larger budget caps every language and the
+    // fractional hash never fires)
+    val plan = planEpochs(docs, "lang", "n_chars", weights,
+      budgetTokens = 175000L, maxEpochsPpm = 3000000L)
+    applyEpochPlan(docs, "doc_id", "lang", plan, salt = "tep")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct($"doc_id").as("n_docs"),
+        max($"epoch").as("max_epoch"))
+      .select($"source".as("cls"), $"n_copies", $"n_docs", $"max_epoch")
+      .orderBy($"cls")
+  }
+  private val q271Sql =
+    s"""WITH c AS (SELECT lang AS cls, SUM(n_chars) AS n FROM documents GROUP BY 1),
+       |s0 AS (SELECT cls, n, CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) AS r0 FROM c),
+       |s1 AS (SELECT cls, n, CASE WHEN r0 * r0 > n THEN r0 - 1 ELSE r0 END AS r1 FROM s0),
+       |sh AS (SELECT cls, n,
+       |    CASE WHEN (r1 + 1) * (r1 + 1) <= n THEN r1 + 1 ELSE r1 END AS w
+       |  FROM s1),
+       |t AS (SELECT SUM(w) AS tw FROM sh),
+       |shares AS (SELECT cls, n, w * 1000000 // (SELECT tw FROM t) AS share_ppm
+       |  FROM sh),
+       |plan AS (SELECT cls, LEAST(3000000,
+       |    (175000 * share_ppm // 1000000) * 1000000 // n) AS epochs_ppm
+       |  FROM shares),
+       |rep AS (SELECT d.doc_id, d.lang, r.ep, p.epochs_ppm
+       |  FROM documents d JOIN plan p ON d.lang = p.cls
+       |  CROSS JOIN range(0, ${3000000L / 1000000L + 1}) r(ep)
+       |  WHERE r.ep <= p.epochs_ppm // 1000000),
+       |mat AS (SELECT doc_id, lang, ep FROM rep
+       |  WHERE ep < epochs_ppm // 1000000
+       |     OR ${md5LongSql("'tep:' || doc_id")} % 1000000 < epochs_ppm % 1000000)
+       |SELECT lang AS cls, COUNT(*) AS n_copies,
+       |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(MAX(ep) AS BIGINT) AS max_epoch
+       |FROM mat GROUP BY 1 ORDER BY cls""".stripMargin
 
   // ---------------------------------------------------------------------
   // Manifest-count drift — the metadata-only member of the drift family.
@@ -1848,10 +1930,38 @@ object Curation {
   // gate proves the manifests carry exactly the truth the data holds.
   private val segSnapCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String)]
+  // leak guards for the memoized fixture: the temp roots are deleted by ONE
+  // JVM shutdown hook (registered lazily on first use), and a session's
+  // cache entries are evicted when its SparkContext ends — a long-lived
+  // multi-session process neither accumulates fixture dirs on disk nor
+  // pins stopped sessions through the cache key
+  private val segSnapRoots =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  private lazy val segSnapHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      segSnapRoots.forEach { root =>
+        try {
+          val walk = java.nio.file.Files.walk(root)
+          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach { p =>
+              try java.nio.file.Files.deleteIfExists(p)
+              catch { case _: Throwable => () }
+            }
+          finally walk.close()
+        } catch { case _: Throwable => () }
+      }))
   private def q268(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val (oldDir, newDir) = segSnapCache.getOrElseUpdate((s, d), {
-      val root = java.nio.file.Files.createTempDirectory("graft_segdrift_").toString
+      segSnapHook
+      val rootPath = java.nio.file.Files.createTempDirectory("graft_segdrift_")
+      segSnapRoots.add(rootPath)
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          segSnapCache.filterInPlace((k, _) => k._1 ne s)
+      })
+      val root = rootPath.toString
       val docs = Tables.documents(s, d)
         .select($"doc_id", ($"doc_id" % 8).as("seg"))
       val o = s"$root/old"
@@ -1881,6 +1991,7 @@ object Curation {
     "q268_manifest_count_drift" -> q268,
     "q269_temperature_shares" -> q269,
     "q270_temperature_mix" -> q270,
+    "q271_tempered_epochs" -> q271,
     "q265_drift_pure_sql" -> q265,
     "q262_drift_by_lang" -> q262,
     "q263_drift_tv_summary" -> q263,
@@ -1914,6 +2025,7 @@ object Curation {
     "q268_manifest_count_drift" -> q268Sql,
     "q269_temperature_shares" -> q269Sql,
     "q270_temperature_mix" -> q270Sql,
+    "q271_tempered_epochs" -> q271Sql,
     "q265_drift_pure_sql" -> q265Sql,
     "q262_drift_by_lang" -> q262Sql,
     "q263_drift_tv_summary" -> q263Sql,

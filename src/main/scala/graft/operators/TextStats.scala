@@ -611,16 +611,28 @@ object TextStats {
     * (the canonical w1 ≤ w2 string ordering is fixed map-side BEFORE
     * hashing): at sf1 the pair fan-out is tens of millions of rows, and
     * 16-byte key rows cache and shuffle severalfold cheaper than string
-    * pairs. Labels rejoin from a vocabulary-sized distinct dictionary
-    * over the pruned (≥ minCount) pair table — the smallest frame in the
-    * pass. A 64-bit collision across a vocabulary needs ~2³² distinct
-    * tokens to become likely; deterministic, so gated by the oracle. */
+    * pairs. Labels rejoin from a vocabulary-sized distinct dictionary.
+    * Both the pair fan-out and the dictionary derive from ONE persisted
+    * tokenized frame, so the input is evaluated exactly once — with a
+    * non-deterministic source (an unseeded sample, a freshly-shuffled
+    * frame) a second raw scan could tokenize a DIFFERENT vocabulary and
+    * the inner label joins would silently drop pairs (the evalSplitExact
+    * single-evaluation hazard). A 64-bit collision across a vocabulary
+    * needs ~2³² distinct tokens to become likely; deterministic, so gated
+    * by the oracle. */
   def cooccurrencePairs(df: DataFrame, textCol: String, window: Int,
       minCount: Long = 1L, materialize: Boolean = true): DataFrame = {
     require(window >= 1, "window must be positive")
     require(minCount >= 1, "minCount must be positive")
-    val pr = df.select(split(trim(col(textCol)), "\\s+").as("__t"))
+    // single evaluation point: every downstream frame (pairs, marginals,
+    // total, dictionary) reads this materialization, never df again.
+    // Docs with <2 tokens can't contribute a pair, and a word appearing
+    // only in such docs can't survive the inner join onto pruned pairs,
+    // so filtering them out before the dictionary changes nothing.
+    val tok = df.select(split(trim(col(textCol)), "\\s+").as("__t"))
       .filter(size(col("__t")) >= 2)
+      .persist()
+    val pr = tok
       .select(explode(expr(
         s"""flatten(transform(sequence(0, size(__t) - 2), i ->
            |  transform(sequence(i + 1, least(i + $window, size(__t) - 1)), j ->
@@ -634,7 +646,7 @@ object TextStats {
     val marg = pr.select(explode(array(col("h1"), col("h2"))).as("__h"))
       .groupBy(col("__h")).agg(count(lit(1)).as("__c"))
     val tot = pr.agg(count(lit(1)).as("__T"))
-    val dict = df.select(explode(split(trim(col(textCol)), "\\s+")).as("__w"))
+    val dict = tok.select(explode(col("__t")).as("__w"))
       .distinct()
       .select(xxhash64(col("__w")).as("__h"), col("__w"))
     val out = pairs
@@ -651,6 +663,7 @@ object TextStats {
     else {
       val snapped = out.localCheckpoint()
       pr.unpersist(blocking = false)
+      tok.unpersist(blocking = false)
       snapped
     }
   }

@@ -548,6 +548,17 @@ object Realtime {
     import s.implicits._
     val ref = refShares.select(col("bucket").cast(StringType),
       col("ref_ppm").cast(LongType)).collect()
+    // fails-LOUDLY contract on the reference mix: a duplicate bucket fans
+    // out the left join (each stream event counted once per duplicate —
+    // n_events AND tv_ppm both wrong), a NULL bucket inflates refTotal but
+    // can never match (permanently reported as vanished mass), a negative
+    // share corrupts the TV fold. None is a valid reference; reject all.
+    require(ref.forall(r => !r.isNullAt(0)),
+      "reference shares contain a NULL bucket")
+    require(ref.forall(r => !r.isNullAt(1) && r.getLong(1) >= 0L),
+      "reference shares contain a NULL or negative ref_ppm")
+    require(ref.map(_.getString(0)).distinct.length == ref.length,
+      "reference shares contain duplicate buckets")
     val refTotal = ref.map(_.getLong(1)).sum
     require(refTotal <= 1000000L, s"reference shares sum to $refTotal > 1e6")
     val refDf = ref.map(r => (r.getString(0), r.getLong(1))).toSeq

@@ -543,6 +543,44 @@ class CurationSpec extends AnyFunSuite {
     assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
   }
 
+  test("temperatureMix: thousands of classes (broadcast join, no codegen blowup)") {
+    // 3000 classes of varying size — the folded-CASE formulation this
+    // replaced would build a 3000-deep when() tree and blow up codegen;
+    // the broadcast threshold join must sail through. One NULL-class row
+    // rides along to pin the fallthrough semantics: retained, keep 0.
+    val rows = (0 until 3000).flatMap { c =>
+      (0 until (c % 4) + 1).map(k => (c.toLong * 10 + k, Some(f"cls$c%04d")))
+    } :+ (999999L, Option.empty[String])
+    val docs = rows.toDF("id", "lang")
+    val out = Curation.temperatureMix(docs, "id", "lang", rootB = 2).collect()
+    assert(out.length == rows.length, "every input row is retained")
+    // size-1 classes have the minimal n/weight ratio (1) — the anchor is
+    // among them, and every ratio-1 class gets thr = 1e6 = kept whole
+    val byCls = out.groupBy(_.getString(1))
+    (0 until 3000).filter(_ % 4 == 0).foreach { c =>
+      assert(byCls(f"cls$c%04d").forall(_.getInt(2) == 1),
+        s"size-1 class cls$c must be kept whole")
+    }
+    val nullRow = out.filter(_.isNullAt(1))
+    assert(nullRow.length == 1 && nullRow.head.getInt(2) == 0,
+      "NULL-class row retained with keep 0")
+  }
+
+  test("temperatureShares: negative / NULL class sums fail LOUDLY") {
+    val neg = Seq(("a", 5L), ("a", -9L), ("b", 3L)).toDF("cls", "w")
+    val e = intercept[Exception] {
+      Curation.temperatureShares(neg, "cls", rootB = 2,
+        weightCol = Some("w")).collect()
+    }
+    assert(e.getMessage.contains("temperatureShares"), e.getMessage)
+    val nul = Seq(("a", Option.empty[Long]), ("b", Some(3L))).toDF("cls", "w")
+    val e2 = intercept[Exception] {
+      Curation.temperatureShares(nul, "cls", rootB = 2,
+        weightCol = Some("w")).collect()
+    }
+    assert(e2.getMessage.contains("temperatureShares"), e2.getMessage)
+  }
+
   test("evalSplitExact: a mega-stratum past maxStratumRows fails LOUDLY") {
     // The per-stratum sort is the documented cost, bounded by the largest
     // stratum; the knob makes that boundary ENFORCED with a pointer to the

@@ -674,6 +674,74 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains((t(30), 2L, 500000L)), s"got $rows")
   }
 
+  test("driftStream: duplicate / NULL / negative reference mixes rejected LOUDLY") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val in = mem.toDF().toDF("ts", "cat")
+    def call(ref: org.apache.spark.sql.DataFrame): Unit =
+      Realtime.driftStream(in, "ts", "cat", "5 minutes", "10 minutes", ref)
+    // a duplicate bucket would fan out the left join (each stream event
+    // counted once per duplicate); a NULL bucket inflates refTotal but can
+    // never match; a negative share corrupts the TV fold — all rejected
+    val dup = Seq(("a", 400000L), ("a", 400000L)).toDF("bucket", "ref_ppm")
+    assert(intercept[IllegalArgumentException](call(dup))
+      .getMessage.contains("duplicate"))
+    val nul = Seq((Option.empty[String], 400000L), (Some("b"), 400000L))
+      .toDF("bucket", "ref_ppm")
+    assert(intercept[IllegalArgumentException](call(nul))
+      .getMessage.contains("NULL bucket"))
+    val neg = Seq(("a", -1L), ("b", 400000L)).toDF("bucket", "ref_ppm")
+    assert(intercept[IllegalArgumentException](call(neg))
+      .getMessage.contains("negative"))
+  }
+
+  test("driftStream ≡ batch distributionDrift per window (incl. novel + vanished)") {
+    // the oracle-grade lock: the SAME events through the streaming monitor
+    // and through the batch drift operator window-by-window must certify
+    // identical tv_ppm — the streaming TV identity (matched fold +
+    // refTotal − matchedRef) against the batch full-outer-join formulation
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    // ref mix a 50% / b 30% / c 20%; the batch twin gets the mix as ROWS
+    // in the same exact proportions (10 rows → identical integer ppm)
+    val ref = Seq(("a", 500000L), ("b", 300000L), ("c", 200000L))
+      .toDF("bucket", "ref_ppm")
+    val refRows = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c"))
+      .toDF("bucket")
+    // W1: a×2 b×1 d×3 (c vanished, d novel); W2: a×4 (b AND c vanished);
+    // W3: d×2 (every ref bucket vanished, only a novel one)
+    val winEvents: Seq[(Int, Seq[String])] = Seq(
+      0 -> Seq("a", "a", "b", "d", "d", "d"),
+      30 -> Seq("a", "a", "a", "a"),
+      50 -> Seq("d", "d"))
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val drift = Realtime.driftStream(mem.toDF().toDF("ts", "cat"),
+      "ts", "cat", windowDuration = "5 minutes",
+      watermarkDelay = "10 minutes", refShares = ref)
+    val q = drift.writeStream.outputMode("append")
+      .format("memory").queryName("drift_eq_out").start()
+    winEvents.foreach { case (m, cats) =>
+      mem.addData(cats.map(c => (t(m), c)): _*)
+      q.processAllAvailable()
+    }
+    mem.addData((t(90), "a")); q.processAllAvailable() // close W3
+    mem.addData((t(120), "a")); q.processAllAvailable() // flush the chain
+    q.stop()
+    val streamed = spark.table("drift_eq_out").collect().map { r =>
+      val w = r.getAs[org.apache.spark.sql.Row]("window")
+      w.getAs[java.sql.Timestamp]("start") -> r.getAs[Long]("tv_ppm")
+    }.toMap
+    winEvents.foreach { case (m, cats) =>
+      val batchTv = graft.operators.Curation
+        .distributionDrift(refRows, cats.toDF("bucket"), "bucket")
+        .agg(expr("sum(delta_ppm) DIV 2").as("tv")).collect().head.getLong(0)
+      assert(streamed.get(t(m)).contains(batchTv),
+        s"window 10:$m stream ${streamed.get(t(m))} != batch $batchTv")
+    }
+  }
+
   test("flatMapGroupsWithState keeps running per-key totals across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
