@@ -15,6 +15,38 @@ import org.apache.spark.sql.SparkSession
   * artifact ("sched") so a reduced run is self-describing.
   */
 object Bench {
+  /** The memoized-chain queries timed COLD (caches dropped before each):
+    * the memoized dedup/graph/index chains push shared build cost into
+    * warmup, so these queries' warm numbers hide a build the cold section
+    * reports separately. DERIVABLE, not just curated: [[ColdDetect]]
+    * recomputes the chain map empirically (invalidate-all → run → which
+    * chains repopulated?) and fails on a stale entry or an unrepresented
+    * chain, so the list can't silently rot as operators are added.
+    * Queries that touch only an already-represented chain are
+    * deliberately NOT listed (each cold sample re-pays the full rebuild;
+    * 50+ rebuilds would blow the bench budget for no new information).
+    * Per-entry rationale: dedup shingle/pair/label chain (q34/35/47/49/
+    * 54), quantizer + codebook fits (q38/67/83/85 + q68's against-index),
+    * iterative graph fixpoints (q84/87/88/98/101/112/125/131/220/155/
+    * 168/132), rule mining (q102), co-occurrence mine (q115), BPE
+    * merge-table fit + segmentation replay (q129/130), span/winnow/
+    * standing-index builds (q231/237/242/245), memoized corpus stats
+    * (q69), corpus-mix plan-build count (q63). */
+  val coldNames: Seq[String] = Seq(
+    "q34_dedup_ngram_jaccard", "q35_dedup_minhash_lsh",
+    "q47_dedup_clusters", "q49_dedup_keep_best", "q54_passage_overlap",
+    "q38_ann_ivf", "q67_semantic_dedup", "q68_minhash_against",
+    "q83_ann_pq", "q85_ann_ivfpq", "q84_pagerank", "q87_pagerank_personalized",
+    "q88_triangles", "q98_hits", "q101_label_propagation",
+    "q102_association_rules", "q112_pagerank_weighted",
+    "q115_cooccurrence_pmi", "q125_kcore", "q131_bfs_distance",
+    "q220_harmonic_closeness", "q155_connected_components",
+    "q168_shortest_path", "q132_link_predict", "q129_bpe_fit",
+    "q130_bpe_encode", "q231_repeated_spans", "q237_decontam_spans",
+    "q242_winnow_fingerprints", "q245_incremental_minhash",
+    "q69_bm25_topk", "q63_mix_sources")
+    .filter(SparkEntry.queries.contains)
+
   /** Deny exactly one known-benign message on one logger, leaving every
     * other message at that logger visible (vs Configurator.setLevel,
     * which mutes the whole logger and would hide a NEW warning class). */
@@ -171,37 +203,7 @@ object Bench {
          probeDisagree(calibStart, calibMid)) &&
         spent + avgWarm + 2 * coldEst <= budgetS)
       warmPasses += timedTracked()
-    // the memoized dedup chain (persisted shingle/pair/label stages) pushes
-    // shared cost into warmup; time those queries once COLD — caches dropped
-    // before each — so per-query cost isn't hidden. Reported separately;
-    // the warm "queries" map stays the comparable headline.
-    val coldNames = Seq("q34_dedup_ngram_jaccard", "q35_dedup_minhash_lsh",
-      "q47_dedup_clusters", "q49_dedup_keep_best", "q54_passage_overlap",
-      "q38_ann_ivf", // q38/q67 cold = quantizer fit, hidden warm
-      "q67_semantic_dedup", "q68_minhash_against",
-      "q83_ann_pq", // cold = the PQ codebook fit + encode, hidden warm
-      "q84_pagerank", // cold = the iterative rank build, hidden warm
-      "q87_pagerank_personalized", // cold = the seeded rank build
-      "q88_triangles", // cold = the oriented triangle census build
-      "q98_hits", // cold = the hub/authority fixed-point build
-      "q101_label_propagation", // cold = the community build
-      "q102_association_rules", // cold = the rule-mining build
-      "q112_pagerank_weighted", // cold = the weighted rank build
-      "q115_cooccurrence_pmi", // cold = the co-occurrence table mine
-      "q125_kcore", // cold = the iterative core strip
-      "q131_bfs_distance", // cold = the frontier walk build
-      "q220_harmonic_closeness", // cold = the per-seed frontier walk build
-      "q155_connected_components", // cold = the label-propagation fixpoint
-      "q168_shortest_path", // cold = the Bellman-Ford fixpoint walk
-      "q132_link_predict", // cold = the wedge-join candidate build
-      "q129_bpe_fit", // cold = the iterative merge-table fit
-      "q130_bpe_encode", // cold = the vocab segmentation replay
-      "q231_repeated_spans", // cold = the span-frame build, hidden warm
-      "q237_decontam_spans", // cold = the decontam span-frame build
-      "q242_winnow_fingerprints", // cold = the winnowed-index build
-      "q245_incremental_minhash", // cold = the standing-corpus index build
-      "q66_term_rarity", "q69_bm25_topk") // cold = the memoized corpus-stats pass
-      .filter(SparkEntry.queries.contains)
+    val coldNames = Bench.coldNames
     // two cold passes, min per query (mirrors the warm min-of-N): a single
     // cold sample is hostage to driver contention — r8 reported q84 cold at
     // 13.4s where an isolated run measures 2.8s. The per-query max is kept

@@ -406,6 +406,16 @@ object Corpus {
     bpeCache.remove((s, d)).foreach(_.unpersist(blocking = false))
     bpeSegCache.remove((s, d)).foreach(_.unpersist(blocking = false))
   }
+  // totCache excluded: a scalar total is not a chain build (Text
+  // .cacheLabels doc)
+  private[operators] def cacheLabels(s: SparkSession, d: String): Set[String] =
+    Seq("corpus.stats" -> statsCache.contains((s, d)),
+      "corpus.fuzzy" -> fuzzyCache.contains((s, d)),
+      "corpus.index" -> idxCache.contains((s, d)),
+      "corpus.cooc" -> coocCache.contains((s, d)),
+      "corpus.bpe" -> bpeCache.contains((s, d)),
+      "corpus.bpeSeg" -> bpeSegCache.contains((s, d)))
+      .collect { case (l, true) => l }.toSet
 
   // q93 — exact heavy hitters through the two-pass Misra–Gries path:
   // the sketch proposes ≤ k candidates, the recount pass makes the

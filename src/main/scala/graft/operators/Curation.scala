@@ -166,6 +166,10 @@ object Curation {
     nDocsCache.remove((s, d))
     mixCache.remove((s, d))
   }
+  // nDocsCache excluded: a Long recount is not a chain build (Text
+  // .cacheLabels doc)
+  private[operators] def cacheLabels(s: SparkSession, d: String): Set[String] =
+    if (mixCache.contains((s, d))) Set("curation.mix") else Set.empty
   private def q58(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val n = nDocsCache.getOrElseUpdate((s, d), Tables.documents(s, d).count())

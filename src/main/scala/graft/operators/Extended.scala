@@ -1307,6 +1307,8 @@ object Extended {
     .empty[(SparkSession, String), DataFrame]
   private[operators] def invalidateCaches(s: SparkSession, d: String): Unit =
     rulesCache.remove((s, d)).foreach(_.unpersist(blocking = false))
+  private[operators] def cacheLabels(s: SparkSession, d: String): Set[String] =
+    if (rulesCache.contains((s, d))) Set("extended.rules") else Set.empty
   private def q102(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val rules = rulesCache.getOrElseUpdate((s, d),

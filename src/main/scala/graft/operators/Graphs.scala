@@ -310,6 +310,14 @@ object Graphs {
       d + "#kcore", d + "#bfs", d + "#lpred", d + "#cc", d + "#sp",
       d + "#closeness").foreach(k =>
       prCache.remove((s, k)).foreach(_.unpersist(blocking = false)))
+  private[operators] def cacheLabels(s: SparkSession, d: String): Set[String] =
+    Seq("pr" -> d, "ppr" -> (d + "#ppr"), "tri" -> (d + "#tri"),
+      "hits" -> (d + "#hits"), "lp" -> (d + "#lp"), "wpr" -> (d + "#wpr"),
+      "kcore" -> (d + "#kcore"), "bfs" -> (d + "#bfs"),
+      "lpred" -> (d + "#lpred"), "cc" -> (d + "#cc"), "sp" -> (d + "#sp"),
+      "closeness" -> (d + "#closeness"))
+      .collect { case (l, k) if prCache.contains((s, k)) => s"graphs.$l" }
+      .toSet
   // customer and supplier keys share the integer space, so node ids are
   // NAMESPACED (customer c → 10⁷ + c) — without this node 7 would be
   // customer 7 and supplier 7 accidentally merged into one walk state

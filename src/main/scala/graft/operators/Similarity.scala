@@ -243,6 +243,11 @@ object Similarity {
     pqCache.remove((s, d)).foreach(_._2.unpersist(blocking = false))
     ivfPqCache.remove((s, d)).foreach(_.unpersist(blocking = false))
   }
+  private[operators] def cacheLabels(s: SparkSession, d: String): Set[String] =
+    Seq("sim.ivf" -> kmCache.contains((s, d)),
+      "sim.pq" -> pqCache.contains((s, d)),
+      "sim.ivfpq" -> ivfPqCache.contains((s, d)))
+      .collect { case (l, true) => l }.toSet
   private def fittedIvf(s: SparkSession, d: String): (DataFrame, DataFrame) =
     kmCache.getOrElseUpdate((s, d), {
       val (c, a) = kmeansFit(Tables.embeddings(s, d), "embedding",

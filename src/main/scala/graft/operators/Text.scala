@@ -113,6 +113,24 @@ object Text {
     Graphs.invalidateCaches(s, d)
     Extended.invalidateCaches(s, d)
   }
+
+  /** Which memoized CHAIN artifacts are live for (session, dir) —
+    * everything [[invalidateCaches]] would drop, EXCLUDING the scalar
+    * count caches (a Long recount is not a chain build worth cold-timing).
+    * [[graft.ColdDetect]] derives Bench's cold-set contract from this:
+    * a query that repopulates any chain after a full invalidation is a
+    * query whose warm time hides a build, and every chain LABEL must
+    * have at least one cold-timed representative. */
+  def cacheLabels(s: SparkSession, d: String): Set[String] =
+    Seq("text.shingles" -> shCache, "text.cappedShingles" -> cappedShCache,
+      "text.pairs" -> pairCache, "text.labels" -> labelCache,
+      "text.sigs" -> sigCache, "text.spans" -> spanCache,
+      "text.decontamSpans" -> decontamSpanCache,
+      "text.winnow" -> winnowCache)
+      .collect { case (l, c) if c.contains((s, d)) => l }.toSet ++
+      Curation.cacheLabels(s, d) ++ Similarity.cacheLabels(s, d) ++
+      Corpus.cacheLabels(s, d) ++ Graphs.cacheLabels(s, d) ++
+      Extended.cacheLabels(s, d)
   /** Shared minhash oracle snippets — the SQL twins of minhashSigsFrom /
     * bandedKeys / estSim, reused by every minhash oracle (q35, q68, q227,
     * q245) so signature salts and banding can never drift per-oracle:
