@@ -125,9 +125,11 @@ object Bench {
     // exactly that (three same-code captures spanning 101→127s), and the
     // probe makes the artifact self-adjudicating instead of leaving the
     // judge to diff per-query medians across rounds.
-    // ~0.7s of fixed work: long enough that scheduler jitter can't fake
-    // a >15% probe disagreement (a 0.17s probe varied 12% on an idle box)
-    val calibN = 2000000000L
+    // ~1s of fixed work: long enough that scheduler jitter can't fake
+    // a >15% probe disagreement (a 0.17s probe varied 12% on an idle box,
+    // and round 16's box ran the old 2e9 probe in 0.45s — back inside
+    // jitter range, flagging a quiet run as contended at 15.4%-vs-15%)
+    val calibN = 4500000000L
     def calibrate(): Double = {
       val t0 = System.nanoTime()
       spark.range(0L, calibN, 1L, cpus.toInt)

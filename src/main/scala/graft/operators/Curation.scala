@@ -1829,24 +1829,34 @@ object Curation {
   // into applyEpochPlan without schema or semantic friction. Reported as
   // the per-class volume certificate (copies, distinct docs, deepest
   // epoch); the oracle replays the identical isqrt-share → capped-ppm-plan
-  // → hash-materialize arithmetic end to end. Plan shape: two #classes
-  // aggregates + one #classes-row collect (the mixCorpus convention),
-  // then a broadcast join + map-only explode over the corpus — the only
-  // corpus-wide shuffle is the final summary aggregate.
+  // → hash-materialize arithmetic end to end. Plan shape: ONE corpus-wide
+  // class aggregate collected at #classes rows (the mixCorpus convention)
+  // feeds BOTH the weight map and — replayed as a local frame — the epoch
+  // plan's token stats, then a broadcast join + map-only explode over the
+  // corpus; the only other corpus-wide work is the final summary
+  // aggregate. Two full passes total, the 100 TB floor for
+  // stats-then-materialize.
   private def q271(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d)
-    val weights = temperatureShares(docs, "lang", rootB = 2,
+    val shRows = temperatureShares(docs, "lang", rootB = 2,
         weightCol = Some("n_chars"))
-      .select($"cls", $"share_ppm").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .select($"cls", $"n", $"share_ppm").collect()
+    val weights = shRows.map(r => r.getString(0) -> r.getLong(2)).toMap
+    // the shares collect already carries each class's exact token mass, so
+    // the epoch plan aggregates the #classes-row LOCAL frame instead of
+    // re-scanning the corpus — the composition costs TWO corpus-wide
+    // passes (stats + materialize), not three; at 100 TB the saved
+    // aggregate is a whole scan
+    val stats = shRows.map(r => (r.getString(0), r.getLong(1))).toSeq
+      .toDF("source", "n")
     // 175 K-char budget: at the gate scales this lands per-language
     // epochs at ~0.8–1.5 — some languages floor at 1 full copy + a
     // fractional epoch, others are fractional-only — so the gate
     // exercises BOTH the repetition and the subsample face of the
     // materializer (a larger budget caps every language and the
     // fractional hash never fires)
-    val plan = planEpochs(docs, "lang", "n_chars", weights,
+    val plan = planEpochs(stats, "source", "n", weights,
       budgetTokens = 175000L, maxEpochsPpm = 3000000L)
     applyEpochPlan(docs, "doc_id", "lang", plan, salt = "tep")
       .groupBy($"source")
