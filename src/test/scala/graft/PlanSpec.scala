@@ -466,6 +466,34 @@ class PlanSpec extends AnyFunSuite {
       s"q217: key-only audits must broadcast, not shuffle:\n$fk")
   }
 
+  test("q270/q271: tempered mix/epochs broadcast the class frame; corpus never shuffles pre-aggregate") {
+    // q270: the threshold frame is a #classes-row BROADCAST join (round 16
+    // replaced a folded CASE chain that blew up codegen at high class
+    // cardinality) and the keep decision adds no window or corpus shuffle
+    // before the summary aggregate
+    val p270 = planOf("q270_temperature_mix")
+    assert(p270.contains("BroadcastHashJoin"),
+      s"q270: thresholds must broadcast-join:\n$p270")
+    assert(!p270.contains("Window"), s"q270: no window:\n$p270")
+    // q271: ONE corpus-wide class aggregate (shares) — the epoch plan
+    // replays the collected stats as a LocalTableScan instead of paying a
+    // second corpus aggregate — and the plan broadcasts into the map-only
+    // epoch expansion
+    val p271 = planOf("q271_tempered_epochs")
+    assert(p271.contains("LocalTableScan"),
+      s"q271: plan stats must come from the collected local frame:\n$p271")
+    assert(p271.contains("BroadcastHashJoin"),
+      s"q271: the epoch plan must broadcast into the corpus:\n$p271")
+    // exactly ONE parquet scan of documents in the returned plan: the
+    // shares/stats pass already ran at plan-build (the #classes-row
+    // collect), so the materialization is the only remaining corpus read —
+    // a second scan here would mean the epoch plan re-aggregated the
+    // corpus instead of replaying the collected stats
+    assert("documents\\.parquet".r.findAllIn(p271).size == 1,
+      s"q271: materialize is the only corpus scan in the plan:\n$p271")
+    assert(!p271.contains("Window"), s"q271: no window:\n$p271")
+  }
+
   test("q163/q169: chi-square cells collapse map-side; joins are broadcasts") {
     for (q <- Seq("q163_chi_square", "q169_ab_test")) {
       val p = planOf(q)
