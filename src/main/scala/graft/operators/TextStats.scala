@@ -619,7 +619,15 @@ object TextStats {
     * the inner label joins would silently drop pairs (the evalSplitExact
     * single-evaluation hazard). A 64-bit collision across a vocabulary
     * needs ~2³² distinct tokens to become likely; deterministic, so gated
-    * by the oracle. */
+    * by the oracle.
+    *
+    * `materialize = false` returns the LAZY frame and leaves the shared
+    * tokenized/pair frames persisted for the session — the persist IS the
+    * single-evaluation guarantee, so it cannot be dropped before the
+    * caller's action runs. Callers choosing `false` own the release:
+    * evaluate the result, then `spark.catalog.clearCache()` or re-call
+    * with `materialize = true` (the default, which snaps via
+    * `localCheckpoint` and unpersists both frames before returning). */
   def cooccurrencePairs(df: DataFrame, textCol: String, window: Int,
       minCount: Long = 1L, materialize: Boolean = true): DataFrame = {
     require(window >= 1, "window must be positive")
