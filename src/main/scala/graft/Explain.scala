@@ -11,7 +11,14 @@ import org.apache.spark.sql.execution.ExplainMode
   * vs shuffle, WholeStageCodegen spans) before locking them. */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val (dirArgs, nameArgs) = args.toSeq.partition(_.startsWith("/"))
+    val (dirArgs, rest) = args.toSeq.partition(_.startsWith("/"))
+    // --exec: run each query (count(), the bench action) BEFORE printing,
+    // so the plan shown is the FINAL adaptive plan — AQE stage reuse
+    // (deduplicated identical exchange subtrees) only appears there; the
+    // pre-execution plan prints one subtree per consumer even when the
+    // runtime executes it once.
+    val exec = rest.contains("--exec")
+    val nameArgs = rest.filterNot(_ == "--exec")
     val sfDir = dirArgs.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (nameArgs.nonEmpty) nameArgs
       else SparkEntry.queries.keys.toSeq.sorted
@@ -25,9 +32,14 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n===================== $n =====================")
-      try println(SparkEntry.queries(n)(spark, sfDir)
-        .queryExecution.explainString(ExplainMode.fromString("formatted")))
-      catch { case e: Throwable => println(s"FAILED: ${e.getMessage}") }
+      try {
+        val df = SparkEntry.queries(n)(spark, sfDir)
+        // toRdd on THIS queryExecution (count() would plan a separate
+        // one and leave this plan isFinalPlan=false)
+        if (exec) df.queryExecution.toRdd.count()
+        println(df.queryExecution
+          .explainString(ExplainMode.fromString("formatted")))
+      } catch { case e: Throwable => println(s"FAILED: ${e.getMessage}") }
     }
     spark.stop()
   }

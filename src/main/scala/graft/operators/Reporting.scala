@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -765,11 +766,19 @@ object Reporting {
       .join(Tables.supplier(s, d), $"l_suppkey" === $"s_suppkey") // scaling dim: AQE decides
       .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
       .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
-    val best = eligible.groupBy($"l_partkey".as("pk"))
-      .agg(min($"supplycost").as("best_cost"))
     val p = Tables.part(s, d).filter($"p_size" <= 15 && $"p_type" === "LARGE")
+    // per-part min via a window over ONE eligible pipeline, not
+    // groupBy + join-back: the join-back shape ran the supplier/nation/
+    // region join chain twice and shuffled eligible twice more (agg +
+    // join); the window is one l_partkey exchange, and the equality
+    // filter keeps exactly the min-achieving rows — same IEEE doubles
+    // minimized on both paths, so tie semantics are identical
+    // (plans/r17/q202_*.txt: 9 lineitem/dim scans → 5, SortMergeJoin
+    // gone).
     eligible
-      .join(best, $"l_partkey" === $"pk" && $"supplycost" === $"best_cost")
+      .withColumn("best_cost",
+        min($"supplycost").over(Window.partitionBy($"l_partkey")))
+      .filter($"supplycost" === $"best_cost")
       .join(p, $"l_partkey" === p("p_partkey")) // scaling dim: AQE decides
       .select($"s_acctbal", $"s_name", $"n_name", $"p_partkey", $"supplycost")
       .orderBy($"s_acctbal".desc, $"n_name", $"s_name", $"p_partkey")
