@@ -25,8 +25,23 @@ object Tables {
   /** Path of a table inside a scale-factor directory. */
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
-  def df(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(path(dir, name))
+  /** Memoized parquet SCHEMA per (session, path) — the catalog's schema
+    * registry, reference parity with IndexR's schema JSON on ZooKeeper
+    * (ZkTableManager). A bare `spark.read.parquet` re-infers the schema
+    * (footer read + resolution) on EVERY call, and the engine builds
+    * table frames hundreds of times per bench pass; passing the known
+    * schema skips that repeated driver-side work. Keyed on the session
+    * so a config that changes inference (nanosAsLong) cannot leak across
+    * sessions; this caches metadata only, never rows or results. */
+  private val schemaCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), org.apache.spark.sql.types.StructType]
+
+  def df(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val p = path(dir, name)
+    val sch = schemaCache.getOrElseUpdate((spark, p),
+      spark.read.parquet(p).schema)
+    spark.read.schema(sch).parquet(p)
+  }
 
   /** Register every table as a temp view so `spark.sql` works over the dir. */
   def register(spark: SparkSession, dir: String): Unit =

@@ -665,8 +665,10 @@ object Graphs {
     * Scale: per round one equi-join (frontier × adjacency, frontier
     * shrinks as the graph saturates) + one distinct + one left-anti
     * against the reached set — all equi-shuffles on node ids,
-    * AQE-splittable; the reached set is localCheckpoint'd per round so
-    * lineage stays round-sized ([[pageRank]] discipline). At 100 TB
+    * AQE-splittable; each round's FRESH frontier is localCheckpoint'd
+    * and the reached set is the lazy union of the snaps, so lineage
+    * stays round-sized without re-materializing the cumulative set
+    * every round ([[pageRank]] discipline). At 100 TB
     * pre-bucket the adjacency by source node so the per-round join
     * co-locates. */
   def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
@@ -684,9 +686,15 @@ object Graphs {
       val cand = adj.join(frontier.select(col("id").as("__f")),
           col("a") === col("__f"))
         .select(col("b").as("id")).distinct()
+      // snap only the per-round FRESH frontier; the cumulative reached
+      // set stays a lazy union of already-snapped rounds (reading snaps
+      // recomputes nothing, and lineage stays one union node per round).
+      // Snapping the cumulative union instead re-materializes the whole
+      // reached set every round — O(rounds · reached) writes for
+      // O(reached) of information (round-17 optimization).
       val fresh = cand.join(dist.select(col("id")), Seq("id"), "left_anti")
-        .select(col("id"), lit(h.toLong).as("hops"))
-      dist = dist.union(fresh).localCheckpoint()
+        .select(col("id"), lit(h.toLong).as("hops")).localCheckpoint()
+      dist = dist.union(fresh)
       frontier = fresh
     }
     adj.unpersist(blocking = false)
@@ -715,10 +723,12 @@ object Graphs {
       val cand = adj.join(frontier.select(col("seed_id"), col("id").as("__f")),
           col("a") === col("__f"))
         .select(col("seed_id"), col("b").as("id")).distinct()
+      // snap only the fresh frontier, union the snaps (see bfsDistances)
       val fresh = cand.join(dist.select(col("seed_id"), col("id")),
           Seq("seed_id", "id"), "left_anti")
         .select(col("seed_id"), col("id"), lit(h.toLong).as("hops"))
-      dist = dist.union(fresh).localCheckpoint()
+        .localCheckpoint()
+      dist = dist.union(fresh)
       frontier = fresh
     }
     adj.unpersist(blocking = false)
@@ -977,15 +987,16 @@ object Graphs {
     * the (node, distance) lattice so both the fixpoint loop and the
     * oracle's recursive closure terminate even with 0-weight edges or
     * cycles. Convergence: distances only decrease and live in
-    * {0..budget}, so the (count, sum) pair reaches fixpoint in at most
+    * {0..budget}, so the improved-set empties in at most
     * O(budget/minPositiveWeight · diameter) rounds; `maxRounds` is a
     * safety rail, loud when hit.
     *
-    * Scale: each round is ONE equi-join (edges ⋈ current distances on the
-    * edge source — shuffle on node id, co-locatable by pre-bucketing
-    * edges) + one combiner min-aggregate + a full-outer merge;
-    * localCheckpoint per round keeps lineage flat. Nothing driver-side
-    * but the 1-row fixpoint probe. */
+    * Scale: each round is ONE equi-join — edges ⋈ the FRONTIER (only the
+    * nodes whose distance improved last round, never the whole distance
+    * table; shuffle on node id, co-locatable by pre-bucketing edges) +
+    * one combiner min-aggregate + an improvement filter + a full-outer
+    * merge; localCheckpoint per round keeps lineage flat. Nothing
+    * driver-side but the 1-row emptiness probe. */
   def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: String, seeds: DataFrame, budget: Long,
       directed: Boolean = false, maxRounds: Int = 64): DataFrame = {
@@ -1002,28 +1013,37 @@ object Graphs {
     require(negatives == 0, "shortestPaths requires non-negative weights")
     var dist = seeds.select(col(seeds.columns.head).as("id")).distinct()
       .select(col("id"), lit(0L).as("dist")).localCheckpoint()
-    var state: (Long, java.math.BigDecimal) = null
+    // FRONTIER relaxation (round-17 optimization): only nodes whose
+    // distance IMPROVED last round re-propagate — an unchanged node's
+    // proposals were already applied the round after it last changed, so
+    // dropping them cannot lose a relaxation and the fixpoint is
+    // identical (classic delta-stepping argument; the old loop joined
+    // the FULL dist set against E every round and detected convergence
+    // by a count+sum probe — same rounds, |E⋉frontier| joined bytes
+    // instead of |E⋉dist|). Converged ⇔ a round improves nothing.
+    var frontier = dist
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
       round += 1
-      val cand = e.join(dist.select(col("id").as("__i"), col("dist").as("__d")),
+      val cand = e.join(frontier.select(col("id").as("__i"), col("dist").as("__d")),
           col("a") === col("__i"))
         .select(col("b").as("id"), (col("__d") + col("w")).as("nd"))
         .filter(col("nd") <= budget)
         .groupBy(col("id")).agg(min(col("nd")).as("nd"))
-      dist = dist.join(cand, Seq("id"), "full_outer")
-        .select(col("id"),
-          least(coalesce(col("dist"), col("nd")),
-            coalesce(col("nd"), col("dist"))).as("dist"))
+      val improved = cand.join(dist.select(col("id"), col("dist").as("__old")),
+          Seq("id"), "left_outer")
+        .filter(col("__old").isNull || col("nd") < col("__old"))
+        .select(col("id"), col("nd").as("dist"))
         .localCheckpoint()
-      val row = dist.agg(count(lit(1)),
-        coalesce(sum(col("dist").cast("decimal(38,0)")),
-          lit(0).cast("decimal(38,0)"))).head()
-      val now = (row.getLong(0), row.getDecimal(1))
-      converged = state != null && state._1 == now._1 &&
-        state._2.compareTo(now._2) == 0
-      state = now
+      if (improved.isEmpty) converged = true
+      else {
+        dist = dist.join(improved.select(col("id"), col("dist").as("__new")),
+            Seq("id"), "full_outer")
+          .select(col("id"), coalesce(col("__new"), col("dist")).as("dist"))
+          .localCheckpoint()
+        frontier = improved
+      }
     }
     e.unpersist(blocking = false)
     require(converged, s"shortestPaths hit maxRounds=$maxRounds before fixpoint")

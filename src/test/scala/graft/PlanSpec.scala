@@ -427,12 +427,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), "expected map-side partial aggregation")
   }
 
-  test("q202/q209: Q2 min-cost join-back and Q21 lone-late pass are all equi-joins, no windows") {
+  test("q202/q209: Q2 eligible pipeline runs once; Q21 lone-late pass is all equi-joins, no windows") {
     Seq("q202_tpch2_min_cost_supplier", "q209_tpch21_waiting_suppliers").foreach { q =>
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q: cartesian product in plan")
-      assert(!p.contains("Window"), s"$q: expected aggregate formulation, not a window")
     }
+    // q202's per-part min is a window over ONE eligible pipeline (round-17
+    // optimization: the groupBy-min + join-back shape ran the supplier/
+    // nation/region join chain twice and shuffle-joined eligible to
+    // itself). The window is l_partkey-keyed — bounded by the suppliers
+    // of one part, never global — and every base table is scanned once.
+    val q2 = planOf("q202_tpch2_min_cost_supplier")
+    assert(q2.contains("Window"), "q202: per-part min must be a window, not join-back")
+    assert(!q2.contains("SortMergeJoin"),
+      s"q202: the eligible⋈best self-join is gone; dims broadcast:\n$q2")
+    assert("Scan parquet".r.findAllIn(q2).size == 5,
+      s"q202: every base table exactly once (5 scans):\n$q2")
+    // Q21 stays the aggregate formulation — no window
+    assert(!planOf("q209_tpch21_waiting_suppliers").contains("Window"),
+      "q209: expected aggregate formulation, not a window")
     // Q21's final top-20 must not globally sort the full supplier set
     assert(planOf("q209_tpch21_waiting_suppliers").contains("TakeOrderedAndProject"),
       "q209 limit must plan as TakeOrderedAndProject")
@@ -464,6 +477,31 @@ class PlanSpec extends AnyFunSuite {
     val fk = planOf("q217_fk_orphan_audit")
     assert(!fk.contains("SortMergeJoin"),
       s"q217: key-only audits must broadcast, not shuffle:\n$fk")
+    // round-17 single-pass shape: one child scan per FK edge (left-outer
+    // probe + conditional count), not COUNT(child) ⨯ COUNT(anti-join) —
+    // 7 edges, each child + parent scanned exactly once = 14 scans total
+    assert(!fk.contains("BroadcastNestedLoopJoin"),
+      s"q217: the per-edge count crossJoins are gone:\n$fk")
+    val fkScans = "Scan parquet".r.findAllIn(fk).size
+    assert(fkScans <= 14,
+      s"q217: at most one child + one parent scan per edge ($fkScans > 14; " +
+        s"the old two-pass shape had 21):\n$fk")
+  }
+
+  test("q139/q162: both ranking metrics come from ONE materialized fact rollup") {
+    // round-17: ranking golden and candidate from separate groupBys
+    // aggregated lineitem once per consumer (3 passes); the shared
+    // localCheckpoint'd rollup runs the fact pass exactly once — the
+    // consumers must scan the snapped RDD, never lineitem again. (A
+    // lazily shared aggregate does NOT lock this: column pruning splits
+    // it back into per-metric aggregates — measured round 17.)
+    Seq("q139_recall_at_k", "q162_mrr").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("Scan parquet"),
+        s"$q: consumers must read the materialized rollup, not re-scan the fact table:\n$p")
+      assert(p.contains("Scan ExistingRDD"),
+        s"$q: expected the localCheckpoint'd rollup scan:\n$p")
+    }
   }
 
   test("q270/q271: tempered mix/epochs broadcast the class frame; corpus never shuffles pre-aggregate") {
