@@ -22,8 +22,17 @@ import org.apache.spark.sql.SparkSession
   *  2. WHOLE-WALL BUDGET — `SPARK_GRAFT_BENCH_BUDGET_S` (default 900 s)
   *     now bounds the wall from `main` entry INCLUDING warmup (it used
   *     to bound only the timed passes, leaving a 400 s unbudgeted warmup
-  *     floor). Every phase is deadline-guarded; if warmup alone eats the
-  *     budget the warmup-derived line is emitted and the run exits 0.
+  *     floor). Warmup and pass STARTS are deadline-guarded, and (round
+  *     18) passes 2+ and every cold pass re-check the deadline BETWEEN
+  *     queries — a contended stall truncates the pass (the partial pass
+  *     still feeds the per-query min for the queries it completed) and
+  *     the budget is never overrun by more than one query. Pass 1 is
+  *     the ONE deliberately unguarded phase: it is the artifact's
+  *     backbone — a query missing from the final `queries` map reads as
+  *     dropped-from-bench downstream, which is strictly worse than a
+  *     late line — so once started it always runs to completion. If
+  *     warmup alone eats the budget the warmup-derived line is emitted
+  *     and the run exits 0.
   *
   * The warmup itself is also ~3x cheaper: full runs only for the
   * [[coldNames]] chain queries (their memoized builds are the one-time
@@ -204,36 +213,52 @@ object Bench {
     def emit(partial: Option[String]): Unit = {
       val passes = warmPasses.toSeq
       // before any timed pass the only per-query walls are the warmup's
-      // chain full-runs: a last-resort payload, clearly marked "warmup"
+      // chain full-runs: a last-resort payload, clearly marked "warmup".
+      // Passes 2+ may be TRUNCATED by the mid-pass deadline guard, so the
+      // per-query min runs over the passes that contain the query; pass 1
+      // is complete by design, so every name always has a value.
       val results: Seq[(String, Double)] =
-        if (passes.nonEmpty) names.map(n => n -> passes.map(_(n)).min)
+        if (passes.nonEmpty)
+          names.flatMap { n =>
+            val vs = passes.flatMap(_.get(n))
+            if (vs.nonEmpty) Some(n -> vs.min) else warmupWalls.get(n).map(n -> _)
+          }
         else warmupWalls.toSeq.sortBy(_._1)
       val coldPasses = coldPassList.toSeq
       val coldByName = coldPasses.map(_.toMap)
-      val cold =
-        if (coldPasses.isEmpty) Seq.empty[(String, Double)]
-        else coldNames.map(n => n -> coldByName.map(_(n)).min)
-      val coldMax =
-        if (coldPasses.isEmpty) Seq.empty[(String, Double)]
-        else coldNames.map(n => n -> coldByName.map(_(n)).max)
+      // cold passes are truncatable too: report the queries at least one
+      // cold pass completed (cold is supplementary — the headline is warm)
+      val cold = coldNames.flatMap { n =>
+        val vs = coldByName.flatMap(_.get(n))
+        if (vs.nonEmpty) Some(n -> vs.min) else None
+      }
+      val coldMax = coldNames.flatMap { n =>
+        val vs = coldByName.flatMap(_.get(n))
+        if (vs.nonEmpty) Some(n -> vs.max) else None
+      }
       val total = results.map(_._2).sum
       val coldTotal = cold.map(_._2).sum
       val passTotals = passes.map(_.values.sum).map(f3).mkString("[", ",", "]")
       val coldPassTotals = coldPasses.map(_.map(_._2).sum).map(f3)
         .mkString("[", ",", "]")
       // warm-pass max/min ratio: >~1.3 means a contended run — read the
-      // per-pass totals before believing any regression
-      val passSpread = f3(spreadOf(passes))
+      // per-pass totals before believing any regression. Computed over
+      // COMPLETE passes only: a truncated pass's smaller total is a
+      // schedule artifact, not contention evidence.
+      val fullPasses = passes.filter(_.size == names.size)
+      val passSpread = f3(spreadOf(fullPasses))
       val calib = probes.map(f3).mkString("[", ",", "]")
       val loadsJ = loads.map(f2).mkString("[", ",", "]")
-      val contended = spreadOf(passes) > 1.15 ||
+      val contended = spreadOf(fullPasses) > 1.15 ||
         (probes.nonEmpty && probeDisagree(probes.max, probes.min))
       val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       // self-describing schedule: how many passes actually ran, against
       // what whole-wall budget, how the warmup was split (full chain runs
       // vs plan-touches) and the wall so far — a reduced run (contended
       // box) is distinguishable from a full one without archaeology
-      val sched = s"""{"budget_s":${f3(budgetS)},"warmup_s":${f3(warmupS)},"chain_warm":${warmupWalls.size},"touched":$touchedN,"warm_passes":${passes.size},"cold_passes":${coldPasses.size},"wall_s":${f3(elapsed)}}"""
+      val truncated = passes.count(_.size != names.size) +
+        coldPasses.count(_.size != coldNames.size)
+      val sched = s"""{"budget_s":${f3(budgetS)},"warmup_s":${f3(warmupS)},"chain_warm":${warmupWalls.size},"touched":$touchedN,"warm_passes":${passes.size},"cold_passes":${coldPasses.size},"truncated_passes":$truncated,"wall_s":${f3(elapsed)}}"""
       val part = partial.map(p => s""","partial":"$p"""").getOrElse("")
       val detail = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jmap(results, f3)},"cold":${jmap(cold, f3)},"cold_max":${jmap(coldMax, f3)},"pass_totals":$passTotals,"cold_pass_totals":$coldPassTotals,"pass_spread":$passSpread,"calibration_s":$calib,"load_avg":$loadsJ,"contended":$contended,"sched":$sched,"failed":$failedJson$part,"sf":"$sfDir"}"""
       try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
@@ -327,11 +352,30 @@ object Bench {
     // ------------------------------------------------------------------
     def runPass(): Unit = {
       val t0 = System.nanoTime()
-      warmPasses += names.map(n => n -> runOne(n)).toMap
-      passWalls += (System.nanoTime() - t0) / 1e9
+      // pass 1 always runs to completion (the artifact's backbone: a name
+      // missing from `queries` reads as dropped-from-bench downstream);
+      // passes 2+ re-check the whole-wall deadline between queries and
+      // truncate instead of overrunning (budget excess ≤ 1 query).
+      val truncatable = warmPasses.nonEmpty
+      val acc = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      var cut = false
+      for (n <- names if !cut) {
+        if (truncatable && remaining <= 0) cut = true
+        else acc(n) = runOne(n)
+      }
+      warmPasses += acc.toMap
+      // a truncated pass must not feed the pass-wall estimate the
+      // schedule gates divide by
+      if (!cut) passWalls += (System.nanoTime() - t0) / 1e9
       emit(Some(s"pass${warmPasses.size}"))
     }
-    if (remaining < warmupS && warmupWalls.nonEmpty) {
+    // pass-1 gate (ADVICE r17): warmupS is dominated by the cheap
+    // plan-touches since the round-17 warmup restructure, so it badly
+    // underestimates a full pass; the 32 chain queries' cold walls are
+    // the better same-run estimate (measured ≈ 0.7–1.1× a full warm
+    // pass — the chains are the slowest queries and cold at that).
+    val pass1Est = math.max(warmupWalls.values.sum, warmupS - warmupWalls.values.sum)
+    if (remaining < pass1Est && warmupWalls.nonEmpty) {
       // contention ate the whole budget during warmup: the warmup-derived
       // line is the artifact — exit 0 cleanly rather than overrun
       spark.stop()
@@ -348,12 +392,17 @@ object Bench {
     // warm min-of-N; a single-pass warm number is contention-hostage) so
     // it reserves nothing for the cold section; pass 3 must leave room
     // for the full planned cold section
+    // min-of-N and spread decisions count only COMPLETE passes (a
+    // truncated pass contributes per-query mins but is not a sample of
+    // the pass wall)
+    def fullWarm: Seq[Map[String, Double]] =
+      warmPasses.toSeq.filter(_.size == names.size)
     if (remaining > avgWarm) runPass()
-    if (warmPasses.size >= 2 && remaining > avgWarm + 2 * coldEst)
+    if (fullWarm.size >= 2 && remaining > avgWarm + 2 * coldEst)
       runPass()
     probes += calibrate()
-    if (warmPasses.size >= 2 &&
-        (spreadOf(warmPasses.toSeq) > 1.15 ||
+    if (fullWarm.size >= 2 &&
+        (spreadOf(fullWarm) > 1.15 ||
          probeDisagree(probes.head, probes.last)) &&
         remaining > avgWarm + 2 * coldEst)
       runPass()
@@ -365,14 +414,22 @@ object Bench {
     // kept in the detail file so a contended run is self-evident).
     // ------------------------------------------------------------------
     def coldPass(): Unit = {
-      val r = coldNames.map { name =>
-        graft.operators.Text.invalidateCaches(spark, sfDir)
-        val q0 = System.nanoTime()
-        try SparkEntry.queries(name)(spark, sfDir).count()
-        catch { case _: Throwable => failed += name }
-        name -> (System.nanoTime() - q0) / 1e9
+      // every cold pass re-checks the deadline between queries: cold is
+      // supplementary (the headline is warm), so truncating is always
+      // preferable to overrunning the whole-wall budget
+      val r = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      var cut = false
+      for (name <- coldNames if !cut) {
+        if (remaining <= 0) cut = true
+        else {
+          graft.operators.Text.invalidateCaches(spark, sfDir)
+          val q0 = System.nanoTime()
+          try SparkEntry.queries(name)(spark, sfDir).count()
+          catch { case _: Throwable => failed += name }
+          r += (name -> (System.nanoTime() - q0) / 1e9)
+        }
       }
-      coldPassList += r
+      coldPassList += r.toSeq
       emit(Some(s"cold${coldPassList.size}"))
     }
     // 0.5x: the measured steady cold/warm pass ratio (r16 committed

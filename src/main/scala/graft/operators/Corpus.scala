@@ -195,7 +195,10 @@ object Corpus {
   private def q254(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d)
-    docs.createOrReplaceTempView("graft_documents")
+    Tables.registerViewOnce(s, d, "graft_documents")(docs)
+    // the index view is NOT memoized: invalidateCaches swaps the idxCache
+    // handle, and a once-registered view would keep the stale (dropped)
+    // frame — re-register so the view always tracks the live memo
     idxCache.getOrElseUpdate((s, d), Dedup.minhashIndex(
         docs.filter($"doc_id" % 5 =!= 0), "doc_id", "text").persist())
       .createOrReplaceTempView("graft_minhash_index")
@@ -612,7 +615,7 @@ object Corpus {
   // production run tunes the literal like linkRecords' maxBlockSize.
   private def q260(s: SparkSession, d: String): DataFrame = {
     graft.functions.Registry.install(s)
-    Tables.part(s, d).createOrReplaceTempView("graft_part")
+    Tables.registerViewOnce(s, d, "graft_part")(Tables.part(s, d))
     s.sql(
       """WITH b0 AS (SELECT p_partkey, p_name, p_brand,
         |              concat(p_type, '|', p_size) AS blk FROM graft_part),
@@ -641,7 +644,7 @@ object Corpus {
   // skeleton's audited class). Gated by q241's exact oracle.
   private def q261(s: SparkSession, d: String): DataFrame = {
     graft.functions.Registry.install(s)
-    Tables.part(s, d).createOrReplaceTempView("graft_part")
+    Tables.registerViewOnce(s, d, "graft_part")(Tables.part(s, d))
     s.sql(
       """WITH base AS (
         |  SELECT p_partkey AS id, p_name,

@@ -1016,7 +1016,7 @@ object Curation {
        |ORDER BY doc_id, epoch""".stripMargin
   }
   private def q255(s: SparkSession, d: String): DataFrame = {
-    Tables.documents(s, d).createOrReplaceTempView("graft_documents")
+    Tables.registerViewOnce(s, d, "graft_documents")(Tables.documents(s, d))
     s.sql(epochMaterializeSparkSql("graft_documents"))
   }
   private val q255Sql = q247Sql
@@ -1576,7 +1576,7 @@ object Curation {
   // registered documents view. Gated by q262's exact oracle, so the
   // Scala API and the SQL recipe cannot drift apart.
   private def q265(s: SparkSession, d: String): DataFrame = {
-    Tables.documents(s, d).createOrReplaceTempView("graft_documents")
+    Tables.registerViewOnce(s, d, "graft_documents")(Tables.documents(s, d))
     s.sql(
       """WITH n0 AS (SELECT CASE WHEN doc_id % 13 = 0 THEN 'xx' ELSE lang END AS lang
         |  FROM graft_documents WHERE doc_id % 7 <> 0),
@@ -1604,7 +1604,7 @@ object Curation {
   // statement over the registered documents view, gated by q263's exact
   // oracle so the Scala API and the SQL recipe cannot drift apart.
   private def q267(s: SparkSession, d: String): DataFrame = {
-    Tables.documents(s, d).createOrReplaceTempView("graft_documents")
+    Tables.registerViewOnce(s, d, "graft_documents")(Tables.documents(s, d))
     s.sql(
       """WITH n0 AS (SELECT n_chars DIV 100L AS bucket FROM graft_documents
         |  WHERE NOT (n_chars > 300L AND doc_id % 2 = 1)),

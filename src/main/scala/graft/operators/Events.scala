@@ -229,7 +229,7 @@ object Events {
   // two-table generalization is AsOf.joinBackward — same recipe with a
   // tagged UNION ALL in front.)
   private def q266(s: SparkSession, d: String): DataFrame = {
-    Tables.events(s, d).createOrReplaceTempView("graft_events")
+    Tables.registerViewOnce(s, d, "graft_events")(Tables.events(s, d))
     s.sql(
       """SELECT event_id, user_id, value, last_signup_value FROM (
         |  SELECT event_id, user_id, event_type, value,
@@ -1259,26 +1259,33 @@ object Events {
       .distinct()
       .withColumn("h", md5Long(concat_ws(":", lit("kmv"), $"user_id", $"day")))
     val bk = kmvSketch(el, "event_type", "h", k).localCheckpoint()
-    val types = bk.select($"event_type").distinct()
-    val pairs = types.as("x").join(types.as("y"),
+    // Round-18 micro-stage fold (guide §2.4): the estimator used to run a
+    // pair-keyed row pipeline (pair cross-join → two sketch joins → union
+    // DISTINCT → row_number window → θ aggregate → two semi-joins → count
+    // → join-back: ~8 micro-stages over ≤2k-row frames). Each sketch is
+    // ≤ k values, so collect it ONCE into a sorted array per type and
+    // compute every pair statistic as array expressions over two ≤k
+    // arrays — exactness unchanged: array_union dedupes the same union
+    // the DISTINCT built, so element_at(sorted union, kk) IS the kk-th
+    // smallest (the old rn ≤ kk max), and the θ-capped intersection count
+    // is the old double-semi-join hit count (array_intersect/array_union
+    // are exact set ops on these long hashes). The ties story is
+    // unchanged too: hashes are distinct within a sketch, so min/max/
+    // count see the same multiset. Oracle (q159Sql) untouched.
+    val byType = bk.groupBy($"event_type")
+      .agg(sort_array(collect_list($"h")).as("hs"))
+    byType.as("x").join(byType.as("y"),
         col("x.event_type") < col("y.event_type"))
-      .select(col("x.event_type").as("ta"), col("y.event_type").as("tb"))
-    val ua = pairs.join(bk, $"ta" === bk("event_type")).select($"ta", $"tb", $"h")
-    val ub = pairs.join(bk, $"tb" === bk("event_type")).select($"ta", $"tb", $"h")
-    val union = ua.union(ub).distinct()
-    val wp = Window.partitionBy($"ta", $"tb").orderBy($"h")
-    val ranked = union.withColumn("rn", row_number().over(wp))
-    val theta = ranked.groupBy($"ta", $"tb")
-      .agg(max(when($"rn" <= k, $"h")).as("th"), least(max($"rn"), lit(k)).as("kk"))
-    val inA = bk.select($"event_type".as("ma"), $"h".as("ha"))
-    val inB = bk.select($"event_type".as("mb"), $"h".as("hb"))
-    val hits = ranked.join(theta, Seq("ta", "tb")).filter($"h" <= $"th")
-      .join(inA, $"ta" === $"ma" && $"h" === $"ha", "left_semi")
-      .join(inB, $"tb" === $"mb" && $"h" === $"hb", "left_semi")
-      .groupBy($"ta", $"tb").agg(count(lit(1)).as("c"))
-    theta.join(hits, Seq("ta", "tb"), "left_outer")
+      .select(col("x.event_type").as("ta"), col("y.event_type").as("tb"),
+        col("x.hs").as("ha"), col("y.hs").as("hb"))
+      .withColumn("un", array_sort(array_union($"ha", $"hb")))
+      .withColumn("kk", least(size($"un"), lit(k)))
+      .withColumn("th", element_at($"un", $"kk"))
+      .withColumn("c",
+        size(filter(array_intersect($"ha", $"hb"), x => x <= $"th"))
+          .cast(LongType))
       .select($"ta".as("type_a"), $"tb".as("type_b"),
-        expr("(coalesce(c, 0) * 1000000) DIV kk").cast(LongType).as("jaccard_est_ppm"))
+        expr("(c * 1000000) DIV kk").cast(LongType).as("jaccard_est_ppm"))
       .orderBy($"type_a", $"type_b")
   }
   private val q159Sql =

@@ -31,12 +31,14 @@ object Graphs {
     * same in every engine. Output: (id, rank_scaled) for every node that
     * appears as a source or destination.
     *
-    * Scale: the textbook 2-shuffle-per-iteration plan — contributions
-    * shuffle on src (an equi-join with the rank frame), sums shuffle on
-    * dst (combiner-friendly: a celebrity node's in-mass reduces to
-    * #partitions partial rows map-side — never a dst-keyed window). At
-    * 100 TB pre-partition edges by src (bucketed table) so the per-round
-    * join co-locates; iters multiplies rounds, not per-round bytes.
+    * Scale: one equi-join + one combiner-friendly aggregate per round —
+    * the previous round's in-mass joins the persisted edge relation on
+    * src (the rank expression is applied INLINE there, so the node-sized
+    * rank frame is never rebuilt per round), and contributions sum on
+    * dst (a celebrity node's in-mass reduces to #partitions partial rows
+    * map-side — never a dst-keyed window). At 100 TB pre-partition edges
+    * by src (bucketed table) so the per-round join co-locates; iters
+    * multiplies rounds, not per-round bytes.
     * Long bounds: total mass ≈ N·base, so N ≤ ~9·10⁹ nodes at base 10⁹;
     * lower `base` beyond that. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
@@ -63,8 +65,8 @@ object Graphs {
     // iteration's lineage re-derives the edge list from source (the q84
     // plan re-read the lineitem⋈orders join 2×iters+1 times) — the
     // standard iterative-algorithm discipline. Deep iteration counts
-    // (≳10) should additionally localCheckpoint `ranks` every few rounds
-    // to keep the rank lineage chain shallow.
+    // (≳10) should additionally localCheckpoint the in-mass every few
+    // rounds to keep the lineage chain shallow.
     val ids = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     val teleport = (1000000L - dampingPpm) * base / 1000000L
@@ -81,27 +83,41 @@ object Graphs {
             when(col("__sid").isNotNull, lit(teleport)).otherwise(lit(0L)).as("__t"))
     }).persist()
     val outdeg = e.groupBy(col("src")).agg(sum(col("w")).as("outdeg"))
-    val ew = e.join(outdeg, "src").persist()
-    var ranks =
-      if (seeds.isEmpty) nodes.select(col("id"), lit(base).as("r"))
-      else nodes.select(col("id"), col("__t").as("r"))
+    // ROUND FUSION (round 18, guide §2.3/§2.4): the node-sized per-round
+    // rank frame (nodes ⟕ cs) is never materialized. The source node's
+    // teleport mass rides the persisted edge relation once (__ts), and
+    // the EXACT rank expression — __t + damp(cs), the same integer
+    // div/mod decomposition as before — is applied inline where the
+    // previous round's in-mass is consumed, so each round is ONE join
+    // (edges ⟕ in-mass) + one combiner aggregate instead of two joins +
+    // one aggregate. Values are bit-identical: r(u) depends only on
+    // __t(u) and cs(u), both of which are present at the fused site.
+    val ew = e.join(outdeg, "src")
+      .join(nodes.select(col("id").as("src"), col("__t").as("__ts")), Seq("src"))
+      .persist()
+    val damp = s"(coalesce(cs, 0L) div 1000000L) * ${dampingPpm}L" +
+      s" + ((coalesce(cs, 0L) % 1000000L) * ${dampingPpm}L) div 1000000L"
+    // cs = previous round's per-node in-mass (dst, cs); null before round 1
+    var cs: DataFrame = null
     for (i <- 0 until iters) {
-      val cs = ew.join(ranks, col("src") === col("id"))
+      val withRank =
+        if (cs == null) ew.withColumn("r",
+          if (seeds.isEmpty) lit(base) else col("__ts"))
+        else ew.join(cs.select(col("dst").as("__pd"), col("cs")),
+            col("src") === col("__pd"), "left_outer")
+          .withColumn("r", expr(s"__ts + $damp"))
+      val next = withRank
         .select(col("dst"),
           expr("(r div outdeg) * w + ((r % outdeg) * w) div outdeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
-      ranks = nodes.join(cs, col("id") === col("dst"), "left_outer")
-        .select(col("id"),
-          expr(s"__t + (coalesce(cs, 0L) div 1000000L) * ${dampingPpm}L" +
-            s" + ((coalesce(cs, 0L) % 1000000L) * ${dampingPpm}L) div 1000000L")
-            .as("r"))
-      // deep-iteration hygiene: snap the rank lineage every few rounds so
-      // a 30-iteration walk optimizes a plan of depth ≤ checkpointEvery
-      // joins instead of 2·iters (ranks are integer-exact, so the snap
-      // cannot change results — only the plan). Skipped after the final
-      // round; `materialize` handles the terminal snap.
-      if (i + 1 < iters && (i + 1) % checkpointEvery == 0)
-        ranks = ranks.localCheckpoint()
+      // deep-iteration hygiene: snap the in-mass lineage every few rounds
+      // so a 30-iteration walk optimizes a plan of depth ≤ checkpointEvery
+      // joins instead of 2·iters (integer-exact, so the snap cannot change
+      // results — only the plan). Skipped after the final round;
+      // `materialize` handles the terminal snap.
+      cs = if (i + 1 < iters && (i + 1) % checkpointEvery == 0)
+        next.localCheckpoint()
+      else next
     }
     // materialize (default): localCheckpoint cuts the iters-deep lineage
     // and computes eagerly, letting the loop invariants be RELEASED —
@@ -110,7 +126,12 @@ object Graphs {
     // tolerance should write the result to storage instead of relying on
     // the checkpoint. `materialize = false` keeps the lazy plan (and the
     // caches) — for plan inspection or composing before a single action.
-    val out = ranks.select(col("id"), col("r").as("rank_scaled"))
+    val out =
+      if (cs == null) // iters == 0: the initial ranks
+        nodes.select(col("id"),
+          (if (seeds.isEmpty) lit(base) else col("__t")).as("rank_scaled"))
+      else nodes.join(cs, col("id") === col("dst"), "left_outer")
+        .select(col("id"), expr(s"__t + $damp").as("rank_scaled"))
     if (!materialize) out
     else {
       val snapped = out.localCheckpoint()
@@ -134,12 +155,14 @@ object Graphs {
     * hotter graphs). Output: (id, hub_scaled, auth_scaled) for every
     * node.
     *
-    * Scale: identical shuffle shape to [[pageRank]] — per round, one
-    * equi-join + combiner-friendly aggregate in each direction; the
-    * normalizer is a 1-row broadcast, never a driver action, so the
-    * whole build is one lazy plan. Per-round frames are persisted (each
-    * feeds the normalizer AND the next update) and released on
-    * materialize. */
+    * Scale: identical shuffle shape to [[pageRank]] — per round, ONE
+    * equi-join + one combiner-friendly aggregate per direction (round
+    * fusion: the normalization expression is applied inline where the
+    * raw mass is consumed, so the node-sized normalized frame is never
+    * rebuilt per round); the normalizer is a 1-row broadcast, never a
+    * driver action, so the whole build is one lazy plan. Per-round raw
+    * frames are persisted (each feeds the normalizer AND the next
+    * update) and released on materialize. */
   def hits(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
       base: Long = 1000000L, materialize: Boolean = true): DataFrame = {
     require(iters >= 1, "iters must be positive")
@@ -147,32 +170,47 @@ object Graphs {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).persist()
     val ids = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().persist()
-    def normalized(raw: DataFrame, key: String, valCol: String,
-        outCol: String): DataFrame = {
-      val m = raw.agg(greatest(max(col(valCol)), lit(1L)).as("__m"))
-      ids.join(raw, col("id") === col(key), "left_outer")
-        .crossJoin(broadcast(m))
-        .select(col("id"),
-          expr(s"(coalesce($valCol, 0L) div __m) * ${base}L" +
-            s" + ((coalesce($valCol, 0L) % __m) * ${base}L) div __m").as(outCol))
-    }
-    var h = ids.select(col("id"), lit(base).as("h"))
-    var a: DataFrame = null
+    // MAX-normalization applied inline (round fusion, guide §2.3): the
+    // same exact integer decomposition as ever, over the RAW mass column
+    // and its 1-row broadcast max. A node absent from the raw frame has
+    // mass 0 ⇒ normalized 0 ⇒ contributes nothing to the next sum, so
+    // consuming the raw frame through a left-outer join of the edge
+    // relation is value-identical to consuming the node-sized
+    // normalized frame (which materialized those zeros explicitly).
+    def norm(v: String, m: String) =
+      s"(coalesce($v, 0L) div $m) * ${base}L" +
+        s" + ((coalesce($v, 0L) % $m) * ${base}L) div $m"
+    def maxOf(raw: DataFrame, valCol: String, mCol: String): DataFrame =
+      raw.agg(greatest(max(col(valCol)), lit(1L)).as(mCol))
     val roundFrames = scala.collection.mutable.Buffer.empty[DataFrame]
+    var araw: DataFrame = null // (dst, __ar): raw authority in-mass
+    var hraw: DataFrame = null // (src, __hr): raw hub out-mass
     for (_ <- 0 until iters) {
-      val araw = e.join(h.select(col("id").as("__hid"), col("h")),
-          col("src") === col("__hid"))
-        .groupBy(col("dst")).agg(sum(col("h")).as("__ar")).persist()
+      val hSide =
+        if (hraw == null) e.withColumn("h", lit(base)) // round-0 hubs
+        else e.join(hraw.select(col("src").as("__hk"), col("__hr")),
+            col("src") === col("__hk"), "left_outer")
+          .crossJoin(broadcast(maxOf(hraw, "__hr", "__mh")))
+          .withColumn("h", expr(norm("__hr", "__mh")))
+      araw = hSide.groupBy(col("dst")).agg(sum(col("h")).as("__ar")).persist()
       roundFrames += araw
-      a = normalized(araw, "dst", "__ar", "a")
-      val hraw = e.join(a.select(col("id").as("__aid"), col("a")),
-          col("dst") === col("__aid"))
-        .groupBy(col("src")).agg(sum(col("a")).as("__hr")).persist()
+      val aSide = e.join(araw.select(col("dst").as("__ak"), col("__ar")),
+          col("dst") === col("__ak"), "left_outer")
+        .crossJoin(broadcast(maxOf(araw, "__ar", "__ma")))
+        .withColumn("a", expr(norm("__ar", "__ma")))
+      hraw = aSide.groupBy(col("src")).agg(sum(col("a")).as("__hr")).persist()
       roundFrames += hraw
-      h = normalized(hraw, "src", "__hr", "h")
     }
-    val out = h.join(a.select(col("id").as("__i2"), col("a")), col("id") === col("__i2"))
-      .select(col("id"), col("h").as("hub_scaled"), col("a").as("auth_scaled"))
+    // final normalized scores for EVERY node, both directions in one pass
+    val out = ids
+      .join(araw.select(col("dst").as("__ak"), col("__ar")),
+        col("id") === col("__ak"), "left_outer")
+      .join(hraw.select(col("src").as("__hk"), col("__hr")),
+        col("id") === col("__hk"), "left_outer")
+      .crossJoin(broadcast(maxOf(araw, "__ar", "__ma")))
+      .crossJoin(broadcast(maxOf(hraw, "__hr", "__mh")))
+      .select(col("id"), expr(norm("__hr", "__mh")).as("hub_scaled"),
+        expr(norm("__ar", "__ma")).as("auth_scaled"))
     if (!materialize) out
     else {
       val snapped = out.localCheckpoint()

@@ -283,10 +283,10 @@ object Relational {
   // registration cannot collide with other operators' names.
   private def q221(s: SparkSession, d: String): DataFrame = {
     graft.functions.Registry.install(s)
-    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem")
-    Tables.orders(s, d).createOrReplaceTempView("graft_orders")
-    Tables.customer(s, d).createOrReplaceTempView("graft_customer")
-    Tables.nation(s, d).createOrReplaceTempView("graft_nation")
+    Tables.registerViewOnce(s, d, "graft_lineitem")(Tables.lineitem(s, d))
+    Tables.registerViewOnce(s, d, "graft_orders")(Tables.orders(s, d))
+    Tables.registerViewOnce(s, d, "graft_customer")(Tables.customer(s, d))
+    Tables.registerViewOnce(s, d, "graft_nation")(Tables.nation(s, d))
     s.sql("""
       SELECT n_name, COUNT(*) AS n_lines,
         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6)))

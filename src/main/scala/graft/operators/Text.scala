@@ -652,7 +652,7 @@ object Text {
        |dup AS (SELECT doc_id, p0 FROM g JOIN stats USING(h)
        |        WHERE cnt > 1 AND doc_id*1048576 + p0 <> firstk)""".stripMargin
   private def q256(s: SparkSession, d: String): DataFrame = {
-    Tables.documents(s, d).createOrReplaceTempView("graft_documents")
+    Tables.registerViewOnce(s, d, "graft_documents")(Tables.documents(s, d))
     s.sql(
       s"""WITH ${gramStatsSparkSql(SpanK, "graft_documents")},
          |${islandMergeSql(SpanK)}
@@ -752,14 +752,21 @@ object Text {
   // is surfaced COLD in Bench via q242's coldNames entry)
   private val winnowCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def winnowPicks(s: SparkSession, d: String): DataFrame =
+  // the persisted index also carries the decoded 16-byte digest (fpb),
+  // computed once at build time: every consumer's equality work (the
+  // overlap/span/decontam joins, distincts and df caps) keys on it
+  // instead of re-hashing the 32-char hex string per row (guide §4)
+  private def winnowPicks(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     winnowCache.getOrElseUpdate((s, d),
       TextStats.winnow(Tables.documents(s, d), "doc_id", "text",
-        WinK, WinW).persist())
+        WinK, WinW).withColumn("fpb", unhex($"fp")).persist())
+  }
 
   private def q242(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    winnowPicks(s, d).orderBy($"doc_id", $"pos")
+    winnowPicks(s, d).select($"doc_id", $"pos", $"fp")
+      .orderBy($"doc_id", $"pos")
   }
   private val q242Sql =
     s"""WITH ${winnowSelSql(WinK, WinW)}
@@ -770,9 +777,13 @@ object Text {
   // index with one statement over a registered view, no Scala API. The
   // statement mirrors winnowSelSql's CTE chain in Spark dialect (split/
   // sequence/slice replace DuckDB's string_split_regex/range/array
-  // slicing; the sortable rightmost-min key encoding is identical), and
-  // the gate proves it equal to the exact oracle — so the Scala API
-  // (q242) and the SQL recipe can never drift apart silently.
+  // slicing; the rightmost-min key is the struct(digest bytes, −pos)
+  // encoding of TextStats.winnow — order-identical to the oracle's
+  // `fp || lpad(9999999−pos, 7)` string because fixed-width lowercase
+  // hex orders exactly like its decoded bytes and 9999999−pos orders
+  // exactly like −pos), and the gate proves it equal to the exact
+  // oracle — so the Scala API (q242) and the SQL recipe can never drift
+  // apart silently.
   private def winnowSparkSql(k: Int, w: Int, table: String): String =
     s"""WITH ${winnowSelSparkSql(k, w, table)}
        |SELECT doc_id, pos, fp FROM pick ORDER BY doc_id, pos""".stripMargin
@@ -785,11 +796,12 @@ object Text {
        |  SELECT doc_id, t, explode(sequence(0, size(t) - $k)) AS p0
        |  FROM toks WHERE size(t) >= $k),
        |gw AS (
-       |  SELECT doc_id, p0, md5(concat_ws(' ', slice(t, p0 + 1, $k))) AS fp
+       |  SELECT doc_id, p0,
+       |    unhex(md5(concat_ws(' ', slice(t, p0 + 1, $k)))) AS fpb
        |  FROM starts),
        |keyed AS (
        |  SELECT doc_id, p0,
-       |    concat(fp, lpad(CAST(9999999 - p0 AS STRING), 7, '0')) AS key
+       |    named_struct('f', fpb, 'p', -CAST(p0 AS BIGINT)) AS key
        |  FROM gw),
        |sel AS (
        |  SELECT doc_id, p0,
@@ -798,12 +810,11 @@ object Text {
        |    COUNT(*) OVER (PARTITION BY doc_id) AS n
        |  FROM keyed),
        |pick AS (
-       |  SELECT DISTINCT doc_id,
-       |    CAST(9999999 - CAST(substring(sk, 33, 7) AS BIGINT) AS BIGINT) AS pos,
-       |    substring(sk, 1, 32) AS fp
+       |  SELECT DISTINCT doc_id, -sk.p AS pos, lower(hex(sk.f)) AS fp,
+       |    sk.f AS fpb
        |  FROM sel WHERE p0 >= ${w - 1} OR (n < $w AND p0 = n - 1))""".stripMargin
   private def q253(s: SparkSession, d: String): DataFrame = {
-    Tables.documents(s, d).createOrReplaceTempView("graft_documents")
+    Tables.registerViewOnce(s, d, "graft_documents")(Tables.documents(s, d))
     s.sql(winnowSparkSql(WinK, WinW, "graft_documents"))
   }
   private val q253Sql = q242Sql
@@ -862,16 +873,16 @@ object Text {
   // reused verbatim so the two engines share the span logic character
   // for character. Gated by q248's exact oracle.
   private def q258(s: SparkSession, d: String): DataFrame = {
-    Tables.documents(s, d).createOrReplaceTempView("graft_documents")
+    Tables.registerViewOnce(s, d, "graft_documents")(Tables.documents(s, d))
     s.sql(
       s"""WITH ${winnowSelSparkSql(WinK, WinW, "graft_documents")},
-         |fps AS (SELECT DISTINCT doc_id, fp FROM pick),
-         |hot AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) > $MaxDocFreq),
-         |pk AS (SELECT p.doc_id, p.pos, p.fp FROM pick p
-         |       WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.fp = p.fp)),
+         |fps AS (SELECT DISTINCT doc_id, fpb FROM pick),
+         |hot AS (SELECT fpb FROM fps GROUP BY fpb HAVING COUNT(*) > $MaxDocFreq),
+         |pk AS (SELECT p.doc_id, p.pos, p.fpb FROM pick p
+         |       WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.fpb = p.fpb)),
          |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |    a.pos AS pos_a, b.pos AS pos_b, b.pos - a.pos AS diag
-         |  FROM pk a JOIN pk b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+         |  FROM pk a JOIN pk b ON a.fpb = b.fpb AND a.doc_id < b.doc_id),
          |lagd AS (SELECT *, lag(pos_a) OVER (PARTITION BY doc_a, doc_b, diag
          |    ORDER BY pos_a) AS prev FROM m),
          |isl AS (SELECT *, SUM(CASE WHEN prev IS NULL OR pos_a - prev > $WinW
@@ -964,7 +975,7 @@ object Text {
   // exact shape q237's oracle uses, so the statements stay side-by-side
   // comparable). Gated by q237's exact oracle.
   private def q257(s: SparkSession, d: String): DataFrame = {
-    Tables.documents(s, d).createOrReplaceTempView("graft_documents")
+    Tables.registerViewOnce(s, d, "graft_documents")(Tables.documents(s, d))
     val k = SpanK
     s.sql(
       s"""WITH toks AS (SELECT doc_id, split(trim(text), '\\\\s+') AS t

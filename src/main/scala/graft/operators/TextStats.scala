@@ -749,8 +749,19 @@ object TextStats {
     * Scale: one map-side gram pass; the only window is doc-keyed (bounded
     * by document length — the island-merge class, never corpus-keyed).
     * Rightmost-min-on-ties rides a single window MIN over the sortable
-    * key `fp || lpad(maxPos-pos)` — no per-window argmin self-join; the
-    * SQL oracle shares the key encoding. */
+    * key struct(digest bytes, −pos) — no per-window argmin self-join.
+    *
+    * Key-order equivalence (round 18 — the key used to be the 39-char
+    * string `fp || lpad(maxPos−pos, 7)`): md5() emits exactly 32
+    * LOWERCASE hex chars, and for fixed-width lowercase hex the UTF8
+    * lexicographic order equals the unsigned bytewise order of the
+    * decoded 16-byte digest (the hex alphabet '0'<…<'9'<'a'<…<'f' is
+    * monotone in nibble value, most-significant nibble first) — which is
+    * exactly BinaryType's comparison. The fixed-width positional suffix
+    * ordered by maxPos−pos ⇔ the long −pos. struct comparison is
+    * field-by-field, so min(struct(unhex(fp), −pos)) selects the same
+    * gram as min of the concat key — locked by the naive-MOSS property
+    * test and the q242 oracle. */
   def winnow(df: DataFrame, idCol: String, textCol: String,
       k: Int = 4, w: Int = 4): DataFrame = {
     require(k >= 1, s"gram size k must be >= 1, got $k")
@@ -758,24 +769,26 @@ object TextStats {
     val s = df.sparkSession
     import s.implicits._
     val g = Text.gramPosRows(normalized(df, idCol, textCol), k)
-      .select($"doc_id", $"pos", md5($"gram").as("fp"))
+      .select($"doc_id", $"pos", unhex(md5($"gram")).as("fpb"))
+    // the 7-digit string encoding is gone, but docs beyond the positional
+    // contract still fail loudly (same message, same bound)
     val posKey = when($"pos" > WinnowMaxPos,
         raise_error(concat(lit(s"winnow: token position exceeds " +
           s"$WinnowMaxPos (chunk docs upstream): doc_id="), $"doc_id",
           lit(" pos="), $"pos")))
-      .otherwise(lit(WinnowMaxPos) - $"pos")
+      .otherwise(-$"pos")
     val sel = Window.partitionBy($"doc_id").orderBy($"pos")
       .rowsBetween(-(w - 1), 0)
     val perDoc = Window.partitionBy($"doc_id")
-    g.withColumn("__key", concat($"fp", lpad(posKey.cast(StringType), 7, "0")))
+    g.withColumn("__key", struct($"fpb".as("f"), posKey.cast(LongType).as("p")))
       .withColumn("__sel", min($"__key").over(sel))
       .withColumn("__n", count(lit(1)).over(perDoc))
       // a window's pick is read at its last row; short docs (< w grams)
       // read the all-doc min at their final gram instead
       .filter($"pos" >= w - 1 || ($"__n" < w && $"pos" === $"__n" - 1))
       .select($"doc_id",
-        (lit(WinnowMaxPos) - substring($"__sel", 33, 7).cast(LongType)).as("pos"),
-        substring($"__sel", 1, 32).as("fp"))
+        (-$"__sel".getField("p")).as("pos"),
+        lower(hex($"__sel".getField("f"))).as("fp"))
       .distinct()
   }
 
@@ -790,6 +803,18 @@ object TextStats {
       k: Int = 4, w: Int = 4, maxDocFreq: Option[Long] = None): DataFrame =
     winnowOverlapFrom(winnow(df, idCol, textCol, k, w), maxDocFreq)
 
+  /** Internal key for fp equality work (joins, distincts, df caps): the
+    * decoded 16-byte digest — half the bytes of the hex string to hash
+    * and compare, and injective over valid md5 hex (unhex ∘ lower-hex is
+    * a bijection on 32-hex-char strings), so every equality/count over
+    * `fpb` equals the same operation over `fp` (guide §4 — cheap keys in
+    * hot comparisons; fp never appears in these operators' outputs).
+    * Picks frames that already carry a precomputed `fpb` (the memoized
+    * index in Text) are used as-is. */
+  private def withFpb(picks: DataFrame): DataFrame =
+    if (picks.columns.contains("fpb")) picks
+    else picks.withColumn("fpb", unhex(col("fp")))
+
   /** [[winnowOverlap]] over an already-built (possibly persisted) picks
     * frame — the winnowed index is the REUSABLE artifact; pipelines build
     * it once and run overlap/decontam passes from it. */
@@ -797,7 +822,7 @@ object TextStats {
       maxDocFreq: Option[Long] = None): DataFrame = {
     val s = picks.sparkSession
     import s.implicits._
-    val fps0 = picks.select($"doc_id", $"fp".as("s")).distinct()
+    val fps0 = withFpb(picks).select($"doc_id", $"fpb".as("s")).distinct()
     val fps = maxDocFreq.map(Text.capShingles(fps0, _)).getOrElse(fps0)
     fps.toDF("doc_a", "s")
       .join(fps.toDF("doc_b", "s2"), $"s" === $"s2" && $"doc_a" < $"doc_b")
@@ -847,17 +872,18 @@ object TextStats {
     // only the over-cap fps — tiny, they're the boilerplate — broadcast
     // back as an anti-join, so the positioned picks stay map-only
     // (capShingles' own discipline, without a corpus-wide semi-join)
+    val pk = withFpb(picks)
     val kept = maxDocFreq match {
       case Some(cap) =>
-        val hot = picks.select($"doc_id", $"fp").distinct()
-          .groupBy($"fp").agg(count(lit(1)).as("__df"))
-          .filter($"__df" > cap).select($"fp")
-        picks.join(broadcast(hot), Seq("fp"), "left_anti")
-      case None => picks
+        val hot = pk.select($"doc_id", $"fpb").distinct()
+          .groupBy($"fpb").agg(count(lit(1)).as("__df"))
+          .filter($"__df" > cap).select($"fpb")
+        pk.join(broadcast(hot), Seq("fpb"), "left_anti")
+      case None => pk
     }
-    val a = kept.select($"doc_id".as("doc_a"), $"pos".as("pos_a"), $"fp")
-    val b = kept.select($"doc_id".as("doc_b"), $"pos".as("pos_b"), $"fp")
-    val m = a.join(b, Seq("fp")).filter($"doc_a" < $"doc_b")
+    val a = kept.select($"doc_id".as("doc_a"), $"pos".as("pos_a"), $"fpb")
+    val b = kept.select($"doc_id".as("doc_b"), $"pos".as("pos_b"), $"fpb")
+    val m = a.join(b, Seq("fpb")).filter($"doc_a" < $"doc_b")
       .withColumn("diag", $"pos_b" - $"pos_a")
     val byDiag = Window.partitionBy($"doc_a", $"doc_b", $"diag")
       .orderBy($"pos_a")
@@ -883,9 +909,10 @@ object TextStats {
       maxDocFreq: Option[Long] = None): DataFrame = {
     val s = corpusPicks.sparkSession
     import s.implicits._
-    val cfp0 = corpusPicks.select($"doc_id", $"fp".as("s")).distinct()
+    val cfp0 = withFpb(corpusPicks).select($"doc_id", $"fpb".as("s")).distinct()
     val cfp = maxDocFreq.map(Text.capShingles(cfp0, _)).getOrElse(cfp0)
-    val rfp = refPicks.select($"doc_id".as("ref_id"), $"fp".as("s")).distinct()
+    val rfp = withFpb(refPicks)
+      .select($"doc_id".as("ref_id"), $"fpb".as("s")).distinct()
     cfp.join(rfp, "s")
       .groupBy($"doc_id", $"ref_id").agg(count(lit(1)).as("shared_fps"))
   }

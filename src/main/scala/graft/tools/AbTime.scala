@@ -23,10 +23,19 @@ object AbTime {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
-    sys.env.get("SPARK_GRAFT_AB_CONF").foreach(_.split(",").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      b.config(k, v)
-    })
+    // entries split on ';' (conf VALUES may contain ','); ',' is still
+    // accepted as a separator when no ';' is present, for the historical
+    // invocations. An entry without '=' fails loudly, not with MatchError.
+    sys.env.get("SPARK_GRAFT_AB_CONF").foreach { raw =>
+      val sep = if (raw.contains(';')) ';' else ','
+      raw.split(sep).map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => b.config(k, v)
+          case _ => sys.error(
+            s"SPARK_GRAFT_AB_CONF entry is not key=value: '$kv'")
+        }
+      }
+    }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names =
