@@ -1228,10 +1228,16 @@ object Curation {
     * column marking the target exemplars. Output: (doc_id, n_grams,
     * affinity_ppm) for every document with at least one gram.
     *
-    * Plan: ONE corpus pass to bucket counts (two tiny aggregates —
-    * `buckets` rows each — broadcast back), then a map-side bucket lookup +
-    * one doc aggregate. No joins that scale with the corpus; the LUT is
-    * bucket-sized. Exact integers end to end. */
+    * Plan: ONE corpus gram pass, collapsed immediately to the
+    * (doc, bucket) grain — ≤ #docs × `buckets` rows; the bucket stats,
+    * the LUT and the scoring all derive from that small frame (round 18:
+    * the stats and scoring consumers used to each re-derive the corpus
+    * gram relation — two tokenize+hash passes for one of information;
+    * the guide-§8 move is to decide on small rows). Per-doc-bucket
+    * counts lose nothing: every gram instance in (doc, b) has the doc's
+    * own `__tgt` and the bucket's affinity, so Σ over instances ≡
+    * Σ nb·x over (doc, bucket) rows — same integers. No joins that
+    * scale with the corpus; the LUT is bucket-sized. */
   def targetAffinity(df: DataFrame, idCol: String, textCol: String,
       isTargetCol: String, n: Int = 2, buckets: Int = 64): DataFrame = {
     require(n >= 1 && buckets >= 1,
@@ -1244,9 +1250,20 @@ object Curation {
           col(isTargetCol).cast(IntegerType).as("__tgt")),
         n, carryCols = Seq("__tgt"))
       .withColumn("__b", pmod(md5Long($"gram"), lit(buckets.toLong)))
-    val stats = grams.groupBy($"__b").agg(
-      sum($"__tgt".cast(LongType)).as("__t"),
-      count(lit(1)).as("__c"))
+    // the one corpus-sized pass: gram instances per (doc, bucket);
+    // __tgt is doc-constant, so max() carries it exactly. SNAPPED (the
+    // q139 materialized-rollup pattern, lazily): the stats and scoring
+    // consumers prune different columns, which splits a lazy shared
+    // aggregate back into two corpus passes (verified on the --exec
+    // final plan — two differently-pruned scans); the snap runs the
+    // gram pass once and both consumers read the ≤ #docs × buckets
+    // snapshot.
+    val per = grams.groupBy($"doc_id", $"__b")
+      .agg(count(lit(1)).as("__nb"), max($"__tgt").cast(LongType).as("__tgt"))
+      .localCheckpoint(eager = false)
+    val stats = per.groupBy($"__b").agg(
+      sum($"__tgt" * $"__nb").as("__t"),
+      sum($"__nb").as("__c"))
     val tot = stats.agg(sum($"__t").as("__tt"), sum($"__c").as("__ct"))
     // affinity_ppm(b) = share-of-target ppm over share-of-corpus, add-one
     // smoothed: ((t_b+1) * (ct+buckets) * 1e6) DIV ((c_b+1) * (tt+buckets)).
@@ -1258,9 +1275,9 @@ object Curation {
         expr(s"(CAST(__t + 1 AS DECIMAL(19,0)) * CAST(__ct + $buckets AS DECIMAL(19,0)) * 1000000)" +
           s" DIV (CAST(__c + 1 AS DECIMAL(19,0)) * CAST(__tt + $buckets AS DECIMAL(19,0)))")
           .cast(LongType).as("__aff"))
-    grams.join(broadcast(lut), "__b")
+    per.join(broadcast(lut), "__b")
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_grams"), sum($"__aff").as("__sum"))
+      .agg(sum($"__nb").as("n_grams"), sum($"__nb" * $"__aff").as("__sum"))
       .select($"doc_id", $"n_grams",
         expr("__sum DIV n_grams").cast(LongType).as("affinity_ppm"))
   }

@@ -789,7 +789,12 @@ object Dedup {
         df.select(col(idCol).cast(LongType).as("doc_id"),
           col(textCol).as("text"), col(groupCol).as("grp")), k,
         carryCols = Seq("grp"))
-      .select($"grp", md5($"gram").as("h")).distinct()
+      // the decoded 16-byte digest, not the 32-char hex: h is only ever
+      // an equality key (distinct + the member-set aggregate) and never
+      // appears in the output, and unhex∘md5 keeps exactly md5's
+      // identities — half the key bytes in the two corpus-sized shuffles
+      // (round 18, guide §2.3/§4; the winnow fpb discipline)
+      .select($"grp", unhex(md5($"gram")).as("h")).distinct()
     val sizes = grams.groupBy($"grp").agg(count(lit(1)).as("ng"))
     // one combiner aggregate collapses each gram to its ≤#groups member
     // set; the ordered-pair expansion is a map-only double explode bounded

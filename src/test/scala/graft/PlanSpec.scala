@@ -504,6 +504,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q239: affinity stats and scoring share ONE materialized (doc, bucket) rollup") {
+    // round-18: the bucket-stats and scoring consumers used to each
+    // re-derive the corpus gram relation (two tokenize+hash passes; a
+    // lazy shared aggregate gets split back by column pruning — verified
+    // on the --exec final plan). The snapped per-(doc, bucket) rollup
+    // runs the gram pass exactly once; both consumers read the snap.
+    val p = planOf("q239_target_affinity")
+    assert(!p.contains("Scan parquet"),
+      s"q239: consumers must read the materialized rollup, not re-scan documents:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"q239: expected the localCheckpoint'd rollup scan:\n$p")
+  }
+
   test("q270/q271: tempered mix/epochs broadcast the class frame; corpus never shuffles pre-aggregate") {
     // q270: the threshold frame is a #classes-row BROADCAST join (round 16
     // replaced a folded CASE chain that blew up codegen at high class
