@@ -120,6 +120,28 @@ class CorpusSpec extends AnyFunSuite {
     assert(again == byId)
   }
 
+  test("winnow key order: struct(digest bytes, -pos) == the hex||lpad string key") {
+    // round-18 key change: the rightmost-min window key used to be the
+    // 39-char string `md5hex || lpad(9999999-pos, 7)`; it is now
+    // struct(unhex(md5hex), -pos). This pins the equivalence claim the
+    // rewrite rests on: for FIXED-WIDTH LOWERCASE hex, UTF8 lexicographic
+    // order equals the unsigned bytewise order of the decoded digest, and
+    // 9999999-pos orders like -pos — so comparisons agree on EVERY pair,
+    // ties included (equal hex ⇒ equal bytes).
+    val rows = (0 until 200).map { i =>
+      (org.apache.commons.codec.digest.DigestUtils.md5Hex(s"gram $i"),
+        (i * 7919L) % 9999999L)
+    }.toDF("fp", "pos")
+    val pairs = rows.as("a").crossJoin(rows.as("b"))
+      .select(
+        (concat(col("a.fp"), lpad((lit(9999999L) - col("a.pos")).cast("string"), 7, "0")) <
+          concat(col("b.fp"), lpad((lit(9999999L) - col("b.pos")).cast("string"), 7, "0"))).as("oldLt"),
+        (struct(unhex(col("a.fp")).as("f"), (-col("a.pos")).as("p")) <
+          struct(unhex(col("b.fp")).as("f"), (-col("b.pos")).as("p"))).as("newLt"))
+    assert(pairs.filter(col("oldLt") =!= col("newLt")).count() == 0L,
+      "struct(digest, -pos) must order exactly like the hex||lpad string key")
+  }
+
   test("winnow equals the naive MOSS model: full windows, short docs, ties") {
     def md5hex(x: String): String =
       java.security.MessageDigest.getInstance("MD5")
